@@ -1,0 +1,37 @@
+"""Table catalog over the driver-provided parquet test tables.
+
+The reference declares fixed schemas for every table (see
+/root/reference/Database/BL_3NF/bl_3nf.sql); here the fixed schemas
+live in the parquet footers and we simply bind names → paths.
+``load`` returns lazy DataFrames so Catalyst can push filters and
+prune columns all the way into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one table; column pruning + predicate
+    pushdown happen automatically downstream."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

@@ -1,0 +1,295 @@
+"""Analytical views — the reference's materialized views and the
+business-template question set, re-expressed over the driver test
+tables.
+
+Reference queries rebuilt here (role mapping per FIXTURES.md §3 —
+region ↔ market, supplier ↔ employee, part ↔ product hierarchy):
+
+- ``yearly_sales_profit``   ← /root/reference/Database/BL_DM/bl_dm.sql:274-285
+  (sum sales & profit by year × market, 7-way star join underneath)
+- ``sales_employees_regions`` ← bl_dm.sql:288-300
+  (sum sales by employee × region)
+- the Business_Template.docx §"Benefits" question set: demand by
+  category × region, segment sales, seasonality per segment,
+  order-priority distribution.
+
+All are plain DataFrame plans: broadcast-joined star lookups feeding
+a partial-aggregated groupBy, so at 100 TB the only shuffle is the
+final aggregation on (low-cardinality) group keys.
+
+Money aggregates are rounded to 2 dp in BOTH the Spark plan and the
+DuckDB oracle (matching the reference's ``ROUND(sum(..)::numeric,2)``,
+bl_dm.sql:275) — this also absorbs float summation-order noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+
+# sales / profit measure expressions, shared by every view.
+# sales = extendedprice net of discount; profit additionally nets tax
+# (a deterministic stand-in for the reference's Profit column).
+SALES = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+PROFIT = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 - F.col("l_tax"))
+
+SALES_SQL = "l_extendedprice * (1 - l_discount)"
+PROFIT_SQL = "l_extendedprice * (1 - l_discount) * (1 - l_tax)"
+
+
+def _customer_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer → nation → region lookup chain (the snowflake path
+    the reference flattens into Dim_Addresses→Countries→Regions).
+    Both dims are tiny → broadcast, so attaching market to a fact
+    scan is shuffle-free at any scale."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_mktsegment", F.col("r_name").alias("market"))
+    )
+
+
+def yearly_sales_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales & profit by order-year × market (bl_dm.sql:274-285).
+
+    Plan shape: lineitem ⋈ orders is the one real shuffle (both
+    large); the market lookup is broadcast; aggregation is partial
+    (map-side) then final on ~ (years × regions) groups.
+    """
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
+    )
+    cust_market = _customer_market(spark, sf_dir).select("c_custkey", "market")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)
+        .groupBy("order_year", "market")
+        .agg(
+            F.round(F.sum(SALES), 2).alias("total_sales"),
+            F.round(F.sum(PROFIT), 2).alias("total_profit"),
+            F.sum("l_quantity").cast("long").alias("total_quantity"),
+        )
+        .orderBy("order_year", "market")
+    )
+
+
+def yearly_sales_profit_oracle() -> str:
+    return f"""
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               r.r_name AS market,
+               ROUND(SUM({SALES_SQL}), 2) AS total_sales,
+               ROUND(SUM({PROFIT_SQL}), 2) AS total_profit,
+               CAST(SUM(l_quantity) AS BIGINT) AS total_quantity
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+def sales_employees_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales by employee × region (bl_dm.sql:288-300); supplier plays
+    the employee role. Supplier→nation→region chain is broadcast;
+    the groupBy keys are (supplier, region) — higher cardinality
+    than the yearly view but still partial-aggregated map-side."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    emp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", F.col("s_name").alias("employee_name"), F.col("r_name").alias("region"))
+    )
+    return (
+        lineitem.join(F.broadcast(emp), lineitem.l_suppkey == emp.s_suppkey)
+        .groupBy("employee_name", "region")
+        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+        .orderBy("employee_name", "region")
+    )
+
+
+def sales_employees_regions_oracle() -> str:
+    return f"""
+        SELECT s.s_name AS employee_name,
+               r.r_name AS region,
+               ROUND(SUM({SALES_SQL}), 2) AS total_sales
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary — the canonical wide-agg
+    stress test: single scan, no join, map-side partial agg into 6
+    groups. At 100 TB this is scan-bound; everything stays in
+    whole-stage codegen."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(SALES), 2).alias("sum_disc_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def pricing_summary_oracle() -> str:
+    return """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def demand_category_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demand (quantity) by category × region — Business_Template
+    §Benefits "product demand by category across regions"; p_brand
+    plays category."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("category"))
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust_market = _customer_market(spark, sf_dir).select("c_custkey", "market")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)
+        .groupBy("category", "market")
+        .agg(F.sum("l_quantity").cast("long").alias("total_quantity"))
+        .orderBy("category", "market")
+    )
+
+
+def demand_category_region_oracle() -> str:
+    return """
+        SELECT p.p_brand AS category,
+               r.r_name AS market,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS total_quantity
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """
+
+
+def segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total sales per customer segment (Business_Template §Benefits
+    "segment-level sales")."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.round(F.sum(SALES), 2).alias("total_sales"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy("segment")
+    )
+
+
+def segment_sales_oracle() -> str:
+    return f"""
+        SELECT c.c_mktsegment AS segment,
+               ROUND(SUM({SALES_SQL}), 2) AS total_sales,
+               COUNT(*) AS line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+def seasonality_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly sales per segment (Business_Template §Benefits
+    "seasonality behaviour of each segment")."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy("order_year", "order_month", F.col("c_mktsegment").alias("segment"))
+        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+        .orderBy("order_year", "order_month", "segment")
+    )
+
+
+def seasonality_segment_oracle() -> str:
+    return f"""
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o.o_orderdate) AS INTEGER) AS order_month,
+               c.c_mktsegment AS segment,
+               ROUND(SUM({SALES_SQL}), 2) AS total_sales
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """
+
+
+def priority_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts per priority (Business_Template §Benefits
+    "order priority distributions"); single-scan count agg."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+        .orderBy("order_priority")
+    )
+
+
+def priority_distribution_oracle() -> str:
+    return """
+        SELECT o_orderpriority AS order_priority,
+               COUNT(*) AS order_count,
+               ROUND(SUM(o_totalprice), 2) AS total_value
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """

@@ -1,0 +1,50 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs inside a single Postgres backend; our execution
+model is Spark's driver/executor DAG. These configs are chosen for
+cluster behavior (AQE re-planning, skew-join handling, broadcast
+thresholds) and remain correct on ``local[N]`` test runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "global-superstore-dw",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the warehouse workload.
+
+    - AQE on: runtime shuffle-partition coalescing, skew-join
+      splitting, and dynamic join-strategy demotion to broadcast —
+      the main levers that make the same plan survive a 100x
+      scale-up without hand-tuning.
+    - UTC session timezone: parquet timestamps are interpreted
+      identically across engines (and the DuckDB oracle).
+    - Arrow enabled for any pandas interop (similarity / multimodal
+      operators use Arrow-batched pandas UDFs, never row-at-a-time).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+    )
+    return builder.getOrCreate()
