@@ -27,9 +27,23 @@ TABLES = (
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table; column pruning + predicate
-    pushdown happen automatically downstream."""
+    pushdown happen automatically downstream.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects; we read it as nanos-long
+    (runtime legacy conf) and convert to a microsecond TimestampType
+    column — set here so every consumer sees a normal timestamp.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

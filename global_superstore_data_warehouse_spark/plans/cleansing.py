@@ -1,0 +1,287 @@
+"""Cleansing-layer queries — SURVEY §2.3 scalar functions, §2.5/§2.7
+dedup & set ops, §2.4 J3/J4/J6 joins, S5/S6 conflict-handling sinks —
+each exercised over the driver test tables with a DuckDB oracle.
+
+Dirty data (``#``-suffixed ids, ``' -'``-suffixed names — FIXTURES.md
+§1) is synthesized in-query deterministically from c_custkey so the
+oracle applies the identical expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.functions import cleaning as C
+from global_superstore_data_warehouse_spark.operators import dedup as D
+from global_superstore_data_warehouse_spark.operators import merge as M
+
+
+# --- F1/P6: id & name suffix stripping -------------------------------
+
+def clean_dirty_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    dirty_id = F.concat(
+        F.col("c_custkey").cast("string"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("#dup")).otherwise(F.lit("")),
+    )
+    dirty_name = F.concat(
+        F.col("c_name"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(" -old")).otherwise(F.lit("")),
+    )
+    return cust.select(
+        "c_custkey",
+        dirty_id.alias("dirty_id"),
+        C.clean_id(dirty_id).alias("clean_id"),
+        C.clean_name(dirty_name).alias("clean_name"),
+    )
+
+
+CLEAN_DIRTY_IDS_ORACLE = """
+    SELECT c_custkey,
+           CAST(c_custkey AS VARCHAR)
+             || CASE WHEN c_custkey % 3 = 0 THEN '#dup' ELSE '' END AS dirty_id,
+           split_part(CAST(c_custkey AS VARCHAR)
+             || CASE WHEN c_custkey % 3 = 0 THEN '#dup' ELSE '' END, '#', 1) AS clean_id,
+           split_part(c_name
+             || CASE WHEN c_custkey % 5 = 0 THEN ' -old' ELSE '' END, ' -', 1) AS clean_name
+    FROM customer
+"""
+
+
+# --- F2/F3/F4: name split / upper / concat ---------------------------
+
+def split_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        C.first_name("p_name").alias("first_word"),
+        C.last_name("p_name").alias("last_word"),
+        F.upper("p_name").alias("name_upper"),
+        C.full_name(C.first_name("p_name"), C.last_name("p_name")).alias("rejoined"),
+    )
+
+
+SPLIT_NAMES_ORACLE = """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS first_word,
+           split_part(p_name, ' ', 2) AS last_word,
+           upper(p_name) AS name_upper,
+           split_part(p_name, ' ', 1) || ' ' || split_part(p_name, ' ', 2) AS rejoined
+    FROM part
+"""
+
+
+# --- F5-F10: date parse / extract / arithmetic -----------------------
+
+def parse_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    date_str = F.date_format("o_orderdate", "dd-MM-yyyy")
+    d = C.parse_date_ddmmyyyy(date_str)
+    # Date-valued outputs are serialized to ISO strings so the
+    # engine-side repr (date vs timestamp) can never skew the
+    # driver's value hash; parsing/arithmetic still happens on DATE.
+    iso = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return orders.select(
+        "o_orderkey",
+        date_str.alias("date_str"),
+        iso(d).alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofmonth(d).alias("order_day"),
+        iso(F.date_add(d, 1)).alias("next_day"),
+        iso(F.add_months(d, 12)).alias("next_year"),
+    )
+
+
+PARSE_DATES_ORACLE = """
+    WITH s AS (
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%d-%m-%Y') AS date_str,
+               CAST(strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y') AS DATE) AS d
+        FROM orders
+    )
+    SELECT o_orderkey, date_str,
+           strftime(d, '%Y-%m-%d') AS order_date,
+           CAST(year(d) AS INTEGER) AS order_year,
+           CAST(month(d) AS INTEGER) AS order_month,
+           CAST(quarter(d) AS INTEGER) AS order_quarter,
+           CAST(dayofmonth(d) AS INTEGER) AS order_day,
+           strftime(d + INTERVAL 1 DAY, '%Y-%m-%d') AS next_day,
+           strftime(d + INTERVAL 1 YEAR, '%Y-%m-%d') AS next_year
+    FROM s
+"""
+
+
+# --- U1/A1: distinct union of two conformed sources ------------------
+
+def distinct_union_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    a = part.filter(F.col("p_partkey") % 2 == 0).select(F.col("p_brand").alias("brand"))
+    b = part.filter(F.col("p_partkey") % 2 == 1).select(F.col("p_brand").alias("brand"))
+    return D.distinct_union(a, b)
+
+
+DISTINCT_UNION_BRANDS_ORACLE = """
+    SELECT p_brand AS brand FROM part WHERE p_partkey % 2 = 0
+    UNION
+    SELECT p_brand AS brand FROM part WHERE p_partkey % 2 = 1
+"""
+
+
+# --- U2: union all + group count -------------------------------------
+
+def union_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_custkey") % 2 == 0).select(F.col("c_mktsegment").alias("segment"))
+    b = cust.filter(F.col("c_custkey") % 2 == 1).select(F.col("c_mktsegment").alias("segment"))
+    return (
+        D.union_all(a, b)
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("row_count"))
+        .orderBy("segment")
+    )
+
+
+UNION_ALL_SEGMENTS_ORACLE = """
+    SELECT segment, COUNT(*) AS row_count FROM (
+        SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_mktsegment AS segment FROM customer WHERE c_custkey % 2 = 1
+    ) GROUP BY segment ORDER BY segment
+"""
+
+
+# --- J4/S5: anti-join "new rows only" (ON CONFLICT DO NOTHING) -------
+
+def new_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    existing = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return D.new_rows(cust, existing, ["c_custkey"])
+
+
+NEW_CUSTOMERS_ORACLE = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+# --- J3/P7: full-outer + coalesce two-source merge -------------------
+
+def merged_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    consumer = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", F.col("c_name").alias("name"), F.col("c_mktsegment").alias("segment")
+    )
+    corporate = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", F.upper("c_name").alias("name"), F.col("c_mktsegment").alias("segment")
+    )
+    return D.full_outer_coalesce(consumer, corporate, ["c_custkey"], ["name", "segment"])
+
+
+MERGED_ENTITIES_ORACLE = """
+    WITH cons AS (
+        SELECT c_custkey, c_name AS name, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 2 = 0
+    ), corp AS (
+        SELECT c_custkey, upper(c_name) AS name, c_mktsegment AS segment
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT COALESCE(cons.c_custkey, corp.c_custkey) AS c_custkey,
+           COALESCE(cons.name, corp.name) AS name,
+           COALESCE(cons.segment, corp.segment) AS segment
+    FROM cons FULL OUTER JOIN corp ON cons.c_custkey = corp.c_custkey
+"""
+
+
+# --- A6/C8: duplicate checker ----------------------------------------
+
+def duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return D.check_duplicates(orders, ["o_custkey"])
+
+
+DUPLICATE_ORDERS_ORACLE = """
+    SELECT o_custkey, COUNT(*) AS dup_count
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1
+"""
+
+
+# --- S6/J5: SCD1 upsert ----------------------------------------------
+
+def scd1_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    target = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", F.col("c_name").alias("name"), F.round("c_acctbal", 2).alias("balance")
+    )
+    source = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" v2")).alias("name"),
+        F.round(F.col("c_acctbal") + 100, 2).alias("balance"),
+    )
+    return M.scd1_upsert(target, source, ["c_custkey"], ["name", "balance"])
+
+
+SCD1_UPSERT_CUSTOMERS_ORACLE = """
+    WITH t AS (
+        SELECT c_custkey, c_name AS name, ROUND(c_acctbal, 2) AS balance
+        FROM customer WHERE c_custkey % 2 = 0
+    ), s AS (
+        SELECT c_custkey, c_name || ' v2' AS name, ROUND(c_acctbal + 100, 2) AS balance
+        FROM customer WHERE c_custkey % 3 = 0
+    )
+    SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+           COALESCE(s.name, t.name) AS name,
+           COALESCE(s.balance, t.balance) AS balance,
+           (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL) AS is_updated
+    FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
+"""
+
+
+# --- J6: case-insensitive equi-join ----------------------------------
+
+def case_insensitive_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    segs = cust.select(F.lower("c_mktsegment").alias("seg")).distinct()
+    return (
+        cust.join(F.broadcast(segs), F.upper(segs.seg) == F.upper(cust.c_mktsegment))
+        .groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("customer_count"))
+        .orderBy("seg")
+    )
+
+
+CASE_INSENSITIVE_SEGMENTS_ORACLE = """
+    WITH segs AS (SELECT DISTINCT lower(c_mktsegment) AS seg FROM customer)
+    SELECT seg, COUNT(*) AS customer_count
+    FROM customer c JOIN segs ON upper(segs.seg) = upper(c.c_mktsegment)
+    GROUP BY seg ORDER BY seg
+"""
+
+
+# --- JSON prop extraction (events) -----------------------------------
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`props` is a JSON string column; extraction stays JVM-side via
+    get_json_object (no UDF)."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select("event_type", k.alias("prop_k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("prop_k").alias("sum_k"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_JSON_PROPS_ORACLE = """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+           COUNT(*) AS event_count
+    FROM events GROUP BY event_type ORDER BY event_type
+"""

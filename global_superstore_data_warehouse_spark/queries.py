@@ -8,7 +8,7 @@ compare hashes values under sorted column names.
 
 from __future__ import annotations
 
-from global_superstore_data_warehouse_spark.plans import views
+from global_superstore_data_warehouse_spark.plans import cleansing, views
 from global_superstore_data_warehouse_spark.registry import register
 
 # --- Analytical views (reference mat views + Business_Template set) ---
@@ -19,3 +19,17 @@ register("demand_category_region", views.demand_category_region, views.demand_ca
 register("segment_sales", views.segment_sales, views.segment_sales_oracle())
 register("seasonality_segment", views.seasonality_segment, views.seasonality_segment_oracle())
 register("priority_distribution", views.priority_distribution, views.priority_distribution_oracle())
+
+# --- Cleansing layer (SURVEY §2.3 scalar fns, §2.5/§2.7 dedup & set
+# ops, §2.4 J3/J4/J6, S5/S6 conflict sinks) ---
+register("clean_dirty_ids", cleansing.clean_dirty_ids, cleansing.CLEAN_DIRTY_IDS_ORACLE)
+register("split_names", cleansing.split_names, cleansing.SPLIT_NAMES_ORACLE)
+register("parse_dates", cleansing.parse_dates, cleansing.PARSE_DATES_ORACLE)
+register("distinct_union_brands", cleansing.distinct_union_brands, cleansing.DISTINCT_UNION_BRANDS_ORACLE)
+register("union_all_segments", cleansing.union_all_segments, cleansing.UNION_ALL_SEGMENTS_ORACLE)
+register("new_customers", cleansing.new_customers, cleansing.NEW_CUSTOMERS_ORACLE)
+register("merged_entities", cleansing.merged_entities, cleansing.MERGED_ENTITIES_ORACLE)
+register("duplicate_orders", cleansing.duplicate_orders, cleansing.DUPLICATE_ORDERS_ORACLE)
+register("scd1_upsert_customers", cleansing.scd1_upsert_customers, cleansing.SCD1_UPSERT_CUSTOMERS_ORACLE)
+register("case_insensitive_segments", cleansing.case_insensitive_segments, cleansing.CASE_INSENSITIVE_SEGMENTS_ORACLE)
+register("events_json_props", cleansing.events_json_props, cleansing.EVENTS_JSON_PROPS_ORACLE)

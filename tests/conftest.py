@@ -43,7 +43,17 @@ def duck():
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Mirror the driver's order-insensitive compare: sort columns by
-    name, then sort rows by every column."""
+    name, then sort rows by every column. Date-like object columns
+    (Spark returns datetime.date, DuckDB datetime64) are coerced to
+    a common dtype first."""
+    import datetime
+
+    df = df.copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], datetime.date):
+                df[c] = pd.to_datetime(df[c])
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df.columns):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
