@@ -8,7 +8,7 @@ compare hashes values under sorted column names.
 
 from __future__ import annotations
 
-from global_superstore_data_warehouse_spark.plans import cleansing, views
+from global_superstore_data_warehouse_spark.plans import cleansing, views, warehouse
 from global_superstore_data_warehouse_spark.registry import register
 
 # --- Analytical views (reference mat views + Business_Template set) ---
@@ -33,3 +33,11 @@ register("duplicate_orders", cleansing.duplicate_orders, cleansing.DUPLICATE_ORD
 register("scd1_upsert_customers", cleansing.scd1_upsert_customers, cleansing.SCD1_UPSERT_CUSTOMERS_ORACLE)
 register("case_insensitive_segments", cleansing.case_insensitive_segments, cleansing.CASE_INSENSITIVE_SEGMENTS_ORACLE)
 register("events_json_props", cleansing.events_json_props, cleansing.EVENTS_JSON_PROPS_ORACLE)
+
+# --- 3NF warehouse layer (SURVEY §1 items 4-7, §2.6 surrogate keys,
+# S8 date generation, J1 snowflake lookups) ---
+register("surrogate_keys_customers", warehouse.surrogate_keys_customers, warehouse.SURROGATE_KEYS_CUSTOMERS_ORACLE)
+register("dim_market", warehouse.dim_market, warehouse.DIM_MARKET_ORACLE)
+register("dim_geography", warehouse.dim_geography, warehouse.DIM_GEOGRAPHY_ORACLE)
+register("dim_product_hierarchy", warehouse.dim_product_hierarchy, warehouse.DIM_PRODUCT_HIERARCHY_ORACLE)
+register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
