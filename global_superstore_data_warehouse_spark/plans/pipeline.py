@@ -1,0 +1,72 @@
+"""End-to-end pipeline orchestrator (SURVEY §3 E1-E3, C1/C2):
+staging → 3NF → DM → view refresh, with per-step audit logging.
+
+Mirrors the reference's strict ordering (`bl_cl_load()` →
+`run_3nf()` → `run_dm()` → REFRESH MATERIALIZED VIEW,
+bl_cl.sql:292,1382,2184,2257-2261): dims build before the fact so FK
+lookups resolve; views materialize last. Each `.write` is an action
+boundary — the Spark analogue of the reference's per-procedure
+transactions.
+
+Physical layout decisions (100 TB-oriented):
+- staged sources partitioned by load_id (incremental appends prune);
+- the fact written `partitionBy("order_year")` — the reference's
+  yearly range partitions (C6, bl_cl.sql:1147-1187) become directory
+  partitions with dynamic partition pruning on read;
+- materialized views recomputed + overwritten (S7 semantics).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.plans import fact as fact_plan
+from global_superstore_data_warehouse_spark.plans import views, warehouse
+from global_superstore_data_warehouse_spark.sources.audit import log_step
+from global_superstore_data_warehouse_spark.sources.staging import (
+    LoadIdSequencer,
+    stage_append,
+)
+
+STAGED_TABLES = ("orders", "lineitem", "customer", "supplier", "part", "nation", "region")
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """Full warehouse build; returns per-artifact rowcounts."""
+    log_path = os.path.join(out_dir, "etl_log")
+    counts: dict[str, int] = {}
+
+    # --- E1: ingestion with load-id bookkeeping ---
+    seq = LoadIdSequencer(os.path.join(out_dir, "_meta", "load_id.json"))
+    load_id = seq.next()
+    for t in STAGED_TABLES:
+        n = stage_append(load(spark, sf_dir, t), os.path.join(out_dir, "staging", t), load_id)
+        counts[f"staging.{t}"] = n
+        log_step(spark, log_path, f"stage_{t}", n, "staged", load_id)
+
+    # --- E2: 3NF build (dims in dependency order, then fact) ---
+    def write_table(df: DataFrame, name: str, partition_by: str | None = None) -> int:
+        path = os.path.join(out_dir, name)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(partition_by)
+        w.parquet(path)
+        n = spark.read.parquet(path).count()
+        counts[name] = n
+        log_step(spark, log_path, name, n, "loaded", load_id)
+        return n
+
+    write_table(warehouse.dim_market(spark, sf_dir), "3nf/dim_market")
+    write_table(warehouse.dim_geography(spark, sf_dir), "3nf/dim_geography")
+    write_table(warehouse.dim_product_hierarchy(spark, sf_dir), "3nf/dim_products")
+    write_table(warehouse.dim_date(spark, sf_dir), "3nf/dim_date")
+    write_table(fact_plan.fact_orders(spark, sf_dir), "3nf/fct_orders", partition_by="order_year")
+
+    # --- E3: DM materialized views (recompute-and-overwrite = REFRESH) ---
+    write_table(views.yearly_sales_profit(spark, sf_dir), "dm/yearly_sales_profit")
+    write_table(views.sales_employees_regions(spark, sf_dir), "dm/sales_employees_regions")
+
+    return counts

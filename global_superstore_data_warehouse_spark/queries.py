@@ -8,7 +8,7 @@ compare hashes values under sorted column names.
 
 from __future__ import annotations
 
-from global_superstore_data_warehouse_spark.plans import cleansing, views, warehouse
+from global_superstore_data_warehouse_spark.plans import cleansing, fact, scd, views, warehouse
 from global_superstore_data_warehouse_spark.registry import register
 
 # --- Analytical views (reference mat views + Business_Template set) ---
@@ -41,3 +41,7 @@ register("dim_market", warehouse.dim_market, warehouse.DIM_MARKET_ORACLE)
 register("dim_geography", warehouse.dim_geography, warehouse.DIM_GEOGRAPHY_ORACLE)
 register("dim_product_hierarchy", warehouse.dim_product_hierarchy, warehouse.DIM_PRODUCT_HIERARCHY_ORACLE)
 register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
+
+# --- SCD2 merge (§2.9) + fact build (§2 item 6, J1/J2/J5) ---
+register("scd2_customers", scd.scd2_customers, scd.SCD2_CUSTOMERS_ORACLE)
+register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)

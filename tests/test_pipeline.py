@@ -1,0 +1,73 @@
+"""Pipeline orchestration tests: staging guards, load-id sequencing,
+audit log, partitioned fact output, view materialization (SURVEY §3,
+C1-C7; reference invariants FIXTURES.md §4)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    from global_superstore_data_warehouse_spark.plans.pipeline import run_pipeline
+    from global_superstore_data_warehouse_spark.sources.audit import read_log
+
+    out = str(tmp_path / "wh")
+    counts = run_pipeline(spark, sf_dir, out)
+    assert counts["staging.orders"] > 0
+    assert counts["3nf/fct_orders"] > 0
+    assert counts["dm/yearly_sales_profit"] > 0
+
+    # fact is directory-partitioned by order_year (C6 replacement)
+    years = [d for d in os.listdir(os.path.join(out, "3nf/fct_orders")) if d.startswith("order_year=")]
+    assert len(years) > 1
+
+    # audit log has one row per step (C7)
+    log = read_log(spark, os.path.join(out, "etl_log"))
+    assert log.count() == len(counts)
+    assert log.filter(F.col("rows_affected") <= 0).count() == 0
+
+    # partition pruning works on the staged load (P3)
+    from global_superstore_data_warehouse_spark.sources.staging import read_load
+
+    staged = read_load(spark, os.path.join(out, "staging/orders"), 1)
+    assert staged.count() == counts["staging.orders"]
+
+
+def test_staging_guards(spark, sf_dir, tmp_path):
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.sources.staging import (
+        AlreadyLoadedError,
+        EmptySourceError,
+        LoadIdSequencer,
+        stage_append,
+    )
+
+    seq = LoadIdSequencer(str(tmp_path / "meta/load_id.json"))
+    assert seq.current() == 0
+    assert seq.next() == 1
+    assert seq.next() == 2
+    assert seq.current() == 2
+
+    region = load(spark, sf_dir, "region")
+    target = str(tmp_path / "staging/region")
+    stage_append(region, target, 1)
+    with pytest.raises(AlreadyLoadedError):
+        stage_append(region, target, 1)  # C4: double-load guard
+    with pytest.raises(EmptySourceError):
+        stage_append(region.filter(F.lit(False)), target, 2)  # C3: empty source
+
+
+def test_csv_roundtrip_all_string(spark, sf_dir, tmp_path):
+    """S1: CSV read with declared all-string schema (no inference)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.sources.csv import read_csv
+
+    nation = load(spark, sf_dir, "nation")
+    csv_dir = str(tmp_path / "nation_csv")
+    nation.coalesce(1).write.option("header", True).csv(csv_dir)
+    back = read_csv(spark, csv_dir, ["n_nationkey", "n_name", "n_regionkey"])
+    assert [f.dataType.simpleString() for f in back.schema.fields] == ["string"] * 3
+    assert back.count() == nation.count()
+    # values survive the string roundtrip
+    assert back.filter(F.col("n_name").isNull()).count() == 0
