@@ -1,0 +1,113 @@
+"""Text-analysis column expressions (beyond-reference, training-data
+pipeline): tokenization, quality features, language-ID heuristic,
+document fingerprints, MinHash signatures, SimHash.
+
+Everything is built-in `pyspark.sql.functions` over array columns —
+JVM-side, no Python UDFs — so the hot path stays in whole-stage
+codegen and the only shuffles are the groupBys the callers add.
+MD5 is the shared hash primitive because it is bit-identical across
+engines (the DuckDB oracle uses the same md5), making every operator
+here hash-checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+ES_STOPWORDS = ("el", "la", "de", "que", "y", "en")
+DE_STOPWORDS = ("der", "die", "das", "und", "ist")
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization (the BPE-ish regex split)."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def distinct_tokens(c: Column | str) -> Column:
+    return F.array_distinct(tokens(c))
+
+
+def stopword_count(toks: Column, stopwords: Sequence[str]) -> Column:
+    lits = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(toks, lambda w: F.array_contains(lits, w)))
+
+
+def total_token_chars(toks: Column) -> Column:
+    return F.aggregate(
+        F.transform(toks, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+    )
+
+
+def bow_fingerprint(c: Column | str) -> Column:
+    """Order-canonical bag-of-words fingerprint: md5 of the sorted
+    distinct token list — identical for any permutation of the same
+    vocabulary."""
+    return F.md5(F.concat_ws(" ", F.array_sort(distinct_tokens(c))))
+
+
+def min_token_hash(c: Column | str) -> Column:
+    """Single-seed MinHash (the 1-element signature): lexicographic
+    min of per-token md5s."""
+    return F.array_min(F.transform(distinct_tokens(c), lambda w: F.md5(w)))
+
+
+def _seeded_hasher(prefix: str):
+    """Single-parameter lambda factory. NB: a two-parameter lambda
+    (e.g. ``lambda w, p=prefix``) would be interpreted by
+    ``F.transform`` as an (element, index) function and the index
+    would silently replace the bound default."""
+    return lambda w: F.md5(F.concat(F.lit(prefix), w))
+
+
+def minhash_signature(toks: Column, num_hashes: int) -> list[Column]:
+    """k-seed MinHash signature. Seed i's hash of token w is
+    md5('s{i}|' || w); the signature component is the lexicographic
+    min over the document's distinct tokens. P[min-hash collision]
+    per seed = Jaccard similarity — the standard estimator."""
+    return [
+        F.array_min(F.transform(toks, _seeded_hasher(f"s{i}|"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def lsh_bands(signature_cols: Sequence[str], rows_per_band: int) -> list[Column]:
+    """Band the signature for LSH: hash each group of ``rows_per_band``
+    signature components into one bucket key. Docs sharing any band
+    bucket become candidate pairs."""
+    bands = []
+    cols = list(signature_cols)
+    for b in range(0, len(cols), rows_per_band):
+        group = cols[b : b + rows_per_band]
+        bands.append(F.md5(F.concat_ws("|", *group)).alias(f"band{b // rows_per_band}"))
+    return bands
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two distinct-element array columns."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Stopword-profile language scores (n-gram heuristic family)."""
+    return {
+        "en": stopword_count(toks, EN_STOPWORDS),
+        "es": stopword_count(toks, ES_STOPWORDS),
+        "de": stopword_count(toks, DE_STOPWORDS),
+    }
+
+
+def hex16_of_md5(c: Column) -> Column:
+    """First 16 bits of md5(c) as an int — the SimHash per-token
+    hash. Spark: conv(hex,16,10); oracle: ('0x'||hex)::INT. Both
+    read the identical md5 hex prefix, so values agree exactly."""
+    return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("int")

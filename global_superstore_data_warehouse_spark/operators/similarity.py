@@ -1,0 +1,90 @@
+"""Vector-similarity operators over ``array<float>`` embedding
+columns (beyond-reference: ANN / near-dup search for training-data
+pipelines).
+
+All arithmetic is explicit double-precision left-fold over the
+array — `F.zip_with` + `F.aggregate`, pure Catalyst expressions, no
+UDFs — both because it stays in codegen and because the identical
+sequential fold is expressible in the DuckDB oracle, giving
+bit-reproducible similarity values across engines.
+
+Scale design: brute-force top-k is the correctness baseline (one
+broadcast of the query set, one scan of the corpus, per-partition
+partial top-k via the rank window). The LSH variant buckets vectors
+by random-hyperplane signs so the candidate set per query shrinks by
+~2^planes; buckets are plain columns, so the bucket join is an
+ordinary shuffle join that AQE handles — this is the path that
+survives a corpus that no longer fits a broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dot_sql(a: str, b: str, dims: int) -> str:
+    """Oracle-side dot product with the same sequential fold."""
+    return (
+        f"list_aggregate(list_transform(range(1, {dims + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def cosine_sql(a: str, b: str, dims: int) -> str:
+    return (
+        f"({dot_sql(a, b, dims)} / "
+        f"(sqrt({dot_sql(a, a, dims)}) * sqrt({dot_sql(b, b, dims)})))"
+    )
+
+
+def hyperplanes(num_planes: int, dims: int) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes derived from md5 — the
+    same literals are inlined into both the Spark plan and the
+    oracle SQL, so bucket assignment is engine-independent."""
+    planes = []
+    for j in range(num_planes):
+        row = []
+        for d in range(dims):
+            h = hashlib.md5(f"h{j}_{d}".encode()).hexdigest()
+            row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit j = sign(emb · plane_j)."""
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        d = dot(emb, F.array(*[F.lit(v) for v in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_bucket_sql(emb: str, planes: list[list[float]], dims: int) -> str:
+    parts = []
+    for j, plane in enumerate(planes):
+        arr = "[" + ", ".join(str(v) for v in plane) + "]"
+        parts.append(
+            f"CASE WHEN {dot_sql(emb, arr, dims)} > 0 THEN {2**j} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(parts) + " AS INTEGER)"

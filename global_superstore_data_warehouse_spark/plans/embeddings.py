@@ -1,0 +1,178 @@
+"""Similarity-search queries over the ``embeddings`` table
+(array<float> vectors): brute-force cosine top-k (correctness
+baseline), random-hyperplane LSH top-k (the scale path), near-dup
+pair detection, and per-label centroids.
+
+Similarity values are computed with the identical sequential
+double-precision fold in both engines (operators/similarity.py), so
+they hash-match without tolerance tricks; ranking ties break on
+vec_id for determinism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators import similarity as S
+
+DIMS = 64
+NUM_QUERIES = 5  # query set = vec_id < 5
+TOP_K = 3
+NUM_PLANES = 6
+NEAR_DUP_THRESHOLD = 0.4
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set,
+    scan the corpus once; rank window is partitioned per query so the
+    top-k shuffle carries only qualifying rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    sim = F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6)
+    ranked = pairs.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine_sim"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K)
+
+
+COSINE_TOPK_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < {NUM_QUERIES}
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({S.cosine_sql('q.q_emb', 'e.embedding', DIMS)}, 6) AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= {TOP_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: vectors hash to a 2^planes
+    bucket space via deterministic random hyperplanes; each query
+    searches only its own bucket. At 100 TB the bucket column
+    becomes the shuffle/partition key and the per-bucket scan
+    replaces the full-corpus scan."""
+    planes = S.hyperplanes(NUM_PLANES, DIMS)
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", S.lsh_bucket(F.col("embedding"), planes)
+    )
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = emb.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6)
+    ranked = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine_sim"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K)
+
+
+def _ann_oracle() -> str:
+    planes = S.hyperplanes(NUM_PLANES, DIMS)
+    bucket = S.lsh_bucket_sql("embedding", planes, DIMS)
+    return f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, bucket AS q_bucket
+        FROM b WHERE vec_id < {NUM_QUERIES}
+    ), cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({S.cosine_sql('q.q_emb', 'e.embedding', DIMS)}, 6) AS cosine_sim
+        FROM b e JOIN q ON e.bucket = q.q_bucket AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM cand
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+ANN_LSH_TOPK_ORACLE = _ann_oracle()
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (the
+    cheap-and-exact candidate key in this corpus; swap for the LSH
+    bucket when no label exists)."""
+    emb = load(spark, sf_dir, "embeddings")
+    a = emb.select("vec_id", "label", "embedding").alias("a")
+    b = emb.select("vec_id", "label", "embedding").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return pairs.select(
+        F.col("a.vec_id").alias("vec_id_a"),
+        F.col("b.vec_id").alias("vec_id_b"),
+        F.col("a.label").alias("label"),
+        sim.alias("cosine_sim"),
+    ).filter(F.col("cosine_sim") >= NEAR_DUP_THRESHOLD)
+
+
+EMBEDDING_NEAR_DUP_ORACLE = f"""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
+           ROUND({S.cosine_sql('a.embedding', 'b.embedding', DIMS)}, 6) AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE ROUND({S.cosine_sql('a.embedding', 'b.embedding', DIMS)}, 6) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids: posexplode to (label, dim, value) rows,
+    mean per (label, dim). The explode multiplies rows by DIMS but
+    the aggregation is map-side partial — at scale this beats any
+    driver-side vector math by construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "val")
+    ).select("label", (F.col("dim0") + 1).alias("dim"), F.col("val").cast("double").alias("val"))
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("val"), 4).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+EMBEDDING_CENTROIDS_ORACLE = f"""
+    SELECT label, CAST(i AS INTEGER) AS dim,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val,
+           COUNT(*) AS n_vectors
+    FROM embeddings, range(1, {DIMS + 1}) t(i)
+    GROUP BY label, i
+"""

@@ -1,0 +1,169 @@
+"""Event-stream analytics over the ``events`` table (beyond-reference;
+the reference has no streaming at all, SURVEY §2.11): tumbling and
+sliding event-time windows, gap-based sessionization, per-key top-k.
+
+These are the *batch* formulations — bit-comparable against the
+DuckDB oracle; streaming/events.py reuses the same logic under
+Structured Streaming with watermarks.
+
+Timestamps are compared at whole-second granularity (floor) and
+emitted as formatted strings: the parquet source is nanosecond
+precision, which Spark reads as µs and DuckDB as ns — flooring to
+seconds makes both engines agree everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+
+SESSION_GAP_SECONDS = 600
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event_type (A3-style grouped agg
+    keyed on event time)."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(hour.alias("hour_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+EVENTS_HOURLY_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 1 hour wide, 30-minute slide — every event
+    lands in exactly two windows. Spark's window() generator aligns
+    starts to multiples of the slide, which the oracle reproduces
+    with epoch arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(
+            F.date_format(w.start, "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+EVENTS_SLIDING_ORACLE = """
+    WITH starts AS (
+        SELECT event_type,
+               to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800) AS w
+        FROM events
+        UNION ALL
+        SELECT event_type,
+               to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 1800) * 1800 - 1800) AS w
+        FROM events
+    )
+    SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM starts
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (10-minute inactivity): the classic
+    lag + cumulative-sum formulation — a per-user window, so the only
+    shuffle is on user_id and state never concentrates on one node.
+    The streaming twin is session_window()/applyInPandasWithState in
+    streaming/events.py."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.col("ts").cast("long").alias("sec"),  # floor to whole seconds
+        "ts",
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("sec") - F.lag("sec").over(order) > SESSION_GAP_SECONDS, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)) + 1,
+    )
+    return (
+        flagged.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(
+                F.from_unixtime(F.min("sec")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_start"),
+            F.date_format(
+                F.from_unixtime(F.max("sec")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .withColumn("session_seq", F.col("session_seq").cast("int"))
+    )
+
+
+EVENTS_SESSIONIZE_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN sec - LAG(sec) OVER w > {SESSION_GAP_SECONDS} THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sess AS (
+        SELECT *,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS INTEGER) AS session_seq,
+           COUNT(*) AS n_events,
+           strftime(to_timestamp(MIN(sec)), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(to_timestamp(MAX(sec)), '%Y-%m-%d %H:%M:%S') AS session_end,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_seq
+"""
+
+
+def top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user top-2 events by value (partitioned rank window —
+    the §2.6 gap in the reference, filled Spark-style)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "event_type", "value")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+TOP_EVENTS_PER_USER_ORACLE = """
+    SELECT user_id, event_id, event_type, value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY value DESC, event_id ASC) AS INTEGER) AS rank
+    FROM events
+    QUALIFY rank <= 2
+"""

@@ -8,7 +8,17 @@ compare hashes values under sorted column names.
 
 from __future__ import annotations
 
-from global_superstore_data_warehouse_spark.plans import cleansing, fact, scd, views, warehouse
+from global_superstore_data_warehouse_spark.plans import (
+    cleansing,
+    embeddings,
+    events,
+    fact,
+    multimodal,
+    scd,
+    textops,
+    views,
+    warehouse,
+)
 from global_superstore_data_warehouse_spark.registry import register
 
 # --- Analytical views (reference mat views + Business_Template set) ---
@@ -45,3 +55,29 @@ register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
 # --- SCD2 merge (§2.9) + fact build (§2 item 6, J1/J2/J5) ---
 register("scd2_customers", scd.scd2_customers, scd.SCD2_CUSTOMERS_ORACLE)
 register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
+
+# --- Text analysis & dedup (beyond-reference training-data ops) ---
+register("token_stats", textops.token_stats, textops.TOKEN_STATS_ORACLE)
+register("text_quality", textops.text_quality, textops.TEXT_QUALITY_ORACLE)
+register("lang_id", textops.lang_id, textops.LANG_ID_ORACLE)
+register("doc_fingerprints", textops.doc_fingerprints, textops.DOC_FINGERPRINTS_ORACLE)
+register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_ORACLE)
+register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
+register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
+register("simhash_docs", textops.simhash_docs, textops.SIMHASH_DOCS_ORACLE)
+
+# --- Similarity search over embeddings (beyond-reference) ---
+register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
+register("ann_lsh_topk", embeddings.ann_lsh_topk, embeddings.ANN_LSH_TOPK_ORACLE)
+register("embedding_near_dup", embeddings.embedding_near_dup, embeddings.EMBEDDING_NEAR_DUP_ORACLE)
+register("embedding_centroids", embeddings.embedding_centroids, embeddings.EMBEDDING_CENTROIDS_ORACLE)
+
+# --- Event-time analytics (beyond-reference; batch twins of the
+# Structured Streaming jobs in streaming/events.py) ---
+register("events_hourly", events.events_hourly, events.EVENTS_HOURLY_ORACLE)
+register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
+register("events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_ORACLE)
+register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
+
+# --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
+register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)

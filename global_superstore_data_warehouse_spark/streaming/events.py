@@ -1,0 +1,97 @@
+"""Structured Streaming over the events source (beyond-reference —
+SURVEY §2.11: the reference's batch micro-increments become real
+streams; the load_id maps to the streaming batch id).
+
+The parquet events source carries nanosecond timestamps, which the
+streaming reader also needs the nanosAsLong conf for; ``ts`` is
+re-derived as a µs TimestampType exactly like catalog.load does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file-stream source needs a directory; glob-filter down to
+    # the events file
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # integer `div` — see catalog.load: float division corrupts ns epochs
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts with a watermark bounding late-data
+    state — the streaming twin of plans/events.events_hourly. State
+    is keyed by (window, event_type): bounded and partition-parallel."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    stream: DataFrame, spark: SparkSession, table_name: str, checkpoint: str
+) -> None:
+    """Drain the stream with an availableNow trigger into an
+    in-memory sink (test/dev harness; a production job would write a
+    parquet/Delta sink with the same query)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_incremental_staging(
+    spark: SparkSession,
+    sf_dir: str,
+    target_path: str,
+    checkpoint: str,
+) -> None:
+    """foreachBatch incremental staging: each micro-batch is staged
+    with the batch id as the load_id — the reference's load-id
+    micro-increment pattern (bl_cl.sql:43-68) driven by the stream
+    engine instead of an operator-invoked sequencer."""
+    from global_superstore_data_warehouse_spark.functions.cleaning import (
+        with_audit_cols,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+
+    def stage_batch(batch_df: DataFrame, batch_id: int) -> None:
+        staged = with_audit_cols(batch_df, int(batch_id) + 1)
+        staged.write.mode("append").partitionBy("load_id").parquet(target_path)
+
+    q = (
+        events.writeStream.foreachBatch(stage_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,54 @@
+"""Oracle-parity + recall tests for similarity search."""
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+
+EMBEDDING_QUERIES = [
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+    "embedding_centroids",
+]
+
+
+@pytest.mark.parametrize("name", EMBEDDING_QUERIES)
+def test_embedding_matches_oracle(spark, duck, name, sf_dir):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_lsh_results_subset_of_bruteforce_space(spark, sf_dir):
+    """Every ANN hit must be a genuine corpus vector with the exact
+    same similarity the brute-force path computes (approximation may
+    lose neighbors, never fabricate them)."""
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+
+    ann = {
+        (r.query_id, r.neighbor_id): r.cosine_sim
+        for r in ann_lsh_topk(spark, sf_dir).collect()
+    }
+    assert len(ann) > 0
+    # brute-force similarities for the same pairs agree exactly
+    brute_all = cosine_topk(spark, sf_dir)
+    # cosine_topk only keeps top-3; recompute via operator for pairs
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.operators import similarity as S
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    sims = {
+        (r.query_id, r.vec_id): r.sim
+        for r in pairs.select(
+            "query_id", "vec_id", F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6).alias("sim")
+        ).collect()
+    }
+    for k, v in ann.items():
+        assert sims[k] == v
