@@ -1,0 +1,157 @@
+"""DM-layer star queries (SURVEY §2.4 J8, §2.8 C8/E3).
+
+- ``order_details_wide`` — the 9-way star join the reference's
+  dm_fact load performs (bl_cl.sql:2098-2116: fact left-joined to
+  every DM dim, incl. the order_date → FK_Date_ID re-keying into the
+  generated date dimension at bl_cl.sql:2116).
+- ``qa_rowcounts`` — the post-load QA probe (bl_cl.sql:2191-2215):
+  one row per warehouse table with its rowcount.
+
+Scale notes: the only big-big join is lineitem ⋈ orders (shuffle on
+orderkey); every dimension side — customer/supplier geography chains,
+part hierarchy, date dim — is broadcast, so the wide row assembly
+adds zero extra shuffles. The date re-key is pure arithmetic
+(days-since-epoch-of-min) rather than a join against the generated
+calendar, which removes even that lookup from the hot path while
+producing identical ids to ``warehouse.dim_date``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def order_details_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    part = load(spark, sf_dir, "part")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+
+    # customer-side geography chain (market) and supplier-side chain
+    # (employee region) — two independent broadcast snowflakes.
+    cust_geo = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "c_custkey",
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("customer_country"),
+            F.col("r_name").alias("market"),
+        )
+    )
+    supp_geo = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            "s_suppkey",
+            F.col("s_name").alias("employee_name"),
+            F.col("r_name").alias("employee_region"),
+        )
+    )
+    prod = part.select(
+        "p_partkey",
+        F.col("p_name").alias("product"),
+        F.col("p_brand").alias("category"),
+        F.col("p_type").alias("subcategory"),
+    )
+    # date re-keying (bl_cl.sql:2116): FK into the generated date dim;
+    # date_id rule identical to warehouse.dim_date (days since min+1).
+    lo = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"))
+    ord_keyed = orders.crossJoin(F.broadcast(lo)).select(
+        "o_orderkey",
+        "o_custkey",
+        (F.datediff(F.to_date("o_orderdate"), "lo") + 1).cast("long").alias("fk_date_id"),
+        F.col("o_orderpriority").alias("order_priority"),
+    )
+
+    return (
+        lineitem.join(ord_keyed, lineitem.l_orderkey == ord_keyed.o_orderkey)
+        .join(F.broadcast(cust_geo), ord_keyed.o_custkey == cust_geo.c_custkey, "left")
+        .join(F.broadcast(supp_geo), lineitem.l_suppkey == supp_geo.s_suppkey, "left")
+        .join(F.broadcast(prod), lineitem.l_partkey == prod.p_partkey, "left")
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            "fk_date_id",
+            "order_priority",
+            "customer_name",
+            "segment",
+            "customer_country",
+            "market",
+            "employee_name",
+            "employee_region",
+            "product",
+            "category",
+            "subcategory",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sales"),
+            F.col("l_quantity").cast("long").alias("quantity"),
+        )
+    )
+
+
+ORDER_DETAILS_WIDE_ORACLE = """
+    WITH lo AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo FROM orders)
+    SELECT l.l_orderkey AS order_key,
+           l.l_linenumber AS line_number,
+           CAST(date_diff('day', lo.lo, CAST(o.o_orderdate AS DATE)) + 1 AS BIGINT) AS fk_date_id,
+           o.o_orderpriority AS order_priority,
+           c.c_name AS customer_name,
+           c.c_mktsegment AS segment,
+           cn.n_name AS customer_country,
+           cr.r_name AS market,
+           s.s_name AS employee_name,
+           sr.r_name AS employee_region,
+           p.p_name AS product,
+           p.p_brand AS category,
+           p.p_type AS subcategory,
+           l.l_extendedprice * (1 - l.l_discount) AS sales,
+           CAST(l.l_quantity AS BIGINT) AS quantity
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    CROSS JOIN lo
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    LEFT JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    LEFT JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    LEFT JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+
+def qa_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rowcount probe of every table (bl_cl.sql:2191-2215). Each
+    count is an independent scan-only job; metadata-only for parquet
+    (count pushed to footer stats)."""
+    counts = None
+    for t in TABLES:
+        c = load(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("row_count")
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts.orderBy("table_name")
+
+
+QA_ROWCOUNTS_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, COUNT(*) AS row_count FROM {t}" for t in TABLES
+) + "\nORDER BY table_name"

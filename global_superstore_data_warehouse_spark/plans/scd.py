@@ -1,14 +1,18 @@
 """SCD2 scenario queries (SURVEY §2.9 — the reference's most
-intricate operator: two-phase MERGE close-out + insert,
-bl_cl.sql:806-875/879-1037/1042-1139).
+intricate operator: two-phase MERGE close-out + insert).
 
-A deterministic change scenario is synthesized from the customer
-table so the full merge result is oracle-checkable:
+The reference versions three dimensions the same way — products
+(bl_cl.sql:806-875), customers (bl_cl.sql:879-1037), employees
+(bl_cl.sql:1042-1139) — so one parametrized scenario covers all
+three, instantiated over the customer / part / supplier test tables.
 
-- open dim rows:    customers with c_custkey%2=0 (v1, start 2020-01-01)
-- closed history:   customers with c_custkey%10=0 (v0, 2019→2020)
-- incoming source:  customers with c_custkey%3=0, where keys with
-                    c_custkey%12=0 carry a changed name (' v2')
+A deterministic change scenario is synthesized from each table so
+the full merge result is oracle-checkable:
+
+- open dim rows:    keys with key%2=0 (v1, start 2020-01-01)
+- closed history:   keys with key%10=0 (v0, 2019→2020)
+- incoming source:  keys with key%3=0, where keys with key%12=0
+                    carry a changed tracked attribute (' v2')
 
 Since %2 ∧ %3 ⇒ %6, the overlap splits exactly into: changed
 (%12=0) → close + re-insert; unchanged (%6=0, %12≠0) → pass through;
@@ -28,20 +32,29 @@ from global_superstore_data_warehouse_spark.operators.merge import scd2_merge
 EFFECTIVE = "2024-06-15"
 
 
-def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
-    open_rows = cust.filter(F.col("c_custkey") % 2 == 0).select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.col("c_mktsegment").alias("segment"),
+def _dim(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "customer",
+    key: str = "c_custkey",
+    name: str = "c_name",
+    attr: str = "c_mktsegment",
+) -> DataFrame:
+    """Existing dim state: open v1 rows (key%2=0) + closed v0 history
+    (key%10=0)."""
+    src_tbl = load(spark, sf_dir, table)
+    open_rows = src_tbl.filter(F.col(key) % 2 == 0).select(
+        F.col(key).alias("k"),
+        F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
         F.to_date(F.lit("2020-01-01")).alias("start_dt"),
         F.to_date(F.lit("9999-12-31")).alias("end_dt"),
         F.lit(True).alias("is_active"),
     )
-    closed_rows = cust.filter(F.col("c_custkey") % 10 == 0).select(
-        F.col("c_custkey").alias("k"),
-        F.concat("c_name", F.lit(" v0")).alias("name"),
-        F.col("c_mktsegment").alias("segment"),
+    closed_rows = src_tbl.filter(F.col(key) % 10 == 0).select(
+        F.col(key).alias("k"),
+        F.concat(name, F.lit(" v0")).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
         F.to_date(F.lit("2019-01-01")).alias("start_dt"),
         F.to_date(F.lit("2020-01-01")).alias("end_dt"),
         F.lit(False).alias("is_active"),
@@ -49,62 +62,101 @@ def _dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return open_rows.unionByName(closed_rows)
 
 
-def _source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = load(spark, sf_dir, "customer")
-    return cust.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("k"),
+def _source(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "customer",
+    key: str = "c_custkey",
+    name: str = "c_name",
+    attr: str = "c_mktsegment",
+) -> DataFrame:
+    """Incoming load: key%3=0, with changed tracked attrs on key%12=0."""
+    src_tbl = load(spark, sf_dir, table)
+    return src_tbl.filter(F.col(key) % 3 == 0).select(
+        F.col(key).alias("k"),
         F.concat(
-            "c_name",
-            F.when(F.col("c_custkey") % 12 == 0, F.lit(" v2")).otherwise(F.lit("")),
+            name,
+            F.when(F.col(key) % 12 == 0, F.lit(" v2")).otherwise(F.lit("")),
         ).alias("name"),
-        F.col("c_mktsegment").alias("segment"),
+        F.col(attr).cast("string").alias("attr"),
     )
 
 
-def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scd2_scenario(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    name: str,
+    attr: str,
+) -> DataFrame:
+    """Build dim + source from the modular scenario and run the merge."""
     merged = scd2_merge(
-        _dim(spark, sf_dir),
-        _source(spark, sf_dir),
+        _dim(spark, sf_dir, table, key, name, attr),
+        _source(spark, sf_dir, table, key, name, attr),
         keys=["k"],
-        attrs=["name", "segment"],
+        attrs=["name", "attr"],
         effective_date=EFFECTIVE,
     )
     return merged.select(
         "k",
         "name",
-        "segment",
+        "attr",
         F.date_format("start_dt", "yyyy-MM-dd").alias("start_dt"),
         F.date_format("end_dt", "yyyy-MM-dd").alias("end_dt"),
         "is_active",
     )
 
 
-SCD2_CUSTOMERS_ORACLE = """
+def _scd2_oracle(table: str, key: str, name: str, attr: str) -> str:
+    return f"""
     WITH closed_hist AS (
-        SELECT c_custkey AS k, c_name || ' v0' AS name, c_mktsegment AS segment,
+        SELECT {key} AS k, {name} || ' v0' AS name, CAST({attr} AS VARCHAR) AS attr,
                '2019-01-01' AS start_dt, '2020-01-01' AS end_dt, false AS is_active
-        FROM customer WHERE c_custkey % 10 = 0
+        FROM {table} WHERE {key} % 10 = 0
     ), open_rows AS (
-        SELECT c_custkey AS k, c_name AS name, c_mktsegment AS segment
-        FROM customer WHERE c_custkey % 2 = 0
+        SELECT {key} AS k, {name} AS name, CAST({attr} AS VARCHAR) AS attr
+        FROM {table} WHERE {key} % 2 = 0
     ),
     -- changed: in both dim and source with a differing tracked attr
     changed AS (SELECT k FROM open_rows WHERE k % 12 = 0),
     open_out AS (
-        SELECT o.k, o.name, o.segment, '2020-01-01' AS start_dt,
-               CASE WHEN c.k IS NOT NULL THEN '2024-06-15' ELSE '9999-12-31' END AS end_dt,
+        SELECT o.k, o.name, o.attr, '2020-01-01' AS start_dt,
+               CASE WHEN c.k IS NOT NULL THEN '{EFFECTIVE}' ELSE '9999-12-31' END AS end_dt,
                c.k IS NULL AS is_active
         FROM open_rows o LEFT JOIN changed c USING (k)
     ), new_out AS (
-        SELECT c_custkey AS k,
-               c_name || CASE WHEN c_custkey % 12 = 0 THEN ' v2' ELSE '' END AS name,
-               c_mktsegment AS segment,
-               '2024-06-15' AS start_dt, '9999-12-31' AS end_dt, true AS is_active
-        FROM customer
-        WHERE c_custkey % 3 = 0
-          AND (c_custkey % 12 = 0 OR c_custkey % 2 = 1)
+        SELECT {key} AS k,
+               {name} || CASE WHEN {key} % 12 = 0 THEN ' v2' ELSE '' END AS name,
+               CAST({attr} AS VARCHAR) AS attr,
+               '{EFFECTIVE}' AS start_dt, '9999-12-31' AS end_dt, true AS is_active
+        FROM {table}
+        WHERE {key} % 3 = 0
+          AND ({key} % 12 = 0 OR {key} % 2 = 1)
     )
     SELECT * FROM closed_hist
     UNION ALL SELECT * FROM open_out
     UNION ALL SELECT * FROM new_out
 """
+
+
+def scd2_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim_Customers_SCD2 analogue (bl_cl.sql:879-1037)."""
+    return _scd2_scenario(spark, sf_dir, "customer", "c_custkey", "c_name", "c_mktsegment")
+
+
+def scd2_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim_Products_SCD2 analogue (bl_cl.sql:806-875); tracked attrs
+    are product name + brand."""
+    return _scd2_scenario(spark, sf_dir, "part", "p_partkey", "p_name", "p_brand")
+
+
+def scd2_employees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dim_Employees_SCD2 analogue (bl_cl.sql:1042-1139); supplier
+    plays the employee role (FIXTURES.md §3), nation as tracked attr."""
+    return _scd2_scenario(spark, sf_dir, "supplier", "s_suppkey", "s_name", "s_nationkey")
+
+
+SCD2_CUSTOMERS_ORACLE = _scd2_oracle("customer", "c_custkey", "c_name", "c_mktsegment")
+SCD2_PRODUCTS_ORACLE = _scd2_oracle("part", "p_partkey", "p_name", "p_brand")
+SCD2_EMPLOYEES_ORACLE = _scd2_oracle("supplier", "s_suppkey", "s_name", "s_nationkey")

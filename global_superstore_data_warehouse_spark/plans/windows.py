@@ -1,0 +1,154 @@
+"""Window-function analytics — the Business_Template §"Benefits"
+questions that need per-group ranking (SURVEY §7 step 7: "best month
+per segment, top employee per year"). The reference itself has no
+window functions (§2.6) — these are the natural Spark expression of
+questions its Power BI layer answers with drill-downs.
+
+Scale shape: aggregate first (shuffle on low-cardinality group
+keys), then window over the *aggregated* rows — the window partition
+count is tiny (segments / years), so the rank step is negligible; the
+heavy lifting stays in the partial-aggregated groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.plans.views import SALES, SALES_SQL
+
+
+def best_month_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highest-sales (year, month) for each customer segment."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+    )
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    monthly = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), "order_year", "order_month")
+        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.desc("total_sales"), "order_year", "order_month"
+    )
+    return (
+        monthly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("segment")
+    )
+
+
+BEST_MONTH_PER_SEGMENT_ORACLE = f"""
+    WITH monthly AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o.o_orderdate) AS INTEGER) AS order_month,
+               ROUND(SUM({SALES_SQL}), 2) AS total_sales
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2, 3
+    )
+    SELECT segment, order_year, order_month, total_sales
+    FROM monthly
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY segment ORDER BY total_sales DESC, order_year, order_month
+    ) = 1
+    ORDER BY segment
+"""
+
+
+def top_employees_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 employees (suppliers) by sales within each order year."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("order_year")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_name").alias("employee_name")
+    )
+    yearly = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("order_year", "employee_name")
+        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+    )
+    w = Window.partitionBy("order_year").orderBy(F.desc("total_sales"), "employee_name")
+    return (
+        yearly.withColumn("sales_rank", F.row_number().over(w))
+        .filter(F.col("sales_rank") <= 3)
+        .orderBy("order_year", "sales_rank")
+    )
+
+
+TOP_EMPLOYEES_PER_YEAR_ORACLE = f"""
+    WITH yearly AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               s.s_name AS employee_name,
+               ROUND(SUM({SALES_SQL}), 2) AS total_sales
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT order_year, employee_name, total_sales,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY order_year ORDER BY total_sales DESC, employee_name
+           ) AS INTEGER) AS sales_rank
+    FROM yearly
+    QUALIFY sales_rank <= 3
+    ORDER BY order_year, sales_rank
+"""
+
+
+def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles — ntile window over per-customer
+    sales totals, then per-decile aggregates. The ntile runs over one
+    global ordering; at 100 TB swap to approx percentile_approx cuts
+    (documented scale path) — here exact for oracle parity."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.round(F.sum(SALES), 2).alias("customer_sales"))
+    )
+    w = Window.orderBy(F.desc("customer_sales"), "custkey")
+    return (
+        per_cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.round(F.sum("customer_sales"), 2).alias("decile_sales"),
+        )
+        .orderBy("decile")
+    )
+
+
+CUSTOMER_LTV_DECILES_ORACLE = f"""
+    WITH per_cust AS (
+        SELECT o.o_custkey AS custkey,
+               ROUND(SUM({SALES_SQL}), 2) AS customer_sales
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1
+    ), tiled AS (
+        SELECT ntile(10) OVER (ORDER BY customer_sales DESC, custkey) AS decile,
+               customer_sales
+        FROM per_cust
+    )
+    SELECT CAST(decile AS INTEGER) AS decile,
+           COUNT(*) AS customers,
+           ROUND(SUM(customer_sales), 2) AS decile_sales
+    FROM tiled
+    GROUP BY 1
+    ORDER BY 1
+"""

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from global_superstore_data_warehouse_spark.plans import (
     cleansing,
+    dmstar,
     embeddings,
     events,
     fact,
@@ -18,6 +19,7 @@ from global_superstore_data_warehouse_spark.plans import (
     textops,
     views,
     warehouse,
+    windows,
 )
 from global_superstore_data_warehouse_spark.registry import register
 
@@ -54,7 +56,18 @@ register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
 
 # --- SCD2 merge (§2.9) + fact build (§2 item 6, J1/J2/J5) ---
 register("scd2_customers", scd.scd2_customers, scd.SCD2_CUSTOMERS_ORACLE)
+register("scd2_products", scd.scd2_products, scd.SCD2_PRODUCTS_ORACLE)
+register("scd2_employees", scd.scd2_employees, scd.SCD2_EMPLOYEES_ORACLE)
 register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
+
+# --- DM star joins (J8) + post-load QA (C8) ---
+register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_WIDE_ORACLE)
+register("qa_rowcounts", dmstar.qa_rowcounts, dmstar.QA_ROWCOUNTS_ORACLE)
+
+# --- Window analytics (Business_Template drill-down questions) ---
+register("best_month_per_segment", windows.best_month_per_segment, windows.BEST_MONTH_PER_SEGMENT_ORACLE)
+register("top_employees_per_year", windows.top_employees_per_year, windows.TOP_EMPLOYEES_PER_YEAR_ORACLE)
+register("customer_ltv_deciles", windows.customer_ltv_deciles, windows.CUSTOMER_LTV_DECILES_ORACLE)
 
 # --- Text analysis & dedup (beyond-reference training-data ops) ---
 register("token_stats", textops.token_stats, textops.TOKEN_STATS_ORACLE)

@@ -1,0 +1,39 @@
+"""DM star join (J8), QA rowcounts (C8), SCD2 product/employee dims,
+and window analytics — oracle parity + structural invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "scd2_products",
+        "scd2_employees",
+        "order_details_wide",
+        "qa_rowcounts",
+        "best_month_per_segment",
+        "top_employees_per_year",
+        "customer_ltv_deciles",
+    ],
+)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_order_details_wide_is_lineitem_grain(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.dmstar import order_details_wide
+
+    wide = order_details_wide(spark, sf_dir)
+    assert wide.count() == load(spark, sf_dir, "lineitem").count()
+
+
+def test_top_employees_at_most_three_per_year(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.windows import top_employees_per_year
+
+    top = top_employees_per_year(spark, sf_dir)
+    bad = top.groupBy("order_year").count().filter(F.col("count") > 3)
+    assert bad.count() == 0

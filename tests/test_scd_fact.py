@@ -22,7 +22,7 @@ def _merged(spark, sf_dir):
         scd._dim(spark, sf_dir),
         scd._source(spark, sf_dir),
         keys=["k"],
-        attrs=["name", "segment"],
+        attrs=["name", "attr"],
         effective_date=scd.EFFECTIVE,
     )
 
@@ -55,7 +55,7 @@ def test_scd2_idempotent(spark, sf_dir):
         once,
         scd._source(spark, sf_dir),
         keys=["k"],
-        attrs=["name", "segment"],
+        attrs=["name", "attr"],
         effective_date="2024-07-01",  # later run date; still no changes
     )
     assert once.count() == twice.count()
