@@ -85,3 +85,70 @@ def extract_blob_features(blob_table: DataFrame) -> DataFrame:
             )
 
     return blob_table.mapInPandas(feature_batches, FEATURES_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, orig_width int, orig_height int, "
+    "new_width int, new_height int, scale double"
+)
+
+
+def resize_images(blob_table: DataFrame, max_w: int = 32, max_h: int = 32) -> DataFrame:
+    """Aspect-preserving resize plan via mapInPandas. The pixel
+    resample itself is the stubbed decode step (no codecs in this
+    container) — the real, tested parts are the Arrow batch flow and
+    the target-geometry computation a real resizer would use."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            w = pdf["meta"].map(lambda m: m["width"]).astype("int32")
+            h = pdf["meta"].map(lambda m: m["height"]).astype("int32")
+            scale = (max_w / w).combine(max_h / h, min).clip(upper=1.0)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_width": w,
+                    "orig_height": h,
+                    "new_width": (w * scale).astype(int).clip(lower=1).astype("int32"),
+                    "new_height": (h * scale).astype(int).clip(lower=1).astype("int32"),
+                    "scale": scale.round(6),
+                }
+            )
+
+    return blob_table.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_index int, frame_len int, frame_head string"
+
+
+def sample_frames(
+    blob_table: DataFrame, frame_size: int = 32, stride: int = 2
+) -> DataFrame:
+    """Frame sampling for video-like blobs: treat the payload as
+    concatenated fixed-size frames, emit every ``stride``-th frame's
+    index, byte length, and leading-bytes fingerprint. One input row
+    fans out to many output rows — exactly the mapInPandas shape a
+    real frame-decoder would use (and why this is not a scalar UDF).
+    No shuffle; parallel over input partitions."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "frame_index": [], "frame_len": [], "frame_head": []
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                b = bytes(blob)
+                n_frames = (len(b) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, stride):
+                    frame = b[i * frame_size : (i + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["frame_len"].append(len(frame))
+                    out["frame_head"].append(frame[:4].hex())
+            yield _pd.DataFrame(out)
+
+    return blob_table.mapInPandas(frame_batches, FRAMES_SCHEMA)

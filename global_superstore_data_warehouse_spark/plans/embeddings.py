@@ -122,6 +122,132 @@ def _ann_oracle() -> str:
 ANN_LSH_TOPK_ORACLE = _ann_oracle()
 
 
+NUM_LISTS = 8  # IVF coarse centroids (seed vectors vec_id < 8)
+NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer of NUM_LISTS
+    seed vectors (embeddings with vec_id < NUM_LISTS — deterministic,
+    so the oracle can rebuild the identical index) partitions the
+    corpus into inverted lists; each query probes its NPROBE nearest
+    lists and brute-forces only those.
+
+    Scale shape: the centroid set rides in ONE broadcast row of
+    array columns, assignment is a folded when-chain over pure
+    Catalyst expressions — no join, no shuffle, stays in codegen.
+    The only shuffle is the candidate join on list_id (the natural
+    partition key of an IVF index at 100 TB: each list is a parquet
+    partition and probing prunes directories).
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < NUM_LISTS)
+    # one row, NUM_LISTS array columns: c0..c{n-1}
+    cent_row = cents.groupBy().agg(
+        *[
+            F.max(F.when(F.col("vec_id") == j, F.col("embedding"))).alias(f"c{j}")
+            for j in range(NUM_LISTS)
+        ]
+    )
+
+    def argmax_list(emb_col: str):
+        """(best_sim, best_list) via a left fold; smaller list id
+        wins ties — matches the oracle's ORDER BY sim DESC, j ASC."""
+        best_sim = S.cosine(F.col(emb_col), F.col("c0"))
+        best_j = F.lit(0)
+        for j in range(1, NUM_LISTS):
+            sim_j = S.cosine(F.col(emb_col), F.col(f"c{j}"))
+            better = sim_j > best_sim
+            best_j = F.when(better, F.lit(j)).otherwise(best_j)
+            best_sim = F.when(better, sim_j).otherwise(best_sim)
+        return best_sim, best_j.cast("int")
+
+    with_cents = emb.crossJoin(F.broadcast(cent_row))
+    _, assigned = argmax_list("embedding")
+    corpus = with_cents.select("vec_id", "embedding", assigned.alias("list_id"))
+
+    # queries probe their NPROBE nearest lists (tiny: queries × lists)
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).crossJoin(F.broadcast(cent_row))
+    probe_sims = [
+        (j, S.cosine(F.col("embedding"), F.col(f"c{j}"))) for j in range(NUM_LISTS)
+    ]
+    q_lists = (
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(s.alias("sim"), F.lit(j).cast("int").alias("list_id"))
+                        for j, s in probe_sims
+                    ]
+                )
+            ).alias("p"),
+        )
+        .select("query_id", "q_emb", F.col("p.sim").alias("sim"), F.col("p.list_id").alias("list_id"))
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("list_id"))
+            ),
+        )
+        .filter(F.col("probe_rank") <= NPROBE)
+        .select("query_id", "q_emb", "list_id")
+    )
+
+    cand = corpus.join(
+        F.broadcast(q_lists),
+        (corpus.list_id == q_lists.list_id) & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6)
+    ranked = cand.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), sim.alias("cosine_sim")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cosine_sim"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K)
+
+
+def _ivf_oracle() -> str:
+    cos = S.cosine_sql("e.embedding", "c.embedding", DIMS)
+    qcos = S.cosine_sql("q.q_emb", "e.embedding", DIMS)
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS list_id, embedding FROM embeddings WHERE vec_id < {NUM_LISTS}
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding, CAST(c.list_id AS INTEGER) AS list_id
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos} DESC, c.list_id ASC) = 1
+    ), q_lists AS (
+        SELECT e.vec_id AS query_id, e.embedding AS q_emb,
+               CAST(c.list_id AS INTEGER) AS list_id
+        FROM embeddings e CROSS JOIN cents c
+        WHERE e.vec_id < {NUM_QUERIES}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos} DESC, c.list_id ASC) <= {NPROBE}
+    ), cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROUND({qcos}, 6) AS cosine_sim
+        FROM assigned e JOIN q_lists q
+          ON e.list_id = q.list_id AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM cand
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+ANN_IVF_TOPK_ORACLE = _ivf_oracle()
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the
     cheap-and-exact candidate key in this corpus; swap for the LSH

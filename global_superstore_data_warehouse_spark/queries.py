@@ -82,6 +82,7 @@ register("simhash_docs", textops.simhash_docs, textops.SIMHASH_DOCS_ORACLE)
 # --- Similarity search over embeddings (beyond-reference) ---
 register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
 register("ann_lsh_topk", embeddings.ann_lsh_topk, embeddings.ANN_LSH_TOPK_ORACLE)
+register("ann_ivf_topk", embeddings.ann_ivf_topk, embeddings.ANN_IVF_TOPK_ORACLE)
 register("embedding_near_dup", embeddings.embedding_near_dup, embeddings.EMBEDDING_NEAR_DUP_ORACLE)
 register("embedding_centroids", embeddings.embedding_centroids, embeddings.EMBEDDING_CENTROIDS_ORACLE)
 
@@ -94,3 +95,5 @@ register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PE
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
+register("multimodal_resize", multimodal.multimodal_resize, multimodal.MULTIMODAL_RESIZE_ORACLE)
+register("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.MULTIMODAL_FRAME_SAMPLE_ORACLE)

@@ -7,6 +7,7 @@ from tests.conftest import assert_matches_oracle
 EMBEDDING_QUERIES = [
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "embedding_near_dup",
     "embedding_centroids",
 ]

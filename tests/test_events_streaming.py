@@ -47,3 +47,49 @@ def test_stream_incremental_staging(spark, sf_dir, tmp_path):
     assert "load_id" in staged.columns and "insert_date" in staged.columns
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert staged.count() == n_events
+
+
+def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: with the whole source in
+    one availableNow batch, every session except each user's open tail
+    must be emitted, identical to the batch twin's non-final sessions."""
+    from global_superstore_data_warehouse_spark.plans.events import events_sessionize
+    from global_superstore_data_warehouse_spark.streaming.events import read_events_stream
+    from global_superstore_data_warehouse_spark.streaming.stateful import sessionize_stream
+
+    stream = sessionize_stream(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM sessions_test")
+        .select(
+            "user_id",
+            F.date_format(F.from_unixtime("session_start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.from_unixtime("session_end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+    )
+    batch = events_sessionize(spark, sf_dir)
+    last_seq = batch.groupBy("user_id").agg(F.max("session_seq").alias("session_seq"))
+    sess_cols = [
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"), "sum_value",
+    ]
+    non_final = batch.join(last_seq, ["user_id", "session_seq"], "left_anti").select(*sess_cols)
+    all_sessions = batch.select(*sess_cols)
+    got_rows = set(map(tuple, got.collect()))
+    # every closed (non-final) session must be emitted; final sessions
+    # may additionally appear when the event-time timeout flushed an
+    # idle user's open tail — but nothing outside the true session set.
+    assert set(map(tuple, non_final.collect())) <= got_rows
+    assert got_rows <= set(map(tuple, all_sessions.collect()))
+    # emission is exactly-once per session
+    assert len(got_rows) == got.count()

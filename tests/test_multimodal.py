@@ -25,3 +25,8 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+@pytest.mark.parametrize("name", ["multimodal_resize", "multimodal_frame_sample"])
+def test_multimodal_extra_matches_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
