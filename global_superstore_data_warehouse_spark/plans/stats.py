@@ -1,0 +1,189 @@
+"""Corpus statistics & sampling operators (beyond-reference,
+training-data pipeline): vocabulary building, deterministic sampling,
+grouped quantiles, and hierarchical rollups.
+
+Sampling uses md5-bucket hashing rather than rand(): the same rows
+are selected on any engine, any partitioning, any run — the property
+a reproducible training-data pipeline actually needs (rand(seed) is
+partition-placement-dependent in Spark and non-portable to the
+oracle).
+
+Scale notes: vocab top-k is explode → map-side partial count →
+TakeOrderedAndProject (no global sort materialization); sampling is
+a pure filter (pushed to the scan, no shuffle); quantiles use exact
+percentile per group here for oracle parity with approx_percentile
+as the documented 100 TB swap-in; rollup is one pass with Spark's
+native partial-aggregated ROLLUP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.functions.text import tokens
+from global_superstore_data_warehouse_spark.plans.views import SALES, SALES_SQL
+
+VOCAB_K = 100
+SAMPLE_PCT = 10  # percent
+
+
+def _md5_bucket(c: F.Column, buckets: int = 100) -> F.Column:
+    """Deterministic [0, buckets) bucket from the md5 of a key —
+    bit-identical in Spark and DuckDB."""
+    return (F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long") % buckets).cast("int")
+
+
+def _md5_bucket_sql(expr: str, buckets: int = 100) -> str:
+    return f"CAST(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) % {buckets} AS INTEGER)"
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus vocabulary: explode tokens, count, take the K
+    most frequent (ties broken lexicographically)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(VOCAB_K)
+    )
+
+
+VOCAB_TOPK_ORACLE = f"""
+    SELECT t.token, COUNT(*) AS freq
+    FROM documents d,
+         LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+')) AS token) t
+    WHERE t.token <> ''
+    GROUP BY t.token
+    ORDER BY freq DESC, t.token
+    LIMIT {VOCAB_K}
+"""
+
+
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible {SAMPLE_PCT}% document sample by md5 bucket of
+    doc_id — a pure filter, engine- and partitioning-independent."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.filter(_md5_bucket(F.col("doc_id")) < SAMPLE_PCT).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+DETERMINISTIC_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_md5_bucket_sql('doc_id')} < {SAMPLE_PCT}
+"""
+
+
+# per-language sampling rates: downsample the dominant language,
+# keep the tail — the standard training-mix rebalancing move.
+STRATA_RATES = {"en": 5, "es": 20, "de": 20}
+DEFAULT_RATE = 50
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: each language keeps
+    ``rate`` % of its documents, selected by the same md5 bucket."""
+    docs = load(spark, sf_dir, "documents")
+    rate = F.lit(DEFAULT_RATE)
+    for lang, r in STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("rate", rate)
+        .filter(_md5_bucket(F.col("doc_id")) < F.col("rate"))
+        .select("doc_id", "lang", "rate")
+    )
+
+
+_rate_sql = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {r}" for lang, r in STRATA_RATES.items()
+) + f" ELSE {DEFAULT_RATE} END"
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+    SELECT doc_id, lang, CAST(rate AS INTEGER) AS rate
+    FROM (SELECT doc_id, lang, {_rate_sql} AS rate FROM documents)
+    WHERE {_md5_bucket_sql('doc_id')} < rate
+"""
+
+
+QUANTILES = [0.25, 0.5, 0.75, 0.95]
+
+
+def priority_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value quantiles per order priority (linear
+    interpolation — identical semantics to DuckDB quantile_cont).
+    At 100 TB swap percentile() for approx_percentile(), documented
+    accuracy tradeoff; the plan shape is unchanged."""
+    orders = load(spark, sf_dir, "orders")
+    qarr = F.expr(
+        f"percentile(o_totalprice, array({', '.join(str(q) for q in QUANTILES)}))"
+    )
+    per_prio = orders.groupBy(
+        F.col("o_orderpriority").alias("order_priority")
+    ).agg(qarr.alias("qs"))
+    return (
+        per_prio.select(
+            "order_priority", F.posexplode("qs").alias("idx", "quantile_value")
+        )
+        .select(
+            "order_priority",
+            F.element_at(F.array(*[F.lit(q) for q in QUANTILES]), F.col("idx") + 1).alias("quantile"),
+            F.round("quantile_value", 4).alias("quantile_value"),
+        )
+        .orderBy("order_priority", "quantile")
+    )
+
+
+PRIORITY_PRICE_QUANTILES_ORACLE = f"""
+    WITH per_prio AS (
+        SELECT o_orderpriority AS order_priority,
+               quantile_cont(o_totalprice, {QUANTILES}) AS qs
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT order_priority,
+           ({QUANTILES})[t.i] AS quantile,
+           ROUND(qs[t.i], 4) AS quantile_value
+    FROM per_prio, LATERAL (SELECT unnest(range(1, {len(QUANTILES) + 1})) AS i) t
+    ORDER BY order_priority, quantile
+"""
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical year → quarter rollup of sales (native ROLLUP:
+    one pass, partial-aggregated; NULL marks subtotal levels)."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .rollup("order_year", "order_quarter")
+        .agg(
+            F.round(F.sum(SALES), 2).alias("total_sales"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+        .orderBy(
+            F.col("order_year").asc_nulls_first(),
+            F.col("order_quarter").asc_nulls_first(),
+        )
+    )
+
+
+SALES_ROLLUP_ORACLE = f"""
+    SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+           CAST(quarter(o.o_orderdate) AS INTEGER) AS order_quarter,
+           ROUND(SUM({SALES_SQL}), 2) AS total_sales,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY ROLLUP(order_year, order_quarter)
+    ORDER BY order_year ASC NULLS FIRST, order_quarter ASC NULLS FIRST
+"""

@@ -16,6 +16,7 @@ from global_superstore_data_warehouse_spark.plans import (
     fact,
     multimodal,
     scd,
+    stats,
     textops,
     views,
     warehouse,
@@ -78,6 +79,13 @@ register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_
 register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
 register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
 register("simhash_docs", textops.simhash_docs, textops.SIMHASH_DOCS_ORACLE)
+
+# --- Corpus stats & deterministic sampling (beyond-reference) ---
+register("vocab_topk", stats.vocab_topk, stats.VOCAB_TOPK_ORACLE)
+register("deterministic_sample", stats.deterministic_sample, stats.DETERMINISTIC_SAMPLE_ORACLE)
+register("stratified_sample", stats.stratified_sample, stats.STRATIFIED_SAMPLE_ORACLE)
+register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
+register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
 
 # --- Similarity search over embeddings (beyond-reference) ---
 register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
