@@ -18,13 +18,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the flagship views + the heaviest operator families.
+# Headline set: the flagship views + the heaviest operator families
+# (warehouse build, wide star join, text dedup, similarity search,
+# event-time analytics).
 HEADLINE = [
     "yearly_sales_profit",
     "sales_employees_regions",
     "pricing_summary",
     "demand_category_region",
     "seasonality_segment",
+    "fact_orders",
+    "order_details_wide",
+    "minhash_lsh_candidates",
+    "cosine_topk",
+    "events_sessionize",
+    "vocab_topk",
 ]
 
 

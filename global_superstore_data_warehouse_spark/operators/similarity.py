@@ -57,6 +57,26 @@ def cosine_sql(a: str, b: str, dims: int) -> str:
     )
 
 
+def normalize(a: Column, nrm: Column) -> Column:
+    """Unit-normalize with a *pre-materialized* norm column — passing
+    `norm(a)` inline would re-fold the norm once per element."""
+    return F.transform(a, lambda x: x.cast("double") / nrm)
+
+
+def ndot_sql(a: str, na: str, b: str, nb: str, dims: int) -> str:
+    """Oracle-side dot of two normalized vectors, with the identical
+    per-element (x/na)*(y/nb) order as the Spark plan, so assignment
+    similarities are bit-identical across engines."""
+    return (
+        f"list_aggregate(list_transform(range(1, {dims + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) / {na}) * (CAST({b}[i] AS DOUBLE) / {nb})), 'sum')"
+    )
+
+
+def norm_sql(a: str, dims: int) -> str:
+    return f"sqrt({dot_sql(a, a, dims)})"
+
+
 def hyperplanes(num_planes: int, dims: int) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes derived from md5 — the
     same literals are inlined into both the Spark plan and the

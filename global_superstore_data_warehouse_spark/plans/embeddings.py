@@ -142,34 +142,57 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load(spark, sf_dir, "embeddings")
     cents = emb.filter(F.col("vec_id") < NUM_LISTS)
-    # one row, NUM_LISTS array columns: c0..c{n-1}
-    cent_row = cents.groupBy().agg(
-        *[
-            F.max(F.when(F.col("vec_id") == j, F.col("embedding"))).alias(f"c{j}")
-            for j in range(NUM_LISTS)
-        ]
+    # one row, NUM_LISTS array columns: c0..c{n-1}, unit-normalized
+    # (norms materialized first so the fold isn't re-run per element)
+    cent_row = (
+        cents.groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("vec_id") == j, F.col("embedding"))).alias(f"c{j}")
+                for j in range(NUM_LISTS)
+            ]
+        )
+        .select(
+            *[F.col(f"c{j}") for j in range(NUM_LISTS)],
+            *[S.norm(F.col(f"c{j}")).alias(f"nc{j}") for j in range(NUM_LISTS)],
+        )
+        .select(
+            *[
+                S.normalize(F.col(f"c{j}"), F.col(f"nc{j}")).alias(f"cn{j}")
+                for j in range(NUM_LISTS)
+            ]
+        )
     )
 
-    def argmax_list(emb_col: str):
-        """(best_sim, best_list) via a left fold; smaller list id
-        wins ties — matches the oracle's ORDER BY sim DESC, j ASC."""
-        best_sim = S.cosine(F.col(emb_col), F.col("c0"))
+    def argmax_list(emb_n_col: str):
+        """(best_sim, best_list) via a left fold over normalized dots
+        (cosine = dot on unit vectors — one fold per centroid instead
+        of three); smaller list id wins ties — matches the oracle's
+        ORDER BY sim DESC, j ASC."""
+        best_sim = S.dot(F.col(emb_n_col), F.col("cn0"))
         best_j = F.lit(0)
         for j in range(1, NUM_LISTS):
-            sim_j = S.cosine(F.col(emb_col), F.col(f"c{j}"))
+            sim_j = S.dot(F.col(emb_n_col), F.col(f"cn{j}"))
             better = sim_j > best_sim
             best_j = F.when(better, F.lit(j)).otherwise(best_j)
             best_sim = F.when(better, sim_j).otherwise(best_sim)
         return best_sim, best_j.cast("int")
 
-    with_cents = emb.crossJoin(F.broadcast(cent_row))
-    _, assigned = argmax_list("embedding")
+    emb_n = emb.select(
+        "vec_id", "embedding", S.norm(F.col("embedding")).alias("nrm")
+    ).select(
+        "vec_id",
+        "embedding",
+        S.normalize(F.col("embedding"), F.col("nrm")).alias("emb_n"),
+    )
+    with_cents = emb_n.crossJoin(F.broadcast(cent_row))
+    _, assigned = argmax_list("emb_n")
     corpus = with_cents.select("vec_id", "embedding", assigned.alias("list_id"))
 
     # queries probe their NPROBE nearest lists (tiny: queries × lists)
-    q = emb.filter(F.col("vec_id") < NUM_QUERIES).crossJoin(F.broadcast(cent_row))
+    q = emb_n.filter(F.col("vec_id") < NUM_QUERIES).crossJoin(F.broadcast(cent_row))
     probe_sims = [
-        (j, S.cosine(F.col("embedding"), F.col(f"c{j}"))) for j in range(NUM_LISTS)
+        (j, S.dot(F.col("emb_n"), F.col(f"cn{j}"))) for j in range(NUM_LISTS)
     ]
     q_lists = (
         q.select(
@@ -214,23 +237,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle() -> str:
-    cos = S.cosine_sql("e.embedding", "c.embedding", DIMS)
+    # assignment sims use the identical normalized-dot fold as the
+    # Spark plan (cosine = dot of unit vectors), so list assignment
+    # is bit-identical across engines
+    nsim = S.ndot_sql("e.embedding", "e.nrm", "c.embedding", "c.nrm", DIMS)
     qcos = S.cosine_sql("q.q_emb", "e.embedding", DIMS)
     return f"""
-    WITH cents AS (
-        SELECT vec_id AS list_id, embedding FROM embeddings WHERE vec_id < {NUM_LISTS}
+    WITH en AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding', DIMS)} AS nrm
+        FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS list_id, embedding, nrm FROM en WHERE vec_id < {NUM_LISTS}
     ), assigned AS (
         SELECT e.vec_id, e.embedding, CAST(c.list_id AS INTEGER) AS list_id
-        FROM embeddings e CROSS JOIN cents c
+        FROM en e CROSS JOIN cents c
         QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                ORDER BY {cos} DESC, c.list_id ASC) = 1
+                ORDER BY {nsim} DESC, c.list_id ASC) = 1
     ), q_lists AS (
         SELECT e.vec_id AS query_id, e.embedding AS q_emb,
                CAST(c.list_id AS INTEGER) AS list_id
-        FROM embeddings e CROSS JOIN cents c
+        FROM en e CROSS JOIN cents c
         WHERE e.vec_id < {NUM_QUERIES}
         QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                ORDER BY {cos} DESC, c.list_id ASC) <= {NPROBE}
+                ORDER BY {nsim} DESC, c.list_id ASC) <= {NPROBE}
     ), cand AS (
         SELECT q.query_id, e.vec_id AS neighbor_id,
                ROUND({qcos}, 6) AS cosine_sim

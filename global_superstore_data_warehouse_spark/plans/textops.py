@@ -265,20 +265,22 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = docs.select("doc_id", toks.alias("toks"), *T.minhash_signature(toks, NUM_HASHES))
     banded = sig.select(
         "doc_id",
-        "toks",
         *T.lsh_bands([f"mh{i}" for i in range(NUM_HASHES)], ROWS_PER_BAND),
     )
     n_bands = NUM_HASHES // ROWS_PER_BAND
+    # Candidate generation runs over NARROW rows (doc_id, band, bucket)
+    # — token arrays must not ride through the bucket self-join, whose
+    # output is quadratic in bucket size on duplicate-heavy corpora.
+    # Tokens are re-attached afterwards, once per distinct pair.
     exploded = banded.select(
         "doc_id",
-        "toks",
         F.explode(
             F.array(*[
                 F.struct(F.lit(i).alias("band_id"), F.col(f"band{i}").alias("bucket"))
                 for i in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("doc_id", "toks", "bb.band_id", "bb.bucket")
+    ).select("doc_id", "bb.band_id", "bb.bucket")
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(
@@ -290,14 +292,18 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.toks").alias("toks_a"),
-            F.col("b.toks").alias("toks_b"),
         )
         .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
-    j = T.jaccard(F.col("toks_a"), F.col("toks_b"))
+    tok_tbl = docs.select("doc_id", toks.alias("toks"))
+    ta, tb = tok_tbl.alias("ta"), tok_tbl.alias("tb")
+    verified = (
+        cand.join(ta, F.col("doc_id_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_id_b") == F.col("tb.doc_id"))
+    )
+    j = T.jaccard(F.col("ta.toks"), F.col("tb.toks"))
     return (
-        cand.select("doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard"))
+        verified.select("doc_id_a", "doc_id_b", F.round(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
 
