@@ -1,0 +1,97 @@
+"""Physical-plan shape assertions — the scale contract, enforced.
+
+These tests pin the plan properties that make the engine viable at
+100 TB: dimension lookups broadcast, scans are column-pruned, no
+accidental cartesian products, aggregations are partial (map-side)
+before the final shuffle.
+"""
+
+import re
+
+from pyspark.sql import DataFrame
+
+from global_superstore_data_warehouse_spark import registry
+
+
+def _plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _q(spark, sf_dir, name) -> str:
+    return _plan(registry.queries()[name](spark, sf_dir))
+
+
+def test_star_views_broadcast_dims_no_cartesian(spark, sf_dir):
+    for name in ["yearly_sales_profit", "sales_employees_regions", "order_details_wide"]:
+        plan = _q(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        # the only nested-loop allowed is the deliberate 1-row
+        # min-date broadcast (join type Cross); any Inner/Outer BNLJ
+        # means a dim lookup degenerated
+        bad_bnlj = [
+            line
+            for line in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in line
+            and ("+-" in line or ":-" in line)  # tree lines carry the join type
+            and "Cross" not in line
+        ]
+        assert not bad_bnlj, (name, bad_bnlj)
+
+
+def test_lineitem_scan_is_column_pruned(spark, sf_dir):
+    """yearly_sales_profit needs 5 of lineitem's 16 columns; the
+    parquet ReadSchema must not contain the unused ones."""
+    plan = _q(spark, sf_dir, "yearly_sales_profit")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    li = [s for s in schemas if "l_extendedprice" in s]
+    assert li, "lineitem scan not found"
+    assert "l_comment" not in li[0] and "l_shipdate" not in li[0]
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """Single-scan wide agg: exactly one shuffle for the final
+    aggregate (plus the presentation sort), partial HashAggregate
+    before it."""
+    plan = _q(spark, sf_dir, "pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    # no join anywhere in a single-table aggregation
+    assert "Join" not in plan
+
+
+def test_fact_orders_no_nested_loop(spark, sf_dir):
+    plan = _q(spark, sf_dir, "fact_orders")
+    bad_bnlj = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+        and ("+-" in line or ":-" in line)
+        and "Cross" not in line  # 1-row min-date broadcast is deliberate
+    ]
+    assert not bad_bnlj, bad_bnlj
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_candidate_join_carries_narrow_rows(spark, sf_dir):
+    """The band-bucket self-join must not shuffle token arrays —
+    its SortMergeJoin/ShuffledHashJoin inputs carry only
+    (doc_id, band_id, bucket)."""
+    plan = _q(spark, sf_dir, "minhash_lsh_candidates")
+    # every operator output that carries the band columns (the
+    # candidate-join inputs) must not also carry token arrays
+    banded_outputs = [
+        line for line in plan.splitlines() if "Output" in line and "band_id" in line
+    ]
+    assert banded_outputs
+    assert all("toks" not in line for line in banded_outputs), banded_outputs
+
+
+def test_deterministic_sample_is_pure_filter(spark, sf_dir):
+    """Sampling must add no shuffle — scan + filter + project only."""
+    plan = _q(spark, sf_dir, "deterministic_sample")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
