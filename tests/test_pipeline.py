@@ -71,3 +71,36 @@ def test_csv_roundtrip_all_string(spark, sf_dir, tmp_path):
     assert back.count() == nation.count()
     # values survive the string roundtrip
     assert back.filter(F.col("n_name").isNull()).count() == 0
+
+
+def test_incremental_pipeline(spark, sf_dir, tmp_path):
+    """Two-load incremental build: staging gains one load_id partition
+    per load, the double-load guard fires, and the incrementally
+    assembled fact equals the full rebuild."""
+    import pytest as _pytest
+
+    from global_superstore_data_warehouse_spark.plans.fact import fact_orders
+    from global_superstore_data_warehouse_spark.plans.pipeline import (
+        run_incremental_pipeline,
+    )
+    from global_superstore_data_warehouse_spark.sources.staging import (
+        AlreadyLoadedError,
+        stage_append,
+    )
+
+    out = str(tmp_path / "inc")
+    counts = run_incremental_pipeline(spark, sf_dir, out)
+    staged = spark.read.parquet(f"{out}/staging_inc/orders")
+    assert sorted(r.load_id for r in staged.select("load_id").distinct().collect()) == [1, 2]
+    # incremental fact == full rebuild
+    full = fact_orders(spark, sf_dir)
+    inc = spark.read.parquet(f"{out}/3nf_inc/fct_orders")
+    assert inc.count() == full.count() == counts["fact_total"]
+    assert inc.select("order_key", "line_number").exceptAll(
+        full.select("order_key", "line_number")
+    ).count() == 0
+    # double-load guard
+    from global_superstore_data_warehouse_spark.catalog import load as _load
+
+    with _pytest.raises(AlreadyLoadedError):
+        stage_append(_load(spark, sf_dir, "orders"), f"{out}/staging_inc/orders", 2)
