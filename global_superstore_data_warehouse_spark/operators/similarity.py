@@ -77,6 +77,37 @@ def norm_sql(a: str, dims: int) -> str:
     return f"sqrt({dot_sql(a, a, dims)})"
 
 
+def cosine_pandas_udf():
+    """Vectorized (Arrow-batched) cosine as a pandas UDF — the
+    alternate implementation for when the expression fold becomes the
+    bottleneck (very high dims). Same semantics as ``cosine``; the
+    equivalence is pinned by tests/test_embeddings.py. Import-guarded:
+    falls back to None when pandas/pyarrow are unavailable."""
+    try:
+        import numpy as np
+        import pandas as pd
+
+        from pyspark.sql.functions import pandas_udf
+    except ImportError:  # pragma: no cover
+        return None
+
+    def _cos(a, b):
+        import numpy as _np
+        import pandas as _pd
+
+        av = _np.stack(a.to_numpy()).astype(_np.float64)
+        bv = _np.stack(b.to_numpy()).astype(_np.float64)
+        num = (av * bv).sum(axis=1)
+        den = _np.sqrt((av * av).sum(axis=1)) * _np.sqrt((bv * bv).sum(axis=1))
+        return _pd.Series(num / den)
+
+    # set REAL annotation objects: `from __future__ import annotations`
+    # stringifies inline hints module-wide, and pandas_udf's eval-type
+    # inference cannot resolve the strings outside module globals
+    _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return pandas_udf(_cos, "double")
+
+
 def hyperplanes(num_planes: int, dims: int) -> list[list[float]]:
     """Deterministic ±1 random hyperplanes derived from md5 — the
     same literals are inlined into both the Spark plan and the

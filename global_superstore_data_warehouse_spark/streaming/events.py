@@ -51,6 +51,23 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window counts (1h window / 30min slide) — streaming
+    twin of plans/events.events_sliding. Each event lands in two
+    windows; state per (window, event_type) is bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream: DataFrame, spark: SparkSession, table_name: str, checkpoint: str
 ) -> None:

@@ -53,3 +53,27 @@ def test_lsh_results_subset_of_bruteforce_space(spark, sf_dir):
     }
     for k, v in ann.items():
         assert sims[k] == v
+
+
+def test_pandas_udf_cosine_equals_fold(spark, sf_dir):
+    """The vectorized pandas-UDF cosine must agree with the Catalyst
+    fold to float tolerance (different summation order ⇒ not
+    bit-identical, but 1e-9 relative)."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.operators import similarity as S
+
+    udf_cos = S.cosine_pandas_udf()
+    assert udf_cos is not None
+    emb = load(spark, sf_dir, "embeddings").limit(200)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(q))
+    both = pairs.select(
+        S.cosine(F.col("embedding"), F.col("q_emb")).alias("fold"),
+        udf_cos(F.col("embedding"), F.col("q_emb")).alias("vec"),
+    ).collect()
+    for r in both:
+        assert abs(r.fold - r.vec) < 1e-9, (r.fold, r.vec)

@@ -93,3 +93,18 @@ def test_stateful_sessionize_matches_batch_closed_sessions(spark, sf_dir, tmp_pa
     assert got_rows <= set(map(tuple, all_sessions.collect()))
     # emission is exactly-once per session
     assert len(got_rows) == got.count()
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
+    from global_superstore_data_warehouse_spark.plans.events import events_sliding
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_counts_stream,
+    )
+
+    stream = sliding_counts_stream(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(stream, spark, "sliding_test", str(tmp_path / "ckpt_sl"))
+    got = spark.sql("SELECT * FROM sliding_test").orderBy("window_start", "event_type")
+    want = events_sliding(spark, sf_dir)
+    assert got.collect() == want.collect()
