@@ -1,0 +1,35 @@
+"""Salted skew-join: result equivalence with the plain join and the
+salted shuffle key in the plan."""
+
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    plain = lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+    salted = salted_join(lineitem, supplier, "l_suppkey", "s_suppkey", salt=4)
+
+    assert salted.count() == plain.count()
+    cols = ["l_orderkey", "l_suppkey", "l_quantity", "s_suppkey", "s_name"]
+    assert salted.select(*cols).exceptAll(plain.select(*cols)).count() == 0
+    assert plain.select(*cols).exceptAll(salted.select(*cols)).count() == 0
+
+
+def test_salted_join_left_outer_preserves_unmatched(spark, sf_dir):
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # restrict the small side so some large rows miss
+    supplier = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name"
+    )
+    plain = lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey, "left")
+    salted = salted_join(lineitem, supplier, "l_suppkey", "s_suppkey", how="left", salt=4)
+    assert salted.count() == plain.count()
+    assert (
+        salted.filter(F.col("s_suppkey").isNull()).count()
+        == plain.filter(F.col("s_suppkey").isNull()).count()
+    )
