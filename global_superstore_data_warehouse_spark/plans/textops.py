@@ -394,3 +394,94 @@ def _simhash_sql() -> str:
 
 
 SIMHASH_DOCS_ORACLE = _simhash_sql()
+
+
+# --- near-dup clustering (connected components) ----------------------
+
+CLUSTER_JACCARD = 0.3
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: near-dup pairs → connected components →
+    canonical document per cluster (min doc_id). Every document gets
+    a cluster_id; docs with no near-dup are their own canonical.
+
+    Spark formulation: iterative min-label propagation to fixpoint —
+    each round, every node takes the min of its own label and its
+    neighbors' labels; rounds = graph diameter (near-dup clusters are
+    shallow). Each round is one shuffle join on doc_id;
+    ``localCheckpoint`` truncates the growing lineage. This is the
+    partition-parallel classic for 100 TB-scale components (the
+    large-star/small-star refinement drops in unchanged if diameters
+    ever grow).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(T.tokens("text"))
+    d = docs.select("doc_id", "lang", "n_chars", toks.alias("toks"))
+    a, b = d.alias("a"), d.alias("b")
+    j1 = T.jaccard(F.col("a.toks"), F.col("b.toks"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(j1 >= CLUSTER_JACCARD)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    edges = pairs.union(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+
+    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+                F.col("label").alias("old_label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        if new_labels.filter(F.col("label") != F.col("old_label")).isEmpty():
+            break
+        labels = new_labels.select("doc_id", "label")
+    return new_labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM (SELECT doc_id, lang, n_chars, {TOKS_SQL} AS toks FROM documents) a
+        JOIN (SELECT doc_id, lang, n_chars, {TOKS_SQL} AS toks FROM documents) b
+          ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.toks, b.toks)) * 1.0
+              / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+              >= {CLUSTER_JACCARD}
+    ), sym AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst, src FROM pairs
+    ), reach(n, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.dst, r.r
+        FROM reach r JOIN sym s ON s.src = r.n
+    )
+    SELECT n AS doc_id,
+           MIN(r) AS cluster_id,
+           (MIN(r) = n) AS is_canonical
+    FROM reach
+    GROUP BY n
+"""

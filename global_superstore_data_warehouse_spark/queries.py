@@ -79,6 +79,7 @@ register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_
 register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
 register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
 register("simhash_docs", textops.simhash_docs, textops.SIMHASH_DOCS_ORACLE)
+register("dedup_clusters", textops.dedup_clusters, textops.DEDUP_CLUSTERS_ORACLE)
 
 # --- Corpus stats & deterministic sampling (beyond-reference) ---
 register("vocab_topk", stats.vocab_topk, stats.VOCAB_TOPK_ORACLE)

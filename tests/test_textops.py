@@ -13,6 +13,7 @@ TEXT_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_candidates",
     "simhash_docs",
+    "dedup_clusters",
 ]
 
 
@@ -36,3 +37,16 @@ def test_near_dup_detection_finds_planted_pairs(spark, sf_dir):
     # brute-force result at >=0.3 when the pair shares a block
     assert lsh.count() >= 0  # shape check; planted-dup presence asserted below
     assert brute.count() > 0
+
+
+def test_dedup_clusters_invariants(spark, sf_dir):
+    """Cluster ids are component minima: every doc maps to a
+    canonical <= itself, and canonicals map to themselves."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.plans.textops import dedup_clusters
+
+    c = dedup_clusters(spark, sf_dir)
+    assert c.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
+    canon = c.filter("is_canonical")
+    assert canon.filter(F.col("cluster_id") != F.col("doc_id")).count() == 0
