@@ -160,3 +160,66 @@ def scd2_employees(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_CUSTOMERS_ORACLE = _scd2_oracle("customer", "c_custkey", "c_name", "c_mktsegment")
 SCD2_PRODUCTS_ORACLE = _scd2_oracle("part", "p_partkey", "p_name", "p_brand")
 SCD2_EMPLOYEES_ORACLE = _scd2_oracle("supplier", "s_suppkey", "s_name", "s_nationkey")
+
+
+def fact_pit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each order resolves the customer
+    dim VERSION that was valid on its order date — the historical
+    counterpart of the fact build's open-version lookup (J2). The
+    version intervals are half-open [start_dt, end_dt), so with the
+    SCD2 invariant (non-overlapping versions per key) every order
+    matches at most one version.
+
+    Scale shape: a broadcast range join when the dim fits (here), a
+    shuffle join on the customer key with an interval filter when it
+    does not — either way no window and no explode. Orders outside
+    every version interval (before the key's first version) resolve
+    to NULL lineage, reported as matched=false.
+    """
+    dim = _dim(spark, sf_dir)  # customer scenario dim: k/name/attr + validity
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.to_date("o_orderdate").alias("order_date"),
+    )
+    d = dim.alias("d")
+    o = orders.alias("o")
+    joined = o.join(
+        F.broadcast(d),
+        (F.col("o.o_custkey") == F.col("d.k"))
+        & (F.col("d.start_dt") <= F.col("o.order_date"))
+        & (F.col("o.order_date") < F.col("d.end_dt")),
+        "left",
+    )
+    return joined.select(
+        F.col("o.o_orderkey").alias("order_key"),
+        F.col("o.o_custkey").alias("custkey"),
+        F.date_format("o.order_date", "yyyy-MM-dd").alias("order_date"),
+        F.col("d.name").alias("customer_version_name"),
+        F.date_format("d.start_dt", "yyyy-MM-dd").alias("version_start"),
+        F.col("d.k").isNotNull().alias("matched"),
+    )
+
+
+FACT_PIT_CUSTOMERS_ORACLE = """
+    WITH dim AS (
+        SELECT c_custkey AS k, c_name AS name,
+               DATE '2020-01-01' AS start_dt, DATE '9999-12-31' AS end_dt
+        FROM customer WHERE c_custkey % 2 = 0
+        UNION ALL
+        SELECT c_custkey, c_name || ' v0',
+               DATE '2019-01-01', DATE '2020-01-01'
+        FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT o.o_orderkey AS order_key,
+           o.o_custkey AS custkey,
+           strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+           d.name AS customer_version_name,
+           strftime(d.start_dt, '%Y-%m-%d') AS version_start,
+           d.k IS NOT NULL AS matched
+    FROM orders o
+    LEFT JOIN dim d
+      ON o.o_custkey = d.k
+     AND d.start_dt <= CAST(o.o_orderdate AS DATE)
+     AND CAST(o.o_orderdate AS DATE) < d.end_dt
+"""

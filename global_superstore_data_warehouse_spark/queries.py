@@ -59,6 +59,7 @@ register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
 register("scd2_customers", scd.scd2_customers, scd.SCD2_CUSTOMERS_ORACLE)
 register("scd2_products", scd.scd2_products, scd.SCD2_PRODUCTS_ORACLE)
 register("scd2_employees", scd.scd2_employees, scd.SCD2_EMPLOYEES_ORACLE)
+register("fact_pit_customers", scd.fact_pit_customers, scd.FACT_PIT_CUSTOMERS_ORACLE)
 register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
 
 # --- DM star joins (J8) + post-load QA (C8) ---

@@ -73,3 +73,14 @@ def test_fact_grain_unique_and_no_null_fks(spark, sf_dir):
     fk_cols = ["fk_date", "fk_customer", "fk_employee", "fk_product", "fk_market"]
     for c in fk_cols:
         assert f.filter(F.col(c).isNull()).count() == 0
+
+
+def test_pit_join_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "fact_pit_customers", sf_dir)
+
+
+def test_pit_join_at_most_one_version_per_order(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.scd import fact_pit_customers
+
+    pit = fact_pit_customers(spark, sf_dir)
+    assert pit.groupBy("order_key").count().filter("count > 1").count() == 0
