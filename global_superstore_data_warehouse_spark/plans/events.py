@@ -167,3 +167,117 @@ TOP_EVENTS_PER_USER_ORACLE = """
     FROM events
     QUALIFY rank <= 2
 """
+
+
+# --- cohort retention -------------------------------------------------
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per week-offset of later activity. Two aggregations —
+    (user → cohort week) then ((cohort, offset) → distinct users) —
+    both partial-aggregated; no window, no self-join.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    )
+    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = ev.dropDuplicates(["user_id", "week"])
+    return (
+        activity.join(cohorts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "active_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_RETENTION_ORACLE = """
+    WITH ev AS (
+        SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ), cohorts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1
+    ), activity AS (
+        SELECT DISTINCT user_id, week FROM ev
+    )
+    SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', c.cohort_week, a.week) / 7 AS INTEGER) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY c.cohort_week, 2
+    ORDER BY 1, 2
+"""
+
+
+# --- funnel -----------------------------------------------------------
+
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase: a user advances a
+    stage only with an event at-or-after their previous stage's first
+    event. Each stage is one filtered aggregation joined on user_id —
+    stage count bounds the number of shuffles; no window over raw
+    events, no explode."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    rows = [
+        s1.agg(F.lit(1).alias("stage_no"), F.lit("view").alias("stage"), F.count(F.lit(1)).alias("users")),
+        s2.agg(F.lit(2).alias("stage_no"), F.lit("click").alias("stage"), F.count(F.lit(1)).alias("users")),
+        s3.agg(F.lit(3).alias("stage_no"), F.lit("purchase").alias("stage"), F.count(F.lit(1)).alias("users")),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("stage_no")
+
+
+EVENT_FUNNEL_ORACLE = """
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+    ), s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY 1
+    ), s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY 1
+    )
+    SELECT 1 AS stage_no, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS users
+    UNION ALL
+    SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+    ORDER BY stage_no
+"""

@@ -11,6 +11,8 @@ EVENT_QUERIES = [
     "events_sliding",
     "events_sessionize",
     "top_events_per_user",
+    "cohort_retention",
+    "event_funnel",
 ]
 
 
