@@ -281,3 +281,60 @@ EVENT_FUNNEL_ORACLE = """
     SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
     ORDER BY stage_no
 """
+
+
+# --- per-user transition counts (grouped applyInPandas) --------------
+
+TRANSITIONS_SCHEMA = "user_id long, from_type string, to_type string, n long"
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (Markov bigrams over the
+    time-ordered event sequence) via grouped ``applyInPandas`` — the
+    per-group custom aggregation shape: each user's whole sequence
+    lands in one Arrow batch, ordering and pairing happen in pandas,
+    output is a typed count table.
+
+    Integer counts are engine-exact, so unlike most pandas paths this
+    one is value-hash-checkable against the SQL-window oracle. State
+    per group is one user's events — bounded; groups hash-partition
+    across executors.
+    """
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+
+    def transitions(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        prev = pdf["event_type"].shift(1)
+        mask = prev.notna()
+        out = (
+            pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"][mask],
+                    "from_type": prev[mask],
+                    "to_type": pdf["event_type"][mask],
+                }
+            )
+            .groupby(["user_id", "from_type", "to_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    return ev.groupBy("user_id").applyInPandas(transitions, TRANSITIONS_SCHEMA)
+
+
+EVENT_TRANSITIONS_ORACLE = """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS from_type
+        FROM events
+    )
+    SELECT user_id, from_type, event_type AS to_type, COUNT(*) AS n
+    FROM seq
+    WHERE from_type IS NOT NULL
+    GROUP BY 1, 2, 3
+"""

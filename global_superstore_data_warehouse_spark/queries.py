@@ -104,6 +104,7 @@ register("events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE
 register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
 register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
 register("event_funnel", events.event_funnel, events.EVENT_FUNNEL_ORACLE)
+register("event_transitions", events.event_transitions, events.EVENT_TRANSITIONS_ORACLE)
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)

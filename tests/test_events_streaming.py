@@ -13,6 +13,7 @@ EVENT_QUERIES = [
     "top_events_per_user",
     "cohort_retention",
     "event_funnel",
+    "event_transitions",
 ]
 
 
