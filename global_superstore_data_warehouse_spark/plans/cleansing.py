@@ -2,6 +2,19 @@
 dedup & set ops, §2.4 J3/J4/J6 joins, S5/S6 conflict-handling sinks —
 each exercised over the driver test tables with a DuckDB oracle.
 
+Reference citations (all into /root/reference/Database/BL_CL/bl_cl.sql
+unless noted):
+- id/name suffix stripping: bl_cl.sql:101-110,143-152,189-193
+- name split: bl_cl.sql:1069-1070,1103-1104
+- date parse dd-MM-yyyy: bl_cl.sql:633,644,1173-1180
+- distinct-union of two sources (U1): bl_cl.sql:319,416,432,544
+- UNION ALL segments (U2): bl_cl.sql:473
+- anti-join new-rows (J4/S5): bl_cl.sql:259-261,356,483
+- full-outer+coalesce merge (J3/P7): bl_cl.sql:346-355,782-792
+- duplicate probe (A6/C8): bl_cl.sql:2217-2226
+- SCD1 upsert (S6/J5): bl_cl.sql:439
+- case-insensitive join (J6/F3): bl_cl.sql:908,938
+
 Dirty data (``#``-suffixed ids, ``' -'``-suffixed names — FIXTURES.md
 §1) is synthesized in-query deterministically from c_custkey so the
 oracle applies the identical expressions.

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # bound per-task memory of mapInPandas/applyInPandas batches
+        # (multimodal blobs ride in these; 10k rows/batch keeps a
+        # task's Arrow buffer under control at any blob size skew)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
