@@ -280,15 +280,22 @@ ANN_IVF_TOPK_ORACLE = _ivf_oracle()
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by label (the
     cheap-and-exact candidate key in this corpus; swap for the LSH
-    bucket when no label exists)."""
+    bucket when no label exists). Vectors are unit-normalized ONCE
+    per row before the pair join, so each pair costs a single
+    dot-fold instead of dot + two norms."""
     emb = load(spark, sf_dir, "embeddings")
-    a = emb.select("vec_id", "label", "embedding").alias("a")
-    b = emb.select("vec_id", "label", "embedding").alias("b")
+    emb_n = emb.select(
+        "vec_id", "label", S.norm(F.col("embedding")).alias("nrm"), "embedding"
+    ).select(
+        "vec_id", "label", S.normalize(F.col("embedding"), F.col("nrm")).alias("emb_n")
+    )
+    a = emb_n.alias("a")
+    b = emb_n.alias("b")
     pairs = a.join(
         b,
         (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
     )
-    sim = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    sim = F.round(S.dot(F.col("a.emb_n"), F.col("b.emb_n")), 6)
     return pairs.select(
         F.col("a.vec_id").alias("vec_id_a"),
         F.col("b.vec_id").alias("vec_id_b"),
@@ -297,12 +304,20 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("cosine_sim") >= NEAR_DUP_THRESHOLD)
 
 
+# oracle applies the identical normalize-then-dot fold so values are
+# bit-identical (see operators/similarity.ndot_sql)
+_ND = S.ndot_sql("a.embedding", "a.nrm", "b.embedding", "b.nrm", DIMS)
+
 EMBEDDING_NEAR_DUP_ORACLE = f"""
+    WITH en AS (
+        SELECT vec_id, label, embedding, {S.norm_sql('embedding', DIMS)} AS nrm
+        FROM embeddings
+    )
     SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label,
-           ROUND({S.cosine_sql('a.embedding', 'b.embedding', DIMS)}, 6) AS cosine_sim
-    FROM embeddings a JOIN embeddings b
+           ROUND({_ND}, 6) AS cosine_sim
+    FROM en a JOIN en b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE ROUND({S.cosine_sql('a.embedding', 'b.embedding', DIMS)}, 6) >= {NEAR_DUP_THRESHOLD}
+    WHERE ROUND({_ND}, 6) >= {NEAR_DUP_THRESHOLD}
 """
 
 

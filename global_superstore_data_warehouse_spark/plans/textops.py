@@ -196,15 +196,24 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc_id") < F.col("b.doc_id")),
     )
     j1 = T.jaccard(F.col("a.toks"), F.col("b.toks"))
-    j3 = T.jaccard(F.col("a.sh3"), F.col("b.sh3"))
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.round(j1, 6).alias("jaccard_tokens"),
-            F.round(j3, 6).alias("jaccard_shingles3"),
-        )
-        .filter(F.col("jaccard_tokens") >= 0.3)
+    # compute the cheap token-Jaccard first and FILTER before the
+    # 3-gram-shingle Jaccard: ~99.8% of blocked pairs fail the 0.3
+    # threshold, so the expensive shingle intersection runs only for
+    # survivors (the Filter between the two projections stops
+    # Catalyst from collapsing them into one compute-everything pass)
+    scored = pairs.select(
+        F.col("a.doc_id").alias("doc_id_a"),
+        F.col("b.doc_id").alias("doc_id_b"),
+        F.round(j1, 6).alias("jaccard_tokens"),
+        F.col("a.sh3").alias("sh3_a"),
+        F.col("b.sh3").alias("sh3_b"),
+    ).filter(F.col("jaccard_tokens") >= 0.3)
+    j3 = T.jaccard(F.col("sh3_a"), F.col("sh3_b"))
+    return scored.select(
+        "doc_id_a",
+        "doc_id_b",
+        "jaccard_tokens",
+        F.round(j3, 6).alias("jaccard_shingles3"),
     )
 
 
