@@ -187,3 +187,37 @@ SALES_ROLLUP_ORACLE = f"""
     GROUP BY ROLLUP(order_year, order_quarter)
     ORDER BY order_year ASC NULLS FIRST, order_quarter ASC NULLS FIRST
 """
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+PRIORITY_COLS = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+def sales_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value matrix: years × order-priority columns via native
+    ``pivot`` with an explicit value list (no extra distinct-values
+    job, deterministic column order — the form that scales, since a
+    data-driven pivot needs a full pre-scan)."""
+    orders = load(spark, sf_dir, "orders")
+    piv = (
+        orders.groupBy(F.year("o_orderdate").alias("order_year"))
+        .pivot("o_orderpriority", PRIORITIES)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    renamed = piv.select(
+        "order_year",
+        *[F.col(f"`{p}`").alias(c) for p, c in zip(PRIORITIES, PRIORITY_COLS)],
+    )
+    return renamed.orderBy("order_year")
+
+
+SALES_PIVOT_ORACLE = f"""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           {", ".join(
+               f"ROUND(SUM(CASE WHEN o_orderpriority = '{p}' THEN o_totalprice END), 2) AS {c}"
+               for p, c in zip(PRIORITIES, PRIORITY_COLS)
+           )}
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+"""

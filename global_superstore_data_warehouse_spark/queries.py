@@ -88,6 +88,7 @@ register("deterministic_sample", stats.deterministic_sample, stats.DETERMINISTIC
 register("stratified_sample", stats.stratified_sample, stats.STRATIFIED_SAMPLE_ORACLE)
 register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
 register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
+register("sales_pivot", stats.sales_pivot, stats.SALES_PIVOT_ORACLE)
 
 # --- Similarity search over embeddings (beyond-reference) ---
 register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)

@@ -10,6 +10,7 @@ STATS_QUERIES = [
     "stratified_sample",
     "priority_price_quantiles",
     "sales_rollup",
+    "sales_pivot",
 ]
 
 
