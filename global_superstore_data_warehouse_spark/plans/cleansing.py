@@ -298,3 +298,45 @@ EVENTS_JSON_PROPS_ORACLE = """
            COUNT(*) AS event_count
     FROM events GROUP BY event_type ORDER BY event_type
 """
+
+
+# --- semi/anti set-membership (EXISTS / EXCEPT family) ---------------
+
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the EXISTS idiom): customers having at least
+    one order — no duplication, no payload from the probe side, the
+    planner's cheapest membership join."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+CUSTOMERS_WITH_ORDERS_ORACLE = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def types_missing_from_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference): part types present in the
+    full catalog but absent from a sparse key sample — the coverage-gap
+    QA question. The reference has no INTERSECT/EXCEPT (§2.7);
+    included for set-op completeness. ``subtract`` = EXCEPT DISTINCT
+    (one dedup shuffle per side, then a left-anti under the hood)."""
+    part = load(spark, sf_dir, "part")
+    all_types = part.select(F.col("p_type").alias("part_type"))
+    sampled_types = part.filter(F.col("p_partkey") % 500 == 0).select(
+        F.col("p_type").alias("part_type")
+    )
+    return all_types.subtract(sampled_types)
+
+
+TYPES_MISSING_FROM_SAMPLE_ORACLE = """
+    SELECT p_type AS part_type FROM part
+    EXCEPT
+    SELECT p_type AS part_type FROM part WHERE p_partkey % 500 = 0
+"""

@@ -46,6 +46,8 @@ register("duplicate_orders", cleansing.duplicate_orders, cleansing.DUPLICATE_ORD
 register("scd1_upsert_customers", cleansing.scd1_upsert_customers, cleansing.SCD1_UPSERT_CUSTOMERS_ORACLE)
 register("case_insensitive_segments", cleansing.case_insensitive_segments, cleansing.CASE_INSENSITIVE_SEGMENTS_ORACLE)
 register("events_json_props", cleansing.events_json_props, cleansing.EVENTS_JSON_PROPS_ORACLE)
+register("customers_with_orders", cleansing.customers_with_orders, cleansing.CUSTOMERS_WITH_ORDERS_ORACLE)
+register("types_missing_from_sample", cleansing.types_missing_from_sample, cleansing.TYPES_MISSING_FROM_SAMPLE_ORACLE)
 
 # --- 3NF warehouse layer (SURVEY §1 items 4-7, §2.6 surrogate keys,
 # S8 date generation, J1 snowflake lookups) ---
