@@ -340,3 +340,20 @@ TYPES_MISSING_FROM_SAMPLE_ORACLE = """
     EXCEPT
     SELECT p_type AS part_type FROM part WHERE p_partkey % 500 = 0
 """
+
+
+def types_in_both_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct set intersection): part types present in
+    both key-parity halves of the catalog — completes the set-op
+    family with EXCEPT above (§2.7 notes the reference has neither)."""
+    part = load(spark, sf_dir, "part")
+    evens = part.filter(F.col("p_partkey") % 2 == 0).select(F.col("p_type").alias("part_type"))
+    odds = part.filter(F.col("p_partkey") % 2 == 1).select(F.col("p_type").alias("part_type"))
+    return evens.intersect(odds)
+
+
+TYPES_IN_BOTH_HALVES_ORACLE = """
+    SELECT p_type AS part_type FROM part WHERE p_partkey % 2 = 0
+    INTERSECT
+    SELECT p_type AS part_type FROM part WHERE p_partkey % 2 = 1
+"""

@@ -338,3 +338,26 @@ EVENT_TRANSITIONS_ORACLE = """
     WHERE from_type IS NOT NULL
     GROUP BY 1, 2, 3
 """
+
+
+# --- approximate distinct (HLL sketch) -------------------------------
+
+def events_hourly_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly approximate distinct users via HyperLogLog++
+    (``approx_count_distinct``, rsd=0.01) — the sketch path for
+    count-distinct at 100 TB, where the exact distinct's per-group
+    shuffle of every user id is the dominant cost and a fixed-size
+    sketch mergeable map-side replaces it.
+
+    No SQL oracle: HLL++ estimates are engine-specific (the driver
+    records the weaker rows-only check). The test instead bounds the
+    estimate against the exact count."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("hour_start")
+    )

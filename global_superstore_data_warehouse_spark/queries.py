@@ -48,6 +48,7 @@ register("case_insensitive_segments", cleansing.case_insensitive_segments, clean
 register("events_json_props", cleansing.events_json_props, cleansing.EVENTS_JSON_PROPS_ORACLE)
 register("customers_with_orders", cleansing.customers_with_orders, cleansing.CUSTOMERS_WITH_ORDERS_ORACLE)
 register("types_missing_from_sample", cleansing.types_missing_from_sample, cleansing.TYPES_MISSING_FROM_SAMPLE_ORACLE)
+register("types_in_both_halves", cleansing.types_in_both_halves, cleansing.TYPES_IN_BOTH_HALVES_ORACLE)
 
 # --- 3NF warehouse layer (SURVEY §1 items 4-7, §2.6 surrogate keys,
 # S8 date generation, J1 snowflake lookups) ---
@@ -108,6 +109,8 @@ register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PE
 register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
 register("event_funnel", events.event_funnel, events.EVENT_FUNNEL_ORACLE)
 register("event_transitions", events.event_transitions, events.EVENT_TRANSITIONS_ORACLE)
+# HLL++ estimates are engine-specific: no oracle (rows-only check)
+register("events_hourly_approx_users", events.events_hourly_approx_users, None)
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)

@@ -111,3 +111,24 @@ def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT * FROM sliding_test").orderBy("window_start", "event_type")
     want = events_sliding(spark, sf_dir)
     assert got.collect() == want.collect()
+
+
+def test_approx_users_within_rsd_bound(spark, sf_dir):
+    """HLL++ estimate per hour stays within 5x the configured 1% rsd
+    of the exact distinct count (generous bound, catches wiring bugs)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        events_hourly_approx_users,
+    )
+
+    approx = {r.hour_start: r.approx_users for r in events_hourly_approx_users(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events")
+    exact = {
+        r.hour_start: r.exact
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour_start")
+        ).agg(F.countDistinct("user_id").alias("exact")).collect()
+    }
+    assert set(approx) == set(exact)
+    for h, est in approx.items():
+        assert abs(est - exact[h]) <= max(2, 0.05 * exact[h]), (h, est, exact[h])
