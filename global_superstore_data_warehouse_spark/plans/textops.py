@@ -494,3 +494,120 @@ DEDUP_CLUSTERS_ORACLE = f"""
     FROM reach
     GROUP BY n
 """
+
+
+# --- cross-modal near-dup (text + embedding agreement) ---------------
+
+COSINE_DUP_THRESHOLD = 0.4
+
+
+def crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone training-data dedup: MinHash-LSH candidate pairs
+    verified by BOTH signals — token-set Jaccard AND embedding cosine
+    (documents.doc_id ≡ embeddings.vec_id). A pair is a duplicate
+    only when lexical and semantic evidence agree — filtering out
+    template text that shares tokens but not meaning, and unrelated
+    documents that happen to collide in an LSH bucket.
+
+    Plan: narrow LSH candidate generation (as minhash_lsh_candidates)
+    → per-pair re-attach of token arrays and unit-normalized
+    embeddings (four shuffle joins on ids, each payload attached once
+    per distinct pair) → one Jaccard + one dot-fold per pair.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.array_distinct(T.tokens("text"))
+    sig = docs.select("doc_id", *T.minhash_signature(toks, NUM_HASHES))
+    banded = sig.select(
+        "doc_id", *T.lsh_bands([f"mh{i}" for i in range(NUM_HASHES)], ROWS_PER_BAND)
+    )
+    n_bands = NUM_HASHES // ROWS_PER_BAND
+    exploded = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(i).alias("band_id"), F.col(f"band{i}").alias("bucket"))
+                for i in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band_id", "bb.bucket")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
+
+    from global_superstore_data_warehouse_spark.operators import similarity as S
+
+    tok_tbl = docs.select("doc_id", toks.alias("toks"))
+    emb = load(spark, sf_dir, "embeddings")
+    emb_n = emb.select(
+        "vec_id", S.norm(F.col("embedding")).alias("nrm"), "embedding"
+    ).select("vec_id", S.normalize(F.col("embedding"), F.col("nrm")).alias("emb_n"))
+
+    ta, tb = tok_tbl.alias("ta"), tok_tbl.alias("tb")
+    ea, eb = emb_n.alias("ea"), emb_n.alias("eb")
+    verified = (
+        cand.join(ta, F.col("doc_id_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_id_b") == F.col("tb.doc_id"))
+        .join(ea, F.col("doc_id_a") == F.col("ea.vec_id"))
+        .join(eb, F.col("doc_id_b") == F.col("eb.vec_id"))
+    )
+    j = F.round(T.jaccard(F.col("ta.toks"), F.col("tb.toks")), 6)
+    cos = F.round(S.dot(F.col("ea.emb_n"), F.col("eb.emb_n")), 6)
+    return (
+        verified.select(
+            "doc_id_a",
+            "doc_id_b",
+            j.alias("jaccard"),
+            cos.alias("cosine_sim"),
+        )
+        .filter((F.col("jaccard") >= 0.5) & (F.col("cosine_sim") >= COSINE_DUP_THRESHOLD))
+    )
+
+
+def _crossmodal_oracle() -> str:
+    from global_superstore_data_warehouse_spark.operators import similarity as S
+
+    nd = S.ndot_sql("ea.embedding", "ea.nrm", "eb.embedding", "eb.nrm", 64)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+    ), sig AS (
+        SELECT doc_id, toks,
+               {_sig_sql()}
+        FROM t
+    ), banded AS (
+        SELECT doc_id,
+               md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
+               md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
+        FROM sig
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM banded a JOIN banded b
+          ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
+    ), en AS (
+        SELECT vec_id, embedding, {S.norm_sql('embedding', 64)} AS nrm FROM embeddings
+    )
+    SELECT c.doc_id_a, c.doc_id_b,
+           ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                 / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6)
+               AS jaccard,
+           ROUND({nd}, 6) AS cosine_sim
+    FROM cand c
+    JOIN t ta ON ta.doc_id = c.doc_id_a
+    JOIN t tb ON tb.doc_id = c.doc_id_b
+    JOIN en ea ON ea.vec_id = c.doc_id_a
+    JOIN en eb ON eb.vec_id = c.doc_id_b
+    WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) >= 0.5
+      AND ROUND({nd}, 6) >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+CROSSMODAL_NEAR_DUP_ORACLE = _crossmodal_oracle()

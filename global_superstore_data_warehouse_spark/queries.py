@@ -84,6 +84,7 @@ register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCA
 register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
 register("simhash_docs", textops.simhash_docs, textops.SIMHASH_DOCS_ORACLE)
 register("dedup_clusters", textops.dedup_clusters, textops.DEDUP_CLUSTERS_ORACLE)
+register("crossmodal_near_dup", textops.crossmodal_near_dup, textops.CROSSMODAL_NEAR_DUP_ORACLE)
 
 # --- Corpus stats & deterministic sampling (beyond-reference) ---
 register("vocab_topk", stats.vocab_topk, stats.VOCAB_TOPK_ORACLE)

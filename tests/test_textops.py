@@ -14,6 +14,7 @@ TEXT_QUERIES = [
     "minhash_lsh_candidates",
     "simhash_docs",
     "dedup_clusters",
+    "crossmodal_near_dup",
 ]
 
 
