@@ -155,3 +155,93 @@ def qa_rowcounts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QA_ROWCOUNTS_ORACLE = "\nUNION ALL\n".join(
     f"SELECT '{t}' AS table_name, COUNT(*) AS row_count FROM {t}" for t in TABLES
 ) + "\nORDER BY table_name"
+
+
+def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warehouse data-quality report: the reference's NOT NULL/CHECK/
+    UNIQUE/FK constraints (bl_3nf.sql:48-218) evaluated as explicit
+    rules — row-level checks in one scan per table, plus referential
+    and grain-uniqueness checks."""
+    from global_superstore_data_warehouse_spark.operators.quality import (
+        column_rules,
+        referential_rule,
+        uniqueness_rule,
+    )
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+
+    ord_rules = column_rules(
+        orders,
+        [
+            ("orders.totalprice_nonneg", F.col("o_totalprice") < 0),
+            ("orders.orderdate_not_null", F.col("o_orderdate").isNull()),
+            (
+                "orders.priority_in_domain",
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+                ),
+            ),
+        ],
+    )
+    li_rules = column_rules(
+        lineitem,
+        [
+            ("lineitem.quantity_range", ~F.col("l_quantity").between(1, 50)),
+            ("lineitem.discount_range", ~F.col("l_discount").between(0, 1)),
+        ],
+    )
+    fk = referential_rule(
+        lineitem, orders, "l_orderkey", "o_orderkey", "lineitem.orderkey_fk"
+    )
+    fk2 = referential_rule(
+        orders, customer, "o_custkey", "c_custkey", "orders.custkey_fk"
+    )
+    uq = uniqueness_rule(orders, ["o_orderkey"], "orders.orderkey_unique")
+    return (
+        ord_rules.unionByName(li_rules)
+        .unionByName(fk)
+        .unionByName(fk2)
+        .unionByName(uq)
+        .orderBy("rule_name")
+    )
+
+
+DQ_REPORT_ORACLE = """
+    SELECT 'orders.totalprice_nonneg' AS rule_name,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+           COUNT(*) AS total FROM orders
+    UNION ALL
+    SELECT 'orders.orderdate_not_null',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'orders.priority_in_domain',
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+               THEN 1 ELSE 0 END) AS BIGINT), COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'lineitem.quantity_range',
+           CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.discount_range',
+           CAST(SUM(CASE WHEN l_discount NOT BETWEEN 0 AND 1 THEN 1 ELSE 0 END) AS BIGINT), COUNT(*)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk',
+           CAST((SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT),
+           COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'orders.custkey_fk',
+           CAST((SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           COUNT(*) FROM orders
+    UNION ALL
+    SELECT 'orders.orderkey_unique',
+           CAST((SELECT COALESCE(SUM(c), 0) FROM
+              (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)) AS BIGINT),
+           COUNT(*) FROM orders
+    ORDER BY rule_name
+"""

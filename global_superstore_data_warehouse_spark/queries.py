@@ -68,6 +68,7 @@ register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
 # --- DM star joins (J8) + post-load QA (C8) ---
 register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_WIDE_ORACLE)
 register("qa_rowcounts", dmstar.qa_rowcounts, dmstar.QA_ROWCOUNTS_ORACLE)
+register("dq_report", dmstar.dq_report, dmstar.DQ_REPORT_ORACLE)
 
 # --- Window analytics (Business_Template drill-down questions) ---
 register("best_month_per_segment", windows.best_month_per_segment, windows.BEST_MONTH_PER_SEGMENT_ORACLE)

@@ -37,3 +37,21 @@ def test_top_employees_at_most_three_per_year(spark, sf_dir):
     top = top_employees_per_year(spark, sf_dir)
     bad = top.groupBy("order_year").count().filter(F.col("count") > 3)
     assert bad.count() == 0
+
+
+def test_dq_report_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "dq_report", sf_dir)
+
+
+def test_dq_rules_catch_injected_violations(spark, sf_dir):
+    """The rule engine must actually count bad rows, not just pass on
+    clean data."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.operators.quality import column_rules
+
+    df = spark.range(100).select(
+        F.col("id"), F.when(F.col("id") < 7, -1.0).otherwise(1.0).alias("price")
+    )
+    report = column_rules(df, [("neg_price", F.col("price") < 0)]).collect()
+    assert report[0].violations == 7 and report[0].total == 100
