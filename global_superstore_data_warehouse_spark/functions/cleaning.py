@@ -53,7 +53,11 @@ def parse_date_ddmmyyyy(c: Column | str) -> Column:
     return F.to_date(c, "dd-MM-yyyy")
 
 
-SENTINEL_END_DT = F.to_date(F.lit("9999-12-31"))  # bl_cl.sql:832; bl_3nf.sql:225
+def sentinel_end_dt() -> Column:
+    """Open-version end-date sentinel (bl_cl.sql:832; bl_3nf.sql:225).
+    A function, not a module constant: building a Column requires an
+    active SparkContext, which must not be an import-time demand."""
+    return F.to_date(F.lit("9999-12-31"))
 
 
 def audit_timestamp() -> Column:

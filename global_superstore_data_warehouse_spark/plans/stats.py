@@ -167,7 +167,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .rollup("order_year", "order_quarter")
         .agg(
-            F.round(F.sum(SALES), 2).alias("total_sales"),
+            F.round(F.sum(SALES()), 2).alias("total_sales"),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy(

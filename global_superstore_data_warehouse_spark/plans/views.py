@@ -32,8 +32,15 @@ from global_superstore_data_warehouse_spark.catalog import load
 # sales / profit measure expressions, shared by every view.
 # sales = extendedprice net of discount; profit additionally nets tax
 # (a deterministic stand-in for the reference's Profit column).
-SALES = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-PROFIT = F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 - F.col("l_tax"))
+# Column factories, not module constants: building a Column needs an
+# active SparkContext, which must not be an import-time demand (the
+# registry populates lazily, possibly before any session exists).
+def SALES():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def PROFIT():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 - F.col("l_tax"))
 
 SALES_SQL = "l_extendedprice * (1 - l_discount)"
 PROFIT_SQL = "l_extendedprice * (1 - l_discount) * (1 - l_tax)"
@@ -71,8 +78,8 @@ def yearly_sales_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)
         .groupBy("order_year", "market")
         .agg(
-            F.round(F.sum(SALES), 2).alias("total_sales"),
-            F.round(F.sum(PROFIT), 2).alias("total_profit"),
+            F.round(F.sum(SALES()), 2).alias("total_sales"),
+            F.round(F.sum(PROFIT()), 2).alias("total_profit"),
             F.sum("l_quantity").cast("long").alias("total_quantity"),
         )
         .orderBy("order_year", "market")
@@ -113,7 +120,7 @@ def sales_employees_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(F.broadcast(emp), lineitem.l_suppkey == emp.s_suppkey)
         .groupBy("employee_name", "region")
-        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+        .agg(F.round(F.sum(SALES()), 2).alias("total_sales"))
         .orderBy("employee_name", "region")
     )
 
@@ -143,7 +150,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(SALES), 2).alias("sum_disc_price"),
+            F.round(F.sum(SALES()), 2).alias("sum_disc_price"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
@@ -216,7 +223,7 @@ def segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
-            F.round(F.sum(SALES), 2).alias("total_sales"),
+            F.round(F.sum(SALES()), 2).alias("total_sales"),
             F.count(F.lit(1)).alias("line_count"),
         )
         .orderBy("segment")
@@ -251,7 +258,7 @@ def seasonality_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy("order_year", "order_month", F.col("c_mktsegment").alias("segment"))
-        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+        .agg(F.round(F.sum(SALES()), 2).alias("total_sales"))
         .orderBy("order_year", "order_month", "segment")
     )
 

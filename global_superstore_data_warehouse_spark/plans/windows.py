@@ -33,7 +33,7 @@ def best_month_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "order_year", "order_month")
-        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+        .agg(F.round(F.sum(SALES()), 2).alias("total_sales"))
     )
     w = Window.partitionBy("segment").orderBy(
         F.desc("total_sales"), "order_year", "order_month"
@@ -79,7 +79,7 @@ def top_employees_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .groupBy("order_year", "employee_name")
-        .agg(F.round(F.sum(SALES), 2).alias("total_sales"))
+        .agg(F.round(F.sum(SALES()), 2).alias("total_sales"))
     )
     w = Window.partitionBy("order_year").orderBy(F.desc("total_sales"), "employee_name")
     return (
@@ -119,7 +119,7 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(F.round(F.sum(SALES), 2).alias("customer_sales"))
+        .agg(F.round(F.sum(SALES()), 2).alias("customer_sales"))
     )
     w = Window.orderBy(F.desc("customer_sales"), "custkey")
     return (
