@@ -245,3 +245,36 @@ DQ_REPORT_ORACLE = """
            COUNT(*) FROM orders
     ORDER BY rule_name
 """
+
+
+DUP_CHECK_KEYS = {"region": "r_regionkey", "nation": "n_nationkey", "customer": "c_custkey", "lineitem": "l_orderkey, l_linenumber"}
+
+
+def qa_duplicates_any_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's generic dynamic-SQL duplicate checker
+    (check_for_duplicates, bl_cl.sql:2217-2226, invoked per table at
+    2229-2255; F13 format()-templated SQL → Python f-strings driving
+    ``spark.sql``). Each table is registered as a temp view and probed
+    with the same templated statement."""
+    parts = []
+    for t, key in DUP_CHECK_KEYS.items():
+        load(spark, sf_dir, t).createOrReplaceTempView(f"__qa_{t}")
+        parts.append(f"""
+            SELECT '{t}' AS table_name,
+                   CAST(COUNT(*) AS BIGINT) AS duplicate_keys,
+                   CAST(COALESCE(SUM(c), 0) AS BIGINT) AS duplicate_rows
+            FROM (SELECT {key}, COUNT(*) AS c FROM __qa_{t}
+                  GROUP BY {key} HAVING COUNT(*) > 1)
+        """)
+    return spark.sql(" UNION ALL ".join(parts) + " ORDER BY table_name")
+
+
+QA_DUPLICATES_ANY_TABLE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{t}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS duplicate_keys,
+           CAST(COALESCE(SUM(c), 0) AS BIGINT) AS duplicate_rows
+    FROM (SELECT {key}, COUNT(*) AS c FROM {t} GROUP BY {key} HAVING COUNT(*) > 1)
+    """
+    for t, key in DUP_CHECK_KEYS.items()
+) + " ORDER BY table_name"

@@ -69,6 +69,7 @@ register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
 register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_WIDE_ORACLE)
 register("qa_rowcounts", dmstar.qa_rowcounts, dmstar.QA_ROWCOUNTS_ORACLE)
 register("dq_report", dmstar.dq_report, dmstar.DQ_REPORT_ORACLE)
+register("qa_duplicates_any_table", dmstar.qa_duplicates_any_table, dmstar.QA_DUPLICATES_ANY_TABLE_ORACLE)
 
 # --- Window analytics (Business_Template drill-down questions) ---
 register("best_month_per_segment", windows.best_month_per_segment, windows.BEST_MONTH_PER_SEGMENT_ORACLE)

@@ -55,3 +55,7 @@ def test_dq_rules_catch_injected_violations(spark, sf_dir):
     )
     report = column_rules(df, [("neg_price", F.col("price") < 0)]).collect()
     assert report[0].violations == 7 and report[0].total == 100
+
+
+def test_qa_duplicates_any_table_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "qa_duplicates_any_table", sf_dir)
