@@ -95,3 +95,21 @@ def test_deterministic_sample_is_pure_filter(spark, sf_dir):
     plan = _q(spark, sf_dir, "deterministic_sample")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
+    """IVF centroid assignment must be a folded expression over a
+    1-row broadcast — no Exchange between the corpus scan and the
+    list-id projection (the only shuffles allowed are the candidate
+    join + rank windows downstream)."""
+    plan = _q(spark, sf_dir, "ann_ivf_topk")
+    lines = plan.splitlines()
+    # the 1-row centroid attach is a broadcast cross join
+    assert any("BroadcastNestedLoopJoin Cross" in l for l in lines)
+    # the candidate join streams the corpus directly from its
+    # assignment Project — a shuffle Exchange there would mean the
+    # folded argmax degenerated into a repartition
+    for i, l in enumerate(lines):
+        if "BroadcastHashJoin Inner" in l and ("+-" in l or ":-" in l):
+            child = lines[i + 1]
+            assert "Exchange" not in child, (l, child)
