@@ -90,3 +90,39 @@ class TestSCD2Properties:
         )
         # old history is a subset of new history (new closures may add)
         assert set(hist_before) <= set(hist_after)
+
+
+scd1_scenario = st.dictionaries(
+    st.integers(min_value=0, max_value=10),
+    st.tuples(st.one_of(st.none(), st.sampled_from(["a", "b"])),
+              st.one_of(st.none(), st.sampled_from(["a", "b", "c"]))),
+    min_size=1, max_size=8,
+)
+
+
+@pytest.mark.usefixtures("spark")
+class TestSCD1Properties:
+    @given(scen=scd1_scenario)
+    @settings(**SETTINGS)
+    def test_upsert_source_wins_and_idempotent(self, spark, scen):
+        from global_superstore_data_warehouse_spark.operators.merge import scd1_upsert
+
+        tgt_rows = [(k, t) for k, (t, _) in scen.items() if t is not None]
+        src_rows = [(k, s) for k, (_, s) in scen.items() if s is not None]
+        tgt = spark.createDataFrame(tgt_rows or [(99, "x")], "k long, attr string")
+        src = spark.createDataFrame(src_rows or [(98, "y")], "k long, attr string")
+        once = scd1_upsert(tgt, src, keys=["k"], attrs=["attr"])
+        got = {r.k: (r.attr, r.is_updated) for r in once.collect()}
+        # key set = union; source attr wins on overlap
+        for k, v in got.items():
+            pair = scen.get(k, (None, None)) if k not in (98, 99) else (None, None)
+            t, s = pair
+            if k == 99: t = "x"
+            if k == 98: s = "y"
+            assert v[0] == (s if s is not None else t)
+            assert v[1] == (s is not None and t is not None)
+        # idempotent: re-upserting the same source changes nothing
+        twice = scd1_upsert(once.drop("is_updated"), src, keys=["k"], attrs=["attr"])
+        assert sorted((r.k, r.attr) for r in twice.collect()) == sorted(
+            (k, a) for k, (a, _) in got.items()
+        )
