@@ -52,3 +52,37 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
     )
     return builder.getOrCreate()
+
+
+TARGET_SHUFFLE_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def tune_shuffle_for_input(spark: SparkSession, input_paths: list[str]) -> int:
+    """Spill-aware shuffle sizing: set ``spark.sql.shuffle.partitions``
+    so a post-shuffle partition of the given inputs targets ~128 MB —
+    small enough to aggregate/join in executor memory without spill,
+    large enough to amortize task overhead. AQE coalescing then trims
+    the tail at runtime; this sets the UPPER bound AQE works under.
+
+    Sizing reads filesystem metadata only (no data scan). Returns the
+    partition count applied. At 100 TB: 100e12 / 128e6 ≈ 800k initial
+    partitions — which is why the ceiling matters; without it a
+    too-small static setting spills every executor, a too-large one
+    drowns the scheduler.
+    """
+    import os
+
+    total = 0
+    for p in input_paths:
+        if os.path.isdir(p):
+            for root, _, files in os.walk(p):
+                total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+    # parquet→in-memory expansion ~3x for the scanned columns
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(total * 3 / TARGET_SHUFFLE_PARTITION_BYTES),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    return n

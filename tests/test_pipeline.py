@@ -104,3 +104,15 @@ def test_incremental_pipeline(spark, sf_dir, tmp_path):
 
     with _pytest.raises(AlreadyLoadedError):
         stage_append(_load(spark, sf_dir, "orders"), f"{out}/staging_inc/orders", 2)
+
+
+def test_tune_shuffle_for_input(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.session import tune_shuffle_for_input
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n = tune_shuffle_for_input(spark, [f"{sf_dir}/lineitem.parquet"])
+        assert n >= spark.sparkContext.defaultParallelism
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == n
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
