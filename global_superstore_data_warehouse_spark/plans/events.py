@@ -180,10 +180,15 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
     )
-    cohorts = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    activity = ev.dropDuplicates(["user_id", "week"])
+    # ONE shuffle on user_id computes both the cohort week and the
+    # distinct activity weeks (collect_set — bounded: weeks per user),
+    # replacing the cohorts ⋈ activity self-join (which costs three
+    # shuffles: two aggs + the join)
+    per_user = ev.groupBy("user_id").agg(
+        F.min("week").alias("cohort_week"), F.collect_set("week").alias("weeks")
+    )
     return (
-        activity.join(cohorts, "user_id")
+        per_user.select("user_id", "cohort_week", F.explode("weeks").alias("week"))
         .select(
             "user_id",
             "cohort_week",
