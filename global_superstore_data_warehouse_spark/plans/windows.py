@@ -152,3 +152,78 @@ CUSTOMER_LTV_DECILES_ORACLE = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+def rolling_7d_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day sales per market: a RANGE-frame window over
+    day numbers (frame [-6, 0] days). Daily totals are materialized
+    as integer CENTS before the window, so the sliding sum is exact
+    integer arithmetic — engine-independent regardless of how the
+    window implementation associates the additions (Spark re-scans
+    the frame; DuckDB uses segment trees; float sums would drift).
+
+    Scale shape: the heavy aggregation is the daily groupBy
+    (partial, on (market, day)); the window then runs over ~days ×
+    markets rows — trivial."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("order_date")
+    )
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    customer = load(spark, sf_dir, "customer")
+    cust_market = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("market"))
+    )
+    daily = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)
+        .groupBy("market", "order_date")
+        .agg(
+            F.round(F.sum(SALES()) * 100)
+            .cast("long")
+            .alias("day_cents")
+        )
+        .withColumn("day_no", F.datediff("order_date", F.to_date(F.lit("1970-01-01"))).cast("long"))
+    )
+    w = (
+        Window.partitionBy("market")
+        .orderBy("day_no")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "market",
+        F.date_format("order_date", "yyyy-MM-dd").alias("day"),
+        (F.col("day_cents") / 100.0).alias("day_sales"),
+        (F.sum("day_cents").over(w) / 100.0).alias("rolling_7d_sales"),
+    ).orderBy("market", "day")
+
+
+ROLLING_7D_SALES_ORACLE = f"""
+    WITH daily AS (
+        SELECT r.r_name AS market,
+               CAST(o.o_orderdate AS DATE) AS order_date,
+               CAST(ROUND(SUM({SALES_SQL}) * 100) AS BIGINT) AS day_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    ), numbered AS (
+        SELECT market, order_date, day_cents,
+               date_diff('day', DATE '1970-01-01', order_date) AS day_no
+        FROM daily
+    )
+    SELECT market,
+           strftime(order_date, '%Y-%m-%d') AS day,
+           day_cents / 100.0 AS day_sales,
+           SUM(day_cents) OVER (
+               PARTITION BY market ORDER BY day_no
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS rolling_7d_sales
+    FROM numbered
+    ORDER BY market, day
+"""

@@ -75,6 +75,7 @@ register("qa_duplicates_any_table", dmstar.qa_duplicates_any_table, dmstar.QA_DU
 register("best_month_per_segment", windows.best_month_per_segment, windows.BEST_MONTH_PER_SEGMENT_ORACLE)
 register("top_employees_per_year", windows.top_employees_per_year, windows.TOP_EMPLOYEES_PER_YEAR_ORACLE)
 register("customer_ltv_deciles", windows.customer_ltv_deciles, windows.CUSTOMER_LTV_DECILES_ORACLE)
+register("rolling_7d_sales", windows.rolling_7d_sales, windows.ROLLING_7D_SALES_ORACLE)
 
 # --- Text analysis & dedup (beyond-reference training-data ops) ---
 register("token_stats", textops.token_stats, textops.TOKEN_STATS_ORACLE)

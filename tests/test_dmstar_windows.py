@@ -17,6 +17,7 @@ from tests.conftest import assert_matches_oracle
         "best_month_per_segment",
         "top_employees_per_year",
         "customer_ltv_deciles",
+    "rolling_7d_sales",
     ],
 )
 def test_matches_oracle(spark, duck, sf_dir, name):
