@@ -357,3 +357,38 @@ TYPES_IN_BOTH_HALVES_ORACLE = """
     INTERSECT
     SELECT p_type AS part_type FROM part WHERE p_partkey % 2 = 1
 """
+
+
+def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by edit distance: customers from the two
+    synthesized feeds whose names are within Levenshtein distance 2,
+    blocked on nation (candidate pairs bounded by block size, never
+    all-pairs — same blocking discipline as the text dedup family).
+    Integer distances are engine-exact."""
+    cust = load(spark, sf_dir, "customer")
+    consumer = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"), "c_nationkey"
+    )
+    corporate = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nk_b"),
+    )
+    pairs = consumer.join(
+        corporate, consumer.c_nationkey == corporate.nk_b
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        pairs.select("id_a", "id_b", "name_a", "name_b", dist.alias("edit_distance"))
+        .filter(F.col("edit_distance") <= 2)
+    )
+
+
+FUZZY_NAME_MATCH_ORACLE = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""

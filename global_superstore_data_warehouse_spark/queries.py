@@ -49,6 +49,7 @@ register("events_json_props", cleansing.events_json_props, cleansing.EVENTS_JSON
 register("customers_with_orders", cleansing.customers_with_orders, cleansing.CUSTOMERS_WITH_ORDERS_ORACLE)
 register("types_missing_from_sample", cleansing.types_missing_from_sample, cleansing.TYPES_MISSING_FROM_SAMPLE_ORACLE)
 register("types_in_both_halves", cleansing.types_in_both_halves, cleansing.TYPES_IN_BOTH_HALVES_ORACLE)
+register("fuzzy_name_match", cleansing.fuzzy_name_match, cleansing.FUZZY_NAME_MATCH_ORACLE)
 
 # --- 3NF warehouse layer (SURVEY §1 items 4-7, §2.6 surrogate keys,
 # S8 date generation, J1 snowflake lookups) ---

@@ -28,3 +28,4 @@ def test_semi_and_except_match_oracle(spark, duck, sf_dir):
     assert_matches_oracle(spark, duck, "customers_with_orders", sf_dir)
     assert_matches_oracle(spark, duck, "types_missing_from_sample", sf_dir)
     assert_matches_oracle(spark, duck, "types_in_both_halves", sf_dir)
+    assert_matches_oracle(spark, duck, "fuzzy_name_match", sf_dir)
