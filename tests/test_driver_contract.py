@@ -1,0 +1,42 @@
+"""Driver-contract tests: the surfaces the harness consumes —
+__spark_entry__'s three functions and bench.py's single JSON line —
+must keep their exact shape."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_registry_contract():
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    assert len(qs) >= 70
+    # every oracle key names a registered query; callables are callable
+    assert set(oracles) <= set(qs)
+    for fn in qs.values():
+        assert callable(fn)
+    # oracle values are non-empty SQL strings
+    for sql in oracles.values():
+        assert isinstance(sql, str) and "SELECT" in sql.upper()
+
+
+def test_bench_emits_one_json_line():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600, cwd=REPO,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    payloads = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
+    assert len(payloads) == 1, out.stdout
+    doc = json.loads(payloads[0])
+    assert set(doc) == {"metric", "value", "unit", "queries", "sf"}
+    assert doc["unit"] == "sec" and doc["sf"] == 0.001
+    assert doc["value"] >= 0 and doc["queries"]
