@@ -62,7 +62,11 @@ def add_surrogate_key_distributed(
     part = df.repartitionByRange(n, *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    part = part.persist()
+    # eager localCheckpoint, not persist(): pins the partitioning so
+    # the count job and the output job see identical __pid values,
+    # without leaving an unreleased cache entry behind (the blocks
+    # free when this frame is garbage-collected)
+    part = part.localCheckpoint(eager=True)
     counts = (
         part.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
