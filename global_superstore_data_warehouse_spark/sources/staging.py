@@ -74,3 +74,37 @@ def stage_append(
 def read_load(spark: SparkSession, path: str, load_id: int) -> DataFrame:
     """Read one staged load (P3's load_id filter → partition pruning)."""
     return spark.read.parquet(path).filter(F.col("load_id") == str(load_id))
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, target_file_bytes: int = TARGET_FILE_BYTES
+) -> int:
+    """Small-file compaction — the maintenance pass every streaming /
+    micro-increment sink needs (foreachBatch appends produce one file
+    set per batch; thousands of small files make scans
+    metadata-bound at scale). Rewrites the directory into
+    ``ceil(total_bytes / target)`` files via coalesce (no shuffle —
+    file-level bin packing) through a temp dir so a crash mid-compact
+    never destroys the source. Returns the new file count."""
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n = max(1, math.ceil(total / target_file_bytes))
+    tmp = path.rstrip("/") + ".__compacting"
+    spark.read.parquet(path).coalesce(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )

@@ -116,3 +116,25 @@ def test_tune_shuffle_for_input(spark, sf_dir):
         assert int(spark.conf.get("spark.sql.shuffle.partitions")) == n
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_compact_parquet_preserves_data(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.sources.staging import compact_parquet
+
+    target = str(tmp_path / "fragmented")
+    src = load(spark, sf_dir, "orders")
+    # simulate a micro-batch sink: many tiny appends
+    for i in range(5):
+        src.filter(F.col("o_orderkey") % 5 == i).repartition(8).write.mode(
+            "append"
+        ).parquet(target)
+    import os
+
+    before_files = len([f for f in os.listdir(target) if f.endswith(".parquet")])
+    before_rows = spark.read.parquet(target).count()
+    after_files = compact_parquet(spark, target)
+    assert after_files < before_files
+    assert spark.read.parquet(target).count() == before_rows == src.count()
