@@ -221,3 +221,49 @@ SALES_PIVOT_ORACLE = f"""
     GROUP BY 1
     ORDER BY 1
 """
+
+
+MEASURES = ["quantity", "extendedprice", "discount", "tax"]
+
+
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): each lineitem row fans out to one row per
+    measure via ``stack`` — the inverse of sales_pivot, and the shape
+    feature-store exports use (long-form (entity, feature, value)).
+    Narrow scan (5 cols), no shuffle until the presentation sort;
+    summary-aggregated per measure to keep the checked output
+    bounded."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    stack_expr = "stack(4, " + ", ".join(
+        f"'{m}', CAST(l_{m} AS DOUBLE)" for m in MEASURES
+    ) + ") AS (measure, value)"
+    long = lineitem.selectExpr("l_orderkey", "l_linenumber", stack_expr)
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+            F.round(F.avg("value"), 6).alias("mean"),
+        )
+        .orderBy("measure")
+    )
+
+
+LINEITEM_MEASURES_UNPIVOT_ORACLE = """
+    WITH long AS (
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', CAST(l_tax AS DOUBLE) FROM lineitem
+    )
+    SELECT measure, COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 6) AS mean
+    FROM long
+    GROUP BY measure
+    ORDER BY measure
+"""

@@ -97,6 +97,7 @@ register("stratified_sample", stats.stratified_sample, stats.STRATIFIED_SAMPLE_O
 register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
 register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
 register("sales_pivot", stats.sales_pivot, stats.SALES_PIVOT_ORACLE)
+register("lineitem_measures_unpivot", stats.lineitem_measures_unpivot, stats.LINEITEM_MEASURES_UNPIVOT_ORACLE)
 
 # --- Similarity search over embeddings (beyond-reference) ---
 register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)

@@ -11,6 +11,7 @@ STATS_QUERIES = [
     "priority_price_quantiles",
     "sales_rollup",
     "sales_pivot",
+    "lineitem_measures_unpivot",
 ]
 
 
