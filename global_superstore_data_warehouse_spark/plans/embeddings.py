@@ -333,7 +333,10 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.groupBy("label", "dim")
         .agg(
-            F.round(F.avg("val"), 4).alias("centroid_val"),
+            # + 0.0 normalizes IEEE -0.0 to +0.0: a mean that rounds
+            # to zero may carry either sign depending on summation
+            # order, and the value-hash serializes the sign
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("centroid_val"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )
@@ -341,7 +344,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EMBEDDING_CENTROIDS_ORACLE = f"""
     SELECT label, CAST(i AS INTEGER) AS dim,
-           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val,
+           ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS centroid_val,
            COUNT(*) AS n_vectors
     FROM embeddings, range(1, {DIMS + 1}) t(i)
     GROUP BY label, i

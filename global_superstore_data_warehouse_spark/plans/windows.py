@@ -116,18 +116,23 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documented scale path) — here exact for oracle parity."""
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # per-customer totals as integer CENTS: the per-decile sum then
+    # runs in exact integer arithmetic — summing ~1500 rounded doubles
+    # carries ~5e-4 error against a 0.005 rounding granularity, which
+    # hash-mismatched the oracle at sf0.1 (order-dependent boundary
+    # hits); integers cannot drift
     per_cust = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(F.round(F.sum(SALES()), 2).alias("customer_sales"))
+        .agg(F.round(F.sum(SALES()) * 100).cast("long").alias("customer_cents"))
     )
-    w = Window.orderBy(F.desc("customer_sales"), "custkey")
+    w = Window.orderBy(F.desc("customer_cents"), "custkey")
     return (
         per_cust.withColumn("decile", F.ntile(10).over(w))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("customers"),
-            F.round(F.sum("customer_sales"), 2).alias("decile_sales"),
+            (F.sum("customer_cents") / 100.0).alias("decile_sales"),
         )
         .orderBy("decile")
     )
@@ -136,18 +141,18 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 CUSTOMER_LTV_DECILES_ORACLE = f"""
     WITH per_cust AS (
         SELECT o.o_custkey AS custkey,
-               ROUND(SUM({SALES_SQL}), 2) AS customer_sales
+               CAST(ROUND(SUM({SALES_SQL}) * 100) AS BIGINT) AS customer_cents
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1
     ), tiled AS (
-        SELECT ntile(10) OVER (ORDER BY customer_sales DESC, custkey) AS decile,
-               customer_sales
+        SELECT ntile(10) OVER (ORDER BY customer_cents DESC, custkey) AS decile,
+               customer_cents
         FROM per_cust
     )
     SELECT CAST(decile AS INTEGER) AS decile,
            COUNT(*) AS customers,
-           ROUND(SUM(customer_sales), 2) AS decile_sales
+           SUM(customer_cents) / 100.0 AS decile_sales
     FROM tiled
     GROUP BY 1
     ORDER BY 1
