@@ -1,10 +1,23 @@
 """Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "sf": ...}.
+"queries": {...}, "extra_queries": {...}, "sf": ...}.
 
 Each query is executed with a `noop` sink write so the full plan runs
 JVM-side (scan → joins → aggregation) without driver materialization.
+
+Methodology: 3 INTERLEAVED rounds over the whole set, reporting the
+per-query minimum. Interleaving (rather than back-to-back best-of-N
+per query) decorrelates the minimum from transient host load — this
+sandbox is a shared VM whose available CPU swings 4x+ between
+windows, and consecutive runs of one query land in the same window.
+
+``HEADLINE`` is frozen to the round-1 set: BASELINE.md defines the
+bar as 2x of the first recorded total over exactly these queries, so
+the total must stay apples-to-apples. Queries added to the bench
+later (iterative clustering, pandas-path transitions, ANN) are timed
+identically but reported under ``extra_queries`` and excluded from
+``value``.
 """
 
 from __future__ import annotations
@@ -18,9 +31,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the flagship views + the heaviest operator families
-# (warehouse build, wide star join, text dedup, similarity search,
-# event-time analytics).
+# Headline set (FROZEN — the BASELINE.md comparable): the flagship
+# views + the heaviest operator families (warehouse build, wide star
+# join, text dedup, similarity search, event-time analytics).
 HEADLINE = [
     "yearly_sales_profit",
     "sales_employees_regions",
@@ -34,6 +47,17 @@ HEADLINE = [
     "events_sessionize",
     "vocab_topk",
 ]
+
+# Extended set (reported, not in the baseline total): the iterative
+# label-propagation path, the grouped-applyInPandas path, and the
+# bucketed-ANN path — the regressions round-1's headline set missed.
+EXTRA = [
+    "dedup_clusters",
+    "event_transitions",
+    "ann_ivf_topk",
+]
+
+ROUNDS = 3
 
 
 def _sf_from_dir(d: str) -> float:
@@ -50,31 +74,35 @@ def main() -> None:
     spark = get_spark("gsdw-bench")
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
+    extra_names = [n for n in EXTRA if n in qs]
 
     # Warm-up (not timed): JVM + parquet footers, plus one tiny-SF
-    # pass over each headline query so whole-stage codegen is JIT'd
-    # before measurement — the timed numbers are steady-state.
+    # pass over each query so whole-stage codegen is JIT'd before
+    # measurement — the timed numbers are steady-state.
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
     warm_sf = "/root/testdata/sf0.001"
     if os.path.isdir(warm_sf):
-        for name in names:
+        for name in names + extra_names:
             try:
                 qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
 
-    # best-of-2 per query: reports steady-state rather than whatever
-    # transient system load coincided with a single run
     timings: dict[str, float] = {}
-    for name in names:
-        best = None
-        for _ in range(2):
-            df = qs[name](spark, SF_DIR)
+    extra_timings: dict[str, float] = {}
+    for _ in range(ROUNDS):
+        for name, sink in [(n, timings) for n in names] + [
+            (n, extra_timings) for n in extra_names
+        ]:
+            # construction (incl. any eager checkpoint of reused
+            # frames) counts toward the measured time: it is real
+            # query work, not session setup
             t0 = time.perf_counter()
+            df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             el = time.perf_counter() - t0
-            best = el if best is None else min(best, el)
-        timings[name] = round(best, 3)
+            prev = sink.get(name)
+            sink[name] = round(el if prev is None else min(prev, el), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -84,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra_timings,
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

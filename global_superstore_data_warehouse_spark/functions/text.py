@@ -97,6 +97,23 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def hashed_set(toks: Column) -> Column:
+    """Distinct 60-bit token hashes (md5 hex prefix as BIGINT) for
+    set arithmetic: array_intersect over primitive longs is several
+    times cheaper than over strings — the difference between the
+    verification stage of the dedup family being string-compare
+    bound or not, and an 8-byte (vs full-token) shuffle payload at
+    100 TB. md5-prefix (not xxhash) so the DuckDB oracle computes
+    the identical value: ('0x' || substr(md5(w),1,15))::BIGINT.
+    Collisions are shared by both engines, so parity is exact by
+    construction (and at ~2^-60 per pair, vanishing in practice)."""
+    return F.array_distinct(
+        F.transform(
+            toks, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+        )
+    )
+
+
 def lang_scores(toks: Column) -> dict[str, Column]:
     """Stopword-profile language scores (n-gram heuristic family)."""
     return {

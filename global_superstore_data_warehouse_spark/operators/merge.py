@@ -44,19 +44,91 @@ def scd1_upsert(
     callers stamp it from this flag so the op itself stays
     deterministic/testable).
 
-    Plan: one full-outer shuffle join on the natural key; both
-    branches then resolve with coalesce — no second pass.
+    NULL semantics match the reference's ``ON CONFLICT DO UPDATE SET
+    col = EXCLUDED.col`` (bl_cl.sql:439): on a key match the source
+    value wins UNCONDITIONALLY, including an explicit source NULL
+    overwriting a non-NULL target value. (The round-1 implementation
+    coalesced per attribute, silently keeping the old value on
+    source NULL — a divergence its oracle mirrored, so parity could
+    not catch it.)
+
+    Plan: one full-outer shuffle join on the natural key; the
+    source-presence flag picks the winning side per row — no second
+    pass.
     """
     keys = list(keys)
     t = target.alias("t")
     s = source.dropDuplicates(keys).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, on=cond, how="full_outer")
-    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
+    in_src = F.col(f"s.{keys[0]}").isNotNull()
+    in_tgt = F.col(f"t.{keys[0]}").isNotNull()
     sel = [F.coalesce(F.col(f"t.{k}"), F.col(f"s.{k}")).alias(k) for k in keys]
-    sel += [F.coalesce(F.col(f"s.{a}"), F.col(f"t.{a}")).alias(a) for a in attrs]
-    sel.append(matched.alias("is_updated"))
+    sel += [
+        F.when(in_src, F.col(f"s.{a}")).otherwise(F.col(f"t.{a}")).alias(a)
+        for a in attrs
+    ]
+    sel.append((in_src & in_tgt).alias("is_updated"))
     return joined.select(*sel)
+
+
+def scd2_propagate(
+    dm: DataFrame,
+    nf: DataFrame,
+    version_cols: Sequence[str],
+    start_col: str = "start_dt",
+    end_col: str = "end_dt",
+    active_col: str = "is_active",
+) -> DataFrame:
+    """Propagate a 3NF SCD2 dim into its DM-layer copy — the
+    reference's Dm_Products / Dm_Customers pattern (bl_cl.sql:
+    1806-2067): phase 1 closes DM-active rows whose version (natural
+    key + tracked attrs) was closed in 3NF, taking the 3NF close
+    date; phase 2 inserts 3NF-active versions with no DM-active
+    match, carrying the 3NF validity window. FK re-keying to the
+    DM's own sub-dims is the caller's join (the reference's
+    subcategory remap, bl_cl.sql:1858-1860) — this operator owns
+    only the version algebra.
+
+    ``version_cols`` must include every tracked attribute, not just
+    the natural key: the reference matches on (Product_NR,
+    Product_name) so a changed attribute produces a distinct version
+    identity — matching on the key alone would both miss the close
+    and suppress the insert.
+
+    Plan: DM splits by the active flag in one scan; phase 1 is a
+    left join of DM-active against the closed-version deltas
+    aggregated per version identity (max end_dt — idempotent if a
+    version closed twice in history); phase 2 is a left-anti join of
+    3NF-active against DM-active. Both shuffles key on the version
+    identity; outputs reassemble with union-all. Invariant: applying
+    propagation to a DM in sync with the pre-load 3NF state yields
+    exactly the post-load 3NF state.
+    """
+    version = list(version_cols)
+    sentinel = F.to_date(F.lit("9999-12-31"))
+    out_cols = version + [start_col, end_col, active_col]
+
+    dm_closed = dm.filter(~F.col(active_col)).select(*out_cols)
+    dm_open = dm.filter(F.col(active_col)).select(*out_cols)
+
+    closed_deltas = (
+        nf.filter((~F.col(active_col)) & (F.col(end_col) != sentinel))
+        .groupBy(*version)
+        .agg(F.max(end_col).alias("_nf_end"))
+    )
+    closed_out = dm_open.join(closed_deltas, on=version, how="left").select(
+        *version,
+        F.col(start_col),
+        F.coalesce("_nf_end", F.col(end_col)).alias(end_col),
+        F.col("_nf_end").isNull().alias(active_col),
+    )
+    inserts = (
+        nf.filter(F.col(active_col))
+        .select(*out_cols)
+        .join(dm_open.select(*version), on=version, how="left_anti")
+    )
+    return dm_closed.unionByName(closed_out).unionByName(inserts)
 
 
 def scd2_merge(

@@ -43,31 +43,35 @@ def referential_rule(
 ) -> DataFrame:
     """FK orphan check: child rows whose key has no parent (the
     reference's FOREIGN KEY constraints). Anti-join — broadcast when
-    the parent is small, shuffle otherwise (planner's call)."""
-    total = child.count()
+    the parent is small, shuffle otherwise (planner's call).
+
+    Fully lazy: no job runs until the report DataFrame is acted on
+    (a construction-time count would fire driver-side jobs merely
+    assembling dq_report). The two single-row aggregates combine
+    with a 1×1 cross join — constant-size, not a cartesian risk."""
+    total = child.agg(F.count(F.lit(1)).cast("long").alias("total"))
     orphans = (
         child.select(F.col(child_key).alias("k"))
         .join(parent.select(F.col(parent_key).alias("k")), "k", "left_anti")
-        .count()
+        .agg(F.count(F.lit(1)).cast("long").alias("violations"))
     )
-    spark = child.sparkSession
-    return spark.createDataFrame(
-        [(name, orphans, total)], "rule_name string, violations long, total long"
+    return orphans.crossJoin(total).select(
+        F.lit(name).alias("rule_name"), "violations", "total"
     )
 
 
 def uniqueness_rule(df: DataFrame, keys: Sequence[str], name: str) -> DataFrame:
     """Natural-key uniqueness (the reference's UNIQUE constraints):
-    counts rows carrying a duplicated key."""
-    dup_rows = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v"))
-    )
-    total = df.count()
-    spark = df.sparkSession
-    v = dup_rows.collect()[0]["v"]
-    return spark.createDataFrame(
-        [(name, int(v), total)], "rule_name string, violations long, total long"
+    counts rows carrying a duplicated key.
+
+    Lazy, single shuffle: one groupBy computes per-key counts; a
+    second (single-partition, constant-size) aggregation folds them
+    into (violations, total) without a separate df.count() job."""
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("c"))
+    return per_key.agg(
+        F.lit(name).alias("rule_name"),
+        F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
+        .cast("long")
+        .alias("violations"),
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("total"),
     )

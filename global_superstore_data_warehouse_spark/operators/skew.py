@@ -15,38 +15,63 @@ factor, not larger (replication is pure overhead for uniform keys).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
 
+# join types whose semantics survive small-side replication: every
+# output row is either a matched pair (salt keys line up 1:1) or an
+# unmatched LARGE row (emitted once — the large side is salted, not
+# replicated). right/full outer would emit each unmatched SMALL row
+# once per salt value; express those as salted_join(small-as-large)
+# or a plain join instead.
+_SAFE_HOW = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti", "cross"}
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
-    large_key: str | Column,
-    small_key: str | Column,
+    large_key: str,
+    small_key: str,
     how: str = "inner",
     salt: int = 8,
 ) -> DataFrame:
     """Equi-join with the large side salted and the small side
     replicated across all salt values. Output equals the plain join
     (salt columns are dropped); only the shuffle distribution
-    changes."""
-    lk = F.col(large_key) if isinstance(large_key, str) else large_key
-    sk = F.col(small_key) if isinstance(small_key, str) else small_key
+    changes.
+
+    ``how`` is restricted to ``_SAFE_HOW``: for right/full outer the
+    replicated small side would yield ``salt`` copies of each
+    unmatched small row, silently corrupting the result — rejected
+    loudly rather than mis-joined. Keys are strings and resolved
+    against the aliased join inputs, so identically-named columns on
+    the other side can't be captured (the round-1 ambiguity bug).
+    """
+    if how.replace("_", "").lower() not in {h.replace("_", "") for h in _SAFE_HOW}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: unmatched small-side "
+            "rows would be emitted once per salt value. Swap the sides "
+            "(salt the other table) or use a plain join."
+        )
     # deterministic spread: hash the whole row's key + a fast-varying
     # physical hint; any distribution is CORRECT (the small side
     # covers every salt), this one is merely balanced
     salted_large = large.withColumn(
-        SALT_COL, F.pmod(F.hash(lk, F.monotonically_increasing_id()), F.lit(salt)).cast("int")
-    )
+        SALT_COL,
+        F.pmod(
+            F.hash(F.col(large_key), F.monotonically_increasing_id()), F.lit(salt)
+        ).cast("int"),
+    ).alias("__salted_l")
     replicated_small = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))
-    )
+    ).alias("__salted_r")
     joined = salted_large.join(
         replicated_small,
-        (lk == sk) & (salted_large[SALT_COL] == replicated_small[SALT_COL]),
+        (F.col(f"__salted_l.{large_key}") == F.col(f"__salted_r.{small_key}"))
+        & (F.col(f"__salted_l.{SALT_COL}") == F.col(f"__salted_r.{SALT_COL}")),
         how,
     )
     return joined.drop(SALT_COL)

@@ -246,8 +246,8 @@ SCD1_UPSERT_CUSTOMERS_ORACLE = """
         FROM customer WHERE c_custkey % 3 = 0
     )
     SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
-           COALESCE(s.name, t.name) AS name,
-           COALESCE(s.balance, t.balance) AS balance,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.name ELSE t.name END AS name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.balance ELSE t.balance END AS balance,
            (t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL) AS is_updated
     FROM t FULL OUTER JOIN s ON t.c_custkey = s.c_custkey
 """

@@ -1,0 +1,217 @@
+"""Two-source heterogeneous conformance — the reference's defining
+end-to-end feature: two differently-shaped all-string feeds conformed
+into one model.
+
+Reference shapes (cited for parity, not copied):
+
+- consumer feed (``SRC_CONSUMER/consumer.sql:17-49``): person-flavored
+  columns — Customer_Nr, Customer_Name, Gender, Age_Group, Segment.
+- corporate feed (``SRC_CORPORATE/corporate.sql:17-49``): org-flavored
+  columns — Customer_ID, Tax_Number, Sector, Contact_Person, Segment
+  (no name/gender/age).
+- conformance (``BL_CL/bl_cl.sql:218-226`` id cleaning,
+  ``bl_cl.sql:898-938`` superset-with-'NA'-defaults merge sources,
+  upper-cased segment lookups ``bl_cl.sql:936-938``).
+
+Here the two feeds are staged from two genuinely different base
+tables — ``customer`` (consumer shape) and ``supplier`` (corporate
+shape, playing the org-party role) — NOT parity-splits of one table,
+so the query really ingests two distinct input schemas. All columns
+are staged as strings (the reference's VARCHAR(255) staging), the
+corporate id carries a ``#``-suffix dirt pattern cleaned exactly like
+``Product_ID`` (bl_cl.sql:218-223), each side is conformed to the
+superset schema with 'NA' defaults for the columns it lacks, segment
+ids resolve via an upper-cased broadcast lookup, and the two sides
+full-outer-merge on the cleaned party number (J3).
+
+Scale: feeds are narrow projections of their scans; the segment dim
+is tiny → broadcast; the only shuffle is the full-outer merge on the
+conformed key — the minimal shape for heterogeneous entity
+resolution at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.keys import add_surrogate_key
+
+NA = "NA"
+
+
+def _consumer_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-string consumer-shaped staging rows (consumer.sql:17-49):
+    person attributes, clean ids, mixed-case segment."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("customer_nr"),
+        F.col("c_name").alias("customer_name"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("Female"))
+        .otherwise(F.lit("Male"))
+        .alias("gender"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit("18-30"))
+        .when(F.col("c_custkey") % 3 == 1, F.lit("31-50"))
+        .otherwise(F.lit("51+"))
+        .alias("age_group"),
+        F.lower("c_mktsegment").alias("segment"),
+    )
+
+
+def _corporate_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-string corporate-shaped staging rows (corporate.sql:17-49):
+    org attributes, ids dirtied with a '#' suffix on every 5th row
+    (the Product_ID dirt pattern the reference cleans,
+    bl_cl.sql:218-223)."""
+    s = load(spark, sf_dir, "supplier")
+    return s.select(
+        F.concat(
+            F.col("s_suppkey").cast("string"),
+            F.when(F.col("s_suppkey") % 5 == 0, F.lit("#DUP")).otherwise(F.lit("")),
+        ).alias("customer_id"),
+        F.concat(F.lit("TAX-"), (F.col("s_suppkey") * 7).cast("string")).alias(
+            "tax_number"
+        ),
+        F.concat(F.lit("SECTOR_"), (F.col("s_nationkey") % 4).cast("string")).alias(
+            "sector"
+        ),
+        F.col("s_name").alias("contact_person"),
+        F.lit("corporate").alias("segment"),
+    )
+
+
+def conform_two_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conform the two heterogeneous feeds into one party model.
+
+    Steps (each cited to the reference behavior it re-expresses):
+    1. clean the corporate id — strip from '#' (bl_cl.sql:218-223);
+    2. build the segment dim from the distinct upper-cased segments
+       of BOTH feeds (d_segments-style union, bl_cl.sql:236-258);
+    3. conform each feed to the superset schema, defaulting the
+       columns its shape lacks to 'NA' (bl_cl.sql:898-938);
+    4. resolve segment ids via an upper-cased broadcast lookup
+       (``ON UPPER(seg.segment) = UPPER(src.segment)``,
+       bl_cl.sql:936-938);
+    5. full-outer-merge the conformed sides on the party number,
+       coalescing shared columns (J3, merged-entity style).
+    """
+    cons = _consumer_feed(spark, sf_dir)
+    corp = _corporate_feed(spark, sf_dir).withColumn(
+        "party_nr",
+        F.when(
+            F.instr("customer_id", "#") > 0,
+            F.expr("substring(customer_id, 1, instr(customer_id, '#') - 1)"),
+        ).otherwise(F.col("customer_id")),
+    )
+
+    segments = add_surrogate_key(
+        cons.select(F.upper("segment").alias("segment"))
+        .unionByName(corp.select(F.upper("segment").alias("segment")))
+        .dropDuplicates(["segment"]),
+        ["segment"],
+        name="segment_id",
+    )
+
+    conf_cons = cons.join(
+        F.broadcast(segments),
+        F.upper(cons.segment) == segments.segment,
+        "left",
+    ).select(
+        F.col("customer_nr").alias("party_nr"),
+        F.col("customer_name").alias("party_name"),
+        "gender",
+        "age_group",
+        F.lit(NA).alias("tax_number"),
+        F.lit(NA).alias("sector"),
+        F.lit(NA).alias("contact_person"),
+        segments.segment.alias("segment"),
+        F.coalesce("segment_id", F.lit(-1)).alias("segment_id"),
+    )
+    conf_corp = corp.join(
+        F.broadcast(segments),
+        F.upper(corp.segment) == segments.segment,
+        "left",
+    ).select(
+        "party_nr",
+        F.lit(NA).alias("party_name"),
+        F.lit(NA).alias("gender"),
+        F.lit(NA).alias("age_group"),
+        "tax_number",
+        "sector",
+        "contact_person",
+        segments.segment.alias("segment"),
+        F.coalesce("segment_id", F.lit(-1)).alias("segment_id"),
+    )
+
+    a, b = conf_cons.alias("a"), conf_corp.alias("b")
+    merged = a.join(b, F.col("a.party_nr") == F.col("b.party_nr"), "full_outer")
+    return merged.select(
+        F.coalesce("a.party_nr", "b.party_nr").alias("party_nr"),
+        F.coalesce("a.party_name", F.lit(NA)).alias("party_name"),
+        F.coalesce("a.gender", F.lit(NA)).alias("gender"),
+        F.coalesce("a.age_group", F.lit(NA)).alias("age_group"),
+        F.coalesce("b.tax_number", F.lit(NA)).alias("tax_number"),
+        F.coalesce("b.sector", F.lit(NA)).alias("sector"),
+        F.coalesce("b.contact_person", F.lit(NA)).alias("contact_person"),
+        F.coalesce("a.segment", "b.segment").alias("segment"),
+        F.coalesce("a.segment_id", "b.segment_id").alias("segment_id"),
+        F.col("a.party_nr").isNotNull().alias("in_consumer"),
+        F.col("b.party_nr").isNotNull().alias("in_corporate"),
+    )
+
+
+CONFORM_TWO_SOURCES_ORACLE = """
+    WITH cons AS (
+        SELECT CAST(c_custkey AS VARCHAR) AS customer_nr,
+               c_name AS customer_name,
+               CASE WHEN c_custkey % 2 = 0 THEN 'Female' ELSE 'Male' END AS gender,
+               CASE WHEN c_custkey % 3 = 0 THEN '18-30'
+                    WHEN c_custkey % 3 = 1 THEN '31-50'
+                    ELSE '51+' END AS age_group,
+               LOWER(c_mktsegment) AS segment
+        FROM customer
+    ), corp AS (
+        SELECT CAST(s_suppkey AS VARCHAR)
+                 || CASE WHEN s_suppkey % 5 = 0 THEN '#DUP' ELSE '' END AS customer_id,
+               'TAX-' || CAST(s_suppkey * 7 AS VARCHAR) AS tax_number,
+               'SECTOR_' || CAST(s_nationkey % 4 AS VARCHAR) AS sector,
+               s_name AS contact_person,
+               'corporate' AS segment
+        FROM supplier
+    ), corp_clean AS (
+        SELECT *,
+               CASE WHEN POSITION('#' IN customer_id) > 0
+                    THEN SUBSTRING(customer_id, 1, POSITION('#' IN customer_id) - 1)
+                    ELSE customer_id END AS party_nr
+        FROM corp
+    ), segments AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY segment) AS BIGINT) AS segment_id,
+               segment
+        FROM (SELECT DISTINCT UPPER(segment) AS segment FROM cons
+              UNION SELECT DISTINCT UPPER(segment) FROM corp_clean)
+    ), conf_cons AS (
+        SELECT c.customer_nr AS party_nr, c.customer_name AS party_name,
+               c.gender, c.age_group,
+               'NA' AS tax_number, 'NA' AS sector, 'NA' AS contact_person,
+               s.segment, COALESCE(s.segment_id, -1) AS segment_id
+        FROM cons c LEFT JOIN segments s ON UPPER(c.segment) = s.segment
+    ), conf_corp AS (
+        SELECT c.party_nr, 'NA' AS party_name, 'NA' AS gender, 'NA' AS age_group,
+               c.tax_number, c.sector, c.contact_person,
+               s.segment, COALESCE(s.segment_id, -1) AS segment_id
+        FROM corp_clean c LEFT JOIN segments s ON UPPER(c.segment) = s.segment
+    )
+    SELECT COALESCE(a.party_nr, b.party_nr) AS party_nr,
+           COALESCE(a.party_name, 'NA') AS party_name,
+           COALESCE(a.gender, 'NA') AS gender,
+           COALESCE(a.age_group, 'NA') AS age_group,
+           COALESCE(b.tax_number, 'NA') AS tax_number,
+           COALESCE(b.sector, 'NA') AS sector,
+           COALESCE(b.contact_person, 'NA') AS contact_person,
+           COALESCE(a.segment, b.segment) AS segment,
+           COALESCE(a.segment_id, b.segment_id) AS segment_id,
+           a.party_nr IS NOT NULL AS in_consumer,
+           b.party_nr IS NOT NULL AS in_corporate
+    FROM conf_cons a FULL OUTER JOIN conf_corp b ON a.party_nr = b.party_nr
+"""

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
-from global_superstore_data_warehouse_spark.operators.merge import scd2_merge
+from global_superstore_data_warehouse_spark.operators.keys import add_surrogate_key
+from global_superstore_data_warehouse_spark.operators.merge import (
+    scd2_merge,
+    scd2_propagate,
+)
 
 EFFECTIVE = "2024-06-15"
 
@@ -82,6 +86,25 @@ def _source(
     )
 
 
+def _scd2_merged(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key: str,
+    name: str,
+    attr: str,
+) -> DataFrame:
+    """Date-typed post-load 3NF state for the scenario (shared by the
+    scd2_* queries and the DM propagation)."""
+    return scd2_merge(
+        _dim(spark, sf_dir, table, key, name, attr),
+        _source(spark, sf_dir, table, key, name, attr),
+        keys=["k"],
+        attrs=["name", "attr"],
+        effective_date=EFFECTIVE,
+    )
+
+
 def _scd2_scenario(
     spark: SparkSession,
     sf_dir: str,
@@ -91,13 +114,7 @@ def _scd2_scenario(
     attr: str,
 ) -> DataFrame:
     """Build dim + source from the modular scenario and run the merge."""
-    merged = scd2_merge(
-        _dim(spark, sf_dir, table, key, name, attr),
-        _source(spark, sf_dir, table, key, name, attr),
-        keys=["k"],
-        attrs=["name", "attr"],
-        effective_date=EFFECTIVE,
-    )
+    merged = _scd2_merged(spark, sf_dir, table, key, name, attr)
     return merged.select(
         "k",
         "name",
@@ -160,6 +177,56 @@ def scd2_employees(spark: SparkSession, sf_dir: str) -> DataFrame:
 SCD2_CUSTOMERS_ORACLE = _scd2_oracle("customer", "c_custkey", "c_name", "c_mktsegment")
 SCD2_PRODUCTS_ORACLE = _scd2_oracle("part", "p_partkey", "p_name", "p_brand")
 SCD2_EMPLOYEES_ORACLE = _scd2_oracle("supplier", "s_suppkey", "s_name", "s_nationkey")
+
+
+def dm_scd2_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3NF→DM SCD2 propagation for the customer scenario — the
+    reference's Dm_Customers (bl_cl.sql:1885-2067): the DM copy
+    starts in sync with the PRE-load 3NF state, the 3NF side runs
+    its load, and the propagation (operators.merge.scd2_propagate)
+    applies phase-1 closures + phase-2 active inserts to the DM
+    copy with the FK re-keyed against the DM's own segment dim
+    (the subcategory remap of Dm_Products, bl_cl.sql:1858-1860).
+
+    The segment dim is tiny → broadcast re-key join; the version
+    algebra shuffles only on the version identity. Invariant
+    (property-tested): the propagated DM state equals the post-load
+    3NF state modulo the added DM surrogate FK.
+    """
+    dm_prior = _dim(spark, sf_dir)  # DM copy, in sync pre-load
+    nf = _scd2_merged(spark, sf_dir, "customer", "c_custkey", "c_name", "c_mktsegment")
+    prop = scd2_propagate(dm_prior, nf, version_cols=["k", "name", "attr"])
+
+    dm_segments = add_surrogate_key(
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").cast("string").alias("attr"))
+        .dropDuplicates(["attr"]),
+        ["attr"],
+        name="dm_segment_id",
+    )
+    return prop.join(F.broadcast(dm_segments), "attr", "left").select(
+        "k",
+        "name",
+        "attr",
+        F.coalesce("dm_segment_id", F.lit(-1)).alias("dm_segment_id"),
+        F.date_format("start_dt", "yyyy-MM-dd").alias("start_dt"),
+        F.date_format("end_dt", "yyyy-MM-dd").alias("end_dt"),
+        "is_active",
+    )
+
+
+DM_SCD2_PROPAGATION_ORACLE = f"""
+    WITH base AS ({_scd2_oracle("customer", "c_custkey", "c_name", "c_mktsegment")}
+    ), dm_segments AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY attr) AS BIGINT) AS dm_segment_id,
+               attr
+        FROM (SELECT DISTINCT CAST(c_mktsegment AS VARCHAR) AS attr FROM customer)
+    )
+    SELECT b.k, b.name, b.attr,
+           COALESCE(s.dm_segment_id, -1) AS dm_segment_id,
+           b.start_dt, b.end_dt, b.is_active
+    FROM base b LEFT JOIN dm_segments s USING (attr)
+"""
 
 
 def fact_pit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

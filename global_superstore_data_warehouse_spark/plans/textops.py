@@ -6,7 +6,7 @@ shared hash primitive across engines.
 Scale notes: all per-doc features are array expressions inside
 whole-stage codegen (no UDFs, no shuffle); pair-generation operators
 shuffle only on candidate keys (content hash, LSH band, (lang,
-n_chars) block), never all-pairs.
+len-bucket) block), never all-pairs.
 """
 
 from __future__ import annotations
@@ -20,6 +20,16 @@ from global_superstore_data_warehouse_spark.operators.dedup import dedup_exact
 
 TOKS_SQL = "list_distinct(string_split_regex(trim(text), '\\s+'))"
 ALL_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+def _hashed_sql(expr: str) -> str:
+    """DuckDB twin of ``functions.text.hashed_set``: distinct 60-bit
+    md5-prefix hashes of a string list, for primitive-typed set
+    intersections in the verification CTEs."""
+    return (
+        f"list_distinct(list_transform({expr},"
+        " w -> ('0x' || substr(md5(w), 1, 15))::BIGINT))"
+    )
 
 
 # --- token counting --------------------------------------------------
@@ -196,54 +206,76 @@ def _sig_sql() -> str:
 # --- bounded-block candidate generation ------------------------------
 
 LEN_BUCKET = 64
-NGRAM_BANDS = 4  # 4 bands x 2 rows over the same 8-hash signature
+NGRAM_BANDS = 8  # 8 bands x 1 row over the 8-hash signature
 
 
 def _blocked_candidate_pairs(docs: DataFrame) -> DataFrame:
     """Bounded-block candidate pairs for the 0.3-Jaccard family:
     same ``lang``, same 64-char length bucket, and >=1 collision
-    among 4 two-row MinHash bands. Unlike an exact ``(lang,
+    among 8 one-row MinHash bands. Unlike an exact ``(lang,
     n_chars)`` block, every block component is bounded at 100 TB —
     the LSH bucket keeps block populations small regardless of how
     many documents share a language/length, and the length bucket
     gives recall across small edits that change the char count.
 
-    Dedup without a pair-level shuffle: band *i* contributes a pair
-    only when no band *k < i* already matched (first-matching-band
-    wins), so the union of the per-band self-joins is exactly
-    distinct. Rows through each join are narrow (ids + block keys +
-    band hashes) — token arrays never ride the shuffle.
+    Recall math (b bands of r rows: P[candidate] = 1-(1-j^r)^b):
+    with 8 bands x 1 row, a true pair at the j=0.3 threshold is
+    caught with probability 1-(1-0.3)^8 ≈ 94.2% (99.6% at j=0.5).
+    The round-2 4x2 banding had only ~31% recall at 0.3 — 1-row
+    bands trade a looser pre-filter (more candidates to verify) for
+    near-complete recall at the family's own threshold. The oracle
+    applies the identical banding, so parity checks the same set.
+
+    Plan: the 8-seed signature is materialized ONCE with an eager
+    ``localCheckpoint`` (narrow rows: ids + block keys + 8 md5s),
+    then exploded to (band_id, bucket) rows for a SINGLE bucket
+    self-join + pair dedup — token arrays never ride the shuffle,
+    and the expensive tokenize+8xmd5 lineage is never recomputed
+    per join branch (the round-2 union-of-branches plan recomputed
+    it ~8x and regressed the bench 3.4x).
     """
+    # explicit repartition before the checkpoint: AQE coalesces
+    # shuffles by BYTES, and minhash rows are tiny relative to their
+    # CPU cost (8 md5s per token) — without this the checkpoint
+    # freezes a 1-partition layout and every downstream join runs
+    # single-threaded. Hash-spread by doc_id is also the layout the
+    # signature scan wants at 100 TB.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.array_distinct(T.tokens("text"))
-    sig = docs.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int").alias("len_b"),
-        *T.minhash_signature(toks, NUM_HASHES),
+    sig = (
+        docs.repartition(n_part, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int").alias("len_b"),
+            *T.minhash_signature(toks, NUM_HASHES),
+        )
+        .localCheckpoint(eager=True)
     )
-    banded = sig.select(
+    exploded = sig.select(
         "doc_id",
         "lang",
         "len_b",
-        *T.lsh_bands([f"mh{i}" for i in range(NUM_HASHES)], NUM_HASHES // NGRAM_BANDS),
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)])
+        ).alias("band_id", "bucket"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    out = None
-    for i in range(NGRAM_BANDS):
-        cond = (
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.len_b") == F.col("b.len_b"))
-            & (F.col(f"a.band{i}") == F.col(f"b.band{i}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        for k in range(i):
-            cond = cond & (F.col(f"a.band{k}") != F.col(f"b.band{k}"))
-        pairs = a.join(b, cond).select(
+        .select(
             F.col("a.doc_id").alias("doc_id_a"),
             F.col("b.doc_id").alias("doc_id_b"),
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
+    )
 
 
 # --- n-gram Jaccard near-dup -----------------------------------------
@@ -251,15 +283,18 @@ def _blocked_candidate_pairs(docs: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by token-set Jaccard, with 3-gram-shingle
     Jaccard reported alongside. Candidate generation uses the bounded
-    block key (lang, length-bucket, MinHash band) of
+    block key (lang, length-bucket, 8x1 MinHash band) of
     ``_blocked_candidate_pairs`` — never all-pairs, never an
     unbounded exact-length block — then re-attaches token/shingle
-    payloads once per distinct candidate pair.
+    payloads once per distinct candidate pair. Recall at the j=0.3
+    threshold is 1-(1-0.3)^8 ≈ 94.2% (see the block docstring); the
+    oracle applies the identical banding so parity is exact over the
+    same candidate set.
     """
     docs = load(spark, sf_dir, "documents")
     cand = _blocked_candidate_pairs(docs)
-    toks = F.array_distinct(T.tokens("text"))
-    sh3 = _shingles(T.tokens("text"), 3)
+    toks = T.hashed_set(T.tokens("text"))
+    sh3 = T.hashed_set(_shingles(T.tokens("text"), 3))
     payload = docs.select("doc_id", toks.alias("toks"), sh3.alias("sh3"))
     pa, pb = payload.alias("pa"), payload.alias("pb")
     joined = cand.join(pa, F.col("doc_id_a") == F.col("pa.doc_id")).join(
@@ -307,11 +342,8 @@ SHINGLES3_SQL = (
     "ELSE [] END)"
 )
 
-def _ngram_band_sql() -> str:
-    """4 two-row band hashes over the 8 per-seed min-hashes."""
-    return ",\n               ".join(
-        f"md5(concat_ws('|', mh{2 * j}, mh{2 * j + 1})) AS b{j}" for j in range(NGRAM_BANDS)
-    )
+# >=1 of the 8 one-row bands collides == any per-seed min-hash matches
+_BAND_OR_SQL = " OR ".join(f"a.mh{i} = b.mh{i}" for i in range(NUM_HASHES))
 
 
 NGRAM_JACCARD_PAIRS_ORACLE = f"""
@@ -320,14 +352,10 @@ NGRAM_JACCARD_PAIRS_ORACLE = f"""
     ), d AS (
         SELECT doc_id, lang,
                CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS INTEGER) AS len_b,
-               list_distinct(t) AS toks,
-               {SHINGLES3_SQL} AS sh3,
+               {_hashed_sql('t')} AS toks,
+               {_hashed_sql(SHINGLES3_SQL)} AS sh3,
                {_sig_sql_from('list_distinct(t)')}
         FROM raw
-    ), banded AS (
-        SELECT doc_id, lang, len_b, toks, sh3,
-               {_ngram_band_sql()}
-        FROM d
     )
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
            ROUND(len(list_intersect(a.toks, b.toks)) * 1.0
@@ -337,9 +365,9 @@ NGRAM_JACCARD_PAIRS_ORACLE = f"""
                  ELSE len(list_intersect(a.sh3, b.sh3)) * 1.0
                       / (len(a.sh3) + len(b.sh3) - len(list_intersect(a.sh3, b.sh3))) END, 6)
                AS jaccard_shingles3
-    FROM banded a JOIN banded b
+    FROM d a JOIN d b
       ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id
-     AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+     AND ({_BAND_OR_SQL})
     WHERE len(list_intersect(a.toks, b.toks)) * 1.0
           / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.3
 """
@@ -404,11 +432,37 @@ def _lsh_verified_doc_pairs(docs: DataFrame) -> DataFrame:
     table. Intra-class pairs are emitted directly with Jaccard 1.0
     (identical token sets collide in every band by construction, so
     this matches the uncollapsed semantics exactly).
+
+    ``sig`` and ``member`` are materialized eagerly with
+    ``localCheckpoint`` because the plan fans out over them (2 band
+    branches x 2 join sides + 2 token re-attaches + 4 membership
+    refs): without the checkpoint each branch independently
+    recomputes the tokenize+8xmd5 signature lineage — the exact
+    cause of round 2's 3.4x bench regression on this query. Rows
+    are narrow (one exemplar per class / id+fingerprint), so the
+    checkpoint footprint is bounded at 100 TB.
     """
     member, classes = _bow_classes(docs)
+    member = member.localCheckpoint(eager=True)
+    # repartition before the checkpoint: AQE coalesces the class
+    # groupBy's shuffle by BYTES (a few MB of fingerprints → 1
+    # partition), which would freeze a serial layout under the
+    # CPU-heavy signature + verification stages. Hash-spread by cls
+    # keeps every downstream self-join 32-way here and N-way on a
+    # cluster.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
     toks = F.array_distinct(T.tokens("text"))
-    sig = classes.select(
-        "cls", "rep", toks.alias("toks"), *T.minhash_signature(toks, NUM_HASHES)
+    sig = (
+        classes.repartition(n_part, "cls")
+        .select(
+            "cls",
+            "rep",
+            # hashed token sets for the verification intersections:
+            # primitive-long array_intersect, not string compares
+            T.hashed_set(toks).alias("toks"),
+            *T.minhash_signature(toks, NUM_HASHES),
+        )
+        .localCheckpoint(eager=True)
     )
     n_bands = NUM_HASHES // ROWS_PER_BAND
     banded = sig.select(
@@ -457,13 +511,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MINHASH_LSH_CANDIDATES_ORACLE = f"""
     WITH t AS (
-        SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+        SELECT doc_id, {TOKS_SQL} AS toks, {_hashed_sql(TOKS_SQL)} AS tokh
+        FROM documents
     ), sig AS (
-        SELECT doc_id, toks,
+        SELECT doc_id, tokh,
                {_sig_sql()}
         FROM t
     ), banded AS (
-        SELECT doc_id, toks,
+        SELECT doc_id, tokh,
                md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS band0,
                md5(concat_ws('|', mh4, mh5, mh6, mh7)) AS band1
         FROM sig
@@ -473,14 +528,14 @@ MINHASH_LSH_CANDIDATES_ORACLE = f"""
           ON a.doc_id < b.doc_id AND (a.band0 = b.band0 OR a.band1 = b.band1)
     )
     SELECT c.doc_id_a, c.doc_id_b,
-           ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
-                 / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6)
+           ROUND(len(list_intersect(ta.tokh, tb.tokh)) * 1.0
+                 / (len(ta.tokh) + len(tb.tokh) - len(list_intersect(ta.tokh, tb.tokh))), 6)
                AS jaccard
     FROM cand c
     JOIN t ta ON ta.doc_id = c.doc_id_a
     JOIN t tb ON tb.doc_id = c.doc_id_b
-    WHERE len(list_intersect(ta.toks, tb.toks)) * 1.0
-          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))) >= 0.5
+    WHERE len(list_intersect(ta.tokh, tb.tokh)) * 1.0
+          / (len(ta.tokh) + len(tb.tokh) - len(list_intersect(ta.tokh, tb.tokh))) >= 0.5
 """
 
 
@@ -556,7 +611,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     cand = _blocked_candidate_pairs(docs)
-    toks = F.array_distinct(T.tokens("text"))
+    toks = T.hashed_set(T.tokens("text"))
     payload = docs.select("doc_id", toks.alias("toks"))
     pa, pb = payload.alias("pa"), payload.alias("pb")
     j1 = T.jaccard(F.col("pa.toks"), F.col("pb.toks"))
@@ -565,12 +620,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pb, F.col("doc_id_b") == F.col("pb.doc_id"))
         .filter(j1 >= CLUSTER_JACCARD)
         .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .localCheckpoint()
     )
     edges = pairs.union(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    )
 
-    labels = d.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label")).localCheckpoint()
     while True:
         neighbor_min = (
             edges.join(labels, edges.src == labels.doc_id)
@@ -597,11 +653,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE pairs AS (
+    WITH RECURSIVE raw AS (
+        SELECT doc_id, lang, n_chars, {ALL_TOKS_SQL} AS t FROM documents
+    ), d AS (
+        SELECT doc_id, lang,
+               CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS INTEGER) AS len_b,
+               {_hashed_sql('t')} AS toks,
+               {_sig_sql_from('list_distinct(t)')}
+        FROM raw
+    ), pairs AS (
         SELECT a.doc_id AS src, b.doc_id AS dst
-        FROM (SELECT doc_id, lang, n_chars, {TOKS_SQL} AS toks FROM documents) a
-        JOIN (SELECT doc_id, lang, n_chars, {TOKS_SQL} AS toks FROM documents) b
-          ON a.lang = b.lang AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id
+         AND ({_BAND_OR_SQL})
         WHERE len(list_intersect(a.toks, b.toks)) * 1.0
               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
               >= {CLUSTER_JACCARD}
@@ -671,9 +735,10 @@ def _crossmodal_oracle() -> str:
     nd = S.ndot_sql("ea.embedding", "ea.nrm", "eb.embedding", "eb.nrm", 64)
     return f"""
     WITH t AS (
-        SELECT doc_id, {TOKS_SQL} AS toks FROM documents
+        SELECT doc_id, {TOKS_SQL} AS toks, {_hashed_sql(TOKS_SQL)} AS tokh
+        FROM documents
     ), sig AS (
-        SELECT doc_id, toks,
+        SELECT doc_id, tokh,
                {_sig_sql()}
         FROM t
     ), banded AS (
@@ -689,8 +754,8 @@ def _crossmodal_oracle() -> str:
         SELECT vec_id, embedding, {S.norm_sql('embedding', 64)} AS nrm FROM embeddings
     )
     SELECT c.doc_id_a, c.doc_id_b,
-           ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
-                 / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6)
+           ROUND(len(list_intersect(ta.tokh, tb.tokh)) * 1.0
+                 / (len(ta.tokh) + len(tb.tokh) - len(list_intersect(ta.tokh, tb.tokh))), 6)
                AS jaccard,
            ROUND({nd}, 6) AS cosine_sim
     FROM cand c
@@ -698,8 +763,8 @@ def _crossmodal_oracle() -> str:
     JOIN t tb ON tb.doc_id = c.doc_id_b
     JOIN en ea ON ea.vec_id = c.doc_id_a
     JOIN en eb ON eb.vec_id = c.doc_id_b
-    WHERE ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
-          / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks))), 6) >= 0.5
+    WHERE ROUND(len(list_intersect(ta.tokh, tb.tokh)) * 1.0
+          / (len(ta.tokh) + len(tb.tokh) - len(list_intersect(ta.tokh, tb.tokh))), 6) >= 0.5
       AND ROUND({nd}, 6) >= {COSINE_DUP_THRESHOLD}
 """
 

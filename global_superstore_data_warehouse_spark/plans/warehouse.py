@@ -148,6 +148,102 @@ DIM_GEOGRAPHY_ORACLE = """
 """
 
 
+def dim_address(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-level snowflaked geography: addresses with FK into
+    countries, countries with FK into regions
+    (Dim_Addresses.FK_Country → Dim_Countries.FK_Region_ID →
+    Dim_Regions, bl_3nf.sql:100-135; loaded by d_addresses' country
+    lookup join, bl_cl.sql:671-697).
+
+    The address level is table-scale (one row per distinct customer
+    address) so its surrogate key uses the distributed path (no
+    global single-partition sort); the country/region levels are
+    tiny → broadcast lookups. At 100 TB the only shuffle is the
+    distinct + key assignment on the address itself.
+    """
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    customer = load(spark, sf_dir, "customer")
+
+    dim_region = add_surrogate_key(
+        region.select(F.col("r_name").alias("region")).dropDuplicates(["region"]),
+        ["region"],
+        name="region_id",
+    )
+    country_src = (
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .select(
+            "n_nationkey",
+            F.col("n_name").alias("country"),
+            F.col("r_name").alias("region"),
+        )
+        .dropDuplicates(["country"])
+    )
+    countries = add_surrogate_key(country_src, ["country"], name="country_id").join(
+        F.broadcast(dim_region), "region", "left"
+    )
+    # the test tables carry no address column; synthesize the
+    # deterministic per-customer shipping address the reference
+    # stages (Shipping_Address strings, d_addresses src queries)
+    address_src = (
+        customer.select(
+            F.concat(F.lit("ADDR_"), F.col("c_custkey").cast("string")).alias(
+                "address"
+            ),
+            F.col("c_nationkey").alias("n_nationkey"),
+        )
+        .dropDuplicates(["address"])
+        .join(F.broadcast(countries), "n_nationkey", "left")
+    )
+    out = add_surrogate_key_distributed(
+        address_src, ["address"], name="address_id"
+    ).select(
+        "address_id",
+        "address",
+        F.coalesce("country_id", F.lit(-1)).alias("country_id"),
+        F.coalesce("country", F.lit("NA")).alias("country"),
+        F.coalesce("region_id", F.lit(-1)).alias("region_id"),
+        F.coalesce("region", F.lit("NA")).alias("region"),
+    )
+    na = spark.createDataFrame(
+        [(-1, "NA", -1, "NA", -1, "NA")],
+        "address_id long, address string, country_id long, country string, "
+        "region_id long, region string",
+    )
+    return out.unionByName(na)
+
+
+DIM_ADDRESS_ORACLE = """
+    WITH dim_region AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY region) AS BIGINT) AS region_id, region
+        FROM (SELECT DISTINCT r_name AS region FROM region)
+    ), country_src AS (
+        SELECT DISTINCT ON (n.n_name) n.n_nationkey, n.n_name AS country, r.r_name AS region
+        FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY n.n_name
+    ), countries AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c.country) AS BIGINT) AS country_id,
+               c.n_nationkey, c.country, c.region, d.region_id
+        FROM country_src c LEFT JOIN dim_region d USING (region)
+    ), address_src AS (
+        SELECT DISTINCT ON (address) address, n_nationkey
+        FROM (SELECT 'ADDR_' || CAST(c_custkey AS VARCHAR) AS address,
+                     c_nationkey AS n_nationkey
+              FROM customer)
+        ORDER BY address
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY a.address) AS BIGINT) AS address_id,
+           a.address,
+           COALESCE(c.country_id, -1) AS country_id,
+           COALESCE(c.country, 'NA') AS country,
+           COALESCE(c.region_id, -1) AS region_id,
+           COALESCE(c.region, 'NA') AS region
+    FROM address_src a LEFT JOIN countries c USING (n_nationkey)
+    UNION ALL
+    SELECT -1, 'NA', -1, 'NA', -1, 'NA'
+"""
+
+
 def dim_product_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Category → subcategory → product snowflake
     (Dim_Subcategories.FK_Category_ID → Dim_Categories,

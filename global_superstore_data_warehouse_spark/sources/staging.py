@@ -49,6 +49,18 @@ class EmptySourceError(RuntimeError):
     """Raised when the source has no rows (C3, bl_cl.sql:325-326)."""
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Filesystem-agnostic existence probe through the Hadoop
+    FileSystem API: resolves the scheme from the path itself, so the
+    guard fires on hdfs:// and s3a:// targets too — a driver-local
+    ``os.path`` probe silently never triggers there and the
+    idempotence guard would be a no-op exactly where it matters."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def stage_append(
     df: DataFrame,
     target_path: str,
@@ -63,8 +75,8 @@ def stage_append(
     spark = df.sparkSession
     if check_not_empty and df.isEmpty():
         raise EmptySourceError("There is no data in the source.")
-    part_dir = os.path.join(target_path, f"load_id={load_id}")
-    if os.path.exists(part_dir):
+    part_dir = f"{target_path.rstrip('/')}/load_id={load_id}"
+    if _fs_exists(spark, part_dir):
         raise AlreadyLoadedError(f"This data was already loaded (load_id={load_id}).")
     staged = with_audit_cols(df, load_id)
     staged.write.mode("append").partitionBy("load_id").parquet(target_path)

@@ -77,6 +77,16 @@ def sessionize_fn(
     vals = batch["value"].tolist()
     if state.exists:
         start, last, n, total = state.get
+        # late-event clamp: an in-watermark event BELOW the state
+        # cursor would otherwise move `last` backward through the
+        # fold and a later in-order event could then read as a >gap
+        # jump, splitting the open session. Clamping to the cursor
+        # absorbs late events into the open session (their values
+        # count; the session span never reopens backward) — the
+        # standard accumulator trade: exact batch parity holds for
+        # event-time-ordered input, late data degrades gracefully
+        # instead of corrupting session boundaries.
+        secs = [max(s, last) for s in secs]
         # prepend the open session as a zero-valued pseudo-event at its
         # last timestamp, then fold; re-attach the accumulator to the
         # first run (subtracting the pseudo-event's count)

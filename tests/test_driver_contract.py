@@ -37,6 +37,6 @@ def test_bench_emits_one_json_line():
     payloads = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
     assert len(payloads) == 1, out.stdout
     doc = json.loads(payloads[0])
-    assert set(doc) == {"metric", "value", "unit", "queries", "sf"}
+    assert set(doc) == {"metric", "value", "unit", "queries", "extra_queries", "sf"}
     assert doc["unit"] == "sec" and doc["sf"] == 0.001
     assert doc["value"] >= 0 and doc["queries"]

@@ -132,3 +132,61 @@ def test_approx_users_within_rsd_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for h, est in approx.items():
         assert abs(est - exact[h]) <= max(2, 0.05 * exact[h]), (h, est, exact[h])
+
+
+def test_stateful_late_event_does_not_split_session():
+    """ADVICE r1: an in-watermark event below the state cursor must be
+    absorbed into the open session (clamped), not move the cursor
+    backward so a later in-order event reads as a >gap jump."""
+    import pandas as pd
+
+    from global_superstore_data_warehouse_spark.streaming.stateful import (
+        SESSION_GAP_SECONDS,
+        sessionize_fn,
+    )
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def getCurrentWatermarkMs(self):
+            return 0
+
+        def setTimeoutTimestamp(self, ts):
+            pass
+
+    # open session [1000, 2000]; batch: late event at 1500 (below the
+    # cursor) then an in-order event at 2300 (gap 300 < 600 from the
+    # cursor). Without the clamp the fold would see 1500 -> 2300 =
+    # +800 > gap and split.
+    state = FakeState((1000, 2000, 3, 30.0))
+    batch = pd.DataFrame(
+        {"sec": [1500, 2300], "event_id": [10, 11], "value": [1.0, 2.0]}
+    )
+    closed = list(sessionize_fn((7,), iter([batch]), state))
+    assert closed == []  # nothing split off
+    start, last, n, total = state.get
+    assert (start, last) == (1000, 2300)  # span extended, never reopened
+    assert n == 5 and total == 33.0
+    # sanity: a genuinely out-of-session event still splits
+    state2 = FakeState((1000, 2000, 3, 30.0))
+    batch2 = pd.DataFrame(
+        {"sec": [2000 + SESSION_GAP_SECONDS + 1], "event_id": [12], "value": [5.0]}
+    )
+    out = list(sessionize_fn((7,), iter([batch2]), state2))
+    assert len(out) == 1 and out[0].iloc[0]["session_end"] == 2000

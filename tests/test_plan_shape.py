@@ -77,17 +77,30 @@ def test_fact_orders_no_nested_loop(spark, sf_dir):
 
 
 def test_minhash_candidate_join_carries_narrow_rows(spark, sf_dir):
-    """The band-bucket self-join must not shuffle token arrays —
-    its SortMergeJoin/ShuffledHashJoin inputs carry only
-    (doc_id, band_id, bucket)."""
+    """The class-collapsed band self-join must not shuffle token
+    arrays — its join inputs carry only (cls, rep, band0, band1)."""
     plan = _q(spark, sf_dir, "minhash_lsh_candidates")
     # every operator output that carries the band columns (the
     # candidate-join inputs) must not also carry token arrays
     banded_outputs = [
-        line for line in plan.splitlines() if "Output" in line and "band_id" in line
+        line for line in plan.splitlines() if "Output" in line and "band0" in line
     ]
     assert banded_outputs
     assert all("toks" not in line for line in banded_outputs), banded_outputs
+
+
+def test_ngram_block_join_carries_narrow_rows(spark, sf_dir):
+    """The 0.3-family bucket self-join (lang, len_b, band_id, bucket)
+    must not shuffle token or shingle arrays, and the 8-seed
+    signature feeding it must come from a materialized checkpoint
+    (Scan ExistingRDD), not a recomputed lineage per join side."""
+    plan = _q(spark, sf_dir, "ngram_jaccard_pairs")
+    banded_lines = [line for line in plan.splitlines() if "band_id" in line]
+    assert banded_lines
+    assert all(
+        "toks" not in line and "sh3" not in line for line in banded_lines
+    ), banded_lines
+    assert "ExistingRDD" in plan
 
 
 def test_deterministic_sample_is_pure_filter(spark, sf_dir):

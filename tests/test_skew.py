@@ -33,3 +33,36 @@ def test_salted_join_left_outer_preserves_unmatched(spark, sf_dir):
         salted.filter(F.col("s_suppkey").isNull()).count()
         == plain.filter(F.col("s_suppkey").isNull()).count()
     )
+
+
+def test_salted_join_rejects_replication_corrupting_how(spark, sf_dir):
+    """right/full outer would emit each unmatched small-side row once
+    per salt value — the operator must refuse rather than mis-join."""
+    import pytest
+
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    for how in ("right", "right_outer", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(lineitem, supplier, "l_suppkey", "s_suppkey", how=how)
+
+
+def test_salted_join_same_named_keys_resolve(spark, sf_dir):
+    """Round-1 ambiguity bug: identically-named key columns on both
+    sides must resolve against their own side, not throw or
+    cross-capture."""
+    lineitem = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey"), F.col("l_suppkey").alias("k"))
+    )
+    supplier = (
+        load(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("k"), "s_name")
+    )
+    plain = lineitem.join(
+        supplier, lineitem["k"] == supplier["k"]
+    ).select("l_orderkey", "s_name")
+    salted = salted_join(lineitem, supplier, "k", "k", salt=4).select(
+        "l_orderkey", "s_name"
+    )
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

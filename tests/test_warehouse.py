@@ -9,6 +9,7 @@ WAREHOUSE_QUERIES = [
     "surrogate_keys_customers",
     "dim_market",
     "dim_geography",
+    "dim_address",
     "dim_product_hierarchy",
     "dim_date",
 ]
