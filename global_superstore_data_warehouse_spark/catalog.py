@@ -29,22 +29,29 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table; column pruning + predicate
     pushdown happen automatically downstream.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; we read it as nanos-long
-    (runtime legacy conf) and convert to a microsecond TimestampType
-    column — set here so every consumer sees a normal timestamp.
+    ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS)
+    (Spark's vectorized reader rejects it; read as nanos-long via the
+    legacy conf and convert) and as a plain TIMESTAMP(MICROS) column
+    (usable as-is) across driver data generations — normalize here so
+    every consumer sees a microsecond TimestampType either way.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        # integer `div`, NOT float division: ns epochs (~1.7e18) lose
-        # precision in a double and events drift ±1µs across window
-        # boundaries
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer `div`, NOT float division: ns epochs (~1.7e18)
+            # lose precision in a double and events drift ±1µs across
+            # window boundaries
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -2,33 +2,40 @@
 SURVEY §2.11: the reference's batch micro-increments become real
 streams; the load_id maps to the streaming batch id).
 
-The parquet events source carries nanosecond timestamps, which the
-streaming reader also needs the nanosAsLong conf for; ``ts`` is
-re-derived as a µs TimestampType exactly like catalog.load does.
+``ts`` has shipped as both TIMESTAMP(NANOS) (needs the nanosAsLong
+conf + explicit long schema) and plain TIMESTAMP(MICROS) across
+driver data generations; the batch footer is probed once to pick the
+stream schema, and ``ts`` is normalized to a µs TimestampType exactly
+like catalog.load does.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-EVENTS_STREAM_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
-    "value double, props string"
-)
+from pyspark.sql import types as T
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-stream sources require an explicit schema; probe the parquet
+    # footer with a (lazy, metadata-only) batch read to build one that
+    # matches the data generation in use
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
     # the file-stream source needs a directory; glob-filter down to
     # the events file
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # integer `div` — see catalog.load: float division corrupts ns epochs
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_is_long:
+        # integer `div` — see catalog.load: float division corrupts ns epochs
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_schema["ts"].dataType, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
