@@ -1,0 +1,233 @@
+"""Training-data curation operators (beyond-reference, LLM-pipeline
+layer): Gopher-style repetition signals, concat-and-chunk sequence
+packing, and a scalable as-of (event attribution) join.
+
+All three follow the engine's scale rules:
+
+- ``repetition_stats`` is a pure per-row projection (zero shuffles):
+  repetition ratios come from array expressions over the token list,
+  so the operator is embarrassingly parallel and stays in codegen.
+  The per-row cost is O(distinct x total) token comparisons — the
+  right trade for web-scale short/medium documents; for book-length
+  docs swap to the explode + groupBy(doc_id, token) formulation,
+  which turns the quadratic scan into one partial-aggregated shuffle.
+- ``pack_chunks`` shuffles ONCE, on the shard key (``source``): the
+  running token offset is a per-shard window cumsum, which is how
+  packing runs at 100 TB (a global cumsum would serialize; packing
+  within shards is also what keeps pack membership stable when new
+  shards arrive). Order within a shard is md5(doc_id) — a
+  deterministic pseudo-shuffle, so packs mix sources' documents
+  without an RNG (re-runs are idempotent).
+- ``asof_click_attribution`` is the union-window as-of shape: tag
+  both event streams, sort once per user, and carry the last click
+  forward with an IGNORE NULLS running window. One shuffle on
+  user_id, running state is O(1) per row. The naive alternative — an
+  inequality self-join purchase x click — explodes quadratically in
+  events-per-user and cannot survey 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.functions import text as T
+from global_superstore_data_warehouse_spark.plans.textops import ALL_TOKS_SQL
+
+PACK_BUDGET = 256  # tokens per pack (context-window budget)
+
+
+# --- Gopher-style repetition signals ---------------------------------
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition ratios (the Gopher/MassiveText family
+    of repetition filters): most-frequent-word share, most-frequent-
+    bigram share, distinct-word share. High top-word / top-bigram
+    fractions flag boilerplate and degenerate generations."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    top_word_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda w: w == t)),
+        )
+    )
+    # bigrams: zip the token list against itself shifted by one
+    bigrams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    top_bigram_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda t: F.size(F.filter(bigrams, lambda w: w == t)),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_unique_words"),
+        F.round(F.size(F.array_distinct(toks)) / n.cast("double"), 6).alias(
+            "unique_word_frac"
+        ),
+        F.round(top_word_cnt / n.cast("double"), 6).alias("top_word_frac"),
+        F.round(top_bigram_cnt / (n - 1).cast("double"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+REPETITION_STATS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {ALL_TOKS_SQL} AS toks,
+               CAST(len({ALL_TOKS_SQL}) AS INTEGER) AS n
+        FROM documents
+    ), b AS (
+        SELECT doc_id, toks, n,
+               list_transform(range(1, n), i -> toks[i] || ' ' || toks[i + 1])
+                   AS bigrams
+        FROM t
+    )
+    SELECT doc_id,
+           n AS n_words,
+           CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique_words,
+           ROUND(len(list_distinct(toks)) / CAST(n AS DOUBLE), 6)
+               AS unique_word_frac,
+           ROUND(list_max(list_transform(list_distinct(toks),
+                     t -> len(list_filter(toks, w -> w = t))))
+                 / CAST(n AS DOUBLE), 6) AS top_word_frac,
+           ROUND(list_max(list_transform(list_distinct(bigrams),
+                     t -> len(list_filter(bigrams, w -> w = t))))
+                 / CAST(n - 1 AS DOUBLE), 6) AS top_bigram_frac
+    FROM b
+"""
+
+
+# --- concat-and-chunk sequence packing -------------------------------
+
+def pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each document a pack id for concat-and-chunk training
+    batches: within a shard (``source``), documents are laid out in a
+    deterministic md5 order, the running token offset is a window
+    cumsum, and pack_id = floor(start_offset / PACK_BUDGET) — i.e.
+    the context window the document STARTS in. This is the standard
+    GPT-style packing layout (documents concatenated, then cut every
+    PACK_BUDGET tokens); a document may straddle a boundary, which
+    the start_offset exposes to the downstream tokenizer."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = T.token_count("text")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("order_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    return keyed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(float(PACK_BUDGET))).cast("int").alias("pack_id"),
+    )
+
+
+PACK_CHUNKS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({ALL_TOKS_SQL}) AS INTEGER) AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS order_key
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY order_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(FLOOR((cum - n_tokens) / {float(PACK_BUDGET)}) AS INTEGER)
+               AS pack_id
+    FROM c
+"""
+
+
+# --- as-of attribution (union-window, not inequality join) -----------
+
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent STRICTLY-PRIOR click by
+    the same user (ties on ts break by event_id): the as-of /
+    point-in-time join over event streams, built as one union-window
+    pass — never as a purchase x click inequality join.
+
+    Returns (purchase_id, user_id, click_id, micros_since_click);
+    click columns are NULL for never-clicked users. The time delta is
+    integer microseconds (not a float division) so the value is
+    engine-exact."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    prior = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    with_click = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.last(F.when(is_click, F.col("event_id")), ignorenulls=True)
+        .over(prior)
+        .alias("click_id"),
+        F.last(F.when(is_click, F.col("ts")), ignorenulls=True)
+        .over(prior)
+        .alias("click_ts"),
+    )
+    return with_click.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).alias(
+            "micros_since_click"
+        ),
+    )
+
+
+ASOF_CLICK_ATTRIBUTION_ORACLE = """
+    WITH ev AS (
+        SELECT event_id, user_id, ts, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), w AS (
+        SELECT event_id, user_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS click_ts
+        FROM ev
+    )
+    SELECT event_id AS purchase_id, user_id, click_id,
+           epoch_us(ts) - epoch_us(click_ts) AS micros_since_click
+    FROM w WHERE event_type = 'purchase'
+"""

@@ -22,6 +22,7 @@ from __future__ import annotations
 from global_superstore_data_warehouse_spark.plans import (
     cleansing,
     conformance,
+    curation,
     dmstar,
     embeddings,
     events,
@@ -154,3 +155,13 @@ register("best_month_per_segment", windows.best_month_per_segment, windows.BEST_
 register("top_employees_per_year", windows.top_employees_per_year, windows.TOP_EMPLOYEES_PER_YEAR_ORACLE)
 register("customer_ltv_deciles", windows.customer_ltv_deciles, windows.CUSTOMER_LTV_DECILES_ORACLE)
 register("rolling_7d_sales", windows.rolling_7d_sales, windows.ROLLING_7D_SALES_ORACLE)
+
+# --- Training-data curation (repetition filters, sequence packing,
+#     as-of attribution) ---
+register("repetition_stats", curation.repetition_stats, curation.REPETITION_STATS_ORACLE)
+register("pack_chunks", curation.pack_chunks, curation.PACK_CHUNKS_ORACLE)
+register(
+    "asof_click_attribution",
+    curation.asof_click_attribution,
+    curation.ASOF_CLICK_ATTRIBUTION_ORACLE,
+)

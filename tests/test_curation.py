@@ -1,0 +1,70 @@
+"""Training-data curation operators — oracle parity + plan shape."""
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+
+CURATION_QUERIES = [
+    "repetition_stats",
+    "pack_chunks",
+    "asof_click_attribution",
+]
+
+
+@pytest.mark.parametrize("name", CURATION_QUERIES)
+def test_curation_matches_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_repetition_stats_is_shuffle_free(spark, sf_dir):
+    """Repetition ratios are per-row array math — the plan must not
+    contain an Exchange (the explode+groupBy formulation is the
+    documented alternative for book-length docs, not the default)."""
+    from global_superstore_data_warehouse_spark.plans.curation import repetition_stats
+
+    plan = repetition_stats(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "Exchange" not in plan
+
+
+def test_pack_chunks_single_shard_shuffle(spark, sf_dir):
+    """Packing must shuffle exactly once, on the shard key — a global
+    cumsum (single-partition window) would serialize at scale."""
+    from global_superstore_data_warehouse_spark.plans.curation import pack_chunks
+
+    plan = pack_chunks(spark, sf_dir)._jdf.queryExecution().toString()
+    exchanges = [l for l in plan.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "source" in exchanges[0]
+    # no single-partition window: the partition expression must be
+    # hash, not SinglePartition
+    assert "SinglePartition" not in plan
+
+
+def test_asof_attribution_no_inequality_join(spark, sf_dir):
+    """The as-of must be the union-window shape: no join operator at
+    all in the plan (an inequality purchase x click join explodes
+    quadratically in events-per-user)."""
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        asof_click_attribution,
+    )
+
+    plan = asof_click_attribution(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_pack_offsets_contiguous(spark, sf_dir):
+    """Within a shard, start offsets must tile the token stream: each
+    document starts exactly where the previous one ended."""
+    from global_superstore_data_warehouse_spark.plans.curation import pack_chunks
+
+    rows = pack_chunks(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for src, docs in by_source.items():
+        docs.sort(key=lambda r: r.start_offset)
+        expect = 0
+        for r in docs:
+            assert r.start_offset == expect, (src, r)
+            expect += r.n_tokens
