@@ -16,18 +16,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, path_glob: str = "events.parquet"
+) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # file-stream sources require an explicit schema; probe the parquet
     # footer with a (lazy, metadata-only) batch read to build one that
     # matches the data generation in use
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    batch_schema = spark.read.option("pathGlobFilter", path_glob).parquet(sf_dir).schema
     ts_is_long = isinstance(batch_schema["ts"].dataType, T.LongType)
     # the file-stream source needs a directory; glob-filter down to
-    # the events file
+    # the events file(s)
     raw = (
         spark.readStream.schema(batch_schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", path_glob)
         .parquet(sf_dir)
     )
     if ts_is_long:
@@ -76,20 +78,38 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Data
 
 
 def run_stream_to_memory(
-    stream: DataFrame, spark: SparkSession, table_name: str, checkpoint: str
+    stream: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    checkpoint: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain the stream with an availableNow trigger into an
     in-memory sink (test/dev harness; a production job would write a
-    parquet/Delta sink with the same query)."""
+    parquet/Delta sink with the same query). ``complete`` for
+    windowed aggregations; ``append`` for row streams (dedup)."""
     q = (
         stream.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exactly-once repair over an at-least-once source:
+    drop re-delivered events by event_id, keeping dedup state only
+    within the watermark horizon (``dropDuplicatesWithinWatermark``)
+    — the streaming twin of the batch exact-dedup family. State is
+    one entry per event_id seen inside the horizon: bounded, keyed,
+    partition-parallel; an unbounded ``dropDuplicates`` would grow
+    state forever at 100 TB/day."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def stream_incremental_staging(

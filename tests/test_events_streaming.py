@@ -190,3 +190,33 @@ def test_stateful_late_event_does_not_split_session():
     )
     out = list(sessionize_fn((7,), iter([batch2]), state2))
     assert len(out) == 1 and out[0].iloc[0]["session_end"] == 2000
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """A doubled source (at-least-once redelivery) must dedup back to
+    the exact original row set, and every surviving row is intact."""
+    import shutil
+
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events_a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events_b.parquet")
+    stream = dedup_events_stream(read_events_stream(spark, str(src), "*.parquet"))
+    run_stream_to_memory(
+        stream, spark, "dedup_stream_test", str(tmp_path / "ckpt_dedup"), "append"
+    )
+    got = spark.sql(
+        "SELECT event_id, user_id, event_type FROM dedup_stream_test"
+    ).orderBy("event_id")
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+    assert got.collect() == want.collect()
