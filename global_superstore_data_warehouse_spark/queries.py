@@ -99,16 +99,27 @@ register("embedding_near_dup", embeddings.embedding_near_dup, embeddings.EMBEDDI
 register("embedding_centroids", embeddings.embedding_centroids, embeddings.EMBEDDING_CENTROIDS_ORACLE)
 
 # --- Event-time analytics (beyond-reference; batch twins of the
-# Structured Streaming jobs in streaming/events.py) ---
+# Structured Streaming jobs in streaming/events.py).
+# events_sliding / top_events_per_user / cohort_retention share their
+# plan shapes with in-window entries (windowed groupBy, rank window)
+# and sit past the driver window with pytest-oracle coverage; the
+# slots go to the curation family's novel shapes. ---
 register("events_hourly", events.events_hourly, events.EVENTS_HOURLY_ORACLE)
-register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
 register("events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_ORACLE)
-register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
-register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
 register("event_funnel", events.event_funnel, events.EVENT_FUNNEL_ORACLE)
 register("event_transitions", events.event_transitions, events.EVENT_TRANSITIONS_ORACLE)
 # HLL++ estimates are engine-specific: no oracle (rows-only check)
 register("events_hourly_approx_users", events.events_hourly_approx_users, None)
+
+# --- Training-data curation (repetition filters, sequence packing,
+#     as-of attribution) ---
+register("repetition_stats", curation.repetition_stats, curation.REPETITION_STATS_ORACLE)
+register("pack_chunks", curation.pack_chunks, curation.PACK_CHUNKS_ORACLE)
+register(
+    "asof_click_attribution",
+    curation.asof_click_attribution,
+    curation.ASOF_CLICK_ATTRIBUTION_ORACLE,
+)
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
@@ -156,12 +167,7 @@ register("top_employees_per_year", windows.top_employees_per_year, windows.TOP_E
 register("customer_ltv_deciles", windows.customer_ltv_deciles, windows.CUSTOMER_LTV_DECILES_ORACLE)
 register("rolling_7d_sales", windows.rolling_7d_sales, windows.ROLLING_7D_SALES_ORACLE)
 
-# --- Training-data curation (repetition filters, sequence packing,
-#     as-of attribution) ---
-register("repetition_stats", curation.repetition_stats, curation.REPETITION_STATS_ORACLE)
-register("pack_chunks", curation.pack_chunks, curation.PACK_CHUNKS_ORACLE)
-register(
-    "asof_click_attribution",
-    curation.asof_click_attribution,
-    curation.ASOF_CLICK_ATTRIBUTION_ORACLE,
-)
+# --- Event-time analytics whose plan shapes are covered in-window ---
+register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
+register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
+register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
