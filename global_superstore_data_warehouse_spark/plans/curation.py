@@ -209,6 +209,104 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- composite quality filter (C4/Gopher-style keep/drop) ------------
+
+MIN_WORDS = 30
+MIN_UNIQUE_FRAC = 0.4
+MAX_TOP_WORD_FRAC = 0.15
+
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite keep/drop decision per document (the C4/Gopher
+    filter-pipeline shape): minimum length, minimum lexical
+    diversity, maximum single-word repetition. Each rule is its own
+    boolean column so downstream audits can attribute every drop;
+    ``keep`` is their conjunction. Pure per-row projection — zero
+    shuffles, composes with repetition_stats' expressions."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    uniq_frac = F.size(F.array_distinct(toks)) / n.cast("double")
+    top_word_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda w: w == t)),
+        )
+    )
+    top_frac = top_word_cnt / n.cast("double")
+    len_ok = n >= MIN_WORDS
+    uniq_ok = uniq_frac >= MIN_UNIQUE_FRAC
+    rep_ok = top_frac <= MAX_TOP_WORD_FRAC
+    return docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        len_ok.alias("len_ok"),
+        uniq_ok.alias("uniq_ok"),
+        rep_ok.alias("rep_ok"),
+        (len_ok & uniq_ok & rep_ok).alias("keep"),
+    )
+
+
+QUALITY_FILTER_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id,
+               {ALL_TOKS_SQL} AS toks,
+               CAST(len({ALL_TOKS_SQL}) AS INTEGER) AS n
+        FROM documents
+    ), s AS (
+        SELECT doc_id, n,
+               len(list_distinct(toks)) / CAST(n AS DOUBLE) AS uniq_frac,
+               list_max(list_transform(list_distinct(toks),
+                   t2 -> len(list_filter(toks, w -> w = t2))))
+                   / CAST(n AS DOUBLE) AS top_frac
+        FROM t
+    )
+    SELECT doc_id, n AS n_words,
+           n >= {MIN_WORDS} AS len_ok,
+           uniq_frac >= {MIN_UNIQUE_FRAC} AS uniq_ok,
+           top_frac <= {MAX_TOP_WORD_FRAC} AS rep_ok,
+           (n >= {MIN_WORDS} AND uniq_frac >= {MIN_UNIQUE_FRAC}
+            AND top_frac <= {MAX_TOP_WORD_FRAC}) AS keep
+    FROM s
+"""
+
+
+# --- PII pseudonymization / generalization ---------------------------
+
+PII_PEPPER = "gsdw-pepper-v1"
+ACCTBAL_BAND = 1000.0
+
+
+def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy pass before a table enters a training corpus:
+    direct identifiers are replaced by a KEYED hash (md5 with a
+    pepper literal — same input maps to the same token so joins
+    still work, but raw values are not recoverable without the
+    pepper), and quasi-identifiers are generalized (account balance
+    banded to $1000 buckets). Pure projection: zero shuffles, and the
+    pseudonym is deterministic so re-runs are idempotent."""
+    cust = load(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5(F.concat(F.lit(PII_PEPPER + "|"), F.col("c_name"))).alias(
+            "name_token"
+        ),
+        F.floor(F.col("c_acctbal") / F.lit(ACCTBAL_BAND))
+        .cast("int")
+        .alias("acctbal_band"),
+        "c_mktsegment",
+    )
+
+
+PII_PSEUDONYMIZE_CUSTOMERS_ORACLE = f"""
+    SELECT c_custkey,
+           md5('{PII_PEPPER}|' || c_name) AS name_token,
+           CAST(FLOOR(c_acctbal / {ACCTBAL_BAND}) AS INTEGER) AS acctbal_band,
+           c_mktsegment
+    FROM customer
+"""
+
+
 ASOF_CLICK_ATTRIBUTION_ORACLE = """
     WITH ev AS (
         SELECT event_id, user_id, ts, event_type

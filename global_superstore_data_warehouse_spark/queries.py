@@ -171,3 +171,12 @@ register("rolling_7d_sales", windows.rolling_7d_sales, windows.ROLLING_7D_SALES_
 register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
 register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
 register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
+
+# --- Curation filters / privacy (per-row projections; shapes covered
+#     in-window by repetition_stats) ---
+register("quality_filter", curation.quality_filter, curation.QUALITY_FILTER_ORACLE)
+register(
+    "pii_pseudonymize_customers",
+    curation.pii_pseudonymize_customers,
+    curation.PII_PSEUDONYMIZE_CUSTOMERS_ORACLE,
+)

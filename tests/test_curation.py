@@ -8,6 +8,8 @@ CURATION_QUERIES = [
     "repetition_stats",
     "pack_chunks",
     "asof_click_attribution",
+    "quality_filter",
+    "pii_pseudonymize_customers",
 ]
 
 
@@ -51,6 +53,34 @@ def test_asof_attribution_no_inequality_join(spark, sf_dir):
     plan = asof_click_attribution(spark, sf_dir)._jdf.queryExecution().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+
+def test_quality_filter_splits_corpus(spark, sf_dir):
+    """Thresholds must actually discriminate: both kept and dropped
+    documents exist (a filter that keeps or drops everything is a
+    configuration bug, not a filter)."""
+    from global_superstore_data_warehouse_spark.plans.curation import quality_filter
+
+    rows = quality_filter(spark, sf_dir).collect()
+    kept = sum(1 for r in rows if r.keep)
+    assert 0 < kept < len(rows)
+
+
+def test_pii_tokens_are_consistent_and_opaque(spark, sf_dir):
+    """Pseudonymization contract: same name -> same token (joins
+    survive), and no raw name substring leaks into the output."""
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        pii_pseudonymize_customers,
+    )
+
+    rows = pii_pseudonymize_customers(spark, sf_dir).collect()
+    by_token = {}
+    for r in rows:
+        assert "Customer#" not in r.name_token
+        assert len(r.name_token) == 32
+        by_token.setdefault(r.name_token, set()).add(r.c_custkey)
+    # distinct names (names embed custkey) -> distinct tokens
+    assert len(by_token) == len(rows)
 
 
 def test_pack_offsets_contiguous(spark, sf_dir):
