@@ -366,3 +366,75 @@ def events_hourly_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_start")
     )
+
+
+# --- range/interval join (bucket-blocked) ----------------------------
+
+MAINT_EVERY_HOURS = 4
+MAINT_LEN_MINUTES = 90
+
+
+def events_in_maintenance_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per generated maintenance window (90-minute windows
+    every 4 hours across the event span): the range/interval-join
+    workload, executed as a bucket-blocked EQUI-join
+    (operators/rangejoin.py) — never as the quadratic
+    points x intervals inequality join Spark would otherwise plan as
+    a nested-loop. Windows span hour buckets (90 min > 60 min), so
+    the multi-bucket explode path is exercised; empty windows are
+    kept with zero counts via the left join.
+    """
+    from global_superstore_data_warehouse_spark.operators.rangejoin import (
+        bucketed_interval_join,
+    )
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    windows = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr(f"interval {MAINT_EVERY_HOURS} hours"))
+        ).alias("win_start")
+    ).select(
+        "win_start",
+        (F.col("win_start") + F.expr(f"interval {MAINT_LEN_MINUTES} minutes")).alias(
+            "win_end"
+        ),
+    )
+    joined = bucketed_interval_join(
+        windows, ev, "win_start", "win_end", "ts", width_seconds=3600, how="left"
+    )
+    return (
+        joined.groupBy(
+            F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("window_start")
+        )
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+EVENTS_IN_MAINTENANCE_WINDOWS_ORACLE = f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ), windows AS (
+        SELECT s.w AS win_start,
+               s.w + INTERVAL {MAINT_LEN_MINUTES} MINUTE AS win_end
+        FROM bounds, LATERAL (
+            SELECT unnest(generate_series(lo, hi,
+                   INTERVAL {MAINT_EVERY_HOURS} HOUR)) AS w
+        ) s
+    )
+    SELECT strftime(w.win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(e.event_id) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM windows w
+    LEFT JOIN events e
+      ON e.ts >= w.win_start AND e.ts < w.win_end
+    GROUP BY 1
+"""

@@ -172,6 +172,13 @@ register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
 register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
 register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
 
+# --- Range/interval join (bucket-blocked; operators/rangejoin.py) ---
+register(
+    "events_in_maintenance_windows",
+    events.events_in_maintenance_windows,
+    events.EVENTS_IN_MAINTENANCE_WINDOWS_ORACLE,
+)
+
 # --- Curation filters / privacy (per-row projections; shapes covered
 #     in-window by repetition_stats) ---
 register("quality_filter", curation.quality_filter, curation.QUALITY_FILTER_ORACLE)

@@ -220,3 +220,29 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
         .orderBy("event_id")
     )
     assert got.collect() == want.collect()
+
+
+def test_range_join_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "events_in_maintenance_windows", sf_dir)
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucket blocking must plan as a hash equi-join; a
+    BroadcastNestedLoopJoin with a range condition (what the naive
+    BETWEEN join produces) is the quadratic scale-killer this
+    operator exists to avoid. The only tolerated BNLJ is the 1-row
+    bounds crossJoin (type Cross)."""
+    from global_superstore_data_warehouse_spark.plans.events import (
+        events_in_maintenance_windows,
+    )
+
+    plan = events_in_maintenance_windows(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    bad = [
+        l
+        for l in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in l and "Cross" not in l
+    ]
+    assert not bad, bad
