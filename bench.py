@@ -49,12 +49,17 @@ HEADLINE = [
 ]
 
 # Extended set (reported, not in the baseline total): the iterative
-# label-propagation path, the grouped-applyInPandas path, and the
-# bucketed-ANN path — the regressions round-1's headline set missed.
+# label-propagation path, the grouped-applyInPandas path, the
+# bucketed-ANN path — the regressions round-1's headline set missed —
+# plus the round-3 curation/range-join additions.
 EXTRA = [
     "dedup_clusters",
     "event_transitions",
     "ann_ivf_topk",
+    "repetition_stats",
+    "pack_chunks",
+    "asof_click_attribution",
+    "events_in_maintenance_windows",
 ]
 
 ROUNDS = 3
