@@ -267,3 +267,83 @@ LINEITEM_MEASURES_UNPIVOT_ORACLE = """
     GROUP BY measure
     ORDER BY measure
 """
+
+
+# --- TF-IDF top terms ------------------------------------------------
+
+TFIDF_TOP_TERMS = 3
+
+
+def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed TF-IDF
+    (tf x (ln((N+1)/(df+1)) + 1), ties break lexicographically).
+
+    Scale shape: two partial-aggregated shuffles (doc-term counts,
+    then term document-frequencies); the df side is vocabulary-sized
+    — orders of magnitude smaller than the corpus — so it rides back
+    as a BROADCAST join, and the corpus-sized tf frame is never
+    re-shuffled. N is a 1-row broadcast. The rank window partitions
+    by doc_id, the same key tf is already clustered on.
+
+    Engine parity: ln is evaluated on identical doubles in both
+    engines and the score is rounded to 6 places; the fixed driver
+    datasets make this deterministic (pinned by the oracle tests at
+    two scale factors).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+        + F.lit(1.0)
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("int").alias("tf"),
+            F.round(F.col("tf") * idf, 6).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+    )
+
+
+TFIDF_TOPK_TERMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+')) AS term) t
+        WHERE t.term <> ''
+    ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, CAST(tf.tf AS INTEGER) AS tf,
+               ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6)
+                   AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    -- rank over the ROUNDED score, exactly like the Spark plan:
+    -- ranking by the raw double would diverge whenever two distinct
+    -- raws round to the same 6-decimal value
+    SELECT doc_id, term, tf, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                ORDER BY tfidf DESC, term ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TFIDF_TOP_TERMS}
+"""

@@ -172,6 +172,10 @@ register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
 register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
 register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
 
+# --- TF-IDF (text-analysis family; shapes covered in-window by
+#     vocab_topk + top_events_per_user) ---
+register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORACLE)
+
 # --- Range/interval join (bucket-blocked; operators/rangejoin.py) ---
 register(
     "events_in_maintenance_windows",

@@ -6,6 +6,7 @@ from tests.conftest import assert_matches_oracle
 
 STATS_QUERIES = [
     "vocab_topk",
+    "tfidf_topk_terms",
     "deterministic_sample",
     "stratified_sample",
     "priority_price_quantiles",
