@@ -281,9 +281,11 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two partial-aggregated shuffles (doc-term counts,
     then term document-frequencies); the df side is vocabulary-sized
     — orders of magnitude smaller than the corpus — so it rides back
-    as a BROADCAST join, and the corpus-sized tf frame is never
-    re-shuffled. N is a 1-row broadcast. The rank window partitions
-    by doc_id, the same key tf is already clustered on.
+    as a BROADCAST join. The tf frame feeds BOTH the df aggregation
+    and the final join, and exchange reuse does not dedup the two
+    subtrees under AQE here, so tf sits behind a (lazy)
+    localCheckpoint — one corpus scan, one tokenize, one doc-term
+    aggregation, shared by both branches. N is a 1-row broadcast.
 
     Engine parity: ln is evaluated on identical doubles in both
     engines and the score is rounded to 6 places; the fixed driver
@@ -295,7 +297,11 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = docs.select(
         "doc_id", F.explode(tokens("text")).alias("term")
     ).filter(F.col("term") != "")
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
         F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
