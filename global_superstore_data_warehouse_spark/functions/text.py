@@ -128,3 +128,31 @@ def hex16_of_md5(c: Column) -> Column:
     hash. Spark: conv(hex,16,10); oracle: ('0x'||hex)::INT. Both
     read the identical md5 hex prefix, so values agree exactly."""
     return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("int")
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Count of the most frequent element of an array column, in one
+    O(n log n) pass: sort, then a single ``aggregate`` fold tracking
+    (prev, current run, best run). Replaces the naive
+    per-distinct-element ``filter`` scan — O(distinct x n) interpreted
+    higher-order-function evaluations, which measured ~10x slower at
+    sf0.1 — while producing the identical integer, so oracles keep
+    counting the straightforward way. NULL for an empty array
+    (matching SQL ``list_max`` over an empty list)."""
+    s = F.array_sort(arr)
+    zero = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def merge(acc, x):
+        # first element: x == sentinel '' would still yield run 1
+        # (0 + 1), so no special case is needed
+        new_run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            new_run.alias("run"),
+            F.greatest(acc["best"], new_run).alias("best"),
+        )
+
+    folded = F.aggregate(s, zero, merge, lambda acc: acc["best"])
+    return F.when(F.size(arr) == 0, F.lit(None).cast("int")).otherwise(folded)
