@@ -6,11 +6,11 @@ All three follow the engine's scale rules:
 
 - ``repetition_stats`` is a pure per-row projection (zero shuffles):
   repetition ratios come from array expressions over the token list,
-  so the operator is embarrassingly parallel and stays in codegen.
-  The per-row cost is O(distinct x total) token comparisons — the
-  right trade for web-scale short/medium documents; for book-length
-  docs swap to the explode + groupBy(doc_id, token) formulation,
-  which turns the quadratic scan into one partial-aggregated shuffle.
+  so the operator is embarrassingly parallel. Multiplicity counting
+  is sort-and-scan (O(n log n) per row, functions/text.py
+  ``max_multiplicity``); for book-length documents the explode +
+  groupBy(doc_id, token) formulation is the documented swap-in,
+  trading the per-row sort for one partial-aggregated shuffle.
 - ``pack_chunks`` shuffles ONCE, on the shard key (``source``): the
   running token offset is a per-shard window cumsum, which is how
   packing runs at 100 TB (a global cumsum would serialize; packing
@@ -316,4 +316,91 @@ ASOF_CLICK_ATTRIBUTION_ORACLE = """
     SELECT event_id AS purchase_id, user_id, click_id,
            epoch_us(ts) - epoch_us(click_ts) AS micros_since_click
     FROM w WHERE event_type = 'purchase'
+"""
+
+
+# --- end-to-end curation pipeline ------------------------------------
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data flow in ONE plan: quality filter ->
+    exact dedup (canonical = min doc_id per content fingerprint) ->
+    concat-and-chunk packing of the survivors. Demonstrates that the
+    curation operators compose without materialization barriers: the
+    whole chain is a single Catalyst plan whose only shuffles are the
+    fingerprint-dedup window and the per-shard packing window.
+
+    At 100 TB each stage would typically persist (quarantine tables,
+    dedup survivors) — but nothing in the shapes requires it, so an
+    incremental run can fuse them exactly like this."""
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n = F.size(toks)
+    uniq_frac = F.size(F.array_distinct(toks)) / n.cast("double")
+    top_frac = T.max_multiplicity(toks) / n.cast("double")
+    kept = docs.filter(
+        (n >= MIN_WORDS)
+        & (uniq_frac >= MIN_UNIQUE_FRAC)
+        & (top_frac <= MAX_TOP_WORD_FRAC)
+    )
+    # exact dedup on the content fingerprint; min doc_id is canonical
+    fp_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    survivors = (
+        kept.withColumn("__rn", F.row_number().over(fp_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # pack the survivors (same layout rules as pack_chunks)
+    keyed = survivors.select(
+        "doc_id",
+        "source",
+        T.token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("order_key", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return keyed.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        start.alias("start_offset"),
+        F.floor(start / F.lit(float(PACK_BUDGET))).cast("int").alias("pack_id"),
+    )
+
+
+CURATION_PIPELINE_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               {ALL_TOKS_SQL} AS toks,
+               CAST(len({ALL_TOKS_SQL}) AS INTEGER) AS n
+        FROM documents
+    ), kept AS (
+        SELECT doc_id, source, text, n
+        FROM scored
+        WHERE n >= {MIN_WORDS}
+          AND len(list_distinct(toks)) / CAST(n AS DOUBLE) >= {MIN_UNIQUE_FRAC}
+          AND list_max(list_transform(list_distinct(toks),
+                  t2 -> len(list_filter(toks, w -> w = t2))))
+              / CAST(n AS DOUBLE) <= {MAX_TOP_WORD_FRAC}
+    ), survivors AS (
+        SELECT doc_id, source, n AS n_tokens,
+               md5(CAST(doc_id AS VARCHAR)) AS order_key
+        FROM kept
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY order_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum
+        FROM survivors
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST(FLOOR((cum - n_tokens) / {float(PACK_BUDGET)}) AS INTEGER)
+               AS pack_id
+    FROM c
 """

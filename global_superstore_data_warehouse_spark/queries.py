@@ -191,3 +191,5 @@ register(
     curation.pii_pseudonymize_customers,
     curation.PII_PSEUDONYMIZE_CUSTOMERS_ORACLE,
 )
+# end-to-end filter -> exact-dedup -> pack composition in one plan
+register("curation_pipeline", curation.curation_pipeline, curation.CURATION_PIPELINE_ORACLE)

@@ -10,6 +10,7 @@ CURATION_QUERIES = [
     "asof_click_attribution",
     "quality_filter",
     "pii_pseudonymize_customers",
+    "curation_pipeline",
 ]
 
 
