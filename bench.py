@@ -60,6 +60,8 @@ EXTRA = [
     "pack_chunks",
     "asof_click_attribution",
     "events_in_maintenance_windows",
+    "tfidf_topk_terms",
+    "curation_pipeline",
 ]
 
 ROUNDS = 3
