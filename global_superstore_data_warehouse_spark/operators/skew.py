@@ -37,6 +37,7 @@ def salted_join(
     small_key: str,
     how: str = "inner",
     salt: int = 8,
+    spread_cols: list[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the large side salted and the small side
     replicated across all salt values. Output equals the plain join
@@ -49,6 +50,17 @@ def salted_join(
     loudly rather than mis-joined. Keys are strings and resolved
     against the aliased join inputs, so identically-named columns on
     the other side can't be captured (the round-1 ambiguity bug).
+
+    The salt is a pure function of the large row's data (hash of
+    ``spread_cols``, default all columns): any distribution is
+    CORRECT (the small side covers every salt value), but it must be
+    DETERMINISTIC under task retry — a nondeterministic salt (e.g.
+    one derived from ``monotonically_increasing_id``) upstream of the
+    shuffle re-maps rows to different reducers when a stage retries
+    after a fetch failure, losing/duplicating rows (the SPARK-23207
+    family). Fully identical duplicate rows share a salt; pass
+    ``spread_cols`` naming a unique column if the large side carries
+    heavy exact-duplicate rows that must also spread.
     """
     if how.replace("_", "").lower() not in {h.replace("_", "") for h in _SAFE_HOW}:
         raise ValueError(
@@ -56,14 +68,10 @@ def salted_join(
             "rows would be emitted once per salt value. Swap the sides "
             "(salt the other table) or use a plain join."
         )
-    # deterministic spread: hash the whole row's key + a fast-varying
-    # physical hint; any distribution is CORRECT (the small side
-    # covers every salt), this one is merely balanced
+    spread = spread_cols if spread_cols else large.columns
     salted_large = large.withColumn(
         SALT_COL,
-        F.pmod(
-            F.hash(F.col(large_key), F.monotonically_increasing_id()), F.lit(salt)
-        ).cast("int"),
+        F.pmod(F.hash(*[F.col(c) for c in spread]), F.lit(salt)).cast("int"),
     ).alias("__salted_l")
     replicated_small = small.withColumn(
         SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(salt)]))

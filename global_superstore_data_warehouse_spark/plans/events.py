@@ -288,22 +288,39 @@ EVENT_FUNNEL_ORACLE = """
 """
 
 
-# --- per-user transition counts (grouped applyInPandas) --------------
+# --- per-user transition counts (lag window) -------------------------
 
 TRANSITIONS_SCHEMA = "user_id long, from_type string, to_type string, n long"
 
 
 def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user event-type transition counts (Markov bigrams over the
-    time-ordered event sequence) via grouped ``applyInPandas`` — the
-    per-group custom aggregation shape: each user's whole sequence
-    lands in one Arrow batch, ordering and pairing happen in pandas,
-    output is a typed count table.
+    time-ordered event sequence) as a pure-JVM lag window + grouped
+    count: one hash shuffle on user_id, whole-stage codegen end to
+    end, no Python workers. ``event_transitions_pandas`` is the
+    grouped-``applyInPandas`` formulation of the same semantics, kept
+    as an equivalence-tested alternative (the per-group custom-agg
+    shape demo) — at scale the window plan wins: same shuffle, no
+    Arrow round-trip.
+    """
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("from_type", F.lag("event_type").over(w))
+        .where(F.col("from_type").isNotNull())
+        .groupBy("user_id", "from_type", F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
-    Integer counts are engine-exact, so unlike most pandas paths this
-    one is value-hash-checkable against the SQL-window oracle. State
-    per group is one user's events — bounded; groups hash-partition
-    across executors.
+
+def event_transitions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped ``applyInPandas`` variant of :func:`event_transitions`:
+    each user's whole sequence lands in one Arrow batch, ordering and
+    pairing happen in pandas, output is a typed count table. Integer
+    counts are engine-exact, so the variant is value-hash-comparable
+    with the window plan (tests/test_events_streaming.py asserts
+    equality). State per group is one user's events — bounded; groups
+    hash-partition across executors.
     """
     import pandas as pd
 

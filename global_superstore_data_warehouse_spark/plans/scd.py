@@ -229,6 +229,97 @@ DM_SCD2_PROPAGATION_ORACLE = f"""
 """
 
 
+def scd2_two_load_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental two-load SCD2 lifecycle — the reference's defining
+    runtime behavior (multiple staged load_ids flowing through the
+    same MERGE, bl_cl.sql:43-68 sequencer + 806-875 merge) replayed
+    as a driver-checkable query: two deterministic "loads" are
+    derived from the static customer parquet and pushed through
+    ``scd2_merge`` in sequence, starting from an empty dim; the
+    result is the final version chain.
+
+    Load 1 (effective 2024-01-01): customers with key%3=0.
+    Load 2 (effective 2024-06-15): customers with key%2=0, where
+    key%12=0 rows carry a changed tracked name (' v2').
+
+    Expected chain (key%6=0 keys appear in both loads):
+      - key%3=0 odd         → single version from load 1, open;
+      - key%6=0, key%12≠0   → unchanged across loads, single open v1;
+      - key%12=0            → v1 closed at 2024-06-15 + open ' v2';
+      - key%2=0, key%3≠0    → first version from load 2, open.
+
+    Plan: each merge is one full-outer shuffle join on the key +
+    union-all (merge.py); chaining keeps everything lazy — Catalyst
+    sees one DAG for both loads. At 100 TB each load touches only
+    changed partitions under a Delta MERGE (SURVEY §2.9 swap-in).
+    """
+    cust = load(spark, sf_dir, "customer")
+    k, name, attr = "c_custkey", "c_name", "c_mktsegment"
+
+    empty_dim = cust.select(
+        F.col(k).alias("k"),
+        F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+        F.to_date(F.lit("2024-01-01")).alias("start_dt"),
+        F.to_date(F.lit("9999-12-31")).alias("end_dt"),
+        F.lit(True).alias("is_active"),
+    ).filter(F.lit(False))
+
+    load1 = cust.filter(F.col(k) % 3 == 0).select(
+        F.col(k).alias("k"),
+        F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+    )
+    load2 = cust.filter(F.col(k) % 2 == 0).select(
+        F.col(k).alias("k"),
+        F.concat(
+            name,
+            F.when(F.col(k) % 12 == 0, F.lit(" v2")).otherwise(F.lit("")),
+        ).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+    )
+
+    state1 = scd2_merge(empty_dim, load1, keys=["k"], attrs=["name", "attr"], effective_date="2024-01-01")
+    state2 = scd2_merge(state1, load2, keys=["k"], attrs=["name", "attr"], effective_date=EFFECTIVE)
+    return state2.select(
+        "k",
+        "name",
+        "attr",
+        F.date_format("start_dt", "yyyy-MM-dd").alias("start_dt"),
+        F.date_format("end_dt", "yyyy-MM-dd").alias("end_dt"),
+        "is_active",
+    )
+
+
+SCD2_TWO_LOAD_LIFECYCLE_ORACLE = f"""
+    WITH c AS (
+        SELECT c_custkey AS k, c_name AS name,
+               CAST(c_mktsegment AS VARCHAR) AS attr
+        FROM customer
+    )
+    -- load-1-only keys (odd multiples of 3): single open version
+    SELECT k, name, attr, '2024-01-01' AS start_dt,
+           '9999-12-31' AS end_dt, true AS is_active
+    FROM c WHERE k % 3 = 0 AND k % 2 = 1
+    UNION ALL
+    -- in both loads, unchanged: v1 passes through open
+    SELECT k, name, attr, '2024-01-01', '9999-12-31', true
+    FROM c WHERE k % 6 = 0 AND k % 12 <> 0
+    UNION ALL
+    -- changed keys: v1 closed at load 2's effective date
+    SELECT k, name, attr, '2024-01-01', '{EFFECTIVE}', false
+    FROM c WHERE k % 12 = 0
+    UNION ALL
+    -- changed keys: replacement version open from load 2
+    SELECT k, name || ' v2', attr, '{EFFECTIVE}', '9999-12-31', true
+    FROM c WHERE k % 12 = 0
+    UNION ALL
+    -- load-2-only keys (even, not multiple of 3): first version
+    SELECT k, name, attr, '{EFFECTIVE}', '9999-12-31', true
+    FROM c WHERE k % 2 = 0 AND k % 3 <> 0
+"""
+
+
 def fact_pit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) join: each order resolves the customer
     dim VERSION that was valid on its order date — the historical

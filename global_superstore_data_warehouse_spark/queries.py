@@ -7,14 +7,15 @@ compare hashes values under sorted column names.
 
 REGISTRATION ORDER MATTERS: the driver records CORRECTNESS rows for
 the first 50 entries only. The window therefore holds each operator
-FAMILY's representative queries — flagship views, warehouse/SCD/fact
-builds, and the full beyond-reference layer (text dedup, corpus
-stats, embeddings ANN, event-time analytics, multimodal) — while
-micro-queries that were hash-green in BOTH round-1 and round-2 driver
-runs (the 15 cleansing scalar/set-op checks, the QA trio, the window
-drill-downs, dim_market) sit past the window, where they remain fully
-covered by the pytest oracle-parity suite (tests/test_cleansing.py,
-test_dmstar_windows.py run the same DuckDB compare locally).
+FAMILY's representative queries, rotating so that every registered
+query accumulates a hash-green driver row across rounds: round 4
+swaps in the eight round-3 additions that had not yet seen a driver
+run (tfidf, range join, curation filters/pipeline, the three event
+drill-downs) plus the new two-load SCD2 lifecycle, and rotates out
+nine entries hash-green in CORRECTNESS_r03 whose plan shapes stay
+covered in-window (see the past-window section notes). Everything
+past the window keeps identical DuckDB-oracle parity coverage in
+pytest.
 """
 
 from __future__ import annotations
@@ -59,10 +60,12 @@ register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
 # corporate.sql shapes -> one conformed model, bl_cl.sql) ---
 register("conform_two_sources", conformance.conform_two_sources, conformance.CONFORM_TWO_SOURCES_ORACLE)
 
-# --- SCD2 merge (§2.9) + DM propagation + fact build (J1/J2/J5) ---
+# --- SCD2 merge (§2.9) + incremental lifecycle + DM propagation +
+# fact build (J1/J2/J5) ---
 register("scd2_customers", scd.scd2_customers, scd.SCD2_CUSTOMERS_ORACLE)
 register("scd2_products", scd.scd2_products, scd.SCD2_PRODUCTS_ORACLE)
 register("scd2_employees", scd.scd2_employees, scd.SCD2_EMPLOYEES_ORACLE)
+register("scd2_two_load_lifecycle", scd.scd2_two_load_lifecycle, scd.SCD2_TWO_LOAD_LIFECYCLE_ORACLE)
 register("dm_scd2_propagation", scd.dm_scd2_propagation, scd.DM_SCD2_PROPAGATION_ORACLE)
 register("fact_pit_customers", scd.fact_pit_customers, scd.FACT_PIT_CUSTOMERS_ORACLE)
 register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
@@ -73,23 +76,19 @@ register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_W
 # --- Text analysis & dedup (beyond-reference training-data ops) ---
 register("token_stats", textops.token_stats, textops.TOKEN_STATS_ORACLE)
 register("text_quality", textops.text_quality, textops.TEXT_QUALITY_ORACLE)
-register("lang_id", textops.lang_id, textops.LANG_ID_ORACLE)
-register("doc_fingerprints", textops.doc_fingerprints, textops.DOC_FINGERPRINTS_ORACLE)
 register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_ORACLE)
 register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
 register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
-register("simhash_docs", textops.simhash_docs, textops.SIMHASH_DOCS_ORACLE)
 register("dedup_clusters", textops.dedup_clusters, textops.DEDUP_CLUSTERS_ORACLE)
-register("crossmodal_near_dup", textops.crossmodal_near_dup, textops.CROSSMODAL_NEAR_DUP_ORACLE)
+
+# --- TF-IDF (single-corpus-scan tf + broadcast df) ---
+register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORACLE)
 
 # --- Corpus stats & deterministic sampling (beyond-reference) ---
 register("vocab_topk", stats.vocab_topk, stats.VOCAB_TOPK_ORACLE)
-register("deterministic_sample", stats.deterministic_sample, stats.DETERMINISTIC_SAMPLE_ORACLE)
 register("stratified_sample", stats.stratified_sample, stats.STRATIFIED_SAMPLE_ORACLE)
 register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
 register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
-register("sales_pivot", stats.sales_pivot, stats.SALES_PIVOT_ORACLE)
-register("lineitem_measures_unpivot", stats.lineitem_measures_unpivot, stats.LINEITEM_MEASURES_UNPIVOT_ORACLE)
 
 # --- Similarity search over embeddings (beyond-reference) ---
 register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
@@ -99,46 +98,64 @@ register("embedding_near_dup", embeddings.embedding_near_dup, embeddings.EMBEDDI
 register("embedding_centroids", embeddings.embedding_centroids, embeddings.EMBEDDING_CENTROIDS_ORACLE)
 
 # --- Event-time analytics (beyond-reference; batch twins of the
-# Structured Streaming jobs in streaming/events.py).
-# events_sliding / top_events_per_user / cohort_retention share their
-# plan shapes with in-window entries (windowed groupBy, rank window)
-# and sit past the driver window with pytest-oracle coverage; the
-# slots go to the curation family's novel shapes. ---
-register("events_hourly", events.events_hourly, events.EVENTS_HOURLY_ORACLE)
+# Structured Streaming jobs in streaming/events.py) ---
+register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
 register("events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_ORACLE)
+register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
+register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
 register("event_funnel", events.event_funnel, events.EVENT_FUNNEL_ORACLE)
 register("event_transitions", events.event_transitions, events.EVENT_TRANSITIONS_ORACLE)
 # HLL++ estimates are engine-specific: no oracle (rows-only check)
 register("events_hourly_approx_users", events.events_hourly_approx_users, None)
 
-# --- Training-data curation (repetition filters, sequence packing,
-#     as-of attribution) ---
+# --- Range/interval join (bucket-blocked; operators/rangejoin.py) ---
+register(
+    "events_in_maintenance_windows",
+    events.events_in_maintenance_windows,
+    events.EVENTS_IN_MAINTENANCE_WINDOWS_ORACLE,
+)
+
+# --- Training-data curation (repetition filters, quality gates,
+#     privacy, sequence packing, as-of attribution, end-to-end
+#     pipeline) ---
 register("repetition_stats", curation.repetition_stats, curation.REPETITION_STATS_ORACLE)
+register("quality_filter", curation.quality_filter, curation.QUALITY_FILTER_ORACLE)
+register(
+    "pii_pseudonymize_customers",
+    curation.pii_pseudonymize_customers,
+    curation.PII_PSEUDONYMIZE_CUSTOMERS_ORACLE,
+)
 register("pack_chunks", curation.pack_chunks, curation.PACK_CHUNKS_ORACLE)
 register(
     "asof_click_attribution",
     curation.asof_click_attribution,
     curation.ASOF_CLICK_ATTRIBUTION_ORACLE,
 )
+# end-to-end filter -> exact-dedup -> pack composition in one plan
+register("curation_pipeline", curation.curation_pipeline, curation.CURATION_PIPELINE_ORACLE)
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
-register("multimodal_resize", multimodal.multimodal_resize, multimodal.MULTIMODAL_RESIZE_ORACLE)
 register("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.MULTIMODAL_FRAME_SAMPLE_ORACLE)
 
 # ======================================================================
-# Past the driver window (entries 51+) — every query below was
-# hash-green in BOTH CORRECTNESS_r01 and CORRECTNESS_r02 driver runs
-# and keeps identical DuckDB-oracle parity coverage in pytest.
+# Past the driver window (entries 51+) — every entry below keeps
+# identical DuckDB-oracle parity coverage in pytest; the r0N note on
+# each block records its most recent hash-green driver round, and the
+# in-window entry covering its plan shape. (Three event drill-downs —
+# events_sliding, top_events_per_user, cohort_retention — had sat
+# here without ever getting a driver row, contradicting an earlier
+# version of this header; round 4 moved them into the window.)
 # ======================================================================
 
-# --- Remaining analytical views (Business_Template drill-downs) ---
+# --- Remaining analytical views (r01/r02-green; same star-agg shape
+# as the four in-window flagship views) ---
 register("demand_category_region", views.demand_category_region, views.demand_category_region_oracle())
 register("segment_sales", views.segment_sales, views.segment_sales_oracle())
 register("priority_distribution", views.priority_distribution, views.priority_distribution_oracle())
 
-# --- Cleansing layer (SURVEY §2.3 scalar fns, §2.5/§2.7 dedup & set
-# ops, §2.4 J3/J4/J6, S5/S6 conflict sinks) ---
+# --- Cleansing layer (r01/r02-green; SURVEY §2.3 scalar fns,
+# §2.5/§2.7 dedup & set ops, §2.4 J3/J4/J6, S5/S6 conflict sinks) ---
 register("clean_dirty_ids", cleansing.clean_dirty_ids, cleansing.CLEAN_DIRTY_IDS_ORACLE)
 register("split_names", cleansing.split_names, cleansing.SPLIT_NAMES_ORACLE)
 register("parse_dates", cleansing.parse_dates, cleansing.PARSE_DATES_ORACLE)
@@ -155,41 +172,36 @@ register("types_missing_from_sample", cleansing.types_missing_from_sample, clean
 register("types_in_both_halves", cleansing.types_in_both_halves, cleansing.TYPES_IN_BOTH_HALVES_ORACLE)
 register("fuzzy_name_match", cleansing.fuzzy_name_match, cleansing.FUZZY_NAME_MATCH_ORACLE)
 
-# --- Small dims + post-load QA (C8) ---
+# --- Small dims + post-load QA (r01/r02-green; C8) ---
 register("dim_market", warehouse.dim_market, warehouse.DIM_MARKET_ORACLE)
 register("qa_rowcounts", dmstar.qa_rowcounts, dmstar.QA_ROWCOUNTS_ORACLE)
 register("dq_report", dmstar.dq_report, dmstar.DQ_REPORT_ORACLE)
 register("qa_duplicates_any_table", dmstar.qa_duplicates_any_table, dmstar.QA_DUPLICATES_ANY_TABLE_ORACLE)
 
-# --- Window analytics (Business_Template drill-down questions) ---
+# --- Window analytics (r01/r02-green; rank/rolling shapes covered
+# in-window by top_events_per_user + seasonality_segment) ---
 register("best_month_per_segment", windows.best_month_per_segment, windows.BEST_MONTH_PER_SEGMENT_ORACLE)
 register("top_employees_per_year", windows.top_employees_per_year, windows.TOP_EMPLOYEES_PER_YEAR_ORACLE)
 register("customer_ltv_deciles", windows.customer_ltv_deciles, windows.CUSTOMER_LTV_DECILES_ORACLE)
 register("rolling_7d_sales", windows.rolling_7d_sales, windows.ROLLING_7D_SALES_ORACLE)
 
-# --- Event-time analytics whose plan shapes are covered in-window ---
-register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
-register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
-register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
-
-# --- TF-IDF (text-analysis family; shapes covered in-window by
-#     vocab_topk + top_events_per_user) ---
-register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORACLE)
-
-# --- Range/interval join (bucket-blocked; operators/rangejoin.py) ---
-register(
-    "events_in_maintenance_windows",
-    events.events_in_maintenance_windows,
-    events.EVENTS_IN_MAINTENANCE_WINDOWS_ORACLE,
-)
-
-# --- Curation filters / privacy (per-row projections; shapes covered
-#     in-window by repetition_stats) ---
-register("quality_filter", curation.quality_filter, curation.QUALITY_FILTER_ORACLE)
-register(
-    "pii_pseudonymize_customers",
-    curation.pii_pseudonymize_customers,
-    curation.PII_PSEUDONYMIZE_CUSTOMERS_ORACLE,
-)
-# end-to-end filter -> exact-dedup -> pack composition in one plan
-register("curation_pipeline", curation.curation_pipeline, curation.CURATION_PIPELINE_ORACLE)
+# --- Rotated out hash-green in r03; shapes covered in-window ---
+# lang_id / doc_fingerprints / simhash_docs: zero-shuffle JVM array
+# expressions like token_stats/text_quality; crossmodal_near_dup
+# reuses minhash_lsh_candidates' checkpointed LSH path.
+register("lang_id", textops.lang_id, textops.LANG_ID_ORACLE)
+register("doc_fingerprints", textops.doc_fingerprints, textops.DOC_FINGERPRINTS_ORACLE)
+register("simhash_docs", textops.simhash_docs, textops.SIMHASH_DOCS_ORACLE)
+register("crossmodal_near_dup", textops.crossmodal_near_dup, textops.CROSSMODAL_NEAR_DUP_ORACLE)
+# deterministic_sample: same md5-bucket filter as stratified_sample;
+# sales_pivot / lineitem_measures_unpivot: single-shuffle reshapes
+# next to in-window sales_rollup.
+register("deterministic_sample", stats.deterministic_sample, stats.DETERMINISTIC_SAMPLE_ORACLE)
+register("sales_pivot", stats.sales_pivot, stats.SALES_PIVOT_ORACLE)
+register("lineitem_measures_unpivot", stats.lineitem_measures_unpivot, stats.LINEITEM_MEASURES_UNPIVOT_ORACLE)
+# events_hourly: tumbling-window groupBy, covered by events_sliding
+# (same shape, wider) and events_hourly_approx_users (same grouping).
+register("events_hourly", events.events_hourly, events.EVENTS_HOURLY_ORACLE)
+# multimodal_resize: same mapInPandas batch plumbing as the in-window
+# multimodal_features / multimodal_frame_sample pair.
+register("multimodal_resize", multimodal.multimodal_resize, multimodal.MULTIMODAL_RESIZE_ORACLE)

@@ -22,6 +22,20 @@ def test_event_query_matches_oracle(spark, duck, name, sf_dir):
     assert_matches_oracle(spark, duck, name, sf_dir)
 
 
+def test_event_transitions_pandas_variant_equivalent(spark, sf_dir):
+    """The grouped-applyInPandas formulation must produce exactly the
+    registered lag-window plan's rows (integer counts — engine-exact)."""
+    from global_superstore_data_warehouse_spark.plans.events import (
+        event_transitions,
+        event_transitions_pandas,
+    )
+
+    key = ["user_id", "from_type", "to_type"]
+    want = event_transitions(spark, sf_dir).orderBy(*key).collect()
+    got = event_transitions_pandas(spark, sf_dir).orderBy(*key).collect()
+    assert got == want
+
+
 def test_stream_hourly_equals_batch(spark, sf_dir, tmp_path):
     """The streaming job (availableNow drain) must produce exactly
     the batch result — same logic, same windows."""

@@ -63,6 +63,28 @@ def test_scd2_idempotent(spark, sf_dir):
     assert twice.exceptAll(once).count() == 0
 
 
+def test_scd2_two_load_lifecycle_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "scd2_two_load_lifecycle", sf_dir)
+
+
+def test_scd2_two_load_lifecycle_chain_invariants(spark, sf_dir):
+    """After two loads: exactly one open row per key, and every
+    changed key's closed v1 abuts its open v2 (end_dt == start_dt)."""
+    from global_superstore_data_warehouse_spark.plans.scd import (
+        scd2_two_load_lifecycle,
+    )
+
+    chain = scd2_two_load_lifecycle(spark, sf_dir)
+    assert (
+        chain.filter(F.col("is_active"))
+        .groupBy("k").count().filter("count != 1").count() == 0
+    )
+    closed = chain.filter(~F.col("is_active")).select("k", F.col("end_dt").alias("closed_at"))
+    reopened = chain.filter(F.col("is_active")).select("k", "start_dt")
+    mismatched = closed.join(reopened, "k").filter(F.col("closed_at") != F.col("start_dt"))
+    assert closed.count() > 0 and mismatched.count() == 0
+
+
 def test_fact_grain_unique_and_no_null_fks(spark, sf_dir):
     from global_superstore_data_warehouse_spark.plans.fact import fact_orders
 

@@ -47,6 +47,37 @@ def test_salted_join_rejects_replication_corrupting_how(spark, sf_dir):
             salted_join(lineitem, supplier, "l_suppkey", "s_suppkey", how=how)
 
 
+def test_salted_join_salt_is_deterministic(spark, sf_dir):
+    """Retry safety (SPARK-23207 family): the salt must be a pure
+    function of row data — two independent evaluations over the same
+    rows assign identical salts, so a retried task re-produces the
+    exact partition layout consumers already read."""
+    from global_superstore_data_warehouse_spark.operators.skew import SALT_COL
+
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    salted = lineitem.withColumn(
+        SALT_COL,
+        F.pmod(F.hash(*[F.col(c) for c in lineitem.columns]), F.lit(4)).cast("int"),
+    )
+    a = salted.orderBy("l_orderkey", "l_suppkey", "l_quantity").collect()
+    b = salted.repartition(7).orderBy("l_orderkey", "l_suppkey", "l_quantity").collect()
+    assert a == b
+
+
+def test_salted_join_spread_cols_override(spark, sf_dir):
+    """Caller-named spread column still yields the plain-join result."""
+    lineitem = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    plain = lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+    salted = salted_join(
+        lineitem, supplier, "l_suppkey", "s_suppkey", salt=4,
+        spread_cols=["l_orderkey"],
+    )
+    cols = ["l_orderkey", "l_suppkey", "s_suppkey", "s_name"]
+    assert salted.select(*cols).exceptAll(plain.select(*cols)).count() == 0
+    assert plain.select(*cols).exceptAll(salted.select(*cols)).count() == 0
+
+
 def test_salted_join_same_named_keys_resolve(spark, sf_dir):
     """Round-1 ambiguity bug: identically-named key columns on both
     sides must resolve against their own side, not throw or
