@@ -62,6 +62,10 @@ EXTRA = [
     "events_in_maintenance_windows",
     "tfidf_topk_terms",
     "curation_pipeline",
+    # unregistered equivalence-tested variant: the grouped-pandas
+    # formulation of event_transitions, timed next to the registered
+    # JVM lag-window plan so the Arrow-round-trip cost stays visible
+    "event_transitions_pandas",
 ]
 
 ROUNDS = 3
@@ -79,7 +83,12 @@ def main() -> None:
     from global_superstore_data_warehouse_spark import get_spark, registry
 
     spark = get_spark("gsdw-bench")
-    qs = registry.queries()
+    from global_superstore_data_warehouse_spark.plans.events import (
+        event_transitions_pandas,
+    )
+
+    qs = dict(registry.queries())
+    qs["event_transitions_pandas"] = event_transitions_pandas
     names = [n for n in HEADLINE if n in qs]
     extra_names = [n for n in EXTRA if n in qs]
 

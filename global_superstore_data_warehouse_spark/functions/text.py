@@ -138,7 +138,16 @@ def max_multiplicity(arr: Column) -> Column:
     higher-order-function evaluations, which measured ~10x slower at
     sf0.1 — while producing the identical integer, so oracles keep
     counting the straightforward way. NULL for an empty array
-    (matching SQL ``list_max`` over an empty list)."""
+    (matching SQL ``list_max`` over an empty list).
+
+    PRECONDITION: STRING arrays only. The fold's ``prev`` slot and
+    its sentinel are string-typed, so a numeric array would compare
+    through implicit casts (and an element equal to the '' sentinel
+    string cannot exist mid-array after sorting — '' sorts first, and
+    the first comparison always starts a fresh run of 1 regardless).
+    Both call sites (token / bigram repetition) pass strings; to make
+    this generic, build the zero struct's prev from
+    ``element_at(arr, 1)``'s type."""
     s = F.array_sort(arr)
     zero = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")

@@ -28,9 +28,12 @@ BUCKET_COL = "__bucket"
 
 
 def _bucket(ts: Column, width_seconds: int) -> Column:
-    # integer arithmetic on epoch seconds: exact, and identical
-    # across engines
-    return (F.unix_timestamp(ts) / width_seconds).cast("long")
+    # true integer floor division on epoch seconds (`/` in Spark is
+    # double division and cast('long') truncates toward zero, which
+    # would double-width the bucket straddling epoch 0 for pre-1970
+    # timestamps; floor is exact everywhere and identical across
+    # engines)
+    return F.floor(F.unix_timestamp(ts) / width_seconds).cast("long")
 
 
 def bucketed_interval_join(
@@ -45,13 +48,19 @@ def bucketed_interval_join(
     """Join each point to every interval with
     ``start <= ts < end`` (half-open), via bucket blocking.
 
-    Returns interval columns + the matched point's columns. With
-    ``how='left'`` an interval with no match in SOME bucket emits a
-    NULL row for each empty bucket — harmless for aggregate
-    consumers (``count(point_col)`` / ``count(DISTINCT ...)`` ignore
-    NULLs, so empty intervals count 0) but not a clean pair list;
-    use ``how='inner'`` for pair-list output. Column names must not
-    collide across the two inputs (the engine-wide convention)."""
+    Returns interval columns + the matched point's columns.
+    ``how='inner'`` is the clean pair list (only real matches);
+    ``how='left'`` additionally emits EXACTLY ONE all-NULL-point row
+    per interval that matched no point at all — the same contract as
+    a naive ``LEFT JOIN ... ON ts BETWEEN`` — implemented as the
+    inner join plus a left-anti reattach of the fully-unmatched
+    intervals (an earlier version leaked one NULL row per empty
+    *bucket*, fine for ``count(point_col)`` aggregates but wrong for
+    row-level consumers). Column names must not collide across the
+    two inputs (the engine-wide convention); duplicate interval rows
+    are preserved."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"bucketed_interval_join supports inner/left, got {how!r}")
     iv = intervals.withColumn(
         BUCKET_COL,
         F.explode(
@@ -69,4 +78,19 @@ def bucketed_interval_join(
         & (pt[ts_col] >= iv[start_col])
         & (pt[ts_col] < iv[end_col])
     )
-    return iv.join(pt, cond, how).drop(BUCKET_COL)
+    inner = iv.join(pt, cond, "inner").drop(BUCKET_COL)
+    if how == "inner":
+        return inner
+    # left: reattach intervals with no match in ANY bucket, one NULL
+    # row each. The anti-join keys on every interval column
+    # (NULL-safe), so identical duplicate rows survive together.
+    matched = inner.select(*intervals.columns).dropDuplicates().alias("__iv_hit")
+    all_iv = intervals.alias("__iv_all")
+    anti_cond = [
+        F.col(f"__iv_all.{c}").eqNullSafe(F.col(f"__iv_hit.{c}"))
+        for c in intervals.columns
+    ]
+    missing = all_iv.join(matched, anti_cond, "left_anti").select("__iv_all.*")
+    for f in points.schema.fields:
+        missing = missing.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return inner.unionByName(missing)

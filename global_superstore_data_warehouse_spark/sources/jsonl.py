@@ -41,7 +41,15 @@ def read_jsonl(
     """PERMISSIVE read: well-formed rows get typed columns, malformed
     lines arrive whole in ``_corrupt_record`` with NULL data columns —
     the quarantine-and-continue shape (the reference's CSV staging has
-    the same posture via all-string columns + cleansing casts)."""
+    the same posture via all-string columns + cleansing casts).
+
+    Spark trap: a query that references ONLY ``_corrupt_record`` on
+    the raw (uncached) scan raises AnalysisException — Spark forbids
+    selecting just the internal corrupt-record column from the file
+    source. Either select at least one data column alongside it, or
+    ``.cache()`` the returned frame first; e.g.
+    ``read_jsonl(...).cache().filter('_corrupt_record IS NOT NULL')``.
+    """
     return (
         spark.read.schema(_with_corrupt_col(schema, spark))
         .option("mode", "PERMISSIVE")

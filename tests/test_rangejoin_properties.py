@@ -77,3 +77,49 @@ class TestRangeJoinEquivalence:
             .collect()
         )
         assert sorted(map(tuple, got)) == sorted(map(tuple, naive))
+
+    @given(scen=scenario)
+    @settings(**SETTINGS)
+    def test_left_join_matches_naive_left_join(self, spark, scen):
+        """how='left' must emit exactly one NULL-point row per
+        fully-empty interval (the naive LEFT JOIN contract), so both
+        row-level output and count aggregates agree with the naive
+        inequality join."""
+        ivs, pts = scen
+        intervals = spark.createDataFrame(
+            [(i, BASE + s, BASE + s + ln) for i, (s, ln) in enumerate(ivs)],
+            "iv_id long, start_s long, end_s long",
+        ).select(
+            "iv_id",
+            F.timestamp_seconds("start_s").alias("start_ts"),
+            F.timestamp_seconds("end_s").alias("end_ts"),
+        )
+        points = spark.createDataFrame(
+            [(j, BASE + off) for j, off in enumerate(pts)] or [(0, 0)],
+            "pt_id long, ts_s long",
+        ).select("pt_id", F.timestamp_seconds("ts_s").alias("pt_ts"))
+        if not pts:
+            points = points.filter(F.lit(False))
+
+        got = bucketed_interval_join(
+            intervals, points, "start_ts", "end_ts", "pt_ts",
+            width_seconds=WIDTH, how="left",
+        )
+        naive = intervals.join(
+            points,
+            (points.pt_ts >= intervals.start_ts)
+            & (points.pt_ts < intervals.end_ts),
+            "left",
+        )
+        assert sorted(
+            map(tuple, got.select("iv_id", "pt_id").collect())
+        ) == sorted(map(tuple, naive.select("iv_id", "pt_id").collect()))
+        agg = lambda df: sorted(  # noqa: E731
+            map(
+                tuple,
+                df.groupBy("iv_id")
+                .agg(F.count("pt_id").alias("n"))
+                .collect(),
+            )
+        )
+        assert agg(got) == agg(naive)
