@@ -319,6 +319,121 @@ ASOF_CLICK_ATTRIBUTION_ORACLE = """
 """
 
 
+# --- benchmark decontamination (n-gram overlap) ----------------------
+
+DECON_NGRAM = 5  # overlap unit: 5-token n-grams
+EVAL_MOD = 97  # doc_id % 97 == 0 -> held-out "benchmark" split
+
+
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/Pile n-gram-overlap
+    pass): a training document is CONTAMINATED if it shares any
+    5-token n-gram with the held-out eval split — here derived
+    deterministically as ``doc_id % 97 == 0`` so the query is
+    oracle-checkable against static data. Returns every training doc
+    with its shared-distinct-n-gram count and the contamination flag.
+
+    Plan: both splits explode to (doc_id, gram) rows in one pass over
+    the corpus; the eval side collapses to DISTINCT grams and rides a
+    broadcast (an eval split is benchmark-sized — thousands of docs —
+    even when the training side is 100 TB); the overlap is a
+    broadcast semi-join + per-doc count, so the training corpus
+    shuffles only its gram hits, never its text. If the eval set ever
+    outgrows broadcast, the same plan shuffle-joins on the gram hash
+    unchanged."""
+    from global_superstore_data_warehouse_spark.plans.textops import _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+        F.explode(_shingles(T.tokens("text"), DECON_NGRAM)).alias("gram"),
+    )
+    eval_grams = grams.filter("is_eval").select("gram").distinct()
+    hits = (
+        grams.filter(~F.col("is_eval"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_ngrams"))
+    )
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _ngram_sql(toks: str, n: int) -> str:
+    gram = " || ' ' || ".join(f"{toks}[i+{k}]" if k else f"{toks}[i]" for k in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n - 2}), i -> {gram}) "
+        "ELSE [] END"
+    )
+
+
+DECONTAMINATE_NGRAMS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {ALL_TOKS_SQL} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, unnest({_ngram_sql('toks', DECON_NGRAM)}) AS gram FROM t
+    ), eval_g AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % {EVAL_MOD} = 0
+    ), hits AS (
+        SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared
+        FROM g JOIN eval_g USING (gram)
+        WHERE g.doc_id % {EVAL_MOD} <> 0
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, 0) AS n_shared_ngrams,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
+# --- per-domain quota sampling ---------------------------------------
+
+QUOTA_PER_SOURCE = 15
+
+
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota cap (the corpus-mixing control every
+    large-scale pipeline runs before training: no source may exceed
+    its document budget): keep the first ``QUOTA_PER_SOURCE`` docs of
+    each source in deterministic md5(doc_id) order — an unbiased,
+    RNG-free pick that is stable across re-runs.
+
+    Plan: one shuffle on source + a row_number window. At test scale
+    a whole source fits one window partition; at 100 TB a hot domain
+    would not — the documented swap-ins are (a) the two-phase top-K
+    (per-partition top-K, then top-K of the K·P survivors — bounded
+    state both phases) or (b) the md5-threshold approximate quota of
+    ``stats.deterministic_sample`` when ±1% on the cap is acceptable."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+DOMAIN_QUOTA_SAMPLE_ORACLE = f"""
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INTEGER) AS sample_rank
+    FROM documents
+    QUALIFY sample_rank <= {QUOTA_PER_SOURCE}
+"""
+
+
 # --- end-to-end curation pipeline ------------------------------------
 
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

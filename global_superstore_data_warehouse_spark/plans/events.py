@@ -410,27 +410,38 @@ def events_in_maintenance_windows(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_trunc("hour", F.min("ts")).alias("lo"),
         F.date_trunc("hour", F.max("ts")).alias("hi"),
     )
-    windows = bounds.select(
-        F.explode(
-            F.sequence("lo", "hi", F.expr(f"interval {MAINT_EVERY_HOURS} hours"))
-        ).alias("win_start")
-    ).select(
-        "win_start",
-        (F.col("win_start") + F.expr(f"interval {MAINT_LEN_MINUTES} minutes")).alias(
-            "win_end"
-        ),
-    )
-    joined = bucketed_interval_join(
-        windows, ev, "win_start", "win_end", "ts", width_seconds=3600, how="left"
-    )
-    return (
-        joined.groupBy(
-            F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("window_start")
+    windows = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {MAINT_EVERY_HOURS} hours"))
+            ).alias("win_start")
         )
-        .agg(
-            F.count("event_id").alias("n_events"),
-            F.count_distinct("user_id").alias("n_users"),
+        .select(
+            "win_start",
+            (F.col("win_start") + F.expr(f"interval {MAINT_LEN_MINUTES} minutes")).alias(
+                "win_end"
+            ),
         )
+        # referenced twice (pair join + empty-window reattach): pin the
+        # tiny frame so the bounds scan of events runs once, not per branch
+        .localCheckpoint()
+    )
+    # inner pair join + aggregate, then reattach empty windows with
+    # zero counts: cheaper than how='left' (whose unmatched-interval
+    # reattach is an extra anti-join shuffle the aggregate consumer
+    # doesn't need) — the window frame is tiny, so the final left
+    # join broadcasts
+    pairs = bucketed_interval_join(
+        windows, ev, "win_start", "win_end", "ts", width_seconds=3600, how="inner"
+    )
+    counts = pairs.groupBy("win_start").agg(
+        F.count("event_id").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    return windows.join(counts, "win_start", "left").select(
+        F.date_format("win_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("n_users", F.lit(0)).alias("n_users"),
     )
 
 

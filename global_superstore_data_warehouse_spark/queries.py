@@ -205,3 +205,10 @@ register("events_hourly", events.events_hourly, events.EVENTS_HOURLY_ORACLE)
 # multimodal_resize: same mapInPandas batch plumbing as the in-window
 # multimodal_features / multimodal_frame_sample pair.
 register("multimodal_resize", multimodal.multimodal_resize, multimodal.MULTIMODAL_RESIZE_ORACLE)
+
+# --- New in round 4 (pytest-parity now; rotate in-window next round
+# per the window policy for novel shapes) ---
+# benchmark decontamination: n-gram explode + broadcast semi-join
+register("decontaminate_ngrams", curation.decontaminate_ngrams, curation.DECONTAMINATE_NGRAMS_ORACLE)
+# per-domain quota cap: deterministic md5-order row_number window
+register("domain_quota_sample", curation.domain_quota_sample, curation.DOMAIN_QUOTA_SAMPLE_ORACLE)

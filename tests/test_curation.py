@@ -11,12 +11,53 @@ CURATION_QUERIES = [
     "quality_filter",
     "pii_pseudonymize_customers",
     "curation_pipeline",
+    "decontaminate_ngrams",
+    "domain_quota_sample",
 ]
 
 
 @pytest.mark.parametrize("name", CURATION_QUERIES)
 def test_curation_matches_oracle(spark, duck, sf_dir, name):
     assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_decontaminate_excludes_eval_split_and_flags_only_overlap(spark, sf_dir):
+    """No eval doc appears in the output, and contaminated == shared
+    count > 0 everywhere."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        EVAL_MOD,
+        decontaminate_ngrams,
+    )
+
+    out = decontaminate_ngrams(spark, sf_dir)
+    assert out.filter(F.col("doc_id") % EVAL_MOD == 0).count() == 0
+    assert (
+        out.filter(
+            F.col("contaminated") != (F.col("n_shared_ngrams") > 0)
+        ).count()
+        == 0
+    )
+
+
+def test_domain_quota_cap_holds_per_source(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        QUOTA_PER_SOURCE,
+        domain_quota_sample,
+    )
+
+    out = domain_quota_sample(spark, sf_dir)
+    per_source = out.groupBy("source").count()
+    assert per_source.filter(F.col("count") > QUOTA_PER_SOURCE).count() == 0
+    # ranks within a source are exactly 1..min(quota, n_source)
+    assert out.filter(F.col("sample_rank") > QUOTA_PER_SOURCE).count() == 0
+    # deterministic: two evaluations agree exactly
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, domain_quota_sample(spark, sf_dir).collect()))
+    assert a == b
 
 
 def test_repetition_stats_is_shuffle_free(spark, sf_dir):
