@@ -28,7 +28,7 @@ All three follow the engine's scale rules:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
@@ -519,3 +519,88 @@ CURATION_PIPELINE_ORACLE = f"""
                AS pack_id
     FROM c
 """
+
+
+# --- Bloom-prefiltered decontamination (the 100 TB variant) ----------
+
+BLOOM_BITS = 1 << 20  # m: bitmap size in bits (128 KiB)
+BLOOM_HASHES = 3  # k: hash functions (xxhash64 seeds 0..k-1)
+
+
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``decontaminate_ngrams`` with a Bloom-filter prefilter on the
+    training side — the shape that holds when the eval set outgrows a
+    comfortable broadcast hash join but its BITMAP still fits
+    anywhere (a 1 G-gram eval split at 10 bits/gram is ~1.25 GB of
+    bitmap vs tens of GB of hashed strings).
+
+    Build: eval grams hash JVM-side (``xxhash64`` with k seeds) to
+    bit positions; only the DISTINCT POSITIONS are collected (bounded
+    by min(k x eval grams, m) ints — eval-set-sized metadata, same
+    budget class as the broadcast in ``decontaminate_ngrams``) and
+    packed into an ``array<bigint>`` bitmap that rides one broadcast
+    row. Probe: each training gram tests its k bits with pure JVM
+    expressions (``element_at`` + ``shiftleft`` + ``&`` — no Python,
+    no shuffle); only Bloom survivors (true hits + ~0.1% false
+    positives at these m/k settings) reach the exact confirm join, so
+    the result is EXACT and shares ``decontaminate_ngrams``' oracle.
+    The training corpus never ships its text: the candidate shuffle
+    carries (doc_id, gram) for the pre-pruned sliver only."""
+    from global_superstore_data_warehouse_spark.plans.textops import _shingles
+
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
+        F.explode(_shingles(T.tokens("text"), DECON_NGRAM)).alias("gram"),
+    )
+
+    def _positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(BLOOM_BITS)).cast("long")
+            for seed in range(BLOOM_HASHES)
+        ]
+
+    eval_grams = grams.filter("is_eval").select("gram").distinct()
+    pos_rows = (
+        eval_grams.select(
+            F.explode(F.array(*_positions(F.col("gram")))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    words = [0] * (BLOOM_BITS // 64)
+    for r in pos_rows:
+        p = r["pos"]
+        words[p >> 6] |= 1 << (p & 63)
+    # Spark longs are signed: re-wrap bit 63 into two's complement
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bloom = spark.createDataFrame([(words,)], "bloom: array<bigint>")
+
+    train_grams = grams.filter(~F.col("is_eval")).crossJoin(F.broadcast(bloom))
+    for i, pos in enumerate(_positions(F.col("gram"))):
+        train_grams = train_grams.withColumn(f"__p{i}", pos)
+    bit_tests = [
+        f"(element_at(bloom, cast(shiftright(__p{i}, 6) + 1 as int))"
+        f" & shiftleft(1L, cast(__p{i} & 63 as int))) != 0"
+        for i in range(BLOOM_HASHES)
+    ]
+    candidates = train_grams.filter(F.expr(" AND ".join(bit_tests))).select(
+        "doc_id", "gram"
+    )
+    # exact confirm: false positives die here, so output == exact plan
+    hits = (
+        candidates.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_ngrams"))
+    )
+    train = docs.filter(F.col("doc_id") % EVAL_MOD != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+        (F.coalesce("n_shared_ngrams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# exact by construction (Bloom only prunes; confirm join is exact)
+DECONTAMINATE_BLOOM_ORACLE = DECONTAMINATE_NGRAMS_ORACLE

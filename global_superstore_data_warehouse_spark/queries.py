@@ -11,11 +11,12 @@ FAMILY's representative queries, rotating so that every registered
 query accumulates a hash-green driver row across rounds: round 4
 swaps in the eight round-3 additions that had not yet seen a driver
 run (tfidf, range join, curation filters/pipeline, the three event
-drill-downs) plus the new two-load SCD2 lifecycle, and rotates out
-nine entries hash-green in CORRECTNESS_r03 whose plan shapes stay
-covered in-window (see the past-window section notes). Everything
-past the window keeps identical DuckDB-oracle parity coverage in
-pytest.
+drill-downs) plus the new two-load SCD2 lifecycle and the two
+round-4 curation additions (decontaminate_ngrams,
+domain_quota_sample), and rotates out entries hash-green in
+CORRECTNESS_r03 whose plan shapes stay covered in-window (see the
+past-window section notes). Everything past the window keeps
+identical DuckDB-oracle parity coverage in pytest.
 """
 
 from __future__ import annotations
@@ -86,7 +87,6 @@ register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORAC
 
 # --- Corpus stats & deterministic sampling (beyond-reference) ---
 register("vocab_topk", stats.vocab_topk, stats.VOCAB_TOPK_ORACLE)
-register("stratified_sample", stats.stratified_sample, stats.STRATIFIED_SAMPLE_ORACLE)
 register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
 register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
 
@@ -133,10 +133,13 @@ register(
 )
 # end-to-end filter -> exact-dedup -> pack composition in one plan
 register("curation_pipeline", curation.curation_pipeline, curation.CURATION_PIPELINE_ORACLE)
+# benchmark decontamination: n-gram explode + broadcast semi-join
+register("decontaminate_ngrams", curation.decontaminate_ngrams, curation.DECONTAMINATE_NGRAMS_ORACLE)
+# per-domain quota cap: deterministic md5-order row_number window
+register("domain_quota_sample", curation.domain_quota_sample, curation.DOMAIN_QUOTA_SAMPLE_ORACLE)
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
-register("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.MULTIMODAL_FRAME_SAMPLE_ORACLE)
 
 # ======================================================================
 # Past the driver window (entries 51+) — every entry below keeps
@@ -206,9 +209,17 @@ register("events_hourly", events.events_hourly, events.EVENTS_HOURLY_ORACLE)
 # multimodal_features / multimodal_frame_sample pair.
 register("multimodal_resize", multimodal.multimodal_resize, multimodal.MULTIMODAL_RESIZE_ORACLE)
 
-# --- New in round 4 (pytest-parity now; rotate in-window next round
-# per the window policy for novel shapes) ---
-# benchmark decontamination: n-gram explode + broadcast semi-join
-register("decontaminate_ngrams", curation.decontaminate_ngrams, curation.DECONTAMINATE_NGRAMS_ORACLE)
-# per-domain quota cap: deterministic md5-order row_number window
-register("domain_quota_sample", curation.domain_quota_sample, curation.DOMAIN_QUOTA_SAMPLE_ORACLE)
+# --- Rotated out hash-green in r03 to make room for the round-4
+# additions; shapes covered in-window ---
+# stratified_sample: same md5-bucket filter as the in-window
+# deterministic sampling inside domain_quota_sample; multimodal_
+# frame_sample: same mapInPandas batch plumbing as
+# multimodal_features.
+register("stratified_sample", stats.stratified_sample, stats.STRATIFIED_SAMPLE_ORACLE)
+register("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.MULTIMODAL_FRAME_SAMPLE_ORACLE)
+
+# --- New in round 4 (pytest-parity; exact-equivalence tested against
+# the in-window plans they shadow) ---
+# Bloom-prefiltered decontamination: JVM bitmap probe + exact confirm
+# (equivalence-tested against decontaminate_ngrams, same oracle)
+register("decontaminate_bloom", curation.decontaminate_bloom, curation.DECONTAMINATE_BLOOM_ORACLE)

@@ -140,3 +140,31 @@ def test_pack_offsets_contiguous(spark, sf_dir):
         for r in docs:
             assert r.start_offset == expect, (src, r)
             expect += r.n_tokens
+
+
+def test_decontaminate_bloom_equals_exact_plan(spark, duck, sf_dir):
+    """Bloom prefilter must be lossless: identical output to the
+    exact broadcast-join plan (false positives die in the confirm
+    join; false negatives are impossible by Bloom construction)."""
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        decontaminate_bloom,
+        decontaminate_ngrams,
+    )
+
+    a = sorted(map(tuple, decontaminate_bloom(spark, sf_dir).collect()))
+    b = sorted(map(tuple, decontaminate_ngrams(spark, sf_dir).collect()))
+    assert a == b
+    assert_matches_oracle(spark, duck, "decontaminate_bloom", sf_dir)
+
+
+def test_bloom_probe_stays_jvm_side(spark, sf_dir):
+    """The training-side Bloom probe must not spawn Python workers:
+    no Arrow/Python eval nodes in the plan (the only driver-side
+    Python is the bounded eval-bitmap build)."""
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        decontaminate_bloom,
+    )
+
+    plan = decontaminate_bloom(spark, sf_dir)._jdf.queryExecution().toString()
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
