@@ -1,0 +1,100 @@
+"""Distributed connected components — alternating large-star /
+small-star (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14).
+
+A generic graph operator the dedup layer plugs into (the in-window
+``dedup_clusters`` uses the closely-related min-contraction; this
+module is the literal alternating algorithm, exposed standalone so
+any pair-producing operator — near-dup candidates, entity-resolution
+matches, citation links — can cluster with it).
+
+Shape per round: two groupBy-min shuffles + two joins, each keyed on
+a node id, over an edge set that contracts toward a star forest.
+Rounds are O(log d) in practice; every round ends in a
+``localCheckpoint`` so lineage stays flat, and convergence is a
+fixpoint probe (two ``limit(1)`` anti-joins on the contracted edge
+set — the star forest is a fixpoint of both star operations, proved
+in the paper, so `edges unchanged` is exactly `converged`).
+
+No driver-side state beyond the one-row convergence flag; node ids
+never leave the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _star_round(edges: DataFrame, large: bool) -> DataFrame:
+    """One star round over a symmetric-free canonical edge list.
+
+    large-star: every neighbor v > u re-attaches to m(u) = min of
+    u's closed neighborhood; small-star: every neighbor v <= u (and
+    u itself) re-attaches to the min of u's smaller-or-self
+    neighborhood. Both keep (a, b) edges canonicalized as a > b.
+    """
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    if large:
+        side = sym
+    else:
+        side = sym.filter(F.col("v") < F.col("u")).union(
+            sym.select("u").distinct().withColumn("v", F.col("u"))
+        )
+    m = side.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    attach = sym.filter(F.col("v") > F.col("u")) if large else side
+    out = (
+        attach.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Label every node in ``edges`` with its component's MINIMUM
+    node id. Returns ``(node, component)`` — one row per distinct
+    node that appears in the edge list (attach singletons yourself;
+    they never need to ride the iteration).
+
+    Numeric or otherwise totally-ordered node ids required (the
+    component representative is the order minimum).
+    """
+    e = (
+        edges.select(
+            F.greatest(src, dst).alias("u"), F.least(src, dst).alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        after_large = _star_round(e, large=True)
+        after_small = _star_round(after_large, large=False).localCheckpoint()
+        changed = (
+            after_small.join(e, ["u", "v"], "left_anti").limit(1).count() > 0
+            or e.join(after_small, ["u", "v"], "left_anti").limit(1).count() > 0
+        )
+        e = after_small
+        if not changed:
+            break
+    # star forest: u -> root(v); roots label themselves
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = nodes.join(
+        labels.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return labels.unionByName(roots)
