@@ -721,6 +721,50 @@ DEDUP_CLUSTERS_ORACLE = f"""
 """
 
 
+def dedup_clusters_smallstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_clusters`` with its component step swapped for the
+    literal alternating large-star/small-star algorithm
+    (``operators/graph.connected_components``) — same pair
+    generation, same output contract, same oracle. Registered as the
+    proof that the generic graph operator drops into the dedup
+    endgame unchanged (equivalence-tested against the min-contraction
+    plan; union-find property tests cover the operator itself)."""
+    from global_superstore_data_warehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    cand = _blocked_candidate_pairs(docs)
+    toks = T.hashed_set(T.tokens("text"))
+    payload = docs.select("doc_id", toks.alias("toks"))
+    pa, pb = payload.alias("pa"), payload.alias("pb")
+    j1 = T.jaccard(F.col("pa.toks"), F.col("pb.toks"))
+    pairs = (
+        cand.join(pa, F.col("doc_id_a") == F.col("pa.doc_id"))
+        .join(pb, F.col("doc_id_b") == F.col("pb.doc_id"))
+        .filter(j1 >= CLUSTER_JACCARD)
+        .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .localCheckpoint()
+    )
+    comp = connected_components(pairs)
+    labeled = comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(labeled.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_id", F.col("doc_id"))
+    )
+    return labeled.unionByName(singles).select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+DEDUP_CLUSTERS_SMALLSTAR_ORACLE = DEDUP_CLUSTERS_ORACLE
+
+
 # --- cross-modal near-dup (text + embedding agreement) ---------------
 
 COSINE_DUP_THRESHOLD = 0.4
