@@ -466,3 +466,125 @@ EVENTS_IN_MAINTENANCE_WINDOWS_ORACLE = f"""
       ON e.ts >= w.win_start AND e.ts < w.win_end
     GROUP BY 1
 """
+
+
+# --- built-in session_window (the Catalyst-native sessionizer) -------
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events_sessionize``'s gap semantics via the BUILT-IN
+    ``F.session_window`` aggregate — Catalyst's native session
+    operator (one shuffle on the grouping key, sessions merged inside
+    the aggregation, no lag/cumsum window pass). This is the form
+    that shares code with the streaming job (``session_window`` is
+    the only sessionizer that runs under ``readStream`` with state
+    store merging); the lag+cumsum plan remains the pick when you
+    need per-event session ids rather than per-session rollups.
+
+    Boundary semantics (probed, and pinned by the oracle): two events
+    exactly GAP apart MERGE — a new session starts only when the gap
+    is strictly exceeded; ``window.end`` is last event ts + gap.
+    Emits epoch-microsecond bounds (bigint) — timestamps never cross
+    the driver compare."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, epoch_us(ts) AS us, value FROM events
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us)
+                         > {SESSION_GAP_SECONDS} * 1000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM e
+    ), s AS (
+        SELECT *,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(us) AS session_start_us,
+           MAX(us) + {SESSION_GAP_SECONDS} * 1000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM s
+    GROUP BY user_id, sid
+"""
+
+
+# --- per-user outlier detection (telemetry anomaly scan) -------------
+
+OUTLIER_Z = 2.5  # |z| threshold
+OUTLIER_MIN_EVENTS = 5  # need a real distribution before flagging
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers over event values — the standard
+    telemetry anomaly scan (and the training-data analogue: loss /
+    length / score columns get exactly this filter before a corpus
+    ships). Mean and sample-stddev come from an unbounded window per
+    user (one shuffle, partial-aggregated); rows with
+    ``|value - mean| > z * stddev`` survive. Users with fewer than
+    ``OUTLIER_MIN_EVENTS`` events or zero variance never flag —
+    stddev guards divide-by-zero explicitly."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("n_user_events"),
+    )
+    return (
+        stats.filter(
+            (F.col("n_user_events") >= OUTLIER_MIN_EVENTS)
+            & (F.col("sd") > 0)
+            & (F.abs(F.col("value") - F.col("mu")) > OUTLIER_Z * F.col("sd"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.round("value", 2).alias("value"),
+            F.round((F.col("value") - F.col("mu")) / F.col("sd"), 3).alias("z"),
+            "n_user_events",
+        )
+    )
+
+
+EVENTS_VALUE_OUTLIERS_ORACLE = f"""
+    WITH s AS (
+        SELECT event_id, user_id, value,
+               AVG(value) OVER (PARTITION BY user_id) AS mu,
+               STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd,
+               COUNT(*) OVER (PARTITION BY user_id) AS n_user_events
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(value, 2) AS value,
+           ROUND((value - mu) / sd, 3) AS z,
+           n_user_events
+    FROM s
+    WHERE n_user_events >= {OUTLIER_MIN_EVENTS}
+      AND sd > 0
+      AND ABS(value - mu) > {OUTLIER_Z} * sd
+"""

@@ -77,6 +77,41 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "2 hours") -> Data
     )
 
 
+def session_stats_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session rollups with ``F.session_window`` — the
+    streaming twin of plans/events.events_session_window (identical
+    aggregate shape, same merge-at-exact-gap boundary semantics).
+    This is the one sessionizer Structured Streaming runs natively:
+    the state store merges overlapping session candidates per
+    (key, session) and the watermark closes sessions whose gap has
+    provably expired — state per user is open sessions only, never
+    event history. (The lag+cumsum batch formulation has no direct
+    streaming form; applyInPandasWithState in streaming/stateful.py
+    covers the custom-state variant.)"""
+    from global_superstore_data_warehouse_spark.plans.events import (
+        SESSION_GAP_SECONDS,
+    )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_SECONDS} seconds"),
+            "user_id",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream: DataFrame,
     spark: SparkSession,

@@ -14,6 +14,8 @@ EVENT_QUERIES = [
     "cohort_retention",
     "event_funnel",
     "event_transitions",
+    "events_session_window",
+    "events_value_outliers",
 ]
 
 
@@ -260,3 +262,26 @@ def test_range_join_is_equi_join_not_nested_loop(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in l and "Cross" not in l
     ]
     assert not bad, bad
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir, tmp_path):
+    """The native session_window streaming job (availableNow drain)
+    must produce exactly the batch events_session_window result —
+    state-store session merging and the batch aggregate implement
+    the same gap semantics."""
+    from global_superstore_data_warehouse_spark.plans.events import (
+        events_session_window,
+    )
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_stats_stream,
+    )
+
+    stream = session_stats_stream(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(stream, spark, "session_test", str(tmp_path / "ckpt_sw"))
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM session_test").collect())
+    )
+    want = sorted(map(tuple, events_session_window(spark, sf_dir).collect()))
+    assert got == want
