@@ -376,3 +376,110 @@ EMBEDDING_CENTROIDS_ORACLE = f"""
     FROM embeddings, range(1, {DIMS + 1}) t(i)
     GROUP BY label, i
 """
+
+
+# --- k-means (Lloyd) over embeddings ---------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2  # fixed, unrolled in the oracle
+
+
+def _sq_dist(a, b):
+    """Sequential-fold squared euclidean distance (double)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq_dist_sql(a: str, b: str, dims: int) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {dims + 1}), "
+        f"i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), 'sum')"
+    )
+
+
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means via ``KMEANS_ITERS`` Lloyd rounds — the canonical
+    iterative algorithm in its scale-correct Spark shape: centroids
+    are a K-row frame that rides a BROADCAST into the assignment
+    cross join; the re-estimate is posexplode → per-(cluster, dim)
+    mean (map-side partial) → ordered array reassembly with
+    ``array_sort(collect_list(struct(dim, val)))`` — K·DIMS rows, no
+    driver collect anywhere (MLlib's own Lloyd collects to the
+    driver per round; this stays distributed end-to-end).
+
+    Determinism: init = the first K vectors by vec_id; assignment
+    ties break on centroid id; re-estimated centroids round to 6 dp
+    in BOTH engines so the second assignment sees identical floats.
+    Returns the final assignment with its squared distance."""
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    assign = None
+    for it in range(KMEANS_ITERS):
+        assign = (
+            e.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cid", _sq_dist(F.col("v"), F.col("c")).alias("d"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy("d", "cid")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        if it < KMEANS_ITERS - 1:
+            m = (
+                assign.select("cid", F.posexplode("v").alias("dim0", "val"))
+                .groupBy("cid", "dim0")
+                .agg((F.round(F.avg("val"), 6) + F.lit(0.0)).alias("cv"))
+            )
+            cents = m.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim0", "cv"))),
+                    lambda s: s["cv"],
+                ).alias("c")
+            )
+    return assign.select(
+        "vec_id",
+        F.col("cid").alias("cluster_id"),
+        F.round("d", 6).alias("sq_dist"),
+    )
+
+
+_KM_D0 = _sq_dist_sql("e.v", "c0.c", DIMS)
+_KM_D1 = _sq_dist_sql("e.v", "c1.c", DIMS)
+
+KMEANS_ASSIGN_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), c0 AS (
+        SELECT vec_id AS cid, v AS c FROM e WHERE vec_id < {KMEANS_K}
+    ), a1 AS (
+        SELECT e.vec_id, c0.cid, {_KM_D0} AS d
+        FROM e CROSS JOIN c0
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                   ORDER BY d, cid) = 1
+    ), m1 AS (
+        SELECT a1.cid, i AS dim, ROUND(AVG(e.v[i]), 6) + 0.0 AS cv
+        FROM a1 JOIN e USING (vec_id), range(1, {DIMS + 1}) t(i)
+        GROUP BY a1.cid, i
+    ), c1 AS (
+        SELECT cid, list(cv ORDER BY dim) AS c FROM m1 GROUP BY cid
+    ), a2 AS (
+        SELECT e.vec_id, c1.cid, {_KM_D1} AS d
+        FROM e CROSS JOIN c1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                   ORDER BY d, cid) = 1
+    )
+    SELECT vec_id, cid AS cluster_id, ROUND(d, 6) AS sq_dist FROM a2
+"""

@@ -10,6 +10,7 @@ EMBEDDING_QUERIES = [
     "ann_ivf_topk",
     "embedding_near_dup",
     "embedding_centroids",
+    "kmeans_assign",
 ]
 
 
@@ -77,3 +78,40 @@ def test_pandas_udf_cosine_equals_fold(spark, sf_dir):
     ).collect()
     for r in both:
         assert abs(r.fold - r.vec) < 1e-9, (r.fold, r.vec)
+
+
+def test_kmeans_stays_distributed_and_improves(spark, sf_dir):
+    """Lloyd contract: no driver collect in the plan (no
+    LocalTableScan of centroids beyond the broadcast), every vector
+    assigned exactly once, and round 2's total inertia is <= round
+    1's (Lloyd never increases the objective; equality only at an
+    exact fixpoint)."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        KMEANS_K,
+        kmeans_assign,
+    )
+
+    out = kmeans_assign(spark, sf_dir)
+    rows = out.collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    assert len({r.vec_id for r in rows}) == n
+    assert {r.cluster_id for r in rows} <= set(range(KMEANS_K))
+    plan = out._jdf.queryExecution().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # inertia after the re-estimate beats the init assignment
+    import global_superstore_data_warehouse_spark.plans.embeddings as E
+
+    old_iters = E.KMEANS_ITERS
+    try:
+        E.KMEANS_ITERS = 1
+        inertia_1 = (
+            kmeans_assign(spark, sf_dir).agg(F.sum("sq_dist")).collect()[0][0]
+        )
+    finally:
+        E.KMEANS_ITERS = old_iters
+    inertia_2 = out.agg(F.sum("sq_dist")).collect()[0][0]
+    assert inertia_2 <= inertia_1
