@@ -604,3 +604,44 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # exact by construction (Bloom only prunes; confirm join is exact)
 DECONTAMINATE_BLOOM_ORACLE = DECONTAMINATE_NGRAMS_ORACLE
+
+
+QUOTA_SALT_PARTITIONS = 16
+
+
+def domain_quota_sample_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``domain_quota_sample``'s documented hot-domain swap-in made
+    real: two-phase top-K. Phase 1 splits each source into
+    ``QUOTA_SALT_PARTITIONS`` salt shards (deterministic hash of
+    doc_id) and keeps the quota-K smallest md5 keys per shard —
+    windows run over (source, salt), so no single sort ever sees a
+    whole hot domain. Phase 2 re-ranks only the K x SALT survivors
+    per source (bounded rows) to the exact global top-K.
+
+    Phase 1's per-shard top-K is a SUPERSET of the global top-K
+    (the K smallest overall lie in some shard and are in its local
+    top-K), so the result is IDENTICAL to the single-window plan —
+    same oracle, equivalence-tested — while the biggest sort shrinks
+    from |hot domain| to K x SALT."""
+    docs = load(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("order_key"),
+        F.pmod(F.hash("doc_id"), F.lit(QUOTA_SALT_PARTITIONS)).alias("salt"),
+    )
+    w1 = Window.partitionBy("source", "salt").orderBy("order_key", "doc_id")
+    survivors = (
+        keyed.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= QUOTA_PER_SOURCE)
+        .drop("__r1", "salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("order_key", "doc_id")
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w2))
+        .filter(F.col("sample_rank") <= QUOTA_PER_SOURCE)
+        .select("doc_id", "source", "sample_rank")
+    )
+
+
+DOMAIN_QUOTA_SAMPLE_TWOPHASE_ORACLE = DOMAIN_QUOTA_SAMPLE_ORACLE

@@ -223,3 +223,22 @@ register("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimod
 # Bloom-prefiltered decontamination: JVM bitmap probe + exact confirm
 # (equivalence-tested against decontaminate_ngrams, same oracle)
 register("decontaminate_bloom", curation.decontaminate_bloom, curation.DECONTAMINATE_BLOOM_ORACLE)
+# alternating large-star/small-star CC swapped into the dedup endgame
+# (operators/graph.py; equivalence-tested against dedup_clusters)
+register(
+    "dedup_clusters_smallstar",
+    textops.dedup_clusters_smallstar,
+    textops.DEDUP_CLUSTERS_SMALLSTAR_ORACLE,
+)
+# Catalyst-native session_window sessionizer (boundary-probed oracle)
+register("events_session_window", events.events_session_window, events.EVENTS_SESSION_WINDOW_ORACLE)
+# per-user z-score anomaly scan over event values
+register("events_value_outliers", events.events_value_outliers, events.EVENTS_VALUE_OUTLIERS_ORACLE)
+# k-means Lloyd rounds, fully distributed (no driver collect)
+register("kmeans_assign", embeddings.kmeans_assign, embeddings.KMEANS_ASSIGN_ORACLE)
+# two-phase top-K quota (hot-domain swap-in; equivalence-tested)
+register(
+    "domain_quota_sample_twophase",
+    curation.domain_quota_sample_twophase,
+    curation.DOMAIN_QUOTA_SAMPLE_TWOPHASE_ORACLE,
+)

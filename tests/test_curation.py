@@ -168,3 +168,17 @@ def test_bloom_probe_stays_jvm_side(spark, sf_dir):
     plan = decontaminate_bloom(spark, sf_dir)._jdf.queryExecution().toString()
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_twophase_quota_equals_single_window(spark, duck, sf_dir):
+    """Two-phase top-K must reproduce the single-window quota rows
+    exactly (per-shard top-K is a superset of the global top-K)."""
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        domain_quota_sample,
+        domain_quota_sample_twophase,
+    )
+
+    a = sorted(map(tuple, domain_quota_sample_twophase(spark, sf_dir).collect()))
+    b = sorted(map(tuple, domain_quota_sample(spark, sf_dir).collect()))
+    assert a == b
+    assert_matches_oracle(spark, duck, "domain_quota_sample_twophase", sf_dir)
