@@ -62,6 +62,13 @@ EXTRA = [
     "events_in_maintenance_windows",
     "tfidf_topk_terms",
     "curation_pipeline",
+    # round-4 additions: Bloom-prefiltered decontamination (vs the
+    # in-window broadcast-join plan), alternating-star CC (vs the
+    # min-contraction plan), distributed Lloyd k-means
+    "decontaminate_ngrams",
+    "decontaminate_bloom",
+    "dedup_clusters_smallstar",
+    "kmeans_assign",
     # unregistered equivalence-tested variant: the grouped-pandas
     # formulation of event_transitions, timed next to the registered
     # JVM lag-window plan so the Arrow-round-trip cost stays visible
