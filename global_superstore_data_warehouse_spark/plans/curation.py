@@ -46,7 +46,10 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram share, distinct-word share. High top-word / top-bigram
     fractions flag boilerplate and degenerate generations."""
     docs = load(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    # tokenize ONCE in a standalone projection (textops._shingles
+    # documents why: inlined splits re-evaluate per reference)
+    tok = docs.select("doc_id", T.tokens("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     # sort-and-scan multiplicity (O(n log n)), not per-distinct
     # filter scans (O(distinct x n) interpreted HOF evals — measured
@@ -59,7 +62,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
     top_bigram_cnt = T.max_multiplicity(bigrams)
-    return docs.select(
+    return tok.select(
         "doc_id",
         n.alias("n_words"),
         F.size(F.array_distinct(toks)).alias("n_unique_words"),
@@ -217,7 +220,8 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``keep`` is their conjunction. Pure per-row projection — zero
     shuffles, composes with repetition_stats' expressions."""
     docs = load(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    tok = docs.select("doc_id", T.tokens("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     uniq_frac = F.size(F.array_distinct(toks)) / n.cast("double")
     top_word_cnt = T.max_multiplicity(toks)  # see repetition_stats
@@ -225,7 +229,7 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     len_ok = n >= MIN_WORDS
     uniq_ok = uniq_frac >= MIN_UNIQUE_FRAC
     rep_ok = top_frac <= MAX_TOP_WORD_FRAC
-    return docs.select(
+    return tok.select(
         "doc_id",
         n.alias("n_words"),
         len_ok.alias("len_ok"),
@@ -344,10 +348,17 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from global_superstore_data_warehouse_spark.plans.textops import _shingles
 
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
+    # tokenize in a standalone projection — _shingles re-references
+    # the array per gram position (its docstring has the O(N^2) math)
+    tok = docs.select(
         "doc_id",
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
-        F.explode(_shingles(T.tokens("text"), DECON_NGRAM)).alias("gram"),
+        T.tokens("text").alias("toks"),
+    )
+    grams = tok.select(
+        "doc_id",
+        "is_eval",
+        F.explode(_shingles(F.col("toks"), DECON_NGRAM)).alias("gram"),
     )
     eval_grams = grams.filter("is_eval").select("gram").distinct()
     hits = (
@@ -448,11 +459,15 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup survivors) — but nothing in the shapes requires it, so an
     incremental run can fuse them exactly like this."""
     docs = load(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    # tokenize ONCE in a standalone projection (see repetition_stats)
+    tok = docs.select(
+        "doc_id", "source", "text", T.tokens("text").alias("toks")
+    )
+    toks = F.col("toks")
     n = F.size(toks)
     uniq_frac = F.size(F.array_distinct(toks)) / n.cast("double")
     top_frac = T.max_multiplicity(toks) / n.cast("double")
-    kept = docs.filter(
+    kept = tok.filter(
         (n >= MIN_WORDS)
         & (uniq_frac >= MIN_UNIQUE_FRAC)
         & (top_frac <= MAX_TOP_WORD_FRAC)
@@ -464,11 +479,12 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    # pack the survivors (same layout rules as pack_chunks)
+    # pack the survivors (same layout rules as pack_chunks);
+    # n_tokens == size(toks) == token_count(text) by construction
     keyed = survivors.select(
         "doc_id",
         "source",
-        T.token_count("text").alias("n_tokens"),
+        F.size(toks).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("order_key"),
     )
     w = (
@@ -549,10 +565,16 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     from global_superstore_data_warehouse_spark.plans.textops import _shingles
 
     docs = load(spark, sf_dir, "documents")
-    grams = docs.select(
+    # standalone tokenize projection (see decontaminate_ngrams)
+    tok = docs.select(
         "doc_id",
         (F.col("doc_id") % EVAL_MOD == 0).alias("is_eval"),
-        F.explode(_shingles(T.tokens("text"), DECON_NGRAM)).alias("gram"),
+        T.tokens("text").alias("toks"),
+    )
+    grams = tok.select(
+        "doc_id",
+        "is_eval",
+        F.explode(_shingles(F.col("toks"), DECON_NGRAM)).alias("gram"),
     )
 
     def _positions(col: Column) -> list[Column]:

@@ -35,13 +35,21 @@ def _hashed_sql(expr: str) -> str:
 # --- token counting --------------------------------------------------
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenize in its OWN projection (see _shingles' note): every
+    # toks reference below then reads a cheap attribute instead of
+    # re-running the split
     docs = load(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    return docs.select(
+    tok = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        T.tokens("text").alias("toks"),
+    )
+    toks = F.col("toks")
+    return tok.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        F.length("text").alias("n_chars_actual"),
+        "n_chars_actual",
         T.total_token_chars(toks).alias("total_token_chars"),
     )
 
@@ -63,7 +71,8 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality features: distinct-token ratio, stopword
     ratio, mean token length, composite score."""
     docs = load(spark, sf_dir, "documents")
-    toks = T.tokens("text")
+    tok = docs.select("doc_id", T.tokens("text").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks).cast("double")
     n_distinct = F.size(F.array_distinct(toks)).cast("double")
     n_stop = T.stopword_count(toks, T.EN_STOPWORDS).cast("double")
@@ -74,7 +83,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.5 * (n_distinct / n) + 0.3 * (1 - n_stop / n) + 0.2 * F.least(F.lit(1.0), n / 100.0),
         6,
     )
-    return docs.select(
+    return tok.select(
         "doc_id",
         distinct_ratio.alias("distinct_ratio"),
         stop_ratio.alias("stopword_ratio"),
@@ -111,14 +120,14 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en > es > de on ties) — deterministic, and honest about being a
     heuristic: scores are returned alongside the prediction."""
     docs = load(spark, sf_dir, "documents")
-    toks = T.tokens("text")
-    s = T.lang_scores(toks)
+    tok = docs.select("doc_id", "lang", T.tokens("text").alias("toks"))
+    s = T.lang_scores(F.col("toks"))
     predicted = (
         F.when((s["es"] > s["en"]) & (s["es"] >= s["de"]), F.lit("es"))
         .when(s["de"] > s["en"], F.lit("de"))
         .otherwise(F.lit("en"))
     )
-    return docs.select(
+    return tok.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         s["en"].alias("score_en"),
@@ -241,17 +250,21 @@ def _blocked_candidate_pairs(docs: DataFrame) -> DataFrame:
     # single-threaded. Hash-spread by doc_id is also the layout the
     # signature scan wants at 100 TB.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    toks = F.array_distinct(T.tokens("text"))
-    sig = (
-        docs.repartition(n_part, "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int").alias("len_b"),
-            *T.minhash_signature(toks, NUM_HASHES),
-        )
-        .localCheckpoint(eager=True)
+    # tokenize ONCE in a standalone projection: minhash_signature
+    # references the array 8x (one transform per seed), and inlined
+    # that would re-split the document 8x per row (see _shingles)
+    base = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int").alias("len_b"),
+        F.array_distinct(T.tokens("text")).alias("toks"),
     )
+    sig = base.select(
+        "doc_id",
+        "lang",
+        "len_b",
+        *T.minhash_signature(F.col("toks"), NUM_HASHES),
+    ).localCheckpoint(eager=True)
     exploded = sig.select(
         "doc_id",
         "lang",
@@ -293,9 +306,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     cand = _blocked_candidate_pairs(docs)
-    toks = T.hashed_set(T.tokens("text"))
-    sh3 = T.hashed_set(_shingles(T.tokens("text"), 3))
-    payload = docs.select("doc_id", toks.alias("toks"), sh3.alias("sh3"))
+    # standalone tokenize projection: _shingles references the array
+    # per gram position, which inlined would re-split per element
+    base = docs.select("doc_id", T.tokens("text").alias("t0"))
+    payload = base.select(
+        "doc_id",
+        T.hashed_set(F.col("t0")).alias("toks"),
+        T.hashed_set(_shingles(F.col("t0"), 3)).alias("sh3"),
+    )
     pa, pb = payload.alias("pa"), payload.alias("pb")
     joined = cand.join(pa, F.col("doc_id_a") == F.col("pa.doc_id")).join(
         pb, F.col("doc_id_b") == F.col("pb.doc_id")
@@ -326,7 +344,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _shingles(toks: Column, n: int) -> Column:
     """Distinct n-gram shingles of a token array (empty when the doc
-    has fewer than n tokens)."""
+    has fewer than n tokens).
+
+    PASS A MATERIALIZED COLUMN, not an inline ``split(...)``
+    expression: the lambda body references ``toks`` at every gram
+    position, and codegen subexpression elimination does not reach
+    inside LambdaFunction bodies — an inlined tokenizer would re-split
+    the document once per element (O(N^2) retokenization; measured
+    11.2 s vs 0.7 s on the 5-gram decontamination explode at sf0.1).
+    Projecting the token array in its OWN ``select`` suffices:
+    CollapseProject declines to inline a non-cheap expression that is
+    referenced more than once (collapseProjectAlwaysInline=false, the
+    Spark default), so the array stays a per-row attribute."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k) for k in range(n)]
@@ -451,19 +480,21 @@ def _lsh_verified_doc_pairs(docs: DataFrame) -> DataFrame:
     # keeps every downstream self-join 32-way here and N-way on a
     # cluster.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    toks = F.array_distinct(T.tokens("text"))
-    sig = (
-        classes.repartition(n_part, "cls")
-        .select(
-            "cls",
-            "rep",
-            # hashed token sets for the verification intersections:
-            # primitive-long array_intersect, not string compares
-            T.hashed_set(toks).alias("toks"),
-            *T.minhash_signature(toks, NUM_HASHES),
-        )
-        .localCheckpoint(eager=True)
+    # tokenize ONCE in a standalone projection (9 downstream
+    # references: hashed_set + 8 minhash transforms — see _shingles)
+    base = classes.repartition(n_part, "cls").select(
+        "cls",
+        "rep",
+        F.array_distinct(T.tokens("text")).alias("t0"),
     )
+    sig = base.select(
+        "cls",
+        "rep",
+        # hashed token sets for the verification intersections:
+        # primitive-long array_intersect, not string compares
+        T.hashed_set(F.col("t0")).alias("toks"),
+        *T.minhash_signature(F.col("t0"), NUM_HASHES),
+    ).localCheckpoint(eager=True)
     n_bands = NUM_HASHES // ROWS_PER_BAND
     banded = sig.select(
         "cls",
