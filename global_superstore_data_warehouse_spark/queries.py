@@ -37,6 +37,7 @@ from global_superstore_data_warehouse_spark.plans import (
     warehouse,
     windows,
 )
+from global_superstore_data_warehouse_spark import security
 from global_superstore_data_warehouse_spark.registry import register
 
 # ======================================================================
@@ -74,8 +75,15 @@ register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
 # --- DM star join (J8, 9-way) ---
 register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_WIDE_ORACLE)
 
+# --- C9 roles/GRANTs: the analyst role's secured view (privilege
+# gate + keyed column masks + pushed-down row filter; security.py) ---
+register(
+    "secured_customers_analyst",
+    security.secured_customers_analyst,
+    security.SECURED_CUSTOMERS_ANALYST_ORACLE,
+)
+
 # --- Text analysis & dedup (beyond-reference training-data ops) ---
-register("token_stats", textops.token_stats, textops.TOKEN_STATS_ORACLE)
 register("text_quality", textops.text_quality, textops.TEXT_QUALITY_ORACLE)
 register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_ORACLE)
 register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
@@ -187,6 +195,11 @@ register("best_month_per_segment", windows.best_month_per_segment, windows.BEST_
 register("top_employees_per_year", windows.top_employees_per_year, windows.TOP_EMPLOYEES_PER_YEAR_ORACLE)
 register("customer_ltv_deciles", windows.customer_ltv_deciles, windows.CUSTOMER_LTV_DECILES_ORACLE)
 register("rolling_7d_sales", windows.rolling_7d_sales, windows.ROLLING_7D_SALES_ORACLE)
+
+# token_stats: rotated out mid-round-4 (hash-green r03) to make room
+# for the C9 secured-view query; its zero-shuffle array-expression
+# shape stays covered in-window by text_quality + quality_filter.
+register("token_stats", textops.token_stats, textops.TOKEN_STATS_ORACLE)
 
 # --- Rotated out hash-green in r03; shapes covered in-window ---
 # lang_id / doc_fingerprints / simhash_docs: zero-shuffle JVM array

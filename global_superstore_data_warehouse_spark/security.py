@@ -1,0 +1,203 @@
+"""Role/GRANT security layer — SURVEY §2 C9, the last reference
+component (previously declared out of scope, now implemented).
+
+Reference parity: the reference creates one role per warehouse layer
+and wires a grant matrix along the data lineage — sources readable by
+the cleansing layer (consumer.sql:91-92, corporate.sql:93-94), the
+3NF layer writable by cleansing (bl_3nf.sql:281-284), the DM layer's
+procedures executable by cleansing (bl_dm.sql:230-246).
+
+Spark-first re-expression: an embedded Spark session has no
+engine-level ACL (clusters delegate table ACLs to the catalog
+service). What IS expressible engine-side — and what warehouses pair
+with GRANTs in practice — is policy enforcement at plan-construction
+time plus a SECURED VIEW layer:
+
+- a ``GrantMatrix`` holds (role, table) -> privileges and raises
+  ``PermissionDenied`` before any plan is built — the moral
+  equivalent of the reference's GRANT failing at parse time;
+- per-(role, table) view policies apply COLUMN-level security
+  (pruning + masking expressions) and ROW-level security (filter
+  predicates) as ordinary Catalyst expressions, so masks stay
+  whole-stage-codegen'd and row filters PUSH DOWN into the parquet
+  scan (a secured view costs nothing extra at 100 TB — the filter
+  prunes row groups like any other predicate).
+
+Masking is deterministic (keyed md5), so secured views remain
+joinable on masked keys across tables — same property the
+pii_pseudonymize pass guarantees (plans/curation.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Mapping
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import TABLES, load
+
+PRIVILEGES = frozenset({"select", "insert", "update", "delete"})
+
+MASK_PEPPER = "gsdw-mask-v1"
+
+
+class PermissionDenied(Exception):
+    """Raised when a role lacks the privilege for an operation."""
+
+
+@dataclass
+class ViewPolicy:
+    """Column/row security for one (role, table) secured view.
+
+    ``columns`` — the visible columns, in order. A plain string
+    passes the column through; a (alias, builder) pair emits
+    ``builder()`` under ``alias`` (masking, banding, ...).
+    ``row_filter`` — optional predicate builder; rows failing it do
+    not exist for the role (row-level security).
+    """
+
+    columns: tuple[str | tuple[str, Callable[[], Column]], ...]
+    row_filter: Callable[[], Column] | None = None
+
+
+@dataclass
+class GrantMatrix:
+    """(role, table) -> privileges, plus optional view policies.
+
+    Mirrors the reference's role graph: privileges gate access
+    outright; view policies shape what a SELECT returns.
+    """
+
+    grants: dict[tuple[str, str], frozenset[str]] = field(default_factory=dict)
+    policies: dict[tuple[str, str], ViewPolicy] = field(default_factory=dict)
+
+    def grant(
+        self,
+        role: str,
+        table: str,
+        privs: str | tuple[str, ...],
+        policy: ViewPolicy | None = None,
+    ) -> "GrantMatrix":
+        if isinstance(privs, str):
+            privs = (privs,)
+        bad = set(privs) - PRIVILEGES
+        if bad:
+            raise ValueError(f"unknown privileges {sorted(bad)}")
+        if table != "*" and table not in TABLES:
+            raise KeyError(f"unknown table {table!r}")
+        key = (role, table)
+        self.grants[key] = self.grants.get(key, frozenset()) | frozenset(privs)
+        if policy is not None:
+            self.policies[key] = policy
+        return self
+
+    def check(self, role: str, table: str, priv: str) -> None:
+        """The GRANT gate: raise unless ``role`` holds ``priv`` on
+        ``table`` (directly or via a ``*`` whole-schema grant, the
+        reference's ``ON ALL TABLES IN SCHEMA`` shape)."""
+        if priv not in PRIVILEGES:
+            raise ValueError(f"unknown privilege {priv!r}")
+        held = self.grants.get((role, table), frozenset()) | self.grants.get(
+            (role, "*"), frozenset()
+        )
+        if priv not in held:
+            raise PermissionDenied(
+                f"role {role!r} lacks {priv.upper()} on {table!r}"
+            )
+
+    def secured_load(
+        self, spark: SparkSession, sf_dir: str, role: str, table: str
+    ) -> DataFrame:
+        """SELECT through the role's secured view: privilege check,
+        then the (role, table) policy's column masks + row filter as
+        one Catalyst projection/filter over the lazy scan. With no
+        policy the full table is returned (a plain table grant)."""
+        self.check(role, table, "select")
+        df = load(spark, sf_dir, table)
+        pol = self.policies.get((role, table))
+        if pol is None:
+            return df
+        if pol.row_filter is not None:
+            df = df.filter(pol.row_filter())
+        cols = [
+            F.col(c) if isinstance(c, str) else c[1]().alias(c[0])
+            for c in pol.columns
+        ]
+        return df.select(*cols)
+
+
+def keyed_mask(col: str) -> Column:
+    """Deterministic keyed mask: md5(pepper || value). Irreversible
+    without the pepper, stable across runs, join-preserving."""
+    return F.md5(F.concat(F.lit(MASK_PEPPER + "|"), F.col(col).cast("string")))
+
+
+def band(col: str, width: float) -> Column:
+    """Generalize a numeric quasi-identifier to a band index."""
+    return F.floor(F.col(col) / F.lit(width)).cast("int")
+
+
+ANALYST_SEGMENTS = ("AUTOMOBILE", "BUILDING")
+ANALYST_BAND = 1000.0
+
+
+def reference_matrix() -> GrantMatrix:
+    """The reference's grant matrix re-expressed over this engine's
+    tables, plus a masked analyst role (the modern column/row-level
+    half of C9).
+
+    - source-agent roles own their staging tables
+      (consumer.sql:91-92 / corporate.sql:93-94 grant the cleansing
+      and 3NF layers read/write on the source schemas);
+    - ``bl_cl`` reads every source table (ON ALL TABLES IN SCHEMA);
+    - ``bl_dm`` reads the conformed tables it builds marts from;
+    - ``analyst`` gets customer ONLY through a secured view: names
+      keyed-masked, balances banded, rows limited to the analyst
+      segments.
+    """
+    m = GrantMatrix()
+    m.grant("sa_superstore_consumer", "customer", ("select", "insert", "update"))
+    m.grant("sa_superstore_consumer", "orders", ("select", "insert", "update"))
+    m.grant("sa_superstore_corporate", "supplier", ("select", "insert", "update"))
+    m.grant("sa_superstore_corporate", "part", ("select", "insert", "update"))
+    m.grant("bl_cl", "*", ("select", "insert", "update", "delete"))
+    for t in ("customer", "orders", "lineitem", "supplier", "part", "nation", "region"):
+        m.grant("bl_dm", t, "select")
+    m.grant(
+        "analyst",
+        "customer",
+        "select",
+        ViewPolicy(
+            columns=(
+                "c_custkey",
+                ("name_masked", lambda: keyed_mask("c_name")),
+                "c_mktsegment",
+                ("acctbal_band", lambda: band("c_acctbal", ANALYST_BAND)),
+            ),
+            row_filter=lambda: F.col("c_mktsegment").isin(*ANALYST_SEGMENTS),
+        ),
+    )
+    return m
+
+
+def secured_customers_analyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for C9: the analyst role's secured view of
+    customer — privilege-gated, name keyed-masked, balance banded,
+    rows filtered to the granted segments. The row filter is an
+    ordinary pushed-down predicate and every mask is a codegen'd
+    expression: security costs one projection."""
+    return reference_matrix().secured_load(spark, sf_dir, "analyst", "customer")
+
+
+_SEGS = ", ".join(f"'{s}'" for s in ANALYST_SEGMENTS)
+
+SECURED_CUSTOMERS_ANALYST_ORACLE = f"""
+    SELECT c_custkey,
+           md5('{MASK_PEPPER}|' || c_name) AS name_masked,
+           c_mktsegment,
+           CAST(FLOOR(c_acctbal / {ANALYST_BAND}) AS INTEGER) AS acctbal_band
+    FROM customer
+    WHERE c_mktsegment IN ({_SEGS})
+"""

@@ -1,0 +1,93 @@
+"""C9 roles/GRANTs — grant-matrix enforcement, secured-view oracle
+parity, row-filter pushdown, mask joinability."""
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+
+
+def _matrix():
+    from global_superstore_data_warehouse_spark.security import reference_matrix
+
+    return reference_matrix()
+
+
+def test_secured_view_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "secured_customers_analyst", sf_dir)
+
+
+def test_grant_matrix_denies_ungranted(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.security import PermissionDenied
+
+    m = _matrix()
+    # analyst holds SELECT on customer only
+    with pytest.raises(PermissionDenied):
+        m.secured_load(spark, sf_dir, "analyst", "orders")
+    # source agents are confined to their own staging tables
+    # (consumer.sql:91-92 / corporate.sql:93-94 grant per-schema)
+    with pytest.raises(PermissionDenied):
+        m.check("sa_superstore_consumer", "supplier", "select")
+    with pytest.raises(PermissionDenied):
+        m.check("sa_superstore_corporate", "customer", "select")
+    # select does not imply write
+    with pytest.raises(PermissionDenied):
+        m.check("bl_dm", "customer", "insert")
+    # unknown role == no grants
+    with pytest.raises(PermissionDenied):
+        m.check("nobody", "customer", "select")
+
+
+def test_grant_matrix_star_and_validation():
+    from global_superstore_data_warehouse_spark.security import GrantMatrix
+
+    m = _matrix()
+    # bl_cl's ON-ALL-TABLES grant (bl_3nf.sql:283 shape)
+    for t in ("customer", "events", "documents"):
+        m.check("bl_cl", t, "delete")
+    with pytest.raises(ValueError):
+        m.check("bl_cl", "customer", "truncate")
+    with pytest.raises(ValueError):
+        GrantMatrix().grant("r", "customer", "grant_option")
+    with pytest.raises(KeyError):
+        GrantMatrix().grant("r", "no_such_table", "select")
+
+
+def test_row_filter_pushes_to_scan(spark, sf_dir):
+    """Row-level security is an ordinary predicate: it must reach the
+    parquet scan as a pushed filter, not run post-scan."""
+    from global_superstore_data_warehouse_spark.security import (
+        secured_customers_analyst,
+    )
+
+    df = secured_customers_analyst(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters:")[1].split("\n")[0]
+
+
+def test_mask_is_deterministic_and_join_preserving(spark, sf_dir):
+    """The keyed mask maps equal inputs to equal tokens across
+    independent loads (secured views stay joinable) and never leaks
+    the raw value."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.security import (
+        secured_customers_analyst,
+    )
+
+    a = secured_customers_analyst(spark, sf_dir).select(
+        "c_custkey", F.col("name_masked").alias("m1")
+    )
+    b = secured_customers_analyst(spark, sf_dir).select(
+        "c_custkey", F.col("name_masked").alias("m2")
+    )
+    joined = a.join(b, "c_custkey")
+    assert joined.filter(F.col("m1") != F.col("m2")).count() == 0
+    # masked column carries no raw names
+    from global_superstore_data_warehouse_spark.catalog import load
+
+    raw = set(r[0] for r in load(spark, sf_dir, "customer").select("c_name").limit(20).collect())
+    masked = set(r[0] for r in a.select("m1").limit(1000).collect())
+    assert raw.isdisjoint(masked)
