@@ -73,6 +73,10 @@ EXTRA = [
     # formulation of event_transitions, timed next to the registered
     # JVM lag-window plan so the Arrow-round-trip cost stays visible
     "event_transitions_pandas",
+    # mid-round-4 additions: batch-vs-corpus incremental dedup and
+    # the overlapping RAG chunker
+    "dedup_incremental",
+    "chunk_overlap",
 ]
 
 ROUNDS = 3

@@ -667,3 +667,78 @@ def domain_quota_sample_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOMAIN_QUOTA_SAMPLE_TWOPHASE_ORACLE = DOMAIN_QUOTA_SAMPLE_ORACLE
+
+
+# --- overlapping context-window chunking ------------------------------
+
+CHUNK_TOKENS = 64  # chunk size (context-window budget per chunk)
+CHUNK_OVERLAP = 16  # tokens shared by consecutive chunks
+CHUNK_STRIDE = CHUNK_TOKENS - CHUNK_OVERLAP
+
+
+def chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunker: split every document into
+    CHUNK_TOKENS-token windows advancing by CHUNK_STRIDE, so
+    consecutive chunks share CHUNK_OVERLAP tokens (boundary context
+    is never lost to a hard cut). The last chunk is short when the
+    tail is; a document shorter than one chunk yields exactly one.
+
+    Plan: tokenize ONCE (standalone projection — textops._shingles
+    documents why), derive the chunk count with pure integer
+    arithmetic, explode a 0..n_chunks-1 index, and slice the token
+    array per chunk. Zero shuffles, bounded fan-out
+    (~n_tokens/CHUNK_STRIDE rows per doc), and the token array rides
+    only within a partition — the embarrassingly parallel shape that
+    holds at 100 TB. Unlike ``pack_chunks`` (which assigns documents
+    to packs), this SPLITS documents, so the pair covers both
+    directions of the training-data layout problem."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.tokens("text").alias("toks"))
+    # integer chunk count: 1 + ceil(max(0, n - CHUNK) / STRIDE)
+    n_chunks = F.expr(
+        f"1 + (greatest(0, size(toks) - {CHUNK_TOKENS})"
+        f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}"
+    )
+    chunked = tok.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("ci"),
+    )
+    start = F.col("ci") * CHUNK_STRIDE + 1
+    return chunked.select(
+        "doc_id",
+        F.col("ci").cast("int").alias("chunk_idx"),
+        start.cast("int").alias("start_token"),
+        F.least(F.lit(CHUNK_TOKENS), F.col("n_tokens") - start + 1)
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice("toks", start, F.lit(CHUNK_TOKENS))).alias(
+            "chunk_text"
+        ),
+    )
+
+
+CHUNK_OVERLAP_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {ALL_TOKS_SQL} AS toks,
+               CAST(len({ALL_TOKS_SQL}) AS INTEGER) AS n
+        FROM documents
+    ), c AS (
+        SELECT doc_id, toks, n,
+               unnest(range(0, 1 + (greatest(0, n - {CHUNK_TOKENS})
+                                    + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}))
+                   AS ci
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(ci AS INTEGER) AS chunk_idx,
+           CAST(ci * {CHUNK_STRIDE} + 1 AS INTEGER) AS start_token,
+           CAST(least({CHUNK_TOKENS}, n - (ci * {CHUNK_STRIDE} + 1) + 1)
+                AS INTEGER) AS n_chunk_tokens,
+           array_to_string(
+               list_slice(toks, ci * {CHUNK_STRIDE} + 1,
+                          ci * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+               AS chunk_text
+    FROM c
+"""

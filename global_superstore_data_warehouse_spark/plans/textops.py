@@ -879,3 +879,145 @@ def _crossmodal_oracle() -> str:
 
 
 CROSSMODAL_NEAR_DUP_ORACLE = _crossmodal_oracle()
+
+
+# --- incremental dedup (new batch vs established corpus) -------------
+
+NEW_BATCH_MOD = 10  # doc_id % 10 == 0 -> the incoming "crawl batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of an incoming batch against an ESTABLISHED
+    corpus — the shape a production training pipeline actually runs
+    per crawl: re-clustering the whole corpus per batch is O(corpus)
+    every day, while this is O(batch) plus index probes.
+
+    Split (deterministic, so the driver can hash-check): doc_id %
+    NEW_BATCH_MOD == 0 is the incoming batch; the rest is the corpus.
+    Stage 1 (exact): the batch's md5 content fingerprints probe the
+    corpus fingerprint set. Stage 2 (near): the batch's MinHash band
+    buckets probe the corpus's banded signature index within the
+    (lang, length-bucket) block — the same bounded block as
+    ``_blocked_candidate_pairs`` — and candidates are verified by
+    hashed-token Jaccard >= CLUSTER_JACCARD. Verdict per batch doc:
+    'exact_dup' > 'near_dup' > 'new', with the matched corpus doc
+    (min doc_id among matches, NULL for new).
+
+    At 100 TB the corpus side is a PERSISTED index — fingerprints and
+    (band, bucket) keys bucketed on disk (sources/bucketed.py), so a
+    daily batch join is shuffle-free on the corpus side and the
+    corpus text is never re-read; here both sides derive from the
+    same static table so the result is oracle-checkable. Both probes
+    shuffle only batch-sized or hit-sized rows; signatures ride one
+    eager checkpoint exactly like ``minhash_lsh_candidates``."""
+    docs = load(spark, sf_dir, "documents")
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # tokenize ONCE in a standalone projection (see _shingles)
+    base = docs.repartition(n_part, "doc_id").select(
+        "doc_id",
+        (F.col("doc_id") % NEW_BATCH_MOD == 0).alias("is_new"),
+        "lang",
+        F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int").alias("len_b"),
+        F.md5("text").alias("fp"),
+        F.array_distinct(T.tokens("text")).alias("t0"),
+    )
+    sig = base.select(
+        "doc_id",
+        "is_new",
+        "lang",
+        "len_b",
+        "fp",
+        T.hashed_set(F.col("t0")).alias("toks"),
+        *T.minhash_signature(F.col("t0"), NUM_HASHES),
+    ).localCheckpoint(eager=True)
+    batch = sig.filter("is_new")
+    corpus = sig.filter(~F.col("is_new"))
+
+    # stage 1: exact fingerprint probe
+    exact = (
+        batch.select("doc_id", "fp")
+        .join(corpus.select("fp", F.col("doc_id").alias("c_id")), "fp")
+        .groupBy("doc_id")
+        .agg(F.min("c_id").alias("exact_match"))
+    )
+
+    # stage 2: banded signature index probe (block-bounded, per-band
+    # equi-join — never an OR-join, never batch x corpus)
+    def _bands(df: DataFrame, id_alias: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            "lang",
+            "len_b",
+            F.posexplode(
+                F.array(*[F.col(f"mh{i}") for i in range(NUM_HASHES)])
+            ).alias("band_id", "bucket"),
+        )
+
+    cand = (
+        _bands(batch, "b_id")
+        .join(_bands(corpus, "c_id"), ["lang", "len_b", "band_id", "bucket"])
+        .select("b_id", "c_id")
+        .dropDuplicates()
+    )
+    bt = batch.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    ct = corpus.select(F.col("doc_id").alias("c_id"), F.col("toks").alias("c_toks"))
+    near = (
+        cand.join(bt, "b_id")
+        .join(ct, "c_id")
+        .filter(T.jaccard(F.col("b_toks"), F.col("c_toks")) >= CLUSTER_JACCARD)
+        .groupBy("b_id")
+        .agg(F.min("c_id").alias("near_match"))
+        .withColumnRenamed("b_id", "doc_id")
+    )
+    return (
+        batch.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_match").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("near_match").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("new"))
+            .alias("verdict"),
+            F.coalesce("exact_match", "near_match").alias("matched_doc_id"),
+        )
+    )
+
+
+_BC_BAND_OR_SQL = " OR ".join(f"b.mh{i} = c.mh{i}" for i in range(NUM_HASHES))
+
+DEDUP_INCREMENTAL_ORACLE = f"""
+    WITH raw AS (
+        SELECT doc_id, (doc_id % {NEW_BATCH_MOD} = 0) AS is_new, lang,
+               n_chars, text, list_distinct({ALL_TOKS_SQL}) AS t
+        FROM documents
+    ), d AS (
+        SELECT doc_id, is_new, lang,
+               CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS INTEGER) AS len_b,
+               md5(text) AS fp,
+               {_hashed_sql('t')} AS toks,
+               {_sig_sql_from('t')}
+        FROM raw
+    ), b AS (SELECT * FROM d WHERE is_new
+    ), c AS (SELECT * FROM d WHERE NOT is_new
+    ), exact AS (
+        SELECT b.doc_id, MIN(c.doc_id) AS exact_match
+        FROM b JOIN c USING (fp) GROUP BY 1
+    ), near AS (
+        SELECT b.doc_id, MIN(c.doc_id) AS near_match
+        FROM b JOIN c
+          ON b.lang = c.lang AND b.len_b = c.len_b AND ({_BC_BAND_OR_SQL})
+        WHERE len(list_intersect(b.toks, c.toks)) * 1.0
+              / (len(b.toks) + len(c.toks) - len(list_intersect(b.toks, c.toks)))
+              >= {CLUSTER_JACCARD}
+        GROUP BY 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.exact_match IS NOT NULL THEN 'exact_dup'
+                WHEN n.near_match IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS verdict,
+           COALESCE(e.exact_match, n.near_match) AS matched_doc_id
+    FROM b
+    LEFT JOIN exact e ON b.doc_id = e.doc_id
+    LEFT JOIN near n ON b.doc_id = n.doc_id
+"""

@@ -89,12 +89,14 @@ register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_
 register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
 register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
 register("dedup_clusters", textops.dedup_clusters, textops.DEDUP_CLUSTERS_ORACLE)
+# incremental: new-batch fingerprints + band buckets probe the
+# established corpus's index (O(batch) per crawl, not O(corpus))
+register("dedup_incremental", textops.dedup_incremental, textops.DEDUP_INCREMENTAL_ORACLE)
 
 # --- TF-IDF (single-corpus-scan tf + broadcast df) ---
 register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORACLE)
 
 # --- Corpus stats & deterministic sampling (beyond-reference) ---
-register("vocab_topk", stats.vocab_topk, stats.VOCAB_TOPK_ORACLE)
 register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
 register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
 
@@ -103,7 +105,6 @@ register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
 register("ann_lsh_topk", embeddings.ann_lsh_topk, embeddings.ANN_LSH_TOPK_ORACLE)
 register("ann_ivf_topk", embeddings.ann_ivf_topk, embeddings.ANN_IVF_TOPK_ORACLE)
 register("embedding_near_dup", embeddings.embedding_near_dup, embeddings.EMBEDDING_NEAR_DUP_ORACLE)
-register("embedding_centroids", embeddings.embedding_centroids, embeddings.EMBEDDING_CENTROIDS_ORACLE)
 
 # --- Event-time analytics (beyond-reference; batch twins of the
 # Structured Streaming jobs in streaming/events.py) ---
@@ -141,6 +142,8 @@ register(
 )
 # end-to-end filter -> exact-dedup -> pack composition in one plan
 register("curation_pipeline", curation.curation_pipeline, curation.CURATION_PIPELINE_ORACLE)
+# RAG-style overlapping chunker (splits docs; pack_chunks assigns)
+register("chunk_overlap", curation.chunk_overlap, curation.CHUNK_OVERLAP_ORACLE)
 # benchmark decontamination: n-gram explode + broadcast semi-join
 register("decontaminate_ngrams", curation.decontaminate_ngrams, curation.DECONTAMINATE_NGRAMS_ORACLE)
 # per-domain quota cap: deterministic md5-order row_number window
@@ -196,10 +199,15 @@ register("top_employees_per_year", windows.top_employees_per_year, windows.TOP_E
 register("customer_ltv_deciles", windows.customer_ltv_deciles, windows.CUSTOMER_LTV_DECILES_ORACLE)
 register("rolling_7d_sales", windows.rolling_7d_sales, windows.ROLLING_7D_SALES_ORACLE)
 
-# token_stats: rotated out mid-round-4 (hash-green r03) to make room
-# for the C9 secured-view query; its zero-shuffle array-expression
-# shape stays covered in-window by text_quality + quality_filter.
+# token_stats / vocab_topk / embedding_centroids: rotated out
+# mid-round-4 (all hash-green r03) to make room for the C9
+# secured-view query and the two new curation/dedup shapes. Their
+# shapes stay covered in-window: zero-shuffle array expressions by
+# text_quality + quality_filter; explode+count+top-k by
+# tfidf_topk_terms; bucketed groupBy-avg by embedding_near_dup.
 register("token_stats", textops.token_stats, textops.TOKEN_STATS_ORACLE)
+register("vocab_topk", stats.vocab_topk, stats.VOCAB_TOPK_ORACLE)
+register("embedding_centroids", embeddings.embedding_centroids, embeddings.EMBEDDING_CENTROIDS_ORACLE)
 
 # --- Rotated out hash-green in r03; shapes covered in-window ---
 # lang_id / doc_fingerprints / simhash_docs: zero-shuffle JVM array

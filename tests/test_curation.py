@@ -13,6 +13,7 @@ CURATION_QUERIES = [
     "curation_pipeline",
     "decontaminate_ngrams",
     "domain_quota_sample",
+    "chunk_overlap",
 ]
 
 
@@ -182,3 +183,35 @@ def test_twophase_quota_equals_single_window(spark, duck, sf_dir):
     b = sorted(map(tuple, domain_quota_sample(spark, sf_dir).collect()))
     assert a == b
     assert_matches_oracle(spark, duck, "domain_quota_sample_twophase", sf_dir)
+
+
+def test_chunk_overlap_covers_every_token_with_exact_overlap(spark, sf_dir):
+    """Chunk layout invariants: chunk 0 starts at token 1; successive
+    chunks advance by exactly CHUNK_STRIDE; the union of chunks
+    covers every token (last chunk reaches n_tokens); every chunk is
+    non-empty and at most CHUNK_TOKENS long."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.functions import text as T
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_overlap,
+    )
+
+    out = chunk_overlap(spark, sf_dir)
+    assert out.filter((F.col("n_chunk_tokens") <= 0) | (F.col("n_chunk_tokens") > CHUNK_TOKENS)).count() == 0
+    assert out.filter(F.col("start_token") != F.col("chunk_idx") * CHUNK_STRIDE + 1).count() == 0
+    # last chunk must reach the document's final token, first must be idx 0
+    per_doc = out.groupBy("doc_id").agg(
+        F.min("chunk_idx").alias("first_idx"),
+        F.max_by(F.col("start_token") + F.col("n_chunk_tokens") - 1, "chunk_idx").alias("covered_to"),
+    )
+    n_tok = load(spark, sf_dir, "documents").select(
+        "doc_id", T.token_count("text").alias("n_tokens")
+    )
+    bad = per_doc.join(n_tok, "doc_id").filter(
+        (F.col("first_idx") != 0) | (F.col("covered_to") != F.col("n_tokens"))
+    )
+    assert bad.count() == 0

@@ -15,6 +15,7 @@ TEXT_QUERIES = [
     "simhash_docs",
     "dedup_clusters",
     "crossmodal_near_dup",
+    "dedup_incremental",
 ]
 
 
@@ -51,3 +52,45 @@ def test_dedup_clusters_invariants(spark, sf_dir):
     assert c.filter(F.col("cluster_id") > F.col("doc_id")).count() == 0
     canon = c.filter("is_canonical")
     assert canon.filter(F.col("cluster_id") != F.col("doc_id")).count() == 0
+
+
+def test_dedup_incremental_invariants(spark, sf_dir):
+    """Incremental-dedup contract: output covers exactly the batch
+    docs; verdict precedence exact_dup > near_dup > new; every
+    exact_dup's matched corpus doc has byte-identical text; matches
+    always point INTO the corpus (never at another batch doc)."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        NEW_BATCH_MOD,
+        dedup_incremental,
+    )
+
+    out = dedup_incremental(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    n_batch = docs.filter(F.col("doc_id") % NEW_BATCH_MOD == 0).count()
+    assert out.count() == n_batch
+    assert out.filter(F.col("doc_id") % NEW_BATCH_MOD != 0).count() == 0
+    # matched ids are corpus-side and only present for dup verdicts
+    assert out.filter(
+        F.col("matched_doc_id").isNotNull()
+        & (F.col("matched_doc_id") % NEW_BATCH_MOD == 0)
+    ).count() == 0
+    assert out.filter(
+        (F.col("verdict") == "new") != F.col("matched_doc_id").isNull()
+    ).count() == 0
+    # exact_dup => identical text with the matched corpus doc
+    texts = docs.select("doc_id", "text")
+    exact = (
+        out.filter(F.col("verdict") == "exact_dup")
+        .join(texts, "doc_id")
+        .join(
+            texts.select(
+                F.col("doc_id").alias("matched_doc_id"),
+                F.col("text").alias("corpus_text"),
+            ),
+            "matched_doc_id",
+        )
+    )
+    assert exact.filter(F.col("text") != F.col("corpus_text")).count() == 0
