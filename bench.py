@@ -77,6 +77,13 @@ EXTRA = [
     # the overlapping RAG chunker
     "dedup_incremental",
     "chunk_overlap",
+    # late-round-4 additions: corpus-level span dedup, the
+    # keep-decision pass after clustering, per-attribute survivorship,
+    # and the right-to-erasure cascade
+    "span_dup_stats",
+    "cluster_representatives",
+    "golden_record_customers",
+    "gdpr_erasure_cascade",
 ]
 
 ROUNDS = 3

@@ -215,3 +215,94 @@ CONFORM_TWO_SOURCES_ORACLE = """
            b.party_nr IS NOT NULL AS in_corporate
     FROM conf_cons a FULL OUTER JOIN conf_corp b ON a.party_nr = b.party_nr
 """
+
+
+# --- per-attribute survivorship (golden record) ----------------------
+
+def golden_record_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ATTRIBUTE survivorship merge — the MDM "golden record"
+    step that follows two-source conformance: when several systems
+    hold the same party, each attribute of the golden row is taken
+    from the highest-priority system that actually HAS it (non-NULL),
+    not wholesale from one winning row. The reference resolves
+    cross-source conflicts row-at-a-time with COALESCE precedence
+    (bl_cl.sql:898-938); this is the same precedence rule lifted to
+    attribute grain.
+
+    Two deterministic system feeds are derived from ``customer``:
+    CRM (priority 2) covers every party but drops the segment for
+    every third key and never has a balance; BILLING (priority 1)
+    covers only even keys, is authoritative for segment/balance, and
+    has no name. The expected golden row is therefore a genuine
+    per-attribute mix of both systems.
+
+    Plan: union the narrow feeds and run ONE groupBy(custkey) whose
+    per-attribute pick is ``max_by(attr, CASE WHEN attr IS NOT NULL
+    THEN -priority END)`` — aggregate-side survivorship, no window,
+    no self-join; a single shuffle on the party key with map-side
+    partial aggregation. Ties are impossible (each system contributes
+    at most one row per key), so the pick is deterministic under any
+    partitioning. At 100 TB this is the only shape that survives:
+    per-attribute windows would re-sort the union once per attribute.
+    """
+    c = load(spark, sf_dir, "customer")
+    crm = c.select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(2).alias("prio"),
+        F.col("c_name").alias("name"),
+        F.when(F.col("c_custkey") % 3 != 0, F.lower("c_mktsegment")).alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.lit(None).cast("double").alias("acctbal"),
+    )
+    billing = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("custkey"),
+        F.lit(1).alias("prio"),
+        F.lit(None).cast("string").alias("name"),
+        F.upper("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+
+    def pick(attr: str) -> F.Column:
+        return F.max_by(
+            attr, F.when(F.col(attr).isNotNull(), -F.col("prio"))
+        ).alias(attr)
+
+    return (
+        crm.unionByName(billing)
+        .groupBy("custkey")
+        .agg(
+            pick("name"),
+            pick("segment"),
+            pick("nationkey"),
+            F.round(pick("acctbal"), 2).alias("acctbal"),
+            F.count("*").cast("int").alias("n_sources"),
+        )
+    )
+
+
+GOLDEN_RECORD_CUSTOMERS_ORACLE = """
+    WITH crm AS (
+        SELECT c_custkey AS custkey, 2 AS prio, c_name AS name,
+               CASE WHEN c_custkey % 3 <> 0 THEN LOWER(c_mktsegment) END AS segment,
+               c_nationkey AS nationkey, CAST(NULL AS DOUBLE) AS acctbal
+        FROM customer
+    ), billing AS (
+        SELECT c_custkey AS custkey, 1 AS prio, CAST(NULL AS VARCHAR) AS name,
+               UPPER(c_mktsegment) AS segment, c_nationkey AS nationkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer WHERE c_custkey % 2 = 0
+    ), u AS (
+        SELECT * FROM crm UNION ALL SELECT * FROM billing
+    )
+    SELECT custkey,
+           arg_max(name, CASE WHEN name IS NOT NULL THEN -prio END) AS name,
+           arg_max(segment, CASE WHEN segment IS NOT NULL THEN -prio END) AS segment,
+           arg_max(nationkey, CASE WHEN nationkey IS NOT NULL THEN -prio END)
+               AS nationkey,
+           ROUND(arg_max(acctbal, CASE WHEN acctbal IS NOT NULL THEN -prio END), 2)
+               AS acctbal,
+           CAST(COUNT(*) AS INTEGER) AS n_sources
+    FROM u
+    GROUP BY custkey
+"""

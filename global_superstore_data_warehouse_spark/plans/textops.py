@@ -1021,3 +1021,148 @@ DEDUP_INCREMENTAL_ORACLE = f"""
     LEFT JOIN exact e ON b.doc_id = e.doc_id
     LEFT JOIN near n ON b.doc_id = n.doc_id
 """
+
+
+# --- span-level duplicate detection (corpus-wide) --------------------
+
+SPAN_W = 8  # tokens per span (the "paragraph" unit of this corpus)
+
+
+def span_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicated-SPAN detection — the C4/Dolma
+    paragraph-dedup shape re-expressed for this corpus's single-line
+    documents: each document is cut into consecutive non-overlapping
+    ``SPAN_W``-token spans (the trailing partial span included), each
+    span is content-hashed, and a span is a duplicate when the SAME
+    hash appears in >= 2 DISTINCT documents. Output is the per-doc
+    repetition ledger a removal pass would filter on: span count,
+    duplicated-span count, duplicated fraction.
+
+    Plan (the only scale-correct shape): spans are built as one
+    per-row array expression (zero shuffle, whole-stage codegen),
+    posexplode'd to (doc_id, span_hash) rows, counted per hash with a
+    map-side-combined distinct-doc groupBy, joined back to the
+    positions on the hash, and re-aggregated per doc — two shuffles
+    total (hash, doc_id), both on high-cardinality uniform keys. The
+    naive alternative (a span x span self-join) is quadratic in
+    corpus size and never runs at 100 TB. Within-doc repeats of a
+    span count once toward the distinct-doc tally (repetition INSIDE
+    a doc is ``repetition_stats``' job, not this operator's).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.tokens("text").alias("toks"))
+    n = F.size("toks")
+    n_spans = F.ceil(n / F.lit(float(SPAN_W))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(F.col("toks"), i * SPAN_W + 1, SPAN_W))
+        ),
+    )
+    pos = tok.select("doc_id", F.explode(spans).alias("h"))
+    docs_per_span = (
+        pos.distinct()  # within-doc repeats count once
+        .groupBy("h")
+        .agg(F.count("*").alias("ndocs"))
+    )
+    return (
+        pos.join(docs_per_span, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_spans"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans").cast("double"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )
+
+
+SPAN_DUP_STATS_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {ALL_TOKS_SQL} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id,
+               list_transform(
+                   range(0, CAST(ceil(len(toks) / {SPAN_W}.0) AS INTEGER)),
+                   i -> md5(array_to_string(
+                            toks[i * {SPAN_W} + 1 : i * {SPAN_W} + {SPAN_W}], ' ')))
+                   AS hs
+        FROM t
+    ), p AS (
+        SELECT doc_id, unnest(hs) AS h FROM s
+    ), c AS (
+        SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM p GROUP BY h
+    )
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_spans,
+           CAST(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_dup_spans,
+           ROUND(SUM(CASE WHEN c.ndocs > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_span_frac
+    FROM p JOIN c USING (h)
+    GROUP BY p.doc_id
+"""
+
+
+# --- cluster representative selection (dedup endgame, final pass) ----
+
+def cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keep-decision after near-dup clustering: one REPRESENTATIVE
+    document per cluster — the longest (``n_chars``), ties broken by
+    smallest doc_id — plus the cluster's size and how many characters
+    the removal pass would drop. This is the policy step real dedup
+    pipelines run between ``dedup_clusters`` and the filtered
+    re-write of the corpus (keep the best exemplar, not the min-id).
+
+    Plan: the min-contraction labels (``dedup_clusters``) joined to
+    the doc-length projection, then ONE groupBy(cluster_id) whose
+    arg-max rides ``max_by`` over a (n_chars, -doc_id) struct — the
+    lexicographic struct ordering makes the tie-break exact without a
+    second window pass. One extra shuffle on cluster_id beyond the
+    clustering itself; cluster count <= doc count, keys uniform.
+    """
+    labels = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = labels.join(docs, "doc_id")
+    return j.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("cluster_size"),
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))
+        ).alias("rep_doc_id"),
+        (F.sum("n_chars") - F.max_by("n_chars", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg"))))
+        .cast("bigint")
+        .alias("chars_dropped"),
+    )
+
+
+CLUSTER_REPRESENTATIVES_ORACLE = f"""
+    WITH labels AS (
+        {DEDUP_CLUSTERS_ORACLE}
+    ), j AS (
+        SELECT l.doc_id, l.cluster_id, d.n_chars
+        FROM labels l JOIN documents d USING (doc_id)
+    ), ranked AS (
+        SELECT cluster_id, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id ASC) AS rn
+        FROM j
+    ), agg AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS INTEGER) AS cluster_size,
+               SUM(n_chars) AS tot_chars
+        FROM j GROUP BY cluster_id
+    )
+    SELECT a.cluster_id,
+           a.cluster_size,
+           r.doc_id AS rep_doc_id,
+           CAST(a.tot_chars - r.n_chars AS BIGINT) AS chars_dropped
+    FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
+"""

@@ -263,3 +263,25 @@ register(
     curation.domain_quota_sample_twophase,
     curation.DOMAIN_QUOTA_SAMPLE_TWOPHASE_ORACLE,
 )
+
+# --- Added later in round 4 (pytest-parity; shapes covered in-window:
+# span_dup_stats = explode+count+join-back like decontaminate_ngrams;
+# cluster_representatives = dedup_clusters + one arg-max groupBy;
+# golden_record = single-shuffle survivorship agg like conform's
+# merge; gdpr cascade = broadcast-anti chain like new_customers) ---
+register("span_dup_stats", textops.span_dup_stats, textops.SPAN_DUP_STATS_ORACLE)
+register(
+    "cluster_representatives",
+    textops.cluster_representatives,
+    textops.CLUSTER_REPRESENTATIVES_ORACLE,
+)
+register(
+    "golden_record_customers",
+    conformance.golden_record_customers,
+    conformance.GOLDEN_RECORD_CUSTOMERS_ORACLE,
+)
+register(
+    "gdpr_erasure_cascade",
+    security.gdpr_erasure_cascade,
+    security.GDPR_ERASURE_CASCADE_ORACLE,
+)

@@ -201,3 +201,97 @@ SECURED_CUSTOMERS_ANALYST_ORACLE = f"""
     FROM customer
     WHERE c_mktsegment IN ({_SEGS})
 """
+
+
+# --- right-to-erasure cascade (privacy governance) -------------------
+
+# deterministic erasure request set: ~1/16 of parties, derived from a
+# content hash so the "requests" are stable across runs and engines
+ERASE_HEX = "1"
+
+
+def _erasure_requests(c: DataFrame) -> DataFrame:
+    return c.filter(
+        F.substring(F.md5(F.col("c_custkey").cast("string")), 1, 1) == ERASE_HEX
+    ).select("c_custkey")
+
+
+def gdpr_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) propagated through the
+    warehouse lineage: an erasure-request keyset removes the party
+    row AND every downstream fact derived from it — orders of erased
+    customers, line items of erased orders — then reports what
+    SURVIVES per market segment (the audit evidence a DPO signs off
+    on). The reference's grant matrix gates who may read party data;
+    erasure is the matching write-side obligation on the same
+    lineage (customer -> orders -> lineitem).
+
+    Plan: the request set rides ``broadcast()`` into two LEFT-ANTI
+    joins (customer, orders) — an erasure batch is tiny relative to
+    the corpus, so neither big table shuffles for it. Line items
+    cascade via a LEFT-SEMI join against the surviving orders' keys:
+    that join shuffles on orderkey — unavoidable, because the
+    surviving-order set is corpus-sized — and AQE plans it as a
+    normal equi-join. One final star aggregation groups the
+    survivors by segment. Nothing is rewritten twice: each table is
+    scanned once, and the anti/semi joins prune BEFORE the wide
+    aggregation join.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+
+    erase = _erasure_requests(c)
+    kept_c = c.join(F.broadcast(erase), "c_custkey", "left_anti")
+    kept_o = o.join(
+        F.broadcast(erase.withColumnRenamed("c_custkey", "o_custkey")),
+        "o_custkey",
+        "left_anti",
+    )
+    kept_li = li.join(
+        kept_o.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_semi",
+    )
+
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_order = kept_li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_li"), rev.alias("rev")
+    )
+    joined = (
+        kept_o.join(per_order, kept_o.o_orderkey == per_order.l_orderkey)
+        .join(kept_c, kept_o.o_custkey == kept_c.c_custkey)
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").alias("customers_kept"),
+        F.countDistinct("o_orderkey").alias("orders_kept"),
+        F.sum("n_li").cast("bigint").alias("lineitems_kept"),
+        F.round(F.sum("rev"), 2).alias("revenue_kept"),
+    )
+
+
+GDPR_ERASURE_CASCADE_ORACLE = f"""
+    WITH erase AS (
+        SELECT c_custkey FROM customer
+        WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '{ERASE_HEX}'
+    ), kept_c AS (
+        SELECT * FROM customer WHERE c_custkey NOT IN (SELECT * FROM erase)
+    ), kept_o AS (
+        SELECT * FROM orders WHERE o_custkey NOT IN (SELECT * FROM erase)
+    ), per_order AS (
+        SELECT l_orderkey, COUNT(*) AS n_li,
+               SUM(l_extendedprice * (1 - l_discount)) AS rev
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM kept_o)
+        GROUP BY l_orderkey
+    )
+    SELECT c.c_mktsegment,
+           COUNT(DISTINCT c.c_custkey) AS customers_kept,
+           COUNT(DISTINCT o.o_orderkey) AS orders_kept,
+           CAST(SUM(p.n_li) AS BIGINT) AS lineitems_kept,
+           ROUND(SUM(p.rev), 2) AS revenue_kept
+    FROM kept_o o
+    JOIN per_order p ON o.o_orderkey = p.l_orderkey
+    JOIN kept_c c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""

@@ -174,3 +174,51 @@ def stream_incremental_staging(
         .start()
     )
     q.awaitTermination()
+
+
+def click_purchase_join_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    horizon_minutes: int = 30,
+) -> DataFrame:
+    """Stream-STREAM interval join — the streaming twin of the batch
+    as-of attribution (plans/curation.asof_click_attribution): each
+    purchase joins every click by the same user in the preceding
+    ``horizon_minutes``. Both sides carry a watermark AND the join
+    condition bounds purchase_ts relative to click_ts, which is what
+    lets the state store EXPIRE buffered rows: a click older than
+    (watermark + horizon) can provably never match a future purchase
+    and is evicted — without the time bound, stream-stream join state
+    grows forever. State is keyed by user_id: bounded, partition-
+    parallel, the only stream-stream join shape that runs at 100
+    TB/day. (The batch as-of keeps only the LAST click per purchase;
+    the interval join emits ALL clicks in the horizon — the fan-out
+    a downstream attribution model consumes. The batch twin of THIS
+    operator is the range join, operators/rangejoin.py.)
+    """
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    c = clicks.withWatermark("click_ts", watermark)
+    p = purchases.withWatermark("purchase_ts", watermark)
+    cond = F.expr(
+        "c_user_id = p_user_id"
+        " AND purchase_ts >= click_ts"
+        f" AND purchase_ts <= click_ts + interval {horizon_minutes} minutes"
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )

@@ -10,10 +10,39 @@ from tests.conftest import assert_matches_oracle
 
 
 @pytest.mark.parametrize(
-    "name", ["conform_two_sources", "dm_scd2_propagation", "dim_address"]
+    "name",
+    [
+        "conform_two_sources",
+        "dm_scd2_propagation",
+        "dim_address",
+        "golden_record_customers",
+    ],
 )
 def test_matches_oracle(spark, duck, name, sf_dir):
     assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_golden_record_survivorship_semantics(spark, sf_dir):
+    """Per-attribute precedence: billing (prio 1) wins every attribute
+    it has; CRM fills the rest; attributes no system has stay NULL."""
+    from global_superstore_data_warehouse_spark.plans.conformance import (
+        golden_record_customers,
+    )
+
+    rows = {r["custkey"]: r for r in golden_record_customers(spark, sf_dir).collect()}
+    for k, r in rows.items():
+        assert r["name"] is not None  # CRM always has the name
+        if k % 2 == 0:  # billing present: authoritative segment + balance
+            assert r["n_sources"] == 2
+            assert r["segment"] == r["segment"].upper()
+            assert r["acctbal"] is not None
+        else:  # CRM only
+            assert r["n_sources"] == 1
+            assert r["acctbal"] is None
+            if k % 3 == 0:  # CRM's segment hole has no fallback
+                assert r["segment"] is None
+            else:
+                assert r["segment"] == r["segment"].lower()
 
 
 def test_two_sources_have_distinct_schemas(spark, sf_dir):

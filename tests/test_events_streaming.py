@@ -285,3 +285,58 @@ def test_stream_session_window_equals_batch(spark, sf_dir, tmp_path):
     )
     want = sorted(map(tuple, events_session_window(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
+    """The stream-stream interval join (availableNow drain) must emit
+    exactly the batch interval-join rows: every (click, purchase)
+    pair per user with purchase_ts in [click_ts, click_ts + 30 min]."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        click_purchase_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = click_purchase_join_stream(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(
+        stream,
+        spark,
+        "ssj_out",
+        str(tmp_path / "ckpt_ssj"),
+        output_mode="append",
+    )
+    got = spark.table("ssj_out")
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    want = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND purchase_ts >= click_ts"
+            " AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "purchase_value",
+    )
+
+    key = ["user_id", "purchase_id", "click_id"]
+    assert sorted(got.collect(), key=lambda r: tuple(r[k] for k in key)) == sorted(
+        want.collect(), key=lambda r: tuple(r[k] for k in key)
+    )
+    assert want.count() > 0, "testdata must contain joinable click→purchase pairs"

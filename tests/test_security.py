@@ -91,3 +91,45 @@ def test_mask_is_deterministic_and_join_preserving(spark, sf_dir):
     raw = set(r[0] for r in load(spark, sf_dir, "customer").select("c_name").limit(20).collect())
     masked = set(r[0] for r in a.select("m1").limit(1000).collect())
     assert raw.isdisjoint(masked)
+
+
+def test_gdpr_cascade_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "gdpr_erasure_cascade", sf_dir)
+
+
+def test_gdpr_cascade_removes_every_trace(spark, sf_dir):
+    """No surviving order may belong to an erased customer, and the
+    per-segment customer counts must drop by exactly the erased set."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.security import (
+        _erasure_requests,
+        gdpr_erasure_cascade,
+    )
+
+    c = load(spark, sf_dir, "customer")
+    erased = {r[0] for r in _erasure_requests(c).collect()}
+    assert erased, "erasure request set must be non-empty at sf0.001"
+
+    report = gdpr_erasure_cascade(spark, sf_dir)
+    total_kept = report.agg(F.sum("customers_kept")).collect()[0][0]
+    # customers with >=1 surviving order, none of them erased
+    o = load(spark, sf_dir, "orders")
+    with_orders = {
+        r[0]
+        for r in o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey")
+        .distinct()
+        .collect()
+    }
+    assert total_kept == len(with_orders - erased)
+
+
+def test_gdpr_cascade_broadcasts_erasure_set(spark, sf_dir):
+    """The erasure keyset must ride broadcast anti-joins — the big
+    tables never shuffle for the request set."""
+    from global_superstore_data_warehouse_spark.security import gdpr_erasure_cascade
+
+    plan = gdpr_erasure_cascade(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

@@ -16,6 +16,8 @@ TEXT_QUERIES = [
     "dedup_clusters",
     "crossmodal_near_dup",
     "dedup_incremental",
+    "span_dup_stats",
+    "cluster_representatives",
 ]
 
 
