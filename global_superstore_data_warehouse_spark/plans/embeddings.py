@@ -483,3 +483,87 @@ KMEANS_ASSIGN_ORACLE = f"""
     )
     SELECT vec_id, cid AS cluster_id, ROUND(d, 6) AS sq_dist FROM a2
 """
+
+
+# --- ANN quality evaluation (recall@k vs the exact baseline) ---------
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of BOTH approximate indexes against the exact
+    brute-force baseline, per query — the measurement loop every ANN
+    deployment needs before trusting the approximate path ("measure,
+    don't guess"): recall = |ann top-k ∩ exact top-k| / k. Queries
+    whose ANN bucket/list missed every true neighbor still appear
+    (hits 0, recall 0) — silent dropouts are exactly what this query
+    exists to expose.
+
+    Plan: the three top-k frames are tiny (queries × k rows), so the
+    intersection joins and the final assembly are broadcast-sized; at
+    100 TB the cost is the three underlying searches themselves, and
+    in practice the eval runs on a sampled query set while production
+    traffic takes only the ANN path.
+    """
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    lsh = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = ann_ivf_topk(spark, sf_dir).select("query_id", "neighbor_id")
+
+    base = exact.groupBy("query_id").agg(F.count("*").cast("int").alias("k"))
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("int").alias(name))
+        )
+
+    return (
+        base.join(hits(lsh, "lsh_hits"), "query_id", "left")
+        .join(hits(ivf, "ivf_hits"), "query_id", "left")
+        .select(
+            "query_id",
+            "k",
+            F.coalesce("lsh_hits", F.lit(0)).alias("lsh_hits"),
+            F.coalesce("ivf_hits", F.lit(0)).alias("ivf_hits"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "lsh_hits",
+            F.round(F.col("lsh_hits") / F.col("k").cast("double"), 6).alias(
+                "lsh_recall"
+            ),
+            "ivf_hits",
+            F.round(F.col("ivf_hits") / F.col("k").cast("double"), 6).alias(
+                "ivf_recall"
+            ),
+        )
+    )
+
+
+ANN_RECALL_ORACLE = f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id FROM ({COSINE_TOPK_ORACLE})
+    ), lsh AS (
+        SELECT query_id, neighbor_id FROM ({ANN_LSH_TOPK_ORACLE})
+    ), ivf AS (
+        SELECT query_id, neighbor_id FROM ({ANN_IVF_TOPK_ORACLE})
+    ), base AS (
+        SELECT query_id, CAST(COUNT(*) AS INTEGER) AS k
+        FROM exact GROUP BY query_id
+    ), lh AS (
+        SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS lsh_hits
+        FROM exact e JOIN lsh USING (query_id, neighbor_id)
+        GROUP BY e.query_id
+    ), ih AS (
+        SELECT e.query_id, CAST(COUNT(*) AS INTEGER) AS ivf_hits
+        FROM exact e JOIN ivf USING (query_id, neighbor_id)
+        GROUP BY e.query_id
+    )
+    SELECT b.query_id, b.k,
+           COALESCE(lh.lsh_hits, 0) AS lsh_hits,
+           ROUND(COALESCE(lh.lsh_hits, 0) / CAST(b.k AS DOUBLE), 6) AS lsh_recall,
+           COALESCE(ih.ivf_hits, 0) AS ivf_hits,
+           ROUND(COALESCE(ih.ivf_hits, 0) / CAST(b.k AS DOUBLE), 6) AS ivf_recall
+    FROM base b
+    LEFT JOIN lh ON b.query_id = lh.query_id
+    LEFT JOIN ih ON b.query_id = ih.query_id
+"""

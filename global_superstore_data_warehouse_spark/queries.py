@@ -285,3 +285,6 @@ register(
     security.gdpr_erasure_cascade,
     security.GDPR_ERASURE_CASCADE_ORACLE,
 )
+# ANN quality eval: recall@k of both approximate indexes vs the
+# exact baseline, per query (the measure-don't-guess loop)
+register("ann_recall", embeddings.ann_recall, embeddings.ANN_RECALL_ORACLE)

@@ -11,6 +11,7 @@ EMBEDDING_QUERIES = [
     "embedding_near_dup",
     "embedding_centroids",
     "kmeans_assign",
+    "ann_recall",
 ]
 
 
@@ -115,3 +116,18 @@ def test_kmeans_stays_distributed_and_improves(spark, sf_dir):
         E.KMEANS_ITERS = old_iters
     inertia_2 = out.agg(F.sum("sq_dist")).collect()[0][0]
     assert inertia_2 <= inertia_1
+
+
+def test_ann_recall_bounds_and_ivf_quality(spark, sf_dir):
+    """Recall is in [0,1] with k rows of evidence per query; the
+    IVF path (nprobe=2 of 8 lists) must recover a nontrivial share
+    of the exact neighbors on the planted testdata."""
+    from global_superstore_data_warehouse_spark.plans.embeddings import ann_recall
+
+    rows = ann_recall(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["lsh_hits"] <= r["k"] and 0 <= r["ivf_hits"] <= r["k"]
+        # recall columns are ROUND(..., 6)ed in the plan
+        assert abs(r["lsh_recall"] - r["lsh_hits"] / r["k"]) < 1e-6
+    assert sum(r["ivf_hits"] for r in rows) > 0
