@@ -1166,3 +1166,38 @@ CLUSTER_REPRESENTATIVES_ORACLE = f"""
            CAST(a.tot_chars - r.n_chars AS BIGINT) AS chars_dropped
     FROM agg a JOIN ranked r ON a.cluster_id = r.cluster_id AND r.rn = 1
 """
+
+
+# --- normalization-keyed exact dedup ---------------------------------
+
+def dedup_normalized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a NORMALIZED content key: casefold, strip
+    non-alphanumerics to spaces, collapse whitespace — the cheap
+    canonicalization every web-scale dedup runs before hashing, so
+    trivially-reformatted copies (case, punctuation, spacing) collapse
+    into one group that byte-exact hashing would miss. Same one-
+    shuffle md5-groupBy shape as ``dedup_exact_docs``; the normalizer
+    is three regexp/lower JVM expressions in the scan projection.
+    Groups here are always a coarsening of the byte-exact groups
+    (tested: every byte-exact pair stays together)."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " +", " "
+        )
+    )
+    return (
+        docs.select(F.md5(norm).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("copies"))
+    )
+
+
+DEDUP_NORMALIZED_DOCS_ORACLE = """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS copies
+    FROM documents
+    GROUP BY 1
+"""

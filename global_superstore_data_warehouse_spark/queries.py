@@ -15,7 +15,10 @@ drill-downs) plus the new two-load SCD2 lifecycle and the two
 round-4 curation additions (decontaminate_ngrams,
 domain_quota_sample), and rotates out entries hash-green in
 CORRECTNESS_r03 whose plan shapes stay covered in-window (see the
-past-window section notes). Everything past the window keeps
+past-window section notes). Late round 4 rotated five more novel
+shapes in (span_dup_stats, cluster_representatives,
+golden_record_customers, gdpr_erasure_cascade, ann_recall) for five
+r03-green shape-covered entries. Everything past the window keeps
 identical DuckDB-oracle parity coverage in pytest.
 """
 
@@ -85,8 +88,6 @@ register(
 
 # --- Text analysis & dedup (beyond-reference training-data ops) ---
 register("text_quality", textops.text_quality, textops.TEXT_QUALITY_ORACLE)
-register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_ORACLE)
-register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
 register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
 register("dedup_clusters", textops.dedup_clusters, textops.DEDUP_CLUSTERS_ORACLE)
 # incremental: new-batch fingerprints + band buckets probe the
@@ -104,7 +105,10 @@ register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
 register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
 register("ann_lsh_topk", embeddings.ann_lsh_topk, embeddings.ANN_LSH_TOPK_ORACLE)
 register("ann_ivf_topk", embeddings.ann_ivf_topk, embeddings.ANN_IVF_TOPK_ORACLE)
-register("embedding_near_dup", embeddings.embedding_near_dup, embeddings.EMBEDDING_NEAR_DUP_ORACLE)
+# ANN quality eval: recall@k of both approximate indexes vs the
+# exact baseline (composes the three top-k plans; in-window late
+# round 4 — novel composed shape)
+register("ann_recall", embeddings.ann_recall, embeddings.ANN_RECALL_ORACLE)
 
 # --- Event-time analytics (beyond-reference; batch twins of the
 # Structured Streaming jobs in streaming/events.py) ---
@@ -127,14 +131,12 @@ register(
 # --- Training-data curation (repetition filters, quality gates,
 #     privacy, sequence packing, as-of attribution, end-to-end
 #     pipeline) ---
-register("repetition_stats", curation.repetition_stats, curation.REPETITION_STATS_ORACLE)
 register("quality_filter", curation.quality_filter, curation.QUALITY_FILTER_ORACLE)
 register(
     "pii_pseudonymize_customers",
     curation.pii_pseudonymize_customers,
     curation.PII_PSEUDONYMIZE_CUSTOMERS_ORACLE,
 )
-register("pack_chunks", curation.pack_chunks, curation.PACK_CHUNKS_ORACLE)
 register(
     "asof_click_attribution",
     curation.asof_click_attribution,
@@ -148,6 +150,30 @@ register("chunk_overlap", curation.chunk_overlap, curation.CHUNK_OVERLAP_ORACLE)
 register("decontaminate_ngrams", curation.decontaminate_ngrams, curation.DECONTAMINATE_NGRAMS_ORACLE)
 # per-domain quota cap: deterministic md5-order row_number window
 register("domain_quota_sample", curation.domain_quota_sample, curation.DOMAIN_QUOTA_SAMPLE_ORACLE)
+
+# --- Late-round-4 additions, rotated IN (novel shapes; the five
+# rotated-out entries below are all r03 hash-green with their plan
+# shapes still covered in-window — see the past-window notes) ---
+# corpus-level duplicated-span ledger (C4/Dolma paragraph dedup)
+register("span_dup_stats", textops.span_dup_stats, textops.SPAN_DUP_STATS_ORACLE)
+# keep-best-exemplar policy pass after near-dup clustering
+register(
+    "cluster_representatives",
+    textops.cluster_representatives,
+    textops.CLUSTER_REPRESENTATIVES_ORACLE,
+)
+# per-attribute MDM survivorship in one max_by aggregation
+register(
+    "golden_record_customers",
+    conformance.golden_record_customers,
+    conformance.GOLDEN_RECORD_CUSTOMERS_ORACLE,
+)
+# right-to-erasure cascade customer -> orders -> lineitem
+register(
+    "gdpr_erasure_cascade",
+    security.gdpr_erasure_cascade,
+    security.GDPR_ERASURE_CASCADE_ORACLE,
+)
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
@@ -264,27 +290,23 @@ register(
     curation.DOMAIN_QUOTA_SAMPLE_TWOPHASE_ORACLE,
 )
 
-# --- Added later in round 4 (pytest-parity; shapes covered in-window:
-# span_dup_stats = explode+count+join-back like decontaminate_ngrams;
-# cluster_representatives = dedup_clusters + one arg-max groupBy;
-# golden_record = single-shuffle survivorship agg like conform's
-# merge; gdpr cascade = broadcast-anti chain like new_customers) ---
-register("span_dup_stats", textops.span_dup_stats, textops.SPAN_DUP_STATS_ORACLE)
+# --- Rotated OUT late round 4 (all r03 hash-green; pytest parity
+# retained) to open window slots for the five late-round-4 shapes:
+# dedup_exact_docs + pack_chunks (both composed inside the in-window
+# curation_pipeline's exact-dedup and packing stages),
+# ngram_jaccard_pairs (blocked-pair shape = in-window
+# minhash_lsh_candidates), repetition_stats (zero-shuffle array
+# shape = text_quality/quality_filter), embedding_near_dup
+# (LSH-bucket groupBy shape = ann_lsh_topk / embedding path of
+# crossmodal) ---
+register("dedup_exact_docs", textops.dedup_exact_docs, textops.DEDUP_EXACT_DOCS_ORACLE)
+register("ngram_jaccard_pairs", textops.ngram_jaccard_pairs, textops.NGRAM_JACCARD_PAIRS_ORACLE)
+register("repetition_stats", curation.repetition_stats, curation.REPETITION_STATS_ORACLE)
+register("pack_chunks", curation.pack_chunks, curation.PACK_CHUNKS_ORACLE)
+register("embedding_near_dup", embeddings.embedding_near_dup, embeddings.EMBEDDING_NEAR_DUP_ORACLE)
+# normalization-keyed exact dedup (casefold/punct-strip before hash)
 register(
-    "cluster_representatives",
-    textops.cluster_representatives,
-    textops.CLUSTER_REPRESENTATIVES_ORACLE,
+    "dedup_normalized_docs",
+    textops.dedup_normalized_docs,
+    textops.DEDUP_NORMALIZED_DOCS_ORACLE,
 )
-register(
-    "golden_record_customers",
-    conformance.golden_record_customers,
-    conformance.GOLDEN_RECORD_CUSTOMERS_ORACLE,
-)
-register(
-    "gdpr_erasure_cascade",
-    security.gdpr_erasure_cascade,
-    security.GDPR_ERASURE_CASCADE_ORACLE,
-)
-# ANN quality eval: recall@k of both approximate indexes vs the
-# exact baseline, per query (the measure-don't-guess loop)
-register("ann_recall", embeddings.ann_recall, embeddings.ANN_RECALL_ORACLE)

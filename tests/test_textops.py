@@ -96,3 +96,37 @@ def test_dedup_incremental_invariants(spark, sf_dir):
         )
     )
     assert exact.filter(F.col("text") != F.col("corpus_text")).count() == 0
+
+
+def test_dedup_normalized_coarsens_exact_groups(spark, duck, sf_dir):
+    """Normalized groups are a coarsening of byte-exact groups: two
+    docs byte-identical must share a normalized group too, and the
+    normalized group count can only be <= the exact count."""
+    assert_matches_oracle(spark, duck, "dedup_normalized_docs", sf_dir)
+
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        dedup_exact_docs,
+        dedup_normalized_docs,
+    )
+
+    n_exact = dedup_exact_docs(spark, sf_dir).count()
+    n_norm = dedup_normalized_docs(spark, sf_dir).count()
+    assert n_norm <= n_exact
+
+    # constructed reformatting must collapse: same words, different
+    # case/punctuation/spacing
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "other text")],
+        ["doc_id", "text"],
+    )
+    from pyspark.sql import functions as F
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " +", " "
+        )
+    )
+    groups = (
+        df.select(F.md5(norm).alias("h"), "doc_id").groupBy("h").count().collect()
+    )
+    assert sorted(r["count"] for r in groups) == [1, 2]
