@@ -353,3 +353,73 @@ TFIDF_TOPK_TERMS_ORACLE = f"""
     FROM scored
     QUALIFY rank <= {TFIDF_TOP_TERMS}
 """
+
+
+# --- winsorized (robust) group statistics ----------------------------
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorized_segment_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-segment account-balance statistics: values are
+    WINSORIZED — clipped to the segment's [p05, p95] — before the
+    mean/stddev, so a handful of extreme balances can't swing the
+    reported central tendency (the robust-aggregation step every
+    metrics pipeline needs once data is big enough to contain
+    garbage). Exact linear-interpolation percentiles (DuckDB
+    quantile_cont semantics); at 100 TB swap percentile() for
+    approx_percentile() with a stated accuracy, shape unchanged.
+
+    Plan: one groupBy computes both clip bounds per segment, rides a
+    broadcast back onto the scan (segment count is tiny), then one
+    second groupBy aggregates the clipped values — two shuffles on
+    the same small key domain, no window over the full table.
+    """
+    c = load(spark, sf_dir, "customer")
+    bounds = c.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.expr(f"percentile(c_acctbal, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(c_acctbal, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = c.join(
+        F.broadcast(bounds), c.c_mktsegment == bounds.segment
+    ).select(
+        "segment",
+        F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")).alias(
+            "bal"
+        ),
+        "c_acctbal",
+    )
+    return clipped.groupBy("segment").agg(
+        F.count("*").cast("int").alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("raw_mean"),
+        F.round(F.avg("bal"), 4).alias("winsorized_mean"),
+        F.round(F.stddev_samp("bal"), 4).alias("winsorized_std"),
+        F.sum((F.col("c_acctbal") != F.col("bal")).cast("int"))
+        .cast("int")
+        .alias("n_clipped"),
+    )
+
+
+WINSORIZED_SEGMENT_BALANCES_ORACLE = f"""
+    WITH bounds AS (
+        SELECT c_mktsegment AS segment,
+               quantile_cont(c_acctbal, {WINSOR_LO}) AS lo,
+               quantile_cont(c_acctbal, {WINSOR_HI}) AS hi
+        FROM customer GROUP BY 1
+    ), clipped AS (
+        SELECT b.segment,
+               LEAST(GREATEST(c.c_acctbal, b.lo), b.hi) AS bal,
+               c.c_acctbal
+        FROM customer c JOIN bounds b ON c.c_mktsegment = b.segment
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS INTEGER) AS n,
+           ROUND(AVG(c_acctbal), 4) AS raw_mean,
+           ROUND(AVG(bal), 4) AS winsorized_mean,
+           ROUND(stddev_samp(bal), 4) AS winsorized_std,
+           CAST(SUM(CASE WHEN c_acctbal <> bal THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_clipped
+    FROM clipped
+    GROUP BY segment
+"""

@@ -1201,3 +1201,65 @@ DEDUP_NORMALIZED_DOCS_ORACLE = """
     FROM documents
     GROUP BY 1
 """
+
+
+# --- per-source corpus report (pipeline observability) ---------------
+
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-SOURCE corpus card a curation pipeline publishes with
+    every snapshot: document count, token volume, language spread,
+    mean lexical diversity, and the exact-duplicate fraction — the
+    at-a-glance numbers that decide which crawl sources get
+    upweighted, capped, or dropped. One row per ``source``.
+
+    Plan: a single tokenize projection feeds everything; the dup
+    flag needs corpus-wide content-hash counts, so hashes groupBy
+    once (uniform fixed-width key) and join back before the final
+    small groupBy(source). Two shuffles on high-cardinality keys +
+    one on the handful of sources; no window over the corpus.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5("text").alias("h"),
+        F.size(T.tokens("text")).alias("n_toks"),
+        (
+            F.size(F.array_distinct(T.tokens("text")))
+            / F.size(T.tokens("text")).cast("double")
+        ).alias("distinct_ratio"),
+    )
+    copies = tok.groupBy("h").agg(F.count("*").alias("copies"))
+    flagged = tok.join(copies, "h")
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
+        F.round(
+            F.avg((F.col("copies") > 1).cast("double")), 6
+        ).alias("exact_dup_frac"),
+    )
+
+
+CORPUS_REPORT_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, source, lang, md5(text) AS h,
+               CAST(len({ALL_TOKS_SQL}) AS INTEGER) AS n_toks,
+               len(list_distinct({ALL_TOKS_SQL}))
+                   / CAST(len({ALL_TOKS_SQL}) AS DOUBLE) AS distinct_ratio
+        FROM documents
+    ), c AS (
+        SELECT h, COUNT(*) AS copies FROM t GROUP BY h
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS INTEGER) AS n_docs,
+           CAST(SUM(t.n_toks) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT t.lang) AS INTEGER) AS n_langs,
+           ROUND(AVG(t.distinct_ratio), 6) AS avg_distinct_ratio,
+           ROUND(AVG(CASE WHEN c.copies > 1 THEN 1.0 ELSE 0.0 END), 6)
+               AS exact_dup_frac
+    FROM t JOIN c USING (h)
+    GROUP BY t.source
+"""

@@ -310,3 +310,11 @@ register(
     textops.dedup_normalized_docs,
     textops.DEDUP_NORMALIZED_DOCS_ORACLE,
 )
+# robust (winsorized) per-segment statistics: clip at [p05, p95]
+register(
+    "winsorized_segment_balances",
+    stats.winsorized_segment_balances,
+    stats.WINSORIZED_SEGMENT_BALANCES_ORACLE,
+)
+# per-source corpus card: volume, diversity, language spread, dup rate
+register("corpus_report", textops.corpus_report, textops.CORPUS_REPORT_ORACLE)

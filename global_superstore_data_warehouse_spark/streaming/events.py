@@ -222,3 +222,17 @@ def click_purchase_join_stream(
         "click_ts",
         "purchase_value",
     )
+
+
+def enrich_events_stream(events: DataFrame, type_dim: DataFrame) -> DataFrame:
+    """Stream-STATIC enrichment join: every micro-batch joins the
+    (small, slowly-changing) dimension as an ordinary broadcast hash
+    join — STATELESS, no watermark needed, because the static side is
+    re-resolvable per batch. This is how streams pick up reference
+    data (type weights, geo lookups, model routing tables) at
+    100 TB/day: the dim rides the broadcast, the stream never
+    shuffles. Left join so unknown types pass through with NULL
+    enrichment instead of silently dropping."""
+    return events.join(F.broadcast(type_dim), "event_type", "left").withColumn(
+        "weighted_value", F.round(F.col("value") * F.col("type_weight"), 6)
+    )

@@ -340,3 +340,35 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, tmp_path):
         want.collect(), key=lambda r: tuple(r[k] for k in key)
     )
     assert want.count() > 0, "testdata must contain joinable click→purchase pairs"
+
+
+def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
+    """The stream-static broadcast join must enrich exactly like the
+    batch join over the same dim (stateless per micro-batch)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        enrich_events_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev_batch = load(spark, sf_dir, "events")
+    type_dim = (
+        ev_batch.select("event_type")
+        .distinct()
+        .withColumn("type_weight", F.length("event_type").cast("double"))
+    )
+    stream = enrich_events_stream(read_events_stream(spark, sf_dir), type_dim)
+    run_stream_to_memory(
+        stream, spark, "enrich_out", str(tmp_path / "ckpt_enrich"), output_mode="append"
+    )
+    got = spark.table("enrich_out")
+
+    want = ev_batch.join(F.broadcast(type_dim), "event_type", "left").withColumn(
+        "weighted_value", F.round(F.col("value") * F.col("type_weight"), 6)
+    )
+    assert got.count() == want.count()
+    k = lambda r: r["event_id"]
+    got_rows = sorted(got.select("event_id", "weighted_value").collect(), key=k)
+    want_rows = sorted(want.select("event_id", "weighted_value").collect(), key=k)
+    assert got_rows == want_rows

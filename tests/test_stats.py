@@ -13,6 +13,7 @@ STATS_QUERIES = [
     "sales_rollup",
     "sales_pivot",
     "lineitem_measures_unpivot",
+    "winsorized_segment_balances",
 ]
 
 

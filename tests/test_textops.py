@@ -18,6 +18,7 @@ TEXT_QUERIES = [
     "dedup_incremental",
     "span_dup_stats",
     "cluster_representatives",
+    "corpus_report",
 ]
 
 
