@@ -1,0 +1,197 @@
+"""Training-mix construction operators (beyond-reference, LLM-pipeline
+layer): temperature-based source reweighting, leakage-safe dataset
+splits, and balanced shard assignment for the training reader.
+
+Scale posture (the shapes that survive 100 TB):
+
+- ``temperature_mixture_sample``: the per-source sampling rate is a
+  function of the SOURCE COUNT only, so the plan is (tiny per-source
+  count aggregate) -> (broadcast join back) -> (pure md5-threshold
+  filter). The corpus-sized side is touched exactly once and never
+  shuffled; the count aggregate is map-side-combined into one row per
+  source. No RNG: inclusion is a deterministic md5 threshold, so
+  re-runs (and retried tasks) pick the same documents.
+- ``leakage_safe_splits``: split assignment is a pure projection —
+  zero shuffles. The split key is the md5 of NORMALIZED content, not
+  the doc id, so every member of an exact/near-duplicate family of
+  reformatted copies lands in the same split (train/test leakage via
+  duplicated documents is the classic eval-inflation bug; splitting
+  on content fingerprints is the standard countermeasure). For
+  near-dup-cluster-level splitting, feed ``textops.dedup_clusters``
+  labels through the same hash (see ``split_of`` — any stable group
+  key works).
+- ``training_shards``: shard id is a salted md5 bucket of the doc id
+  — uniform regardless of upstream key skew — and the audit is one
+  partial-aggregated shuffle producing SHARDS rows. The write path
+  twin is ``df.repartition(SHARDS, shard).sortWithinPartitions`` +
+  ``sources/layout.py`` range-sorted writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+
+# temperature-sampling pivot: a source with <= PIVOT_DOCS documents is
+# kept whole; larger sources keep PIVOT_SQRT/sqrt(n) of their docs —
+# i.e. rate ∝ n^(alpha-1) with alpha = 0.5, the multilingual-mixing
+# temperature every large pretraining corpus applies so head sources
+# don't drown the tail. Expressed per-source (no cross-source
+# normalizer) so the rate needs no float summation whose order could
+# differ between engines.
+PIVOT_DOCS = 100
+
+SPLIT_TRAIN_PCT = 80  # md5 bucket < 80  -> train
+SPLIT_VAL_PCT = 90    # 80 <= bucket < 90 -> val, rest test
+
+SHARDS = 16
+
+
+def _permille(c: Column, salt: str) -> Column:
+    """Deterministic [0, 1000) bucket from a salted md5 — bit-identical
+    in Spark and DuckDB (same construction as stats._md5_bucket, with
+    a salt so different operators' buckets are uncorrelated)."""
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000).cast("int")
+
+
+def _permille_sql(expr: str, salt: str) -> str:
+    return (
+        "CAST(CAST(('0x' || substr(md5("
+        f"'{salt}' || CAST({expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS INTEGER)"
+    )
+
+
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted corpus sample: source ``d`` with ``n_d``
+    documents keeps ``min(1, sqrt(PIVOT_DOCS / n_d))`` of them —
+    sampling rate ∝ n^-0.5, i.e. the alpha = 0.5 temperature that
+    flattens the source distribution toward (but not all the way to)
+    uniform. Sources at or under the pivot are kept whole.
+
+    The keep decision is ``md5(doc) mod 1000 < floor(1000 * rate)``:
+    integer threshold on a deterministic hash, so the sample is
+    reproducible, partitioning-independent, and engine-agnostic (the
+    oracle computes the identical permille). ``sqrt`` is IEEE-exact
+    (correctly rounded in both engines), so the floor'd threshold
+    cannot disagree across engines the way a normalized softmax-style
+    weight (order-dependent float sum) could.
+    """
+    docs = load(spark, sf_dir, "documents")
+    rates = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "keep_permille",
+            F.least(
+                F.lit(1000),
+                F.floor(F.lit(1000.0) * F.sqrt(F.lit(float(PIVOT_DOCS)) / F.col("n_docs"))),
+            ).cast("int"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(_permille(F.col("doc_id"), "mix:") < F.col("keep_permille"))
+        .select("doc_id", "source", "n_docs", "keep_permille")
+    )
+
+
+TEMPERATURE_MIXTURE_SAMPLE_ORACLE = f"""
+    SELECT d.doc_id, d.source, r.n_docs, r.keep_permille
+    FROM documents d
+    JOIN (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(LEAST(1000, FLOOR(1000.0 * SQRT({PIVOT_DOCS}.0 / COUNT(*))))
+                    AS INTEGER) AS keep_permille
+        FROM documents GROUP BY source
+    ) r USING (source)
+    WHERE {_permille_sql('d.doc_id', 'mix:')} < r.keep_permille
+"""
+
+
+# --- leakage-safe splits ---------------------------------------------
+
+def split_of(group_key: Column) -> Column:
+    """train/val/test label from any stable group key: all rows with
+    the same key land in the same split (the leakage guarantee)."""
+    b = _permille(group_key, "split:") / 10  # [0, 100)
+    return (
+        F.when(b < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(b < SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign train/val/test at the CONTENT-FINGERPRINT level, not the
+    row level: the split key is md5 of casefolded/punct-stripped text
+    (the same normalizer as ``textops.dedup_normalized_docs``), so
+    every reformatted copy of a document is guaranteed the same split
+    and eval numbers can't be inflated by training on a near-copy of
+    a test document. Pure projection — zero shuffles; at 100 TB this
+    is a free extra column on the curation scan."""
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), "[^a-z0-9]+", " "), " +", " "
+        )
+    )
+    key = F.md5(norm)
+    return docs.select(
+        "doc_id",
+        key.alias("content_key"),
+        split_of(key).alias("split"),
+    )
+
+
+_NORM_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')))"
+)
+
+LEAKAGE_SAFE_SPLITS_ORACLE = f"""
+    SELECT doc_id, content_key,
+           CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, {_NORM_SQL} AS content_key,
+               {_permille_sql(_NORM_SQL, 'split:')} / 10 AS bucket
+        FROM documents
+    )
+"""
+
+
+# --- training shard assignment ---------------------------------------
+
+def training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced shard audit for the training reader: docs are assigned
+    to ``SHARDS`` shards by salted md5 of doc_id (uniform even when
+    doc ids are dense/skewed), and the query reports per-shard volume
+    (docs, chars) — the balance check run before a training job whose
+    data-parallel readers each own a shard. One partial-aggregated
+    shuffle to SHARDS rows. The write twin is
+    ``repartition(SHARDS, shard)`` + per-shard md5-ordered
+    ``sortWithinPartitions`` (the RNG-free intra-shard shuffle of
+    ``curation.pack_chunks``)."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (_permille(F.col("doc_id"), "shard:") % SHARDS).alias("shard_id")
+    return (
+        docs.select(shard, "n_chars")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+TRAINING_SHARDS_ORACLE = f"""
+    SELECT {_permille_sql('doc_id', 'shard:')} % {SHARDS} AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+"""

@@ -25,6 +25,7 @@ identical DuckDB-oracle parity coverage in pytest.
 from __future__ import annotations
 
 from global_superstore_data_warehouse_spark.plans import (
+    cdc,
     cleansing,
     conformance,
     curation,
@@ -32,7 +33,9 @@ from global_superstore_data_warehouse_spark.plans import (
     embeddings,
     events,
     fact,
+    mixtures,
     multimodal,
+    observability,
     scd,
     stats,
     textops,
@@ -318,3 +321,22 @@ register(
 )
 # per-source corpus card: volume, diversity, language spread, dup rate
 register("corpus_report", textops.corpus_report, textops.CORPUS_REPORT_ORACLE)
+
+# --- Late-round-4 additions (pytest-parity; registered past the
+# window — novel shapes here rotate in next round) ---
+# temperature-based source reweighting (rate ∝ n^-0.5, md5 threshold)
+register(
+    "temperature_mixture_sample",
+    mixtures.temperature_mixture_sample,
+    mixtures.TEMPERATURE_MIXTURE_SAMPLE_ORACLE,
+)
+# content-fingerprint-level train/val/test split (leakage guard)
+register("leakage_safe_splits", mixtures.leakage_safe_splits, mixtures.LEAKAGE_SAFE_SPLITS_ORACLE)
+# balanced shard assignment audit for the training reader
+register("training_shards", mixtures.training_shards, mixtures.TRAINING_SHARDS_ORACLE)
+# CDC ordered-apply: snapshot ⊕ I/U/D stream → final state
+register("cdc_apply_orders", cdc.cdc_apply_orders, cdc.CDC_APPLY_ORDERS_ORACLE)
+# join-key skew diagnostics (choose broadcast/salt/AQE from data)
+register("join_skew_report", observability.join_skew_report, observability.JOIN_SKEW_REPORT_ORACLE)
+# event-type mix drift, weekday vs weekend (PSI per type)
+register("psi_event_drift", observability.psi_event_drift, observability.PSI_EVENT_DRIFT_ORACLE)
