@@ -77,6 +77,9 @@ EXTRA = [
     # the overlapping RAG chunker
     "dedup_incremental",
     "chunk_overlap",
+    # exact set-similarity join + incremental MV merge
+    "jaccard_prefix_pairs",
+    "incremental_mv_refresh",
     # late-round-4 additions: corpus-level span dedup, the
     # keep-decision pass after clustering, per-attribute survivorship,
     # and the right-to-erasure cascade

@@ -567,3 +567,52 @@ ANN_RECALL_ORACLE = f"""
     LEFT JOIN lh ON b.query_id = lh.query_id
     LEFT JOIN ih ON b.query_id = ih.query_id
 """
+
+
+# --- per-dimension feature standardization ----------------------------
+
+def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION z-score standardization of the embedding corpus
+    (the preprocessing step before distance-based indexing/clustering
+    when dimensions have heterogeneous scales): posexplode to
+    (vec_id, dim, val), one partial-aggregated groupBy(dim) for
+    mean/stddev — DIMS rows, broadcast back — then the scaled value.
+    Two scans' worth of work but ONE corpus shuffle-free projection
+    plus a dims-sized broadcast join: the corpus-sized side never
+    shuffles (posexplode is pipelined into the scan).
+
+    Output stays exploded (vec_id, dim, z) rather than re-assembled:
+    re-collecting arrays would add a vec_id shuffle for a result the
+    downstream consumer (an indexer) explodes again anyway. The
+    array twin is one groupBy(vec_id, sort_array(collect_list)).
+    stddev is the sample stddev (both engines' default)."""
+    emb = load(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    dim_stats = flat.groupBy("dim").agg(
+        F.avg("val").alias("mu"), F.stddev_samp("val").alias("sigma")
+    )
+    return (
+        flat.join(F.broadcast(dim_stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round((F.col("val") - F.col("mu")) / F.col("sigma"), 6).alias("z"),
+        )
+    )
+
+
+EMBEDDING_STANDARDIZE_ORACLE = f"""
+    WITH flat AS (
+        SELECT vec_id, CAST(i - 1 AS INTEGER) AS dim,
+               CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS val
+        FROM embeddings, LATERAL (SELECT unnest(range(1, {DIMS + 1})) AS i) t
+    ),
+    dim_stats AS (
+        SELECT dim, AVG(val) AS mu, STDDEV_SAMP(val) AS sigma
+        FROM flat GROUP BY dim
+    )
+    SELECT f.vec_id, f.dim, ROUND((f.val - s.mu) / s.sigma, 6) AS z
+    FROM flat f JOIN dim_stats s USING (dim)
+"""

@@ -36,7 +36,9 @@ from global_superstore_data_warehouse_spark.plans import (
     mixtures,
     multimodal,
     observability,
+    pipeline,
     scd,
+    setsim,
     stats,
     textops,
     views,
@@ -340,3 +342,18 @@ register("cdc_apply_orders", cdc.cdc_apply_orders, cdc.CDC_APPLY_ORDERS_ORACLE)
 register("join_skew_report", observability.join_skew_report, observability.JOIN_SKEW_REPORT_ORACLE)
 # event-type mix drift, weekday vs weekend (PSI per type)
 register("psi_event_drift", observability.psi_event_drift, observability.PSI_EVENT_DRIFT_ORACLE)
+# exact set-similarity join (prefix filtering, recall 1.0 by
+# construction — oracle is the brute-force exact join)
+register("jaccard_prefix_pairs", setsim.jaccard_prefix_pairs, setsim.JACCARD_PREFIX_PAIRS_ORACLE)
+# incremental MV maintenance: merge(state, delta) == full recompute
+register(
+    "incremental_mv_refresh",
+    pipeline.incremental_mv_refresh,
+    pipeline.INCREMENTAL_MV_REFRESH_ORACLE,
+)
+# per-dimension z-score standardization of the embedding corpus
+register(
+    "embedding_standardize",
+    embeddings.embedding_standardize,
+    embeddings.EMBEDDING_STANDARDIZE_ORACLE,
+)
