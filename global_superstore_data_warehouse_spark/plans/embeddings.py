@@ -616,3 +616,60 @@ EMBEDDING_STANDARDIZE_ORACLE = f"""
     SELECT f.vec_id, f.dim, ROUND((f.val - s.mu) / s.sigma, 6) AS z
     FROM flat f JOIN dim_stats s USING (dim)
 """
+
+
+# --- hard-negative mining for contrastive training --------------------
+
+HN_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each query vector,
+    the HN_K highest-cosine corpus vectors whose LABEL differs — the
+    near-boundary impostors that make contrastive losses learn
+    anything (random negatives are trivially separable). Same
+    broadcast-query brute-force shape as ``cosine_topk`` with the
+    label inequality pushed into the pair filter; the scale path is
+    the IVF/LSH bucketed candidate generator feeding the same
+    label-aware rank.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(F.col("label") != F.col("q_label"))
+    sim = F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6)
+    return (
+        pairs.select(
+            "query_id", F.col("vec_id").alias("negative_id"), sim.alias("cosine_sim")
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), F.asc("negative_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= HN_K)
+    )
+
+
+HARD_NEGATIVE_MINING_ORACLE = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+        FROM embeddings WHERE vec_id < {NUM_QUERIES}
+    ), pairs AS (
+        SELECT q.query_id, e.vec_id AS negative_id,
+               ROUND({S.cosine_sql('q.q_emb', 'e.embedding', DIMS)}, 6) AS cosine_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.label <> q.q_label
+    )
+    SELECT query_id, negative_id, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, negative_id ASC) AS INTEGER) AS rank
+    FROM pairs
+    QUALIFY rank <= {HN_K}
+"""

@@ -381,3 +381,95 @@ FACT_PIT_CUSTOMERS_ORACLE = """
      AND d.start_dt <= CAST(o.o_orderdate AS DATE)
      AND CAST(o.o_orderdate AS DATE) < d.end_dt
 """
+
+
+# --- snapshot diff (time travel between two as-of states) -------------
+
+SNAP_T1 = "2024-03-01"
+SNAP_T2 = "2024-12-01"
+
+
+def snapshot_diff(
+    chain: DataFrame, t1: str, t2: str, key: str, attrs: list[str]
+) -> DataFrame:
+    """Diff two as-of snapshots of an SCD2 version chain: for each
+    key, classify added / removed / changed / unchanged between the
+    state valid at ``t1`` and at ``t2``, carrying the before/after
+    attribute values. The "what changed between yesterday's close and
+    today's" question every warehouse audit asks — answered from the
+    version chain alone, no stored snapshots.
+
+    Plan: two as-of filters over the SAME chain scan (predicates on
+    [start_dt, end_dt) — partition-prunable when the chain is stored
+    partitioned by version date) + one full-outer shuffle join on the
+    key. With the SCD2 invariant (non-overlapping versions) each
+    snapshot has at most one row per key, so the join is 1:1.
+    """
+    def snap(t: str, suffix: str) -> DataFrame:
+        return chain.filter(
+            (F.col("start_dt") <= F.lit(t)) & (F.col("end_dt") > F.lit(t))
+        ).select(
+            F.col(key),
+            *[F.col(a).alias(f"{a}_{suffix}") for a in attrs],
+        )
+
+    s1, s2 = snap(t1, "t1"), snap(t2, "t2")
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | (F.col(f"{a}_t1") != F.col(f"{a}_t2"))
+    change_type = (
+        F.when(F.col(f"{attrs[0]}_t1").isNull() & F.col(f"{attrs[0]}_t2").isNotNull(), "added")
+        .when(F.col(f"{attrs[0]}_t2").isNull() & F.col(f"{attrs[0]}_t1").isNotNull(), "removed")
+        .when(changed, "changed")
+        .otherwise("unchanged")
+    )
+    return s1.join(s2, key, "full_outer").select(
+        key, change_type.alias("change_type"),
+        *[c for a in attrs for c in (f"{a}_t1", f"{a}_t2")],
+    )
+
+
+def scd2_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff over the two-load lifecycle chain: the state
+    as of {SNAP_T1} (after load 1) vs {SNAP_T2} (after load 2).
+    Expected classes follow the lifecycle algebra: keys only in
+    load 1 or unchanged across loads → 'unchanged'; key%12=0 →
+    'changed' (name gained ' v2'); load-2-only keys → 'added';
+    nothing is ever deleted → no 'removed'."""
+    cust = load(spark, sf_dir, "customer")
+    k, name, attr = "c_custkey", "c_name", "c_mktsegment"
+
+    empty_dim = cust.select(
+        F.col(k).alias("k"),
+        F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+        F.to_date(F.lit("2024-01-01")).alias("start_dt"),
+        F.to_date(F.lit("9999-12-31")).alias("end_dt"),
+        F.lit(True).alias("is_active"),
+    ).filter(F.lit(False))
+    load1 = cust.filter(F.col(k) % 3 == 0).select(
+        F.col(k).alias("k"),
+        F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+    )
+    load2 = cust.filter(F.col(k) % 2 == 0).select(
+        F.col(k).alias("k"),
+        F.concat(
+            name, F.when(F.col(k) % 12 == 0, F.lit(" v2")).otherwise(F.lit(""))
+        ).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+    )
+    state1 = scd2_merge(empty_dim, load1, keys=["k"], attrs=["name", "attr"], effective_date="2024-01-01")
+    chain = scd2_merge(state1, load2, keys=["k"], attrs=["name", "attr"], effective_date=EFFECTIVE)
+    return snapshot_diff(chain, SNAP_T1, SNAP_T2, "k", ["name"])
+
+
+SCD2_SNAPSHOT_DIFF_ORACLE = """
+    WITH c AS (SELECT c_custkey AS k, c_name AS name FROM customer)
+    SELECT k, 'unchanged' AS change_type, name AS name_t1, name AS name_t2
+    FROM c WHERE (k % 3 = 0 AND k % 2 = 1) OR (k % 6 = 0 AND k % 12 <> 0)
+    UNION ALL
+    SELECT k, 'changed', name, name || ' v2' FROM c WHERE k % 12 = 0
+    UNION ALL
+    SELECT k, 'added', NULL, name FROM c WHERE k % 2 = 0 AND k % 3 <> 0
+"""

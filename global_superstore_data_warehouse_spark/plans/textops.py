@@ -1263,3 +1263,41 @@ CORPUS_REPORT_ORACLE = f"""
     FROM t JOIN c USING (h)
     GROUP BY t.source
 """
+
+
+# --- language-ID evaluation (confusion matrix) ------------------------
+
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language identifier against
+    the labeled ``lang`` column — the measure-don't-guess eval for
+    the classifier the pipeline gates on (same posture as
+    ``ann_recall`` for the ANN indexes): one row per (labeled,
+    predicted) pair with the count and the within-label share (row-
+    normalized recall). Diagonal = recall per language. Cost: the
+    lang_id projection + one tiny two-key aggregate."""
+    from pyspark.sql import Window as W
+
+    pred = lang_id(spark, sf_dir).select("doc_id", "labeled_lang", "predicted_lang")
+    per_label = W.partitionBy("labeled_lang")
+    return (
+        pred.groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("label_total", F.sum("n").over(per_label))
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            "n",
+            F.round(F.col("n") / F.col("label_total"), 6).alias("recall_share"),
+        )
+    )
+
+
+LANG_ID_CONFUSION_ORACLE = f"""
+    WITH pred AS ({LANG_ID_ORACLE})
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY labeled_lang), 6)
+               AS recall_share
+    FROM pred
+    GROUP BY labeled_lang, predicted_lang
+"""

@@ -357,3 +357,13 @@ register(
     embeddings.embedding_standardize,
     embeddings.EMBEDDING_STANDARDIZE_ORACLE,
 )
+# snapshot diff between two as-of states of the SCD2 chain
+register("scd2_snapshot_diff", scd.scd2_snapshot_diff, scd.SCD2_SNAPSHOT_DIFF_ORACLE)
+# label-aware hard negatives for contrastive training
+register(
+    "hard_negative_mining",
+    embeddings.hard_negative_mining,
+    embeddings.HARD_NEGATIVE_MINING_ORACLE,
+)
+# confusion-matrix eval of the heuristic language identifier
+register("lang_id_confusion", textops.lang_id_confusion, textops.LANG_ID_CONFUSION_ORACLE)
