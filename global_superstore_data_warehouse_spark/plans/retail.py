@@ -1,0 +1,216 @@
+"""Retail-analytics layer: market-basket co-occurrence, Pareto (ABC)
+classification, and RFM segmentation — the standing analytical
+queries a Global-Superstore-style warehouse serves daily (the
+reference's mat views cover sales/profit rollups, bl_dm.sql:274-300;
+these are the next three every retail BI stack adds).
+
+Scale shapes:
+
+- ``market_basket_pairs``: the pair generator is a SELF-JOIN ON THE
+  ORDER KEY, so its cost is sum over orders of (items/order)^2 —
+  bounded by basket size (single digits), never by catalog size; the
+  support/confidence/lift math happens after aggregation on
+  pair-sized rows. The naive item×item join (catalog²) is never
+  formed. One shuffle on order key + one on the pair.
+- ``pareto_products``: one product-sized aggregate, then a cumulative
+  window over products ordered by revenue. The window is
+  single-partition over the AGGREGATED (catalog-sized) frame — fine
+  to ~10^8 products; beyond that the two-phase form (per-bucket
+  partials + broadcast running offsets, the pack_chunks trick)
+  replaces the global window.
+- ``rfm_segments``: per-customer aggregate, then three ntile windows
+  over the customer-sized frame with fully-specified total orders
+  (metric, key) so quartile boundaries are deterministic under ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+
+MIN_SUPPORT = 3  # co-occurrence pairs seen in fewer orders are noise
+
+
+def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part pairs with support / confidence / lift: parts
+    co-occurring in >= MIN_SUPPORT orders, confidence(a→b) =
+    P(b in basket | a in basket), lift = observed co-occurrence over
+    the independence expectation. Directed output (a→b and b→a rows)
+    since confidence is asymmetric; a < b pairs carry the same
+    support and lift mirrored."""
+    li = load(spark, sf_dir, "lineitem")
+    # one row per (order, part) — a part twice in a basket counts once
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # 1-row total as a broadcast frame, not a driver-side .count():
+    # keeps the whole query one lazy Catalyst plan
+    n = op.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
+    part_orders = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_n"))
+
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    ca = part_orders.select(
+        F.col("l_partkey").alias("part_a"), F.col("part_n").alias("n_a")
+    )
+    cb = part_orders.select(
+        F.col("l_partkey").alias("part_b"), F.col("part_n").alias("n_b")
+    )
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("support") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+MARKET_BASKET_PAIRS_ORACLE = f"""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM op),
+    po AS (SELECT l_partkey, COUNT(*) AS part_n FROM op GROUP BY l_partkey),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS support
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, support,
+           ROUND(support * 1.0 / ca.part_n, 6) AS confidence,
+           ROUND(support * n.n_orders / (ca.part_n * cb.part_n), 6) AS lift
+    FROM pairs
+    JOIN po ca ON ca.l_partkey = part_a
+    JOIN po cb ON cb.l_partkey = part_b
+    CROSS JOIN n
+"""
+
+
+def pareto_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC classification: products ranked by revenue; class A covers
+    the first 80% of cumulative revenue share, B to 95%, C the tail —
+    the classic Pareto cut used for stocking and catalog decisions.
+    The cumulative share uses the running sum INCLUDING the current
+    row over a fully-deterministic order (revenue desc, key asc)."""
+    li = load(spark, sf_dir, "lineitem")
+    # ROUND at 4 decimals, not 2: price(2dp) x (1 - discount(2dp)) has
+    # EXACTLY 4 true decimals, so the sum's true value is a multiple
+    # of 1e-4 — never near a 4dp half-boundary — and cross-engine
+    # float summation order cannot flip the rounding. At 2dp the true
+    # value can sit exactly ON the half-cent boundary and engines
+    # disagree (observed at sf0.01: 3 of 2000 parts off by a cent).
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+            "revenue"
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = Window.partitionBy()
+    cum_share = F.sum("revenue").over(w) / F.sum("revenue").over(total)
+    return rev.select(
+        "l_partkey",
+        "revenue",
+        F.round(cum_share, 6).alias("cum_share"),
+        F.when(cum_share <= 0.80, "A")
+        .when(cum_share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+
+
+PARETO_PRODUCTS_ORACLE = """
+    WITH rev AS (
+        SELECT l_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    c AS (
+        SELECT l_partkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / SUM(revenue) OVER () AS cum_share
+        FROM rev
+    )
+    SELECT l_partkey, revenue, ROUND(cum_share, 6) AS cum_share,
+           CASE WHEN cum_share <= 0.80 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM c
+"""
+
+
+RFM_ASOF = "1998-12-31"  # recency anchor (max order date in TPC-H-ish data)
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last
+    order), Frequency (order count), Monetary (total spend), each
+    quartiled 1-4 by ntile over a deterministic total order; the
+    concatenated code (e.g. '144') is the marketing segment. Ntile
+    order ties are broken by customer key, so quartile boundaries
+    are stable across engines and re-runs."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF), F.max(F.to_date("o_orderdate"))).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    r_q = F.ntile(4).over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+    f_q = F.ntile(4).over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+    m_q = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+    return rfm.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_q.alias("r_quartile"),
+        f_q.alias("f_quartile"),
+        m_q.alias("m_quartile"),
+    ).withColumn(
+        "rfm_code",
+        F.concat(F.col("r_quartile"), F.col("f_quartile"), F.col("m_quartile")),
+    )
+
+
+RFM_SEGMENTS_ORACLE = f"""
+    WITH rfm AS (
+        SELECT o_custkey,
+               datediff('day', MAX(CAST(o_orderdate AS DATE)), DATE '{RFM_ASOF}')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, CAST(recency_days AS INTEGER) AS recency_days,
+           frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INTEGER)
+               AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INTEGER)
+               AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS INTEGER)
+               AS m_quartile,
+           CAST(NTILE(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS VARCHAR)
+           || CAST(NTILE(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS VARCHAR)
+           || CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS VARCHAR)
+               AS rfm_code
+    FROM rfm
+"""

@@ -37,6 +37,7 @@ from global_superstore_data_warehouse_spark.plans import (
     multimodal,
     observability,
     pipeline,
+    retail,
     scd,
     setsim,
     stats,
@@ -367,3 +368,7 @@ register(
 )
 # confusion-matrix eval of the heuristic language identifier
 register("lang_id_confusion", textops.lang_id_confusion, textops.LANG_ID_CONFUSION_ORACLE)
+# retail analytics: co-occurrence, Pareto/ABC, RFM
+register("market_basket_pairs", retail.market_basket_pairs, retail.MARKET_BASKET_PAIRS_ORACLE)
+register("pareto_products", retail.pareto_products, retail.PARETO_PRODUCTS_ORACLE)
+register("rfm_segments", retail.rfm_segments, retail.RFM_SEGMENTS_ORACLE)
