@@ -87,6 +87,11 @@ EXTRA = [
     "cluster_representatives",
     "golden_record_customers",
     "gdpr_erasure_cascade",
+    # profiler / gap-fill / semantic dedup / dedup-recall eval
+    "profile_columns",
+    "events_gapfill",
+    "semantic_dedup",
+    "minhash_recall_eval",
 ]
 
 ROUNDS = 3

@@ -126,6 +126,56 @@ NUM_LISTS = 8  # IVF coarse centroids (seed vectors vec_id < 8)
 NPROBE = 2
 
 
+def _unit_centroid_row(emb: DataFrame) -> DataFrame:
+    """One row, NUM_LISTS unit-normalized array columns cn0..cn{n-1}:
+    the coarse quantizer (seed vectors vec_id < NUM_LISTS —
+    deterministic, so oracles can rebuild the identical index).
+    Norms are materialized in a separate projection so the fold isn't
+    re-run per element."""
+    cents = emb.filter(F.col("vec_id") < NUM_LISTS)
+    return (
+        cents.groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("vec_id") == j, F.col("embedding"))).alias(f"c{j}")
+                for j in range(NUM_LISTS)
+            ]
+        )
+        .select(
+            *[F.col(f"c{j}") for j in range(NUM_LISTS)],
+            *[S.norm(F.col(f"c{j}")).alias(f"nc{j}") for j in range(NUM_LISTS)],
+        )
+        .select(
+            *[
+                S.normalize(F.col(f"c{j}"), F.col(f"nc{j}")).alias(f"cn{j}")
+                for j in range(NUM_LISTS)
+            ]
+        )
+    )
+
+
+def _best_list():
+    """argmax list id for the ``embedding`` column against the
+    broadcast cn* centroid columns: max (sim, -list_id) struct —
+    highest sim, ties to the smaller list id, matching the oracle's
+    ORDER BY sim DESC, list_id ASC. Each dot fold appears exactly
+    once in the projection (see ann_ivf_topk's expression-shape
+    notes)."""
+    return (
+        -F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        S.dot(F.col("embedding"), F.col(f"cn{j}")).alias("sim"),
+                        F.lit(-j).cast("int").alias("neg_list"),
+                    )
+                    for j in range(NUM_LISTS)
+                ]
+            )
+        ).getField("neg_list")
+    ).cast("int")
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-k: a coarse quantizer of NUM_LISTS
     seed vectors (embeddings with vec_id < NUM_LISTS — deterministic,
@@ -168,49 +218,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole pipeline.
     """
     emb = load(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < NUM_LISTS)
-    # one row, NUM_LISTS array columns: c0..c{n-1}, unit-normalized
-    # (norms materialized first so the fold isn't re-run per element)
-    cent_row = (
-        cents.groupBy()
-        .agg(
-            *[
-                F.max(F.when(F.col("vec_id") == j, F.col("embedding"))).alias(f"c{j}")
-                for j in range(NUM_LISTS)
-            ]
-        )
-        .select(
-            *[F.col(f"c{j}") for j in range(NUM_LISTS)],
-            *[S.norm(F.col(f"c{j}")).alias(f"nc{j}") for j in range(NUM_LISTS)],
-        )
-        .select(
-            *[
-                S.normalize(F.col(f"c{j}"), F.col(f"nc{j}")).alias(f"cn{j}")
-                for j in range(NUM_LISTS)
-            ]
-        )
-    )
-
-    def best_list():
-        """argmax list id: max (sim, -list_id) struct — highest sim,
-        ties to the smaller list id, matching the oracle's ORDER BY
-        sim DESC, list_id ASC."""
-        return (
-            -F.array_max(
-                F.array(
-                    *[
-                        F.struct(
-                            S.dot(F.col("embedding"), F.col(f"cn{j}")).alias("sim"),
-                            F.lit(-j).cast("int").alias("neg_list"),
-                        )
-                        for j in range(NUM_LISTS)
-                    ]
-                )
-            ).getField("neg_list")
-        ).cast("int")
-
+    cent_row = _unit_centroid_row(emb)
     with_cents = emb.crossJoin(F.broadcast(cent_row))
-    corpus = with_cents.select("vec_id", "embedding", best_list().alias("list_id"))
+    corpus = with_cents.select("vec_id", "embedding", _best_list().alias("list_id"))
 
     # queries probe their NPROBE nearest lists (tiny: queries × lists)
     q = emb.filter(F.col("vec_id") < NUM_QUERIES).crossJoin(F.broadcast(cent_row))
@@ -673,3 +683,95 @@ HARD_NEGATIVE_MINING_ORACLE = f"""
     FROM pairs
     QUALIFY rank <= {HN_K}
 """
+
+
+# --- SemDeDup-style semantic deduplication ----------------------------
+
+SEMDEDUP_THRESHOLD = 0.4
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., 2023): cluster
+    the corpus with the coarse quantizer, then WITHIN each cluster
+    drop every vector that has a lower-id neighbor above the cosine
+    threshold — one keep/drop decision per row, ``dup_of`` naming
+    the lowest-id retained-or-earlier neighbor so the decision is
+    auditable. Keeps exactly the earliest member of every
+    near-duplicate neighborhood; deterministic (id order, no RNG).
+
+    Scale shape: the all-pairs comparison is confined to a cluster
+    (the SemDeDup trick — at 100 TB you raise NUM_LISTS so the
+    expected list size stays bounded, keeping intra-list pairs
+    ~n²/k); assignment is the broadcast-quantizer projection (no
+    shuffle), the pair join shuffles on list_id only, and the
+    assigned corpus is checkpointed narrow so the self-join's two
+    branches don't recompute the quantizer. Never a corpus-level
+    cross join.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    cent_row = _unit_centroid_row(emb)
+    n_part = spark.sparkContext.defaultParallelism
+    corpus = (
+        emb.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", "embedding", _best_list().alias("list_id"))
+        .repartition(n_part, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    sim = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    dups = (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") > F.col("b.vec_id")),
+        )
+        .filter(sim >= SEMDEDUP_THRESHOLD)
+        .groupBy(F.col("a.vec_id").alias("vec_id"))
+        .agg(F.min(F.col("b.vec_id")).alias("dup_of"))
+    )
+    return (
+        corpus.select("vec_id", "list_id")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id",
+            "list_id",
+            "dup_of",
+            F.col("dup_of").isNull().cast("int").alias("keep"),
+        )
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    # identical cents/assigned CTEs as the IVF oracle: raw-row x
+    # unit-centroid fold, ties to the smaller list id
+    nsim = (
+        f"list_aggregate(list_transform(range(1, {DIMS + 1}), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * "
+        f"(CAST(c.embedding[i] AS DOUBLE) / c.nrm)), 'sum')"
+    )
+    paircos = S.cosine_sql("a.embedding", "b.embedding", DIMS)
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS list_id, embedding,
+               {S.norm_sql('embedding', DIMS)} AS nrm
+        FROM embeddings WHERE vec_id < {NUM_LISTS}
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding, CAST(c.list_id AS INTEGER) AS list_id
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {nsim} DESC, c.list_id ASC) = 1
+    ), dups AS (
+        SELECT a.vec_id, MIN(b.vec_id) AS dup_of
+        FROM assigned a JOIN assigned b
+          ON a.list_id = b.list_id AND b.vec_id < a.vec_id
+        WHERE ROUND({paircos}, 6) >= {SEMDEDUP_THRESHOLD}
+        GROUP BY a.vec_id
+    )
+    SELECT a.vec_id, a.list_id, d.dup_of,
+           CAST(CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS keep
+    FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """
+
+
+SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()

@@ -588,3 +588,96 @@ EVENTS_VALUE_OUTLIERS_ORACLE = f"""
       AND sd > 0
       AND ABS(value - mu) > {OUTLIER_Z} * sd
 """
+
+
+# --- gap-fill + forward-fill (time-series regularization) -------------
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize the event stream into a DENSE hourly series per
+    event type: every (type, hour) slot between the corpus's first
+    and last hour exists exactly once, missing slots carry
+    n_events=0 / is_gap=1, and avg_value is FORWARD-FILLED from the
+    most recent observed hour (NULL before a type's first
+    observation) — the standard gap-fill + locf shape feature
+    pipelines need before windowed models.
+
+    Plan shape: one partial-aggregated groupBy(type, hour) collapses
+    the stream to |types|x|hours| rows; the spine is generated
+    distributed (per-type ``sequence`` + ``explode`` — never a
+    driver loop), sized types x hours, NOT corpus rows; the
+    left join + ``last(ignorenulls)`` window both run on the
+    collapsed frame partitioned by type. At 100 TB the stream scan
+    dominates and everything after the first aggregate is
+    metadata-sized; the window never sees raw events.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour_ts"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(w).alias("ff_avg_value"),
+        F.col("n_events").isNull().cast("int").alias("is_gap"),
+    )
+
+
+EVENTS_GAPFILL_ORACLE = """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(AVG(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT t.event_type, g.hour_ts
+        FROM (SELECT DISTINCT event_type FROM hourly) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+            FROM bounds
+        ) g
+    )
+    SELECT s.event_type,
+           strftime(s.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+           last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY s.event_type ORDER BY s.hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ff_avg_value,
+           CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
+               AS is_gap
+    FROM spine s
+    LEFT JOIN hourly h
+      ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
+"""

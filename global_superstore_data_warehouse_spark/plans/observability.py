@@ -1,5 +1,6 @@
-"""Pipeline observability operators: join-key skew diagnostics and
-population-stability (distribution drift) reports.
+"""Pipeline observability operators: join-key skew diagnostics,
+population-stability (distribution drift) reports, and a one-pass
+per-column table profiler.
 
 Both are "run before you scale" tools: the skew report is what you
 consult before choosing broadcast/salt/AQE strategy for a 100 TB
@@ -141,3 +142,96 @@ PSI_EVENT_DRIFT_ORACLE = f"""
         FROM counts, tot
     )
 """
+
+
+# --- per-column table profiler ----------------------------------------
+
+# (column, kind) — kind picks the min/max representation: numerics
+# cast to DOUBLE, timestamps to epoch seconds (DOUBLE), strings get
+# NULL bounds (a lexicographic min/max would hostage the hash to
+# engine collation differences; null%/distinct are the string
+# signals that matter for profiling).
+PROFILE_COLUMNS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level profile of ``orders`` — one row per column with
+    null_count, exact distinct count, and numeric/epoch min-max —
+    the standing "what does this feed look like" report run before
+    pointing a pipeline at a new table.
+
+    Plan shape: ONE aggregation pass computes every per-column
+    statistic as a separate aggregate expression (Catalyst plans the
+    multiple COUNT(DISTINCT)s via a single Expand — still one scan,
+    one shuffle), then the 1-row result is exploded into the long
+    (column_name, stats) form driver-side-free. At extreme
+    cardinality the documented swap-in is ``approx_count_distinct``
+    (HLL sketch, fixed memory) for the distinct column — the Expand
+    multiplies the shuffle by the distinct-agg count, which is the
+    one part of this plan that grows with profiling width.
+    """
+    orders = load(spark, sf_dir, "orders")
+    aggs = []
+    for c, kind in PROFILE_COLUMNS:
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        aggs.append(F.countDistinct(F.col(c)).alias(f"{c}__nd"))
+        if kind == "num":
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"{c}__min"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"{c}__max"))
+        elif kind == "ts":
+            # parquet naive timestamps arrive as TIMESTAMP_NTZ, which
+            # has no direct double cast; NTZ -> LTZ under the UTC
+            # session tz, then -> epoch seconds, matches DuckDB's
+            # epoch() over the same naive value exactly
+            for agg, suffix in ((F.min, "min"), (F.max, "max")):
+                aggs.append(
+                    agg(F.col(c))
+                    .cast("timestamp_ltz")
+                    .cast("double")
+                    .alias(f"{c}__{suffix}")
+                )
+    row = orders.agg(*aggs)
+    entries = []
+    for c, kind in PROFILE_COLUMNS:
+        null_bound = F.lit(None).cast("double")
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"{c}__nulls").alias("null_count"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__min") if kind != "str" else null_bound).alias("min_value"),
+                (F.col(f"{c}__max") if kind != "str" else null_bound).alias("max_value"),
+            )
+        )
+    return row.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c, kind in PROFILE_COLUMNS:
+        if kind == "num":
+            mn, mx = f"CAST(MIN({c}) AS DOUBLE)", f"CAST(MAX({c}) AS DOUBLE)"
+        elif kind == "ts":
+            mn, mx = f"epoch(MIN({c}))", f"epoch(MAX({c}))"
+        else:
+            mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column_name,\n"
+            f"       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS null_count,\n"
+            f"       CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,\n"
+            f"       {mn} AS min_value,\n"
+            f"       {mx} AS max_value\n"
+            f"FROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+PROFILE_COLUMNS_ORACLE = _profile_oracle()

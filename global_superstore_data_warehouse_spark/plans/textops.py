@@ -1301,3 +1301,118 @@ LANG_ID_CONFUSION_ORACLE = f"""
     FROM pred
     GROUP BY labeled_lang, predicted_lang
 """
+
+
+# --- MinHash-LSH recall evaluation ------------------------------------
+
+
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the probabilistic MinHash-LSH candidate
+    generator against EXACT ground truth: every pair the
+    prefix-filter join (plans/setsim.py, guaranteed recall 1.0)
+    proves has Jaccard >= its TAU=0.95 should also collide in some
+    LSH band — one summary row (n_true, n_found, recall). The
+    eval-the-evaluator companion to ann_recall: dedup quality is a
+    first-class output, not an assumption.
+
+    Scale shape: composes the two registered plans (both bounded
+    candidate generators) and left-semi-style joins their PAIR KEYS
+    only — token arrays and signatures never ride this join; the
+    final aggregate is one row.
+    """
+    from global_superstore_data_warehouse_spark.plans import setsim
+
+    exact = setsim.jaccard_prefix_pairs(spark, sf_dir).select(
+        F.col("doc_a"), F.col("doc_b")
+    )
+    cand = minhash_lsh_candidates(spark, sf_dir).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.lit(1).alias("hit"),
+    )
+    joined = exact.join(cand, ["doc_a", "doc_b"], "left")
+    found = F.coalesce(F.col("hit"), F.lit(0))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(found).alias("n_found"),
+        F.round(F.avg(found), 6).alias("recall"),
+    )
+
+
+from global_superstore_data_warehouse_spark.plans.setsim import (  # noqa: E402
+    JACCARD_PREFIX_PAIRS_ORACLE as _EXACT_PAIRS_ORACLE,
+)
+
+MINHASH_RECALL_EVAL_ORACLE = f"""
+    WITH exact_pairs AS (
+        {_EXACT_PAIRS_ORACLE}
+    ), cand AS (
+        {MINHASH_LSH_CANDIDATES_ORACLE}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(c.doc_id_a) AS BIGINT) AS n_found,
+           ROUND(COUNT(c.doc_id_a) * 1.0 / COUNT(*), 6) AS recall
+    FROM exact_pairs e
+    LEFT JOIN cand c ON e.doc_a = c.doc_id_a AND e.doc_b = c.doc_id_b
+"""
+
+
+# --- Zipf rank-frequency diagnostic -----------------------------------
+
+ZIPF_TOP_RANKS = 30
+
+
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf diagnostic: the least-squares slope of
+    ln(freq) against ln(rank) over each source's top-ranked terms.
+    Natural text sits near -1; a slope far off flags templated/
+    machine-generated feeds or tokenizer breakage before the corpus
+    enters a training mix.
+
+    Scale shape: explode -> (source, term) count partial-aggregates
+    map-side; the rank window shuffles the VOCABULARY-sized count
+    table (not the corpus) partitioned by source; the regression is
+    a built-in ``regr_slope`` aggregate over <= ZIPF_TOP_RANKS rows
+    per source. One corpus scan total.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select("source", F.explode(T.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("freq"), F.asc("w"))
+    ranked = tf.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= ZIPF_TOP_RANKS
+    )
+    return ranked.groupBy("source").agg(
+        F.round(F.regr_slope(F.log("freq"), F.log("rank")), 6).alias("zipf_slope"),
+        F.count(F.lit(1)).alias("n_ranks"),
+    )
+
+
+ZIPF_SLOPE_BY_SOURCE_ORACLE = f"""
+    WITH tf AS (
+        SELECT source, token, COUNT(*) AS freq
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+'))
+                      AS token) t
+        WHERE token <> ''
+        GROUP BY source, token
+    ),
+    ranked AS (
+        SELECT source, freq,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY freq DESC, token ASC) AS rank
+        FROM tf
+    )
+    SELECT source,
+           ROUND(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+           CAST(COUNT(*) AS BIGINT) AS n_ranks
+    FROM ranked
+    WHERE rank <= {ZIPF_TOP_RANKS}
+    GROUP BY source
+"""

@@ -372,3 +372,13 @@ register("lang_id_confusion", textops.lang_id_confusion, textops.LANG_ID_CONFUSI
 register("market_basket_pairs", retail.market_basket_pairs, retail.MARKET_BASKET_PAIRS_ORACLE)
 register("pareto_products", retail.pareto_products, retail.PARETO_PRODUCTS_ORACLE)
 register("rfm_segments", retail.rfm_segments, retail.RFM_SEGMENTS_ORACLE)
+# one-pass per-column table profiler (long-form explode of one agg row)
+register("profile_columns", observability.profile_columns, observability.PROFILE_COLUMNS_ORACLE)
+# dense hourly spine + zero-fill + forward-fill (gap-fill/locf)
+register("events_gapfill", events.events_gapfill, events.EVENTS_GAPFILL_ORACLE)
+# SemDeDup-style cluster-then-prune semantic dedup decisions
+register("semantic_dedup", embeddings.semantic_dedup, embeddings.SEMANTIC_DEDUP_ORACLE)
+# measured recall of MinHash-LSH vs the exact prefix-filter join
+register("minhash_recall_eval", textops.minhash_recall_eval, textops.MINHASH_RECALL_EVAL_ORACLE)
+# Zipf rank-frequency slope per source (corpus-health diagnostic)
+register("zipf_slope_by_source", textops.zipf_slope_by_source, textops.ZIPF_SLOPE_BY_SOURCE_ORACLE)

@@ -1,0 +1,102 @@
+"""Round-4 additions: column profiler, hourly gap-fill/forward-fill,
+SemDeDup-style semantic dedup, MinHash recall eval, Zipf slope —
+oracle parity + structural invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+NEW_QUERIES = [
+    "profile_columns",
+    "events_gapfill",
+    "semantic_dedup",
+    "minhash_recall_eval",
+    "zipf_slope_by_source",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_profile_covers_every_column_once(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        PROFILE_COLUMNS,
+        profile_columns,
+    )
+
+    rows = profile_columns(spark, sf_dir).collect()
+    assert sorted(r["column_name"] for r in rows) == sorted(c for c, _ in PROFILE_COLUMNS)
+    by_name = {r["column_name"]: r for r in rows}
+    # key column: no nulls, all distinct, bounds ordered
+    ok = by_name["o_orderkey"]
+    assert ok["null_count"] == 0
+    assert ok["min_value"] <= ok["max_value"]
+    # string columns carry NULL bounds by design
+    assert by_name["o_orderstatus"]["min_value"] is None
+
+
+def test_gapfill_spine_is_dense_and_locf(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.events import events_gapfill
+
+    out = events_gapfill(spark, sf_dir)
+    per_type = out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("hour").alias("nd")
+    )
+    rows = per_type.collect()
+    assert rows
+    # every type covers the identical dense spine (same slot count,
+    # no duplicate hours)
+    ns = {r["n"] for r in rows}
+    assert len(ns) == 1
+    assert all(r["n"] == r["nd"] for r in rows)
+    # gap rows are exactly the zero-count rows, and a gap after any
+    # observation still carries a forward-filled value
+    assert out.filter((F.col("is_gap") == 1) != (F.col("n_events") == 0)).count() == 0
+    w_has_prior = out.filter(
+        (F.col("is_gap") == 1) & F.col("ff_avg_value").isNotNull()
+    )
+    assert w_has_prior.count() > 0, "no forward-filled gap rows at this scale"
+
+
+def test_semantic_dedup_keep_policy(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.embeddings import semantic_dedup
+
+    out = semantic_dedup(spark, sf_dir).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == len(out)  # one decision per vector
+    for r in out:
+        if r["dup_of"] is not None:
+            assert r["keep"] == 0
+            assert r["dup_of"] < r["vec_id"]  # always points earlier
+            # dup_of is in the same coarse cluster
+            assert by_id[r["dup_of"]]["list_id"] == r["list_id"]
+        else:
+            assert r["keep"] == 1
+    # the earliest member of every cluster is always kept among its
+    # own: the minimum vec_id overall has nothing earlier
+    assert by_id[min(by_id)]["keep"] == 1
+
+
+def test_minhash_recall_bounds(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.textops import minhash_recall_eval
+
+    row = minhash_recall_eval(spark, sf_dir).collect()[0]
+    assert row["n_true"] > 0, "no exact pairs at this scale"
+    assert 0 <= row["n_found"] <= row["n_true"]
+    assert 0.0 <= row["recall"] <= 1.0
+    # pairs at jaccard >= 0.95 collide in a band with prob
+    # 1-(1-s^4)^2 >= 0.99 — recall should be near-perfect here
+    assert row["recall"] >= 0.9
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.textops import zipf_slope_by_source
+
+    rows = zipf_slope_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["zipf_slope"] <= 0  # frequency is non-increasing in rank
+        assert r["n_ranks"] >= 2
