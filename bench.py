@@ -92,6 +92,9 @@ EXTRA = [
     "events_gapfill",
     "semantic_dedup",
     "minhash_recall_eval",
+    # iterative link analysis + schema discovery
+    "part_pagerank",
+    "fk_discovery",
 ]
 
 ROUNDS = 3

@@ -1,0 +1,148 @@
+"""Link-analysis over the part co-purchase graph: distributed
+PageRank with a FIXED, deterministic iteration count (beyond-
+reference; the reference engine has no graph analytics).
+
+Graph: nodes are parts, with an (undirected, expressed as two
+directed) edge between any two parts that co-occur in at least one
+order — the same basket relation ``plans/retail.market_basket_pairs``
+mines, here consumed as adjacency. PageRank over it surfaces the
+"hub" products whose co-purchase neighborhoods matter most; the same
+plan shape serves any entity-affinity graph (doc-link, user-follow,
+citation).
+
+Scale shape (the iterative classic, like operators/graph.py's
+connected components and plans/embeddings.kmeans_assign):
+
+- Edge build: one distinct projection of (order, part), self-joined
+  on the ORDER key — cost bounded by basket size squared per order,
+  never catalog size squared.
+- Edges + out-degrees are computed ONCE and ``localCheckpoint``ed
+  (narrow integer rows): each of the K rounds re-reads the frozen
+  edge list instead of re-running the basket self-join lineage.
+- Each round is exactly one shuffle: ranks ⋈ edges on src
+  (broadcast-able if ranks fit, hash otherwise), groupBy dst, plus
+  the damping projection. K rounds = K shuffles, fully distributed,
+  no driver-side state (the driver only holds N, a scalar).
+- FIXED iteration count (no convergence probe) keeps the output a
+  pure deterministic function of the input — and lets the DuckDB
+  oracle replay the identical K rounds as unrolled CTEs. Every node
+  has out-degree >= 1 by construction (edges are bidirectional), so
+  there is no dangling-mass term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+
+DAMPING = 0.85
+N_ITER = 5
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Directed edge list (src, dst), both directions, one row per
+    distinct co-purchased part pair."""
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+
+
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 rounds, uniform 1/N start) over the
+    part co-purchase graph. Output: one row per node with its final
+    rank (rounded) and out-degree. rank_{t+1}(v) = (1-d)/N +
+    d * sum over in-neighbors u of rank_t(u) / outdeg(u)."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # nodes == sources (bidirectional edges -> same set as dsts)
+    n_nodes = deg.count()  # scalar only; the rank table stays distributed
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(1.0 / n_nodes).alias("rank"),
+        "outdeg",
+    ).localCheckpoint(eager=True)
+    for _ in range(N_ITER):
+        contrib = (
+            ranks.join(edges, ranks.node == edges.src)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            ranks.select("node", "outdeg")
+            .join(contrib, ranks.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - DAMPING) / n_nodes)
+                    + F.lit(DAMPING) * F.coalesce("in_mass", F.lit(0.0))
+                ).alias("rank"),
+                "outdeg",
+            )
+        )
+    return ranks.select(
+        F.col("node").alias("l_partkey"),
+        F.round(F.col("rank") * 1e6, 6).alias("rank_ppm"),
+        "outdeg",
+    )
+
+
+def _pagerank_oracle() -> str:
+    """The identical K rounds unrolled as CTEs (deterministic because
+    the iteration count is fixed)."""
+    d, k = DAMPING, N_ITER
+    cte = [
+        """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), deg AS (
+        SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+    ), nn AS (SELECT COUNT(*) AS n FROM deg),
+    r0 AS (
+        SELECT src AS node, 1.0 / nn.n AS rank, outdeg FROM deg, nn
+    )"""
+    ]
+    for i in range(1, k + 1):
+        cte.append(
+            f""",
+    r{i} AS (
+        SELECT p.node,
+               (1.0 - {d}) / nn.n + {d} * COALESCE(m.in_mass, 0.0) AS rank,
+               p.outdeg
+        FROM (SELECT node, outdeg FROM r{i - 1}) p
+        LEFT JOIN (
+            SELECT e.dst, SUM(r.rank / r.outdeg) AS in_mass
+            FROM r{i - 1} r JOIN edges e ON r.node = e.src
+            GROUP BY e.dst
+        ) m ON p.node = m.dst
+        CROSS JOIN nn
+    )"""
+        )
+    cte.append(
+        f"""
+    SELECT node AS l_partkey,
+           ROUND(rank * 1e6, 6) AS rank_ppm,
+           CAST(outdeg AS BIGINT) AS outdeg
+    FROM r{k}"""
+    )
+    return "".join(cte)
+
+
+PART_PAGERANK_ORACLE = _pagerank_oracle()

@@ -235,3 +235,75 @@ def _profile_oracle() -> str:
 
 
 PROFILE_COLUMNS_ORACLE = _profile_oracle()
+
+
+# --- FK-containment discovery ----------------------------------------
+
+# (child_table, child_col, parent_table, parent_col) candidates —
+# the declared candidate space; the report MEASURES which hold.
+# The last row is a deliberate negative control (order keys are not
+# customer keys at any scale) so the report demonstrably rejects.
+FK_CANDIDATES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+def fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency (FK candidate) profiling: for each
+    declared (child.col, parent.col) candidate, the containment
+    coefficient |distinct(child) ∩ distinct(parent)| /
+    |distinct(child)| and a verdict at containment == 1.0 — the
+    schema-discovery step run before trusting a join path on an
+    undocumented feed.
+
+    Scale shape: per candidate, both sides collapse to DISTINCT key
+    sets first (map-side-combined aggregates), so the membership
+    join is keys x keys, never rows x rows; parent key sets here are
+    dimension-sized and broadcast. One summary row per candidate,
+    unioned — each input table is scanned once per candidate
+    column, nothing is collected driver-side.
+    """
+    results = None
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = load(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
+        parent = load(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
+        joined = child.join(F.broadcast(parent.withColumn("in_parent", F.lit(1))), "k", "left")
+        row = joined.agg(
+            F.lit(f"{ct}.{cc}").alias("child"),
+            F.lit(f"{pt}.{pc}").alias("parent"),
+            F.count(F.lit(1)).alias("n_child_keys"),
+            F.sum(F.coalesce("in_parent", F.lit(0))).alias("n_contained"),
+            F.round(
+                F.sum(F.coalesce("in_parent", F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("containment"),
+            (
+                F.sum(F.coalesce("in_parent", F.lit(0))) == F.count(F.lit(1))
+            ).cast("int").alias("is_fk"),
+        )
+        results = row if results is None else results.unionAll(row)
+    return results
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        parts.append(
+            f"""SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+       CAST(COUNT(*) AS BIGINT) AS n_child_keys,
+       CAST(SUM(CASE WHEN p.k IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_contained,
+       ROUND(SUM(CASE WHEN p.k IS NULL THEN 0 ELSE 1 END) * 1.0
+             / COUNT(*), 6) AS containment,
+       CAST(CASE WHEN SUM(CASE WHEN p.k IS NULL THEN 0 ELSE 1 END)
+                  = COUNT(*) THEN 1 ELSE 0 END AS INTEGER) AS is_fk
+FROM (SELECT DISTINCT {cc} AS k FROM {ct}) c
+LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) p ON c.k = p.k"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+FK_DISCOVERY_ORACLE = _fk_oracle()

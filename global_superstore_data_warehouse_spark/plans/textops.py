@@ -1416,3 +1416,55 @@ ZIPF_SLOPE_BY_SOURCE_ORACLE = f"""
     WHERE rank <= {ZIPF_TOP_RANKS}
     GROUP BY source
 """
+
+
+# --- token-distribution entropy ---------------------------------------
+
+
+def token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's token distribution,
+    with volume and vocabulary size — the companion diagnostic to
+    ``zipf_slope_by_source``: low entropy flags repetitive/templated
+    feeds, entropy near ln(vocab) flags uniform machine-generated
+    text (natural language sits well below its vocabulary bound).
+
+    Scale shape: explode -> (source, term) counts partial-aggregate
+    map-side; entropy folds the VOCABULARY-sized count table (never
+    the corpus) through one more keyed aggregate:
+    H = ln(total) - sum(freq * ln(freq)) / total, computed in that
+    algebraic form so it needs no per-term share column.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(T.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = F.sum("freq")
+    return tf.groupBy("source").agg(
+        total.alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(
+            F.log(total) - F.sum(F.col("freq") * F.log("freq")) / total, 6
+        ).alias("entropy_nats"),
+    )
+
+
+TOKEN_ENTROPY_BY_SOURCE_ORACLE = """
+    WITH tf AS (
+        SELECT source, token, COUNT(*) AS freq
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+'))
+                      AS token) t
+        WHERE token <> ''
+        GROUP BY source, token
+    )
+    SELECT source,
+           CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(ln(SUM(freq)) - SUM(freq * ln(freq)) / SUM(freq), 6)
+               AS entropy_nats
+    FROM tf
+    GROUP BY source
+"""

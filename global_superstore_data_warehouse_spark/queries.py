@@ -33,6 +33,7 @@ from global_superstore_data_warehouse_spark.plans import (
     embeddings,
     events,
     fact,
+    linkrank,
     mixtures,
     multimodal,
     observability,
@@ -382,3 +383,14 @@ register("semantic_dedup", embeddings.semantic_dedup, embeddings.SEMANTIC_DEDUP_
 register("minhash_recall_eval", textops.minhash_recall_eval, textops.MINHASH_RECALL_EVAL_ORACLE)
 # Zipf rank-frequency slope per source (corpus-health diagnostic)
 register("zipf_slope_by_source", textops.zipf_slope_by_source, textops.ZIPF_SLOPE_BY_SOURCE_ORACLE)
+# distributed PageRank over the part co-purchase graph (fixed 5
+# rounds; oracle replays them as unrolled CTEs)
+register("part_pagerank", linkrank.part_pagerank, linkrank.PART_PAGERANK_ORACLE)
+# inclusion-dependency (FK candidate) profiling with containment
+register("fk_discovery", observability.fk_discovery, observability.FK_DISCOVERY_ORACLE)
+# Shannon entropy of each source's token distribution
+register(
+    "token_entropy_by_source",
+    textops.token_entropy_by_source,
+    textops.TOKEN_ENTROPY_BY_SOURCE_ORACLE,
+)

@@ -1,0 +1,70 @@
+"""PageRank / FK discovery / token entropy — oracle parity +
+structural invariants."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+NEW_QUERIES = ["part_pagerank", "fk_discovery", "token_entropy_by_source"]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_pagerank_mass_conserved(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.linkrank import part_pagerank
+
+    rows = part_pagerank(spark, sf_dir).collect()
+    assert rows
+    # no dangling nodes (bidirectional edges) -> total rank mass is
+    # conserved at 1.0 every round
+    total_ppm = sum(r["rank_ppm"] for r in rows)
+    assert abs(total_ppm - 1e6) < 1.0
+    assert all(r["rank_ppm"] > 0 for r in rows)
+    assert all(r["outdeg"] >= 1 for r in rows)
+
+
+def test_pagerank_favors_high_degree(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.linkrank import part_pagerank
+
+    rows = part_pagerank(spark, sf_dir).collect()
+    by_rank = sorted(rows, key=lambda r: -r["rank_ppm"])
+    n = len(rows)
+    top_deg = sum(r["outdeg"] for r in by_rank[: n // 4]) / (n // 4)
+    bot_deg = sum(r["outdeg"] for r in by_rank[-(n // 4):]) / (n // 4)
+    assert top_deg > bot_deg  # rank correlates with connectivity
+
+
+def test_fk_discovery_verdicts(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.observability import fk_discovery
+
+    rows = {r["child"]: r for r in fk_discovery(spark, sf_dir).collect()}
+    # the four real FKs hold at every scale
+    for child in (
+        "lineitem.l_orderkey",
+        "lineitem.l_partkey",
+        "orders.o_custkey",
+        "customer.c_nationkey",
+    ):
+        assert rows[child]["is_fk"] == 1, child
+        assert rows[child]["containment"] == 1.0
+    # the negative control is rejected
+    neg = rows["orders.o_orderkey"]
+    assert neg["is_fk"] == 0
+    assert neg["containment"] < 1.0
+
+
+def test_entropy_bounded_by_vocab(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        token_entropy_by_source,
+    )
+
+    rows = token_entropy_by_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["entropy_nats"] <= math.log(r["vocab_size"]) + 1e-9
