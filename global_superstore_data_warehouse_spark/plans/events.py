@@ -681,3 +681,57 @@ EVENTS_GAPFILL_ORACLE = """
     LEFT JOIN hourly h
       ON s.event_type = h.event_type AND s.hour_ts = h.hour_ts
 """
+
+
+# --- burst dedup (batch twin of watermark dedup) ----------------------
+
+DEDUP_WINDOW_SECONDS = 300
+
+
+def events_dedup_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event duplicate verdict: an event is a burst-duplicate if
+    the SAME (user_id, event_type, value) occurred within
+    DEDUP_WINDOW_SECONDS before it — the batch twin of the streaming
+    ``dropDuplicatesWithinWatermark`` job (streaming/events.py), with
+    relative-to-previous (burst-collapse) semantics: each event
+    compares against its immediate predecessor in the key's
+    timeline, so a long burst collapses to its first event plus any
+    event that falls a full window after its predecessor.
+
+    Plan shape: ONE shuffle (the key-partitioned lag window); the
+    verdict is a projection of the lag delta. No self-join, no range
+    join — the window formulation is the scale-correct shape for
+    per-key adjacency at 100 TB (same as events_sessionize).
+    """
+    ev = load(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    w = Window.partitionBy("user_id", "event_type", "value").orderBy(
+        "ts", "event_id"
+    )
+    prev = F.lag(epoch).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        (
+            prev.isNotNull() & ((epoch - prev) <= DEDUP_WINDOW_SECONDS)
+        ).cast("int").alias("is_dup"),
+    )
+
+
+EVENTS_DEDUP_BURSTS_ORACLE = f"""
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           CAST(CASE WHEN prev_e IS NOT NULL
+                      AND epoch(ts) - prev_e <= {DEDUP_WINDOW_SECONDS}
+                     THEN 1 ELSE 0 END AS INTEGER) AS is_dup
+    FROM (
+        SELECT event_id, user_id, event_type, ts,
+               LAG(epoch(ts)) OVER (
+                   PARTITION BY user_id, event_type, value
+                   ORDER BY ts, event_id
+               ) AS prev_e
+        FROM events
+    )
+"""

@@ -1468,3 +1468,132 @@ TOKEN_ENTROPY_BY_SOURCE_ORACLE = """
     FROM tf
     GROUP BY source
 """
+
+
+# --- BPE-style adjacent-pair counting ---------------------------------
+
+BPE_TOP_PAIRS = 50
+
+
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top
+    BPE_TOP_PAIRS — the counting step of one BPE merge round (and
+    the general collocation/bigram-frequency primitive). Counts ALL
+    occurrences (not per-doc distinct), which is what the merge
+    objective maximizes.
+
+    Plan shape: pair generation is a zero-shuffle ``zip_with`` over
+    two slices of the token array (the array never leaves its row);
+    the only shuffle is the map-side-combined pair count, and the
+    top-k is a rank over the PAIR-VOCABULARY-sized aggregate. At
+    100 TB the iterated-BPE swap-in keeps merges as a broadcast
+    table applied per-row and re-counts — each round is this same
+    single-shuffle plan.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("t"))
+    n = F.size("t")
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), F.lit(1), n - 1),
+                F.slice(F.col("t"), F.lit(2), n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("pair", "n_occurrences", "rank")
+    )
+
+
+BPE_PAIR_COUNTS_ORACLE = f"""
+    WITH toks AS (
+        SELECT string_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                      i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM toks
+    ), counted AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM pairs GROUP BY pair
+    )
+    SELECT pair, n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC)
+                AS INTEGER) AS rank
+    FROM counted
+    QUALIFY rank <= {BPE_TOP_PAIRS}
+"""
+
+
+# --- order-of-magnitude document-length histogram ---------------------
+
+# power-of-two length buckets, generated as the SAME explicit
+# comparison chain on both engines: floor(log2(x)) via log() has
+# float-boundary hazards at exact powers of two (log(x)/log(2) can
+# land a hair under the integer), so the bucket is integer-compared
+DOCLEN_BUCKETS = [2 ** k for k in range(4, 14)]  # 16 .. 8192
+
+
+def _bucket_when():
+    expr = F.lit(len(DOCLEN_BUCKETS))  # fallthrough: >= top bound
+    for i in reversed(range(len(DOCLEN_BUCKETS))):
+        expr = F.when(F.col("n_chars") < DOCLEN_BUCKETS[i], F.lit(i)).otherwise(expr)
+    return expr.cast("int")
+
+
+def _bucket_case_sql() -> str:
+    branches = "".join(
+        f" WHEN n_chars < {b} THEN {i}" for i, b in enumerate(DOCLEN_BUCKETS)
+    )
+    return f"CAST(CASE{branches} ELSE {len(DOCLEN_BUCKETS)} END AS INTEGER)"
+
+
+def doclen_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram over power-of-two char
+    buckets, with each bucket's share of its source — the
+    length-distribution fingerprint that catches truncation bugs and
+    boilerplate floods at a glance.
+
+    Plan shape: the bucket is a pure projection; one
+    map-side-combined groupBy(source, bucket) to at most
+    |sources| x |buckets| rows, shares via a window over that tiny
+    aggregate. One corpus scan, one small shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    counts = (
+        docs.select("source", _bucket_when().alias("len_bucket"))
+        .groupBy("source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_source = Window.partitionBy("source")
+    return counts.select(
+        "source",
+        "len_bucket",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(per_source), 6).alias(
+            "share"
+        ),
+    )
+
+
+DOCLEN_HISTOGRAM_ORACLE = f"""
+    WITH counts AS (
+        SELECT source, {_bucket_case_sql()} AS len_bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    )
+    SELECT source, len_bucket, n_docs,
+           ROUND(n_docs * 1.0 / SUM(n_docs) OVER (PARTITION BY source), 6)
+               AS share
+    FROM counts
+"""

@@ -394,3 +394,9 @@ register(
     textops.token_entropy_by_source,
     textops.TOKEN_ENTROPY_BY_SOURCE_ORACLE,
 )
+# burst-collapse duplicate verdicts (batch twin of watermark dedup)
+register("events_dedup_bursts", events.events_dedup_bursts, events.EVENTS_DEDUP_BURSTS_ORACLE)
+# BPE merge-round pair counting (zero-shuffle zip_with bigrams)
+register("bpe_pair_counts", textops.bpe_pair_counts, textops.BPE_PAIR_COUNTS_ORACLE)
+# per-source power-of-two length histogram with shares
+register("doclen_histogram", textops.doclen_histogram, textops.DOCLEN_HISTOGRAM_ORACLE)
