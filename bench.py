@@ -6,11 +6,14 @@ ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
 Each query is executed with a `noop` sink write so the full plan runs
 JVM-side (scan → joins → aggregation) without driver materialization.
 
-Methodology: 3 INTERLEAVED rounds over the whole set, reporting the
-per-query minimum. Interleaving (rather than back-to-back best-of-N
-per query) decorrelates the minimum from transient host load — this
-sandbox is a shared VM whose available CPU swings 4x+ between
-windows, and consecutive runs of one query land in the same window.
+Methodology: 3 INTERLEAVED rounds over the HEADLINE set, reporting
+the per-query minimum. Interleaving (rather than back-to-back
+best-of-N per query) decorrelates the minimum from transient host
+load — this sandbox is a shared VM whose available CPU swings 4x+
+between windows, and consecutive runs of one query land in the same
+window. The (much larger) EXTRA set is timed once, in the first
+round: its numbers are informational, and tripling them would blow
+the bench's wall clock past any sane per-round budget.
 
 ``HEADLINE`` is frozen to the round-1 set: BASELINE.md defines the
 bar as 2x of the first recorded total over exactly these queries, so
@@ -135,10 +138,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
-    for _ in range(ROUNDS):
-        for name, sink in [(n, timings) for n in names] + [
-            (n, extra_timings) for n in extra_names
-        ]:
+    for rnd in range(ROUNDS):
+        # the frozen HEADLINE runs in every interleaved round
+        # (per-query minima decorrelate the shared-VM noise); the
+        # grown EXTRA set runs ONCE — informational timings don't
+        # justify tripling the bench's wall clock now that extras
+        # outnumber the headline 3:1
+        batch = [(n, timings) for n in names]
+        if rnd == 0:
+            batch += [(n, extra_timings) for n in extra_names]
+        for name, sink in batch:
             # construction (incl. any eager checkpoint of reused
             # frames) counts toward the measured time: it is real
             # query work, not session setup

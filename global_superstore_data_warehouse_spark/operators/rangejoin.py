@@ -94,3 +94,58 @@ def bucketed_interval_join(
     for f in points.schema.fields:
         missing = missing.withColumn(f.name, F.lit(None).cast(f.dataType))
     return inner.unionByName(missing)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    width_seconds: int = 3600,
+) -> DataFrame:
+    """INTERVAL x INTERVAL overlap join (half-open semantics:
+    ``l_start < r_end AND r_start < l_end``), bucket-blocked like
+    ``bucketed_interval_join`` — the raw inequality join would plan
+    as a nested loop.
+
+    All four bound columns are EPOCH-SECONDS LONGs (integer floor
+    division for bucketing — no float anywhere). Both sides explode
+    to the buckets they cover; the equi-join on the bucket finds
+    co-located candidates; the residual predicate keeps true
+    overlaps; and the RESPONSIBILITY condition
+    ``bucket == greatest(l_start, r_start) div width`` emits each
+    overlapping pair EXACTLY ONCE with no post-join dedup: the
+    overlap's first instant lies inside both intervals, so both
+    sides provably exploded its bucket, and it is unique per pair.
+    Inner join only (pair consumers reattach empties themselves —
+    see events_in_maintenance_windows for the pattern). Column names
+    must not collide across inputs.
+    """
+
+    # `div` is true integer floor division (`/` on longs would be
+    # double division in Spark); include the end bucket — a bound
+    # inside it can still precede the (exclusive) end
+    l_bucket, r_bucket = f"{BUCKET_COL}_l", f"{BUCKET_COL}_r"
+    lb = left.withColumn(
+        l_bucket,
+        F.explode(
+            F.expr(f"sequence({l_start} div {width_seconds}, {l_end} div {width_seconds})")
+        ),
+    )
+    rb = right.withColumn(
+        r_bucket,
+        F.explode(
+            F.expr(f"sequence({r_start} div {width_seconds}, {r_end} div {width_seconds})")
+        ),
+    )
+    cond = (
+        (lb[l_bucket] == rb[r_bucket])
+        & (lb[l_start] < rb[r_end])
+        & (rb[r_start] < lb[l_end])
+        # responsibility: only the bucket holding the overlap's first
+        # instant emits the pair
+        & (lb[l_bucket] == F.expr(f"greatest({l_start}, {r_start}) div {width_seconds}"))
+    )
+    return lb.join(rb, cond, "inner").drop(l_bucket, r_bucket)

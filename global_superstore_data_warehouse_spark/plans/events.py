@@ -735,3 +735,120 @@ EVENTS_DEDUP_BURSTS_ORACLE = f"""
         FROM events
     )
 """
+
+
+# --- interval x interval overlap (sessions vs maintenance windows) ----
+
+
+def session_maintenance_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many user sessions touch each maintenance window — the
+    INTERVAL x INTERVAL overlap workload (sessions are [first_event,
+    last_event+1s) spans; windows are the generated 90-min-every-4h
+    maintenance intervals), executed by
+    ``operators/rangejoin.interval_overlap_join``: bucket-blocked
+    equi-join with a responsibility condition, never the quadratic
+    inequality nested loop, no post-join dedup. Empty windows are
+    reattached with zero counts (the pair join is inner).
+
+    Scale shape: sessions come from one user_id-partitioned window
+    (same plan as events_sessionize); the overlap join shuffles on
+    the hour bucket; window count is span/4h so the reattach join
+    broadcasts.
+    """
+    from global_superstore_data_warehouse_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec"), "ts"
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("sec") - F.lag("sec").over(order) > SESSION_GAP_SECONDS, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(order.rowsBetween(Window.unboundedPreceding, 0)) + 1,
+    )
+    sessions = flagged.groupBy("user_id", "session_seq").agg(
+        F.min("sec").alias("s_start"),
+        (F.max("sec") + 1).alias("s_end"),  # half-open; instant sessions live 1s
+    )
+
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    windows = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {MAINT_EVERY_HOURS} hours"))
+            ).alias("win_ts")
+        )
+        .select(
+            F.col("win_ts").cast("long").alias("w_start"),
+            (F.col("win_ts").cast("long") + MAINT_LEN_MINUTES * 60).alias("w_end"),
+        )
+        .localCheckpoint()  # referenced twice: pair join + zero reattach
+    )
+    pairs = interval_overlap_join(
+        sessions, windows, "s_start", "s_end", "w_start", "w_end", 3600
+    )
+    per_window = pairs.groupBy("w_start").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return (
+        windows.join(F.broadcast(per_window), "w_start", "left")
+        .select(
+            F.date_format(
+                F.col("w_start").cast("timestamp"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("win_start"),
+            F.coalesce("n_sessions", F.lit(0)).alias("n_sessions"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )
+
+
+SESSION_MAINTENANCE_OVERLAP_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN sec - LAG(sec) OVER w > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), sess AS (
+        SELECT *,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_seq,
+               MIN(sec) AS s_start, MAX(sec) + 1 AS s_end
+        FROM sess GROUP BY user_id, session_seq
+    ), bounds AS (
+        SELECT CAST(floor(epoch(date_trunc('hour', MIN(ts)))) AS BIGINT) AS lo,
+               CAST(floor(epoch(date_trunc('hour', MAX(ts)))) AS BIGINT) AS hi
+        FROM events
+    ), windows AS (
+        SELECT w AS w_start, w + {MAINT_LEN_MINUTES} * 60 AS w_end
+        FROM (
+            SELECT unnest(generate_series(lo, hi, {MAINT_EVERY_HOURS} * 3600)) AS w
+            FROM bounds
+        )
+    ), pairs AS (
+        SELECT w.w_start, s.user_id
+        FROM sessions s JOIN windows w
+          ON s.s_start < w.w_end AND w.w_start < s.s_end
+    )
+    SELECT strftime(to_timestamp(w.w_start), '%Y-%m-%d %H:%M:%S') AS win_start,
+           CAST(COALESCE(COUNT(p.user_id), 0) AS BIGINT) AS n_sessions,
+           CAST(COALESCE(COUNT(DISTINCT p.user_id), 0) AS BIGINT) AS n_users
+    FROM windows w LEFT JOIN pairs p ON w.w_start = p.w_start
+    GROUP BY w.w_start
+"""

@@ -214,3 +214,130 @@ RFM_SEGMENTS_ORACLE = f"""
                AS rfm_code
     FROM rfm
 """
+
+
+# --- purchase cadence -------------------------------------------------
+
+
+def order_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase cadence per market segment: day gaps between
+    each customer's consecutive orders, aggregated to
+    count/mean/median/max per segment — the repurchase-cycle input
+    to replenishment and churn models.
+
+    Scale shape: one customer-partitioned lag window over orders
+    (the events_sessionize shuffle shape), a broadcast join to the
+    customer dim for the segment, then a segment-sized aggregate.
+    ``percentile`` is exact over the per-segment gap lists; at
+    extreme cardinality the documented swap-in is
+    ``percentile_approx``.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.to_date("prev_date")).alias(
+                "gap_days"
+            ),
+        )
+    )
+    joined = gaps.join(F.broadcast(cust), gaps.o_custkey == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap_days"), 6).alias("mean_gap_days"),
+        F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("median_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
+
+
+ORDER_CADENCE_ORACLE = """
+    WITH gaps AS (
+        SELECT o_custkey,
+               date_diff('day',
+                         CAST(LAG(o_orderdate) OVER w AS DATE),
+                         CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        QUALIFY LAG(o_orderdate) OVER w IS NOT NULL
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_days), 6) AS mean_gap_days,
+           ROUND(quantile_cont(gap_days, 0.5), 6) AS median_gap_days,
+           CAST(MAX(gap_days) AS INTEGER) AS max_gap_days
+    FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+# --- revenue cohorts --------------------------------------------------
+
+
+def revenue_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic acquisition-cohort revenue curve: customers grouped by
+    first-order month, revenue tracked by months-since-acquisition,
+    with the running cumulative per cohort — the retention-economics
+    view every subscription/repeat-purchase business reads weekly.
+
+    Scale shape: the cohort assignment is a per-customer MIN
+    aggregate (map-side-combined) joined back broadcast; monthly
+    cells aggregate before any window runs, so the cumulative window
+    only ever sees |cohorts| x |months| rows. Monthly revenue is
+    rounded BEFORE the running sum so the cumulative column is an
+    exact deterministic sum of exact 2-decimal values on both
+    engines.
+    """
+    orders = load(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    j = orders.join(F.broadcast(first), "o_custkey").select(
+        F.date_format("cohort_month", "yyyy-MM").alias("cohort"),
+        F.months_between(
+            F.date_trunc("month", "o_orderdate"), F.col("cohort_month")
+        ).cast("int").alias("month_index"),
+        "o_totalprice",
+    )
+    monthly = j.groupBy("cohort", "month_index").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("month_index")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "cohort",
+        "month_index",
+        "n_orders",
+        "revenue",
+        F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"),
+    )
+
+
+REVENUE_COHORTS_ORACLE = """
+    WITH first AS (
+        SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ), monthly AS (
+        SELECT strftime(f.cohort_month, '%Y-%m') AS cohort,
+               CAST(date_diff('month', f.cohort_month,
+                              date_trunc('month', o.o_orderdate)) AS INTEGER)
+                   AS month_index,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort, month_index, n_orders, revenue,
+           ROUND(SUM(revenue) OVER (PARTITION BY cohort ORDER BY month_index
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_revenue
+    FROM monthly
+"""

@@ -15,20 +15,30 @@ pairs. Rarity ordering makes blocks as small as the theorem allows:
 candidates meet only on their RAREST tokens, so the df^2 blow-up of
 blocking on a stop-word never happens.
 
-Scale shape: (1) one distinct-token explode + df count
-(map-side-combined), (2) a per-doc window to pick prefixes (shuffle
-on doc_id), (3) the candidate self-join keyed on prefix token —
-bounded by sum over tokens of prefix-df^2, which rarity ordering
-drives toward the output size, (4) exact verify on the pair rows.
-Token ARRAYS ride the verify join once per candidate, never the
-blocking shuffle. At the test corpus's tiny synthetic vocabulary
-(31 tokens) blocks are dense; with a real Zipfian vocabulary the
-prefix blocks are the rare tail and the join is output-bound.
+Scale shape — CLASS-COLLAPSED (same trick as the MinHash plan's
+``_bow_classes``): identical token SETS collapse to one class first,
+so every pairwise stage runs at class cardinality, and doc pairs are
+re-expanded through the membership table at the end as pure output
+materialization. This is what keeps the join alive on corpora with
+heavy exact duplication (this synthetic corpus saturates its
+31-token vocabulary, so thousands of docs share ONE token set — the
+doc-level join degenerated to minutes at sf0.1; the class-level join
+is milliseconds and the quadratic part is only writing the
+inherently quadratic output). Stages: (1) distinct-token fingerprint
+-> class collapse, (2) class-level df + rarity order, (3) per-class
+prefix window, (4) candidate self-join on prefix token WITH the
+PPJoin length filter (tau*na <= nb <= na/tau, conservatively
+floored/ceiled so float error only ever ADMITS extra candidates),
+(5) exact Jaccard verify per class pair, (6) expansion: cross-class
+survivors join membership twice; intra-class pairs (Jaccard 1.0 by
+construction) come straight off the membership self-join.
 
 floor/ceil discipline: the prefix length uses ceil(tau * n) on IEEE
 doubles; double(0.95) < 0.95 exactly, so the computed ceil can only
 be <= the exact one — the prefix can only be LONGER than required
 (recall preserved), and both engines compute the identical value.
+The oracle is still the BRUTE-FORCE doc-level join: identical output
+proves recall 1.0 end-to-end, including the collapse/expand step.
 """
 
 from __future__ import annotations
@@ -44,50 +54,106 @@ TAU = 0.95
 
 def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.array_distinct(F.filter(tokens("text"), lambda t: t != "")).alias("ts"),
-    ).withColumn("n", F.size("ts"))
+    toks = (
+        docs.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))
+            ).alias("ts"),
+        )
+        .withColumn("n", F.size("ts"))
+        .filter(F.col("n") > 0)  # empty sets have no defined Jaccard
+        .withColumn("cls", F.md5(F.concat_ws("\x1f", "ts")))
+    )
+    member = toks.select("doc_id", "cls").localCheckpoint(eager=True)
+    classes = toks.groupBy("cls").agg(
+        F.min("doc_id").alias("rep"),
+        F.min_by("ts", "doc_id").alias("ts"),  # identical across members
+        F.min("n").alias("n"),
+    ).localCheckpoint(eager=True)
 
-    ex = toks.select("doc_id", "n", F.explode("ts").alias("token"))
+    ex = classes.select("cls", "rep", "n", F.explode("ts").alias("token"))
     dfreq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
 
-    # global rarity order (df asc, token asc — total, deterministic);
-    # the df table is vocabulary-sized -> broadcast
+    # class-level rarity order (df asc, token asc — total,
+    # deterministic); the df table is vocabulary-sized -> broadcast
     ranked = ex.join(F.broadcast(dfreq), "token")
-    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    w = Window.partitionBy("cls").orderBy("df", "token")
     prefix = (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(TAU) * F.col("n")) + 1)
-        .select("doc_id", "token")
+        .select("cls", "rep", "n", "token")
     )
 
+    # candidate class pairs: shared prefix token + PPJoin length
+    # filter (J >= tau forces tau*na <= nb <= na/tau; the double-
+    # precision ceil/floor can only widen the admitted band, never
+    # reject a true pair)
     cands = (
         prefix.alias("a")
-        .join(prefix.alias("b"), "token")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.rep") < F.col("b.rep"))
+            & (F.col("b.n") >= F.ceil(F.lit(TAU) * F.col("a.n")))
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(TAU))),
         )
+        .select(F.col("a.cls").alias("cls_a"), F.col("b.cls").alias("cls_b"))
         .distinct()
     )
 
-    ta = toks.select(
-        F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"), F.col("n").alias("na")
+    ca = classes.select(
+        F.col("cls").alias("cls_a"), F.col("ts").alias("ts_a"), F.col("n").alias("na")
     )
-    tb = toks.select(
-        F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"), F.col("n").alias("nb")
+    cb = classes.select(
+        F.col("cls").alias("cls_b"), F.col("ts").alias("ts_b"), F.col("n").alias("nb")
     )
     shared = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = shared / (F.col("na") + F.col("nb") - shared)
-    return (
-        cands.join(ta, "doc_a")
-        .join(tb, "doc_b")
+    cls_pairs = (
+        cands.join(ca, "cls_a")
+        .join(cb, "cls_b")
         .withColumn("shared", shared)
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= TAU)
-        .select("doc_a", "doc_b", "shared", F.round("jaccard", 6).alias("jaccard"))
+        .select("cls_a", "cls_b", "shared", F.round("jaccard", 6).alias("jaccard"))
     )
+
+    # expand cross-class survivors through membership (docs of
+    # different classes can interleave ids -> normalize with
+    # least/greatest), and emit intra-class pairs directly (identical
+    # sets: shared = n, Jaccard exactly 1.0)
+    ma = member.select(F.col("cls").alias("cls_a"), F.col("doc_id").alias("d1"))
+    mb = member.select(F.col("cls").alias("cls_b"), F.col("doc_id").alias("d2"))
+    cross = (
+        cls_pairs.join(ma, "cls_a")
+        .join(mb, "cls_b")
+        .select(
+            F.least("d1", "d2").alias("doc_a"),
+            F.greatest("d1", "d2").alias("doc_b"),
+            "shared",
+            "jaccard",
+        )
+    )
+    intra = (
+        member.alias("x")
+        .join(
+            member.alias("y"),
+            (F.col("x.cls") == F.col("y.cls"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .join(
+            classes.select(F.col("cls").alias("cls_n"), "n"),
+            F.col("x.cls") == F.col("cls_n"),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.col("n").alias("shared"),
+            F.round(F.lit(1.0), 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 # the oracle is the brute-force EXACT join (token equi-join, no

@@ -400,3 +400,13 @@ register("events_dedup_bursts", events.events_dedup_bursts, events.EVENTS_DEDUP_
 register("bpe_pair_counts", textops.bpe_pair_counts, textops.BPE_PAIR_COUNTS_ORACLE)
 # per-source power-of-two length histogram with shares
 register("doclen_histogram", textops.doclen_histogram, textops.DOCLEN_HISTOGRAM_ORACLE)
+# interval x interval overlap join (sessions vs maintenance windows)
+register(
+    "session_maintenance_overlap",
+    events.session_maintenance_overlap,
+    events.SESSION_MAINTENANCE_OVERLAP_ORACLE,
+)
+# inter-purchase day gaps per segment (lag window + exact median)
+register("order_cadence", retail.order_cadence, retail.ORDER_CADENCE_ORACLE)
+# acquisition-cohort revenue curve with running cumulative
+register("revenue_cohorts", retail.revenue_cohorts, retail.REVENUE_COHORTS_ORACLE)
