@@ -126,3 +126,67 @@ def test_ivf_assignment_is_shuffle_free(spark, sf_dir):
         if "BroadcastHashJoin Inner" in l and ("+-" in l or ":-" in l):
             child = lines[i + 1]
             assert "Exchange" not in child, (l, child)
+
+
+def test_overlap_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The interval x interval overlap must plan its candidate stage
+    as a HASH join on the bucket (the equi-conjunct) — a
+    BroadcastNestedLoopJoin Inner would mean the bucket equality got
+    lost and the plan degenerated to the quadratic inequality join."""
+    plan = _q(spark, sf_dir, "session_maintenance_overlap")
+    assert "CartesianProduct" not in plan
+    bad_bnlj = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+        and ("+-" in line or ":-" in line)
+        and "Cross" not in line
+    ]
+    assert not bad_bnlj, bad_bnlj
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pagerank_rounds_no_cartesian(spark, sf_dir):
+    """Every PageRank round joins ranks to the checkpointed edge
+    list on the node key — hash/sort-merge only, and the edge list
+    comes from a materialized checkpoint (no basket self-join
+    recompute per round)."""
+    plan = _q(spark, sf_dir, "part_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ExistingRDD" in plan  # the checkpointed edges/ranks
+
+
+def test_semantic_dedup_pairs_only_intra_cluster(spark, sf_dir):
+    """The pair join must key on list_id (hash join over the
+    checkpointed assignment) — the only BNLJ allowed is the 1-row
+    centroid broadcast (Cross)."""
+    plan = _q(spark, sf_dir, "semantic_dedup")
+    assert "CartesianProduct" not in plan
+    bad_bnlj = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+        and ("+-" in line or ":-" in line)
+        and "Cross" not in line
+    ]
+    assert not bad_bnlj, bad_bnlj
+    assert "ExistingRDD" in plan  # checkpointed assigned corpus
+
+
+def test_bpe_pair_count_is_single_shuffle(spark, sf_dir):
+    """Bigram generation must stay in the row (zip_with projection):
+    one Exchange total — the pair-count aggregate — plus the global
+    rank's single-partition exchange over the aggregated frame."""
+    plan = _q(spark, sf_dir, "bpe_pair_counts")
+    assert "Join" not in plan
+    # partial + final aggregate around the one pair-count shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_gapfill_spine_joins_hash(spark, sf_dir):
+    plan = _q(spark, sf_dir, "events_gapfill")
+    assert "CartesianProduct" not in plan
+    # the bounds attach is the deliberate 1-row broadcast cross; the
+    # spine-to-hourly attach must be a hash join
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
