@@ -29,7 +29,7 @@ Scale posture (the shapes that survive 100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
@@ -194,4 +194,66 @@ TRAINING_SHARDS_ORACLE = f"""
            CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY 1
+"""
+
+
+# --- deterministic weighted sampling (Efraimidis–Spirakis) ------------
+
+WSAMPLE_K = 200
+_WSAMPLE_SALT = "es|"
+_U32 = 4294967296.0  # 2^32
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, derandomized: the
+    Efraimidis–Spirakis A-ES scheme — each doc gets key
+    ln(u) / w (u uniform in (0,1), w = n_chars); the top
+    WSAMPLE_K keys are a weighted sample without replacement, i.e.
+    long documents are proportionally more likely to be drawn.
+    ``u`` comes from a salted md5 of the doc id ((h + 0.5) / 2^32 —
+    never exactly 0, so ln is finite), not an RNG, so the sample is
+    reproducible across engines, runs, partitionings, and retries —
+    the property that makes a training subset auditable.
+
+    Scale shape: the key is a pure projection; the only work is the
+    global top-K (a rank over the corpus — at 100 TB swap in the
+    two-phase per-partition top-K + merge, same as pareto_products'
+    documented path). The float key is used ONLY for ordering and
+    excluded from the output, so cross-engine last-ulp ln()
+    differences cannot touch the hash (ordering flips would need two
+    keys within ~1e-16, impossible with 32-bit-distinct u values at
+    any realistic corpus size).
+    """
+    docs = load(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(_WSAMPLE_SALT), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(_U32)
+    key = F.log(u) / F.col("n_chars")
+    w = Window.orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "n_chars", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= WSAMPLE_K)
+    )
+
+
+WEIGHTED_SAMPLE_TOPK_ORACLE = f"""
+    WITH keyed AS (
+        SELECT doc_id, n_chars,
+               ln((CAST(('0x' || substr(md5('{_WSAMPLE_SALT}'
+                        || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                  / {_U32}) / n_chars AS k
+        FROM documents
+    )
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id ASC) AS INTEGER)
+               AS rank
+    FROM keyed
+    QUALIFY rank <= {WSAMPLE_K}
 """

@@ -341,3 +341,72 @@ REVENUE_COHORTS_ORACLE = """
                AS cum_revenue
     FROM monthly
 """
+
+
+# --- churn flags ------------------------------------------------------
+
+CHURN_DAYS = 90
+
+
+def churn_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment churn report as of the corpus's last order date:
+    a customer is CHURNED when their most recent order is more than
+    CHURN_DAYS before the as-of date (never-ordered customers are
+    counted separately — they are prospects, not churn). The weekly
+    retention dashboard every repeat-purchase business runs.
+
+    Scale shape: per-customer MAX(date) partial-aggregates
+    map-side; the as-of date is a 1-row broadcast; the segment join
+    broadcasts the customer dim; output is segment-sized. One scan
+    of orders, one of customers.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    last = orders.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order")
+    )
+    asof = last.agg(F.max("last_order").alias("asof_date"))
+    per_cust = (
+        cust.join(last, cust.c_custkey == last.o_custkey, "left")
+        .crossJoin(F.broadcast(asof))
+        .select(
+            "c_mktsegment",
+            F.col("last_order").isNull().cast("int").alias("never_ordered"),
+            (
+                F.col("last_order").isNotNull()
+                & (F.datediff("asof_date", "last_order") > CHURN_DAYS)
+            ).cast("int").alias("churned"),
+        )
+    )
+    return per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("churned").alias("n_churned"),
+        F.sum("never_ordered").alias("n_never_ordered"),
+        F.round(F.sum("churned") / F.count(F.lit(1)), 6).alias("churn_rate"),
+    )
+
+
+CHURN_FLAGS_ORACLE = f"""
+    WITH last AS (
+        SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order
+        FROM orders GROUP BY o_custkey
+    ), asof_cte AS (SELECT MAX(last_order) AS asof_date FROM last),
+    per_cust AS (
+        SELECT c.c_mktsegment,
+               CASE WHEN l.last_order IS NULL THEN 1 ELSE 0 END AS never_ordered,
+               CASE WHEN l.last_order IS NOT NULL
+                     AND date_diff('day', l.last_order, a.asof_date)
+                         > {CHURN_DAYS}
+                    THEN 1 ELSE 0 END AS churned
+        FROM customer c
+        LEFT JOIN last l ON c.c_custkey = l.o_custkey
+        CROSS JOIN asof_cte a
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(churned) AS BIGINT) AS n_churned,
+           CAST(SUM(never_ordered) AS BIGINT) AS n_never_ordered,
+           ROUND(SUM(churned) * 1.0 / COUNT(*), 6) AS churn_rate
+    FROM per_cust
+    GROUP BY c_mktsegment
+"""

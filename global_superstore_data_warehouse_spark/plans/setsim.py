@@ -82,13 +82,24 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = (
         ranked.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= F.col("n") - F.ceil(F.lit(TAU) * F.col("n")) + 1)
-        .select("cls", "rep", "n", "token")
+        .select("cls", "rep", "n", "rn", "token")
     )
 
     # candidate class pairs: shared prefix token + PPJoin length
-    # filter (J >= tau forces tau*na <= nb <= na/tau; the double-
-    # precision ceil/floor can only widen the admitted band, never
-    # reject a true pair)
+    # filter (J >= tau forces tau*na <= nb <= na/tau) + PPJoin
+    # POSITIONAL filter (Xiao et al., WWW'08): J >= tau needs
+    # shared >= alpha = ceil(tau/(1+tau) * (na+nb)); a match on the
+    # rn-th rarest token can contribute at most
+    # 1 + min(na - rn_a, nb - rn_b) shared tokens, so smaller-upper-
+    # bound matches can't produce a qualifying pair and are pruned
+    # BEFORE the array verify (the verify join is the cost center on
+    # dense-vocabulary corpora). Float discipline: alpha subtracts
+    # 1e-9 before ceil so double error can only ADMIT an extra
+    # candidate, never reject a true pair; same one-sided rule as
+    # the length band's ceil/floor.
+    alpha = F.ceil(
+        F.lit(TAU / (1.0 + TAU)) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
+    )
     cands = (
         prefix.alias("a")
         .join(
@@ -96,7 +107,14 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.token") == F.col("b.token"))
             & (F.col("a.rep") < F.col("b.rep"))
             & (F.col("b.n") >= F.ceil(F.lit(TAU) * F.col("a.n")))
-            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(TAU))),
+            & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(TAU)))
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.rn"), F.col("b.n") - F.col("b.rn")
+                )
+                >= alpha
+            ),
         )
         .select(F.col("a.cls").alias("cls_a"), F.col("b.cls").alias("cls_b"))
         .distinct()

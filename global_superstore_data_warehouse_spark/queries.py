@@ -410,3 +410,11 @@ register(
 register("order_cadence", retail.order_cadence, retail.ORDER_CADENCE_ORACLE)
 # acquisition-cohort revenue curve with running cumulative
 register("revenue_cohorts", retail.revenue_cohorts, retail.REVENUE_COHORTS_ORACLE)
+# derandomized Efraimidis-Spirakis weighted sample (no replacement)
+register(
+    "weighted_sample_topk",
+    mixtures.weighted_sample_topk,
+    mixtures.WEIGHTED_SAMPLE_TOPK_ORACLE,
+)
+# per-segment churn report as of the last order date
+register("churn_flags", retail.churn_flags, retail.CHURN_FLAGS_ORACLE)
