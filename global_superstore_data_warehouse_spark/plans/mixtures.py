@@ -215,14 +215,17 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible across engines, runs, partitionings, and retries —
     the property that makes a training subset auditable.
 
-    Scale shape: the key is a pure projection; the only work is the
-    global top-K (a rank over the corpus — at 100 TB swap in the
-    two-phase per-partition top-K + merge, same as pareto_products'
-    documented path). The float key is used ONLY for ordering and
-    excluded from the output, so cross-engine last-ulp ln()
-    differences cannot touch the hash (ordering flips would need two
-    keys within ~1e-16, impossible with 32-bit-distinct u values at
-    any realistic corpus size).
+    Scale shape: the key is a pure projection; the corpus-level
+    top-K is ``orderBy().limit(K)``, which Spark plans as
+    TakeOrderedAndProject — per-partition K-row heaps merged on one
+    tiny final stage — NOT a global row_number window (that would
+    drag the whole corpus through a single partition, the classic
+    global-window scale-killer). Only the K survivors see a window,
+    for rank assignment over K rows. The float key is used ONLY for
+    ordering and excluded from the output, so cross-engine last-ulp
+    ln() differences cannot touch the hash (ordering flips would
+    need two keys within ~1e-16, impossible with 32-bit-distinct u
+    values at any realistic corpus size).
     """
     docs = load(spark, sf_dir, "documents")
     h = F.conv(
@@ -236,10 +239,14 @@ def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     u = (h + F.lit(0.5)) / F.lit(_U32)
     key = F.log(u) / F.col("n_chars")
-    w = Window.orderBy(F.desc(key), F.asc("doc_id"))
-    return (
-        docs.select("doc_id", "n_chars", F.row_number().over(w).alias("rank"))
-        .filter(F.col("rank") <= WSAMPLE_K)
+    topk = (
+        docs.select("doc_id", "n_chars", key.alias("__k"))
+        .orderBy(F.desc("__k"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )
+    w = Window.orderBy(F.desc("__k"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id", "n_chars", F.row_number().over(w).alias("rank")
     )
 
 

@@ -18,8 +18,12 @@ CORRECTNESS_r03 whose plan shapes stay covered in-window (see the
 past-window section notes). Late round 4 rotated five more novel
 shapes in (span_dup_stats, cluster_representatives,
 golden_record_customers, gdpr_erasure_cascade, ann_recall) for five
-r03-green shape-covered entries. Everything past the window keeps
-identical DuckDB-oracle parity coverage in pytest.
+r03-green shape-covered entries; a final rotation swapped in the
+five newest novel shapes (part_pagerank, session_maintenance_overlap,
+events_gapfill, semantic_dedup, minhash_recall_eval) for five more
+r03-green shape-covered ones (scd2_products/employees,
+dim_product_hierarchy, cosine_topk, ann_lsh_topk). Everything past
+the window keeps identical DuckDB-oracle parity coverage in pytest.
 """
 
 from __future__ import annotations
@@ -65,7 +69,6 @@ register("seasonality_segment", views.seasonality_segment, views.seasonality_seg
 register("surrogate_keys_customers", warehouse.surrogate_keys_customers, warehouse.SURROGATE_KEYS_CUSTOMERS_ORACLE)
 register("dim_geography", warehouse.dim_geography, warehouse.DIM_GEOGRAPHY_ORACLE)
 register("dim_address", warehouse.dim_address, warehouse.DIM_ADDRESS_ORACLE)
-register("dim_product_hierarchy", warehouse.dim_product_hierarchy, warehouse.DIM_PRODUCT_HIERARCHY_ORACLE)
 register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
 
 # --- Two-source heterogeneous conformance (consumer.sql vs
@@ -75,8 +78,6 @@ register("conform_two_sources", conformance.conform_two_sources, conformance.CON
 # --- SCD2 merge (§2.9) + incremental lifecycle + DM propagation +
 # fact build (J1/J2/J5) ---
 register("scd2_customers", scd.scd2_customers, scd.SCD2_CUSTOMERS_ORACLE)
-register("scd2_products", scd.scd2_products, scd.SCD2_PRODUCTS_ORACLE)
-register("scd2_employees", scd.scd2_employees, scd.SCD2_EMPLOYEES_ORACLE)
 register("scd2_two_load_lifecycle", scd.scd2_two_load_lifecycle, scd.SCD2_TWO_LOAD_LIFECYCLE_ORACLE)
 register("dm_scd2_propagation", scd.dm_scd2_propagation, scd.DM_SCD2_PROPAGATION_ORACLE)
 register("fact_pit_customers", scd.fact_pit_customers, scd.FACT_PIT_CUSTOMERS_ORACLE)
@@ -109,8 +110,6 @@ register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIOR
 register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
 
 # --- Similarity search over embeddings (beyond-reference) ---
-register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
-register("ann_lsh_topk", embeddings.ann_lsh_topk, embeddings.ANN_LSH_TOPK_ORACLE)
 register("ann_ivf_topk", embeddings.ann_ivf_topk, embeddings.ANN_IVF_TOPK_ORACLE)
 # ANN quality eval: recall@k of both approximate indexes vs the
 # exact baseline (composes the three top-k plans; in-window late
@@ -181,6 +180,26 @@ register(
     security.gdpr_erasure_cascade,
     security.GDPR_ERASURE_CASCADE_ORACLE,
 )
+
+# --- Very-late-round-4 rotation: five more novel shapes swapped IN
+# (rotated out, all r03 hash-green + shape-covered: scd2_products /
+# scd2_employees = scd2_customers' exact shape; dim_product_hierarchy
+# = dim_address's snowflake lookup; cosine_topk / ann_lsh_topk ride
+# inside the in-window ann_recall composition) ---
+# distributed PageRank (iterative family; unrolled-CTE oracle)
+register("part_pagerank", linkrank.part_pagerank, linkrank.PART_PAGERANK_ORACLE)
+# interval x interval overlap join with responsibility dedup
+register(
+    "session_maintenance_overlap",
+    events.session_maintenance_overlap,
+    events.SESSION_MAINTENANCE_OVERLAP_ORACLE,
+)
+# dense hourly spine + zero-fill + forward-fill (gap-fill/locf)
+register("events_gapfill", events.events_gapfill, events.EVENTS_GAPFILL_ORACLE)
+# SemDeDup-style cluster-then-prune semantic dedup decisions
+register("semantic_dedup", embeddings.semantic_dedup, embeddings.SEMANTIC_DEDUP_ORACLE)
+# measured recall of MinHash-LSH vs the exact prefix-filter join
+register("minhash_recall_eval", textops.minhash_recall_eval, textops.MINHASH_RECALL_EVAL_ORACLE)
 
 # --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
 register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
@@ -373,19 +392,18 @@ register("lang_id_confusion", textops.lang_id_confusion, textops.LANG_ID_CONFUSI
 register("market_basket_pairs", retail.market_basket_pairs, retail.MARKET_BASKET_PAIRS_ORACLE)
 register("pareto_products", retail.pareto_products, retail.PARETO_PRODUCTS_ORACLE)
 register("rfm_segments", retail.rfm_segments, retail.RFM_SEGMENTS_ORACLE)
+# --- Rotated OUT very late round 4 (all r03 hash-green; pytest
+# parity retained; shapes covered in-window — see the rotation note
+# in the window section) ---
+register("dim_product_hierarchy", warehouse.dim_product_hierarchy, warehouse.DIM_PRODUCT_HIERARCHY_ORACLE)
+register("scd2_products", scd.scd2_products, scd.SCD2_PRODUCTS_ORACLE)
+register("scd2_employees", scd.scd2_employees, scd.SCD2_EMPLOYEES_ORACLE)
+register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
+register("ann_lsh_topk", embeddings.ann_lsh_topk, embeddings.ANN_LSH_TOPK_ORACLE)
 # one-pass per-column table profiler (long-form explode of one agg row)
 register("profile_columns", observability.profile_columns, observability.PROFILE_COLUMNS_ORACLE)
-# dense hourly spine + zero-fill + forward-fill (gap-fill/locf)
-register("events_gapfill", events.events_gapfill, events.EVENTS_GAPFILL_ORACLE)
-# SemDeDup-style cluster-then-prune semantic dedup decisions
-register("semantic_dedup", embeddings.semantic_dedup, embeddings.SEMANTIC_DEDUP_ORACLE)
-# measured recall of MinHash-LSH vs the exact prefix-filter join
-register("minhash_recall_eval", textops.minhash_recall_eval, textops.MINHASH_RECALL_EVAL_ORACLE)
 # Zipf rank-frequency slope per source (corpus-health diagnostic)
 register("zipf_slope_by_source", textops.zipf_slope_by_source, textops.ZIPF_SLOPE_BY_SOURCE_ORACLE)
-# distributed PageRank over the part co-purchase graph (fixed 5
-# rounds; oracle replays them as unrolled CTEs)
-register("part_pagerank", linkrank.part_pagerank, linkrank.PART_PAGERANK_ORACLE)
 # inclusion-dependency (FK candidate) profiling with containment
 register("fk_discovery", observability.fk_discovery, observability.FK_DISCOVERY_ORACLE)
 # Shannon entropy of each source's token distribution
@@ -400,12 +418,6 @@ register("events_dedup_bursts", events.events_dedup_bursts, events.EVENTS_DEDUP_
 register("bpe_pair_counts", textops.bpe_pair_counts, textops.BPE_PAIR_COUNTS_ORACLE)
 # per-source power-of-two length histogram with shares
 register("doclen_histogram", textops.doclen_histogram, textops.DOCLEN_HISTOGRAM_ORACLE)
-# interval x interval overlap join (sessions vs maintenance windows)
-register(
-    "session_maintenance_overlap",
-    events.session_maintenance_overlap,
-    events.SESSION_MAINTENANCE_OVERLAP_ORACLE,
-)
 # inter-purchase day gaps per segment (lag window + exact median)
 register("order_cadence", retail.order_cadence, retail.ORDER_CADENCE_ORACLE)
 # acquisition-cohort revenue curve with running cumulative

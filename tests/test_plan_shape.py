@@ -190,3 +190,11 @@ def test_gapfill_spine_joins_hash(spark, sf_dir):
     # the bounds attach is the deliberate 1-row broadcast cross; the
     # spine-to-hourly attach must be a hash join
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_weighted_sample_uses_take_ordered(spark, sf_dir):
+    """The corpus-level top-K must plan as TakeOrderedAndProject
+    (per-partition heaps), never a global single-partition window
+    over the full corpus."""
+    plan = _q(spark, sf_dir, "weighted_sample_topk")
+    assert "TakeOrderedAndProject" in plan
