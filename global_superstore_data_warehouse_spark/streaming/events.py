@@ -236,3 +236,53 @@ def enrich_events_stream(events: DataFrame, type_dim: DataFrame) -> DataFrame:
     return events.join(F.broadcast(type_dim), "event_type", "left").withColumn(
         "weighted_value", F.round(F.col("value") * F.col("type_weight"), 6)
     )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def type_mix_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "6 hours",
+    types: tuple[str, ...] = EVENT_TYPES,
+) -> DataFrame:
+    """Streaming twin of the PSI drift monitor's input
+    (plans/observability.psi_event_drift): one row per tumbling
+    window with the PIVOTED per-type counts, the window total, and
+    each type's share — the live event-mix feed a drift alarm
+    consumes. Pivoting via conditional sums keeps this a SINGLE
+    streaming aggregation (Structured Streaming forbids stacking a
+    second aggregate for the totals on top of a first); state is one
+    bounded row per window.
+
+    ``types`` is the declared dimension — an unexpected type lands
+    in ``n_other`` so schema stays fixed while the data drifts (the
+    monitoring-friendly posture: new categories are themselves a
+    drift signal)."""
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in types
+    ]
+    aggs.append(
+        F.sum(F.when(~F.col("event_type").isin(*types), 1).otherwise(0)).alias(
+            "n_other"
+        )
+    )
+    aggs.append(F.count(F.lit(1)).alias("n_total"))
+    agg = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(*aggs)
+    )
+    shares = [
+        F.round(F.col(f"n_{t}") / F.col("n_total"), 6).alias(f"share_{t}")
+        for t in types
+    ]
+    return agg.select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        *[F.col(f"n_{t}") for t in types],
+        "n_other",
+        "n_total",
+        *shares,
+    )

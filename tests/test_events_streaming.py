@@ -372,3 +372,56 @@ def test_stream_static_enrichment_equals_batch(spark, sf_dir, tmp_path):
     got_rows = sorted(got.select("event_id", "weighted_value").collect(), key=k)
     want_rows = sorted(want.select("event_id", "weighted_value").collect(), key=k)
     assert got_rows == want_rows
+
+
+def test_stream_type_mix_equals_batch(spark, sf_dir, tmp_path):
+    """The pivoted type-mix stream (availableNow drain) must equal
+    the same single-aggregation computed in batch: counts, total,
+    and rounded shares per 6-hour window."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        EVENT_TYPES,
+        read_events_stream,
+        run_stream_to_memory,
+        type_mix_stream,
+    )
+
+    stream = type_mix_stream(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(stream, spark, "typemix_test", str(tmp_path / "ckpt_tm"))
+    got = spark.sql("SELECT * FROM typemix_test").orderBy("window_start").collect()
+
+    ev = load(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    aggs.append(
+        F.sum(F.when(~F.col("event_type").isin(*EVENT_TYPES), 1).otherwise(0)).alias(
+            "n_other"
+        )
+    )
+    aggs.append(F.count(F.lit(1)).alias("n_total"))
+    batch = (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(*aggs)
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            *[F.col(f"n_{t}") for t in EVENT_TYPES],
+            "n_other",
+            "n_total",
+            *[
+                F.round(F.col(f"n_{t}") / F.col("n_total"), 6).alias(f"share_{t}")
+                for t in EVENT_TYPES
+            ],
+        )
+        .orderBy("window_start")
+        .collect()
+    )
+    assert got == batch
+    for r in got:
+        assert r["n_other"] == 0  # declared dimension covers the feed
+        assert (
+            sum(r[f"n_{t}"] for t in EVENT_TYPES) + r["n_other"] == r["n_total"]
+        )
