@@ -146,3 +146,125 @@ def _pagerank_oracle() -> str:
 
 
 PART_PAGERANK_ORACLE = _pagerank_oracle()
+
+
+# --- triangle counting (degree-ordered orientation) -------------------
+
+# orientation key = degree * KEY_BASE + node: a single sortable long
+# encoding the (degree, id) total order; KEY_BASE just has to exceed
+# any node id
+KEY_BASE = 10_000_000
+
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the part co-purchase graph: node and
+    edge counts, wedge count, triangle count, and the global
+    clustering coefficient 3T / wedges — the one-row graph-shape
+    fingerprint (how cliquish is co-purchasing).
+
+    Scale shape — the degree-ordered orientation classic (the
+    MapReduce triangle-counting standard): orient every undirected
+    edge from its lower (degree, id) endpoint to the higher, making
+    the graph a DAG whose max out-degree is O(sqrt(m)); wedges are
+    pairs of out-edges of a common source (bounded by sum of
+    out-degree^2, the oriented bound, NOT the raw degree^2 sum a
+    hub would explode); each triangle is counted exactly once, when
+    the wedge (v, w) closes with the oriented edge v->w. Edges are
+    checkpointed narrow longs; three hash joins total, no window,
+    no driver-side state.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    basket = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = basket.alias("a"), basket.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ends = und.select(F.col("u").alias("node")).unionAll(
+        und.select(F.col("v").alias("node"))
+    )
+    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    key = deg.select(
+        "node", "deg", (F.col("deg") * KEY_BASE + F.col("node")).alias("k")
+    )
+    ku = key.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = key.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    keyed = und.join(F.broadcast(ku), "u").join(F.broadcast(kv), "v")
+    eo = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.least("ku", "kv").alias("k_src"),
+        F.greatest("ku", "kv").alias("k_dst"),
+    ).localCheckpoint(eager=True)
+
+    w1, w2 = eo.alias("w1"), eo.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.k_dst") < F.col("w2.k_dst")),
+    ).select(F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y"))
+    closing = eo.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+
+    summary = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges"),
+    )
+    return (
+        summary.crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges"), 6).alias(
+                "clustering_coeff"
+            ),
+        )
+    )
+
+
+COPURCHASE_TRIANGLES_ORACLE = f"""
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY node
+    ), keyed AS (
+        SELECT e.u, e.v,
+               du.deg * {KEY_BASE} + e.u AS ku,
+               dv.deg * {KEY_BASE} + e.v AS kv
+        FROM und e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ), eo AS (
+        SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+               CASE WHEN ku < kv THEN v ELSE u END AS dst,
+               LEAST(ku, kv) AS k_src, GREATEST(ku, kv) AS k_dst
+        FROM keyed
+    ), tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM eo w1
+        JOIN eo w2 ON w1.src = w2.src AND w1.k_dst < w2.k_dst
+        JOIN eo c ON c.src = w1.dst AND c.dst = w2.dst
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(SUM(deg) / 2 AS BIGINT) FROM deg) AS n_edges,
+           (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           ROUND(3.0 * n_triangles
+                 / (SELECT SUM(deg * (deg - 1) / 2) FROM deg), 6)
+               AS clustering_coeff
+    FROM tri
+"""

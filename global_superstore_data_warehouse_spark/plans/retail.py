@@ -410,3 +410,103 @@ CHURN_FLAGS_ORACLE = f"""
     FROM per_cust
     GROUP BY c_mktsegment
 """
+
+
+# --- supplier concentration (HHI) -------------------------------------
+
+
+def supplier_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each part's supplier
+    base: per part, HHI = sum over suppliers of (revenue share)^2 —
+    1.0 is single-sourced, 1/n is evenly split across n suppliers.
+    The supply-chain-risk screen: high-revenue, high-HHI parts are
+    the fragile ones.
+
+    Scale shape: two keyed aggregates (part x supplier revenue, then
+    per-part fold), both map-side-combined; no window, no join.
+    Revenue rounds at 4 decimals BEFORE shares (the repo's money
+    discipline: the true value has 4 decimals, so cross-engine sum
+    order cannot flip a cent).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+    )
+    per_supp = li.groupBy("l_partkey", "l_suppkey").agg(rev.alias("supp_rev"))
+    return per_supp.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("supp_rev"), 4).alias("part_revenue"),
+        F.round(
+            F.sum(F.col("supp_rev") * F.col("supp_rev"))
+            / (F.sum("supp_rev") * F.sum("supp_rev")),
+            6,
+        ).alias("hhi"),
+    )
+
+
+SUPPLIER_CONCENTRATION_ORACLE = """
+    WITH per_supp AS (
+        SELECT l_partkey, l_suppkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS supp_rev
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(supp_rev), 4) AS part_revenue,
+           ROUND(SUM(supp_rev * supp_rev)
+                 / (SUM(supp_rev) * SUM(supp_rev)), 6) AS hhi
+    FROM per_supp
+    GROUP BY l_partkey
+"""
+
+
+# --- fulfillment lead time --------------------------------------------
+
+
+def fulfillment_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship lead-time distribution per order priority:
+    count, mean, exact median, p95, and max of
+    datediff(l_shipdate, o_orderdate) — the SLA dashboard (does
+    1-URGENT actually ship faster?).
+
+    Scale shape: one lineitem ⋈ orders equi-join on the order key
+    (the warehouse's standard co-partitioned join; bucketed tables
+    make it shuffle-free), then a priority-sized aggregate with
+    exact percentiles — ``percentile_approx`` is the documented
+    swap-in at extreme cardinality.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "lead_days"
+        ),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("lead_days"), 6).alias("mean_days"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 6).alias("median_days"),
+        F.round(F.expr("percentile(lead_days, 0.95)"), 6).alias("p95_days"),
+        F.max("lead_days").alias("max_days"),
+    )
+
+
+FULFILLMENT_LEAD_TIME_ORACLE = """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(AVG(lead_days), 6) AS mean_days,
+           ROUND(quantile_cont(lead_days, 0.5), 6) AS median_days,
+           ROUND(quantile_cont(lead_days, 0.95), 6) AS p95_days,
+           CAST(MAX(lead_days) AS INTEGER) AS max_days
+    FROM (
+        SELECT l.l_orderkey,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS lead_days,
+               o.o_orderpriority
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ) o
+    GROUP BY o.o_orderpriority
+"""

@@ -430,3 +430,21 @@ register(
 )
 # per-segment churn report as of the last order date
 register("churn_flags", retail.churn_flags, retail.CHURN_FLAGS_ORACLE)
+# degree-ordered triangle census of the co-purchase graph
+register(
+    "copurchase_triangles",
+    linkrank.copurchase_triangles,
+    linkrank.COPURCHASE_TRIANGLES_ORACLE,
+)
+# Herfindahl supplier-concentration screen per part
+register(
+    "supplier_concentration",
+    retail.supplier_concentration,
+    retail.SUPPLIER_CONCENTRATION_ORACLE,
+)
+# order-to-ship lead-time distribution per priority
+register(
+    "fulfillment_lead_time",
+    retail.fulfillment_lead_time,
+    retail.FULFILLMENT_LEAD_TIME_ORACLE,
+)
