@@ -852,3 +852,69 @@ SESSION_MAINTENANCE_OVERLAP_ORACLE = f"""
     FROM windows w LEFT JOIN pairs p ON w.w_start = p.w_start
     GROUP BY w.w_start
 """
+
+
+# --- 3-step path mining -----------------------------------------------
+
+TRIGRAM_TOP_K = 25
+
+
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step event-type paths per user timeline (the journey-
+    mining extension of ``event_transitions``' 2-step matrix):
+    double-lag over each user's chronological stream, count the
+    (a -> b -> c) paths, keep the top TRIGRAM_TOP_K. (No session
+    bound — this stream is sparse per user; the sessionized variant
+    is the same plan with the events_sessionize keys added to the
+    window partition.)
+
+    Plan shape: ONE user-partitioned window pass derives both lags
+    (shared shuffle), then a paths-sized aggregate and a rank over
+    the aggregated path vocabulary. Raw events shuffle once.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    paths = (
+        ev.withColumn("prev1", F.lag("event_type", 1).over(order))
+        .withColumn("prev2", F.lag("event_type", 2).over(order))
+        .filter(F.col("prev2").isNotNull())
+        .select(
+            F.concat_ws(" > ", "prev2", "prev1", "event_type").alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    w = Window.orderBy(F.desc("n_paths"), F.asc("path"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TRIGRAM_TOP_K)
+    )
+
+
+EVENT_TRIGRAMS_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ), paths AS (
+        SELECT LAG(event_type, 2) OVER w || ' > '
+               || LAG(event_type, 1) OVER w || ' > '
+               || event_type AS path,
+               LAG(event_type, 2) OVER w AS prev2
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), counted AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM paths WHERE prev2 IS NOT NULL
+        GROUP BY path
+    )
+    SELECT path, n_paths,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_paths DESC, path ASC) AS INTEGER)
+               AS rank
+    FROM counted
+    QUALIFY rank <= {TRIGRAM_TOP_K}
+"""

@@ -1597,3 +1597,66 @@ DOCLEN_HISTOGRAM_ORACLE = f"""
                AS share
     FROM counts
 """
+
+
+# --- per-source quality percentiles -----------------------------------
+
+
+def quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-rank of each document's quality score WITHIN its
+    source — the curriculum/mix input that a global threshold can't
+    provide: "keep each source's best 40%" needs per-source ranks,
+    because sources have wildly different score distributions and a
+    global cut silently drops whole feeds.
+
+    Plan shape: re-derives the text_quality score (pure zero-shuffle
+    array projection), then ONE source-partitioned percent_rank
+    window — the shuffle is on source, rows stay narrow (score only;
+    token arrays never reach the window). Ties get identical
+    percentiles (percent_rank semantics), deterministic across
+    engines.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "source", T.tokens("text").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks).cast("double")
+    n_distinct = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = T.stopword_count(toks, T.EN_STOPWORDS).cast("double")
+    score = F.round(
+        0.5 * (n_distinct / n)
+        + 0.3 * (1 - n_stop / n)
+        + 0.2 * F.least(F.lit(1.0), n / 100.0),
+        6,
+    )
+    scored = tok.select("doc_id", "source", score.alias("quality_score"))
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    return scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.round(F.percent_rank().over(w), 6).alias("source_pctile"),
+    )
+
+
+QUALITY_PERCENTILES_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               string_split_regex(trim(text), '\\s+') AS t
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, source,
+               ROUND(
+                 0.5 * (len(list_distinct(t)) * 1.0 / len(t))
+                 + 0.3 * (1 - len(list_filter(t, w -> w IN
+                       ('the','a','of','and','to','in','is'))) * 1.0 / len(t))
+                 + 0.2 * LEAST(1.0, len(t) / 100.0),
+               6) AS quality_score
+        FROM toks
+    )
+    SELECT doc_id, source, quality_score,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                 ORDER BY quality_score, doc_id), 6) AS source_pctile
+    FROM scored
+"""

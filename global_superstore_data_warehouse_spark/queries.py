@@ -448,3 +448,11 @@ register(
     retail.fulfillment_lead_time,
     retail.FULFILLMENT_LEAD_TIME_ORACLE,
 )
+# per-source quality percent-rank (curriculum/mix input)
+register(
+    "quality_percentiles",
+    textops.quality_percentiles,
+    textops.QUALITY_PERCENTILES_ORACLE,
+)
+# top 3-step session paths (journey mining, double lag)
+register("event_trigrams", events.event_trigrams, events.EVENT_TRIGRAMS_ORACLE)
