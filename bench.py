@@ -98,6 +98,12 @@ EXTRA = [
     # iterative link analysis + schema discovery
     "part_pagerank",
     "fk_discovery",
+    # interval-overlap join, triangle census (dense-graph stressor),
+    # zero-shuffle bigram counting, TakeOrdered weighted sampling
+    "session_maintenance_overlap",
+    "copurchase_triangles",
+    "bpe_pair_counts",
+    "weighted_sample_topk",
 ]
 
 ROUNDS = 3
