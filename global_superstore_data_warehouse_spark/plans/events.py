@@ -918,3 +918,86 @@ EVENT_TRIGRAMS_ORACLE = f"""
     FROM counted
     QUALIFY rank <= {TRIGRAM_TOP_K}
 """
+
+
+# --- lateness profile (watermark sizing) ------------------------------
+
+
+def lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How out-of-order is the event feed, per event type: an event
+    is LATE if an event with a larger timestamp precedes it in
+    ARRIVAL order for the same user; its lateness is the gap to the
+    running max. One summary row per type with the late share and
+    the lateness distribution (p50/p95/max seconds) — THE input for
+    choosing Structured Streaming watermarks (streaming/events.py
+    uses '2 hours'; this report is how you justify or shrink that).
+
+    Arrival order: the static corpus has no ingestion-sequence
+    column (and its event_id order is perfectly time-sorted, which
+    would make the report trivially zero), so arrival is simulated
+    with a DETERMINISTIC jitter — md5 of the event id — which
+    shuffles arrival while staying engine-identical and
+    hash-checkable. In production, substitute the real ingestion
+    offset/sequence column for the md5.
+
+    Plan shape: one user-partitioned running-max window in arrival
+    order (same single shuffle as sessionize), then a types-sized
+    aggregate with exact percentiles over the lateness values.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+        F.md5(F.col("event_id").cast("string")).alias("arrival"),
+    )
+    order = (
+        Window.partitionBy("user_id")
+        .orderBy("arrival")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_max = ev.withColumn("prior_max", F.max("sec").over(order))
+    late_by = F.greatest(F.lit(0), F.col("prior_max") - F.col("sec"))
+    flagged = with_max.select(
+        "event_type",
+        F.when(F.col("prior_max").isNull(), 0).otherwise(late_by).alias("late_s"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_s") > 0).cast("long")).alias("n_late"),
+        F.round(F.avg((F.col("late_s") > 0).cast("double")), 6).alias("late_share"),
+        F.round(F.expr("percentile(late_s, 0.5)"), 6).alias("p50_late_s"),
+        F.round(F.expr("percentile(late_s, 0.95)"), 6).alias("p95_late_s"),
+        F.max("late_s").alias("max_late_s"),
+    )
+
+
+LATENESS_PROFILE_ORACLE = """
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               md5(CAST(event_id AS VARCHAR)) AS arrival
+        FROM events
+    ), flagged AS (
+        SELECT event_type,
+               CASE WHEN prior_max IS NULL THEN 0
+                    ELSE GREATEST(0, prior_max - sec) END AS late_s
+        FROM (
+            SELECT event_type, sec,
+                   MAX(sec) OVER (PARTITION BY user_id ORDER BY arrival
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_max
+            FROM e
+        )
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late,
+           ROUND(AVG(CASE WHEN late_s > 0 THEN 1.0 ELSE 0.0 END), 6)
+               AS late_share,
+           ROUND(quantile_cont(late_s, 0.5), 6) AS p50_late_s,
+           ROUND(quantile_cont(late_s, 0.95), 6) AS p95_late_s,
+           CAST(MAX(late_s) AS BIGINT) AS max_late_s
+    FROM flagged
+    GROUP BY event_type
+"""

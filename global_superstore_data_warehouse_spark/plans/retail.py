@@ -510,3 +510,45 @@ FULFILLMENT_LEAD_TIME_ORACLE = """
     ) o
     GROUP BY o.o_orderpriority
 """
+
+
+# --- seasonal index ---------------------------------------------------
+
+
+def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic seasonal index per order priority: monthly revenue
+    divided by that priority's all-months average — index > 1 marks
+    the high season. (Priority stands in for product category in
+    this schema; the plan is category-agnostic.)
+
+    Plan shape: one partial-aggregated groupBy(priority, month) to
+    |priorities| x 12 cells; the per-priority mean rides a window
+    over that tiny aggregate. Monthly revenue rounds at 2 before the
+    index division (the repo's money-determinism rule).
+    """
+    orders = load(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority", F.month("o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    per_prio = Window.partitionBy("o_orderpriority")
+    return monthly.select(
+        "o_orderpriority",
+        "month",
+        "revenue",
+        F.round(F.col("revenue") / F.avg("revenue").over(per_prio), 6).alias(
+            "seasonal_index"
+        ),
+    )
+
+
+SEASONAL_INDEX_ORACLE = """
+    WITH monthly AS (
+        SELECT o_orderpriority, CAST(month(o_orderdate) AS INTEGER) AS month,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority, month, revenue,
+           ROUND(revenue / AVG(revenue) OVER (PARTITION BY o_orderpriority), 6)
+               AS seasonal_index
+    FROM monthly
+"""

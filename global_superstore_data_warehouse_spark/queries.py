@@ -456,3 +456,7 @@ register(
 )
 # top 3-step session paths (journey mining, double lag)
 register("event_trigrams", events.event_trigrams, events.EVENT_TRIGRAMS_ORACLE)
+# monthly seasonal index per priority (tiny-cell window)
+register("seasonal_index", retail.seasonal_index, retail.SEASONAL_INDEX_ORACLE)
+# out-of-orderness report per type (watermark sizing input)
+register("lateness_profile", events.lateness_profile, events.LATENESS_PROFILE_ORACLE)
