@@ -307,3 +307,159 @@ LEFT JOIN (SELECT DISTINCT {pc} AS k FROM {pt}) p ON c.k = p.k"""
 
 
 FK_DISCOVERY_ORACLE = _fk_oracle()
+
+
+# --- robust (MAD) anomaly scan ----------------------------------------
+
+MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma
+MAD_Z = 3.0
+
+
+def daily_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose total order revenue is a ROBUST outlier: flag when
+    |x - median| > 3 * 1.4826 * MAD (median absolute deviation).
+    Unlike the mean/stddev z-score (events_value_outliers' shape),
+    the median/MAD pair doesn't let the outliers inflate their own
+    threshold — the standard monitor for spiky business metrics.
+
+    Scale shape: the series first collapses to one row per DAY
+    (map-side-combined), so both exact-percentile passes (median of
+    x, then median of |x - median|) and the final flagging run over
+    a days-sized frame; the two medians ride 1-row broadcasts. At
+    extreme series lengths swap ``percentile`` for
+    ``percentile_approx``.
+    """
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    med = daily.agg(F.expr("percentile(revenue, 0.5)").alias("med"))
+    with_med = daily.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr("percentile(abs(revenue - med), 0.5)").alias("mad")
+    )
+    flagged = with_med.crossJoin(F.broadcast(mad)).withColumn(
+        "robust_z",
+        F.round(
+            (F.col("revenue") - F.col("med")) / (F.lit(MAD_K) * F.col("mad")), 6
+        ),
+    )
+    return (
+        flagged.filter(F.abs(F.col("robust_z")) > MAD_Z)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "revenue",
+            F.round("med", 6).alias("median_revenue"),
+            "robust_z",
+        )
+    )
+
+
+DAILY_REVENUE_ANOMALIES_ORACLE = f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    ), med AS (
+        SELECT quantile_cont(revenue, 0.5) AS med FROM daily
+    ), mad AS (
+        SELECT quantile_cont(ABS(d.revenue - m.med), 0.5) AS mad
+        FROM daily d CROSS JOIN med m
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           d.revenue,
+           ROUND(m.med, 6) AS median_revenue,
+           ROUND((d.revenue - m.med) / ({MAD_K} * x.mad), 6) AS robust_z
+    FROM daily d CROSS JOIN med m CROSS JOIN mad x
+    WHERE ABS((d.revenue - m.med) / ({MAD_K} * x.mad)) > {MAD_Z}
+"""
+
+
+# --- partition-column advisor -----------------------------------------
+
+# candidate layout columns for the orders table: (expression name,
+# spark expr is built in-code, sql expr inline). Cardinality sweet
+# spot for a partition column: enough values to prune, few enough
+# that files stay large.
+ADVISOR_MIN_VALUES = 4
+ADVISOR_MAX_VALUES = 10_000
+ADVISOR_MAX_TOP_SHARE = 0.5
+
+
+def partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which column should partition the ``orders`` table on disk?
+    For each candidate (status, priority, order year, order month,
+    custkey), report distinct-value count, mean/max rows per value,
+    the heaviest value's share, and a verdict: partitionable when the
+    cardinality sits in [{ADVISOR_MIN_VALUES}, {ADVISOR_MAX_VALUES}]
+    and no single value holds more than half the rows (files stay
+    prunable AND balanced). The measured version of the layout
+    module's guidance (sources/layout.py chooses; this justifies).
+
+    Scale shape: one groupBy per candidate (all map-side-combined,
+    value-cardinality-sized outputs), unioned summary rows.
+    """
+    orders = load(spark, sf_dir, "orders")
+    candidates = [
+        ("o_orderstatus", F.col("o_orderstatus").cast("string")),
+        ("o_orderpriority", F.col("o_orderpriority").cast("string")),
+        ("order_year", F.year("o_orderdate").cast("string")),
+        ("order_month", F.date_format("o_orderdate", "yyyy-MM")),
+        ("o_custkey", F.col("o_custkey").cast("string")),
+    ]
+    out = None
+    for name, expr in candidates:
+        per_val = orders.groupBy(expr.alias("v")).agg(
+            F.count(F.lit(1)).alias("rows_per_value")
+        )
+        row = per_val.agg(
+            F.lit(name).alias("candidate"),
+            F.count(F.lit(1)).alias("n_values"),
+            F.sum("rows_per_value").alias("total_rows"),
+            F.round(F.avg("rows_per_value"), 6).alias("mean_rows"),
+            F.max("rows_per_value").alias("max_rows"),
+            F.round(F.max("rows_per_value") / F.sum("rows_per_value"), 6).alias(
+                "top_value_share"
+            ),
+            (
+                (F.count(F.lit(1)) >= ADVISOR_MIN_VALUES)
+                & (F.count(F.lit(1)) <= ADVISOR_MAX_VALUES)
+                & (
+                    F.max("rows_per_value") / F.sum("rows_per_value")
+                    <= ADVISOR_MAX_TOP_SHARE
+                )
+            ).cast("int").alias("partitionable"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+def _advisor_oracle() -> str:
+    sql_exprs = [
+        ("o_orderstatus", "CAST(o_orderstatus AS VARCHAR)"),
+        ("o_orderpriority", "CAST(o_orderpriority AS VARCHAR)"),
+        ("order_year", "CAST(year(o_orderdate) AS VARCHAR)"),
+        ("order_month", "strftime(o_orderdate, '%Y-%m')"),
+        ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ]
+    parts = []
+    for name, expr in sql_exprs:
+        parts.append(
+            f"""SELECT '{name}' AS candidate,
+       CAST(COUNT(*) AS BIGINT) AS n_values,
+       CAST(SUM(rows_per_value) AS BIGINT) AS total_rows,
+       ROUND(AVG(rows_per_value), 6) AS mean_rows,
+       CAST(MAX(rows_per_value) AS BIGINT) AS max_rows,
+       ROUND(CAST(MAX(rows_per_value) AS DOUBLE) / SUM(rows_per_value), 6)
+           AS top_value_share,
+       CAST(CASE WHEN COUNT(*) BETWEEN {ADVISOR_MIN_VALUES}
+                      AND {ADVISOR_MAX_VALUES}
+                  AND CAST(MAX(rows_per_value) AS DOUBLE) / SUM(rows_per_value)
+                      <= {ADVISOR_MAX_TOP_SHARE}
+                 THEN 1 ELSE 0 END AS INTEGER) AS partitionable
+FROM (SELECT {expr} AS v, COUNT(*) AS rows_per_value FROM orders GROUP BY 1)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+PARTITION_ADVISOR_ORACLE = _advisor_oracle()

@@ -552,3 +552,132 @@ SEASONAL_INDEX_ORACLE = """
                AS seasonal_index
     FROM monthly
 """
+
+
+# --- ABC class migration ----------------------------------------------
+
+
+def abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC-class TRANSITION MATRIX between the first and second half
+    of the order timeline: how many products moved A->C, C->A, etc.
+    (plus 'N' for absent-in-half) — assortment churn at a glance;
+    a stable catalog concentrates on the diagonal.
+
+    The halves split at the midpoint EPOCH SECOND (integer floor of
+    (min+max)/2 — engine-identical arithmetic, no calendar math).
+    Per half, the classification replays pareto_products' rules
+    (revenue at 4 decimals, cumulative share over revenue-desc/key-
+    asc, A<=0.80, B<=0.95). Full-outer join of the two class maps,
+    then a 4x4-bounded matrix aggregate.
+
+    Scale shape: two partial-aggregated part-revenue frames, each
+    with a catalog-sized cumulative window (pareto_products'
+    documented bound), one part-keyed full-outer join, matrix-sized
+    output.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    bounds = orders.agg(
+        F.floor(
+            (
+                F.min(F.col("o_orderdate").cast("timestamp_ltz").cast("double"))
+                + F.max(F.col("o_orderdate").cast("timestamp_ltz").cast("double"))
+            )
+            / 2
+        ).alias("mid_sec")
+    )
+    halves = j.crossJoin(F.broadcast(bounds)).withColumn(
+        "half",
+        F.when(
+            F.col("o_orderdate").cast("timestamp_ltz").cast("double")
+            < F.col("mid_sec"),
+            F.lit(1),
+        ).otherwise(F.lit(2)),
+    )
+
+    def classify(half_df):
+        rev = half_df.groupBy("l_partkey").agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        w = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        total = Window.partitionBy()
+        cum = F.sum("revenue").over(w) / F.sum("revenue").over(total)
+        return rev.select(
+            "l_partkey",
+            F.when(cum <= 0.80, "A").when(cum <= 0.95, "B").otherwise("C").alias(
+                "cls"
+            ),
+        )
+
+    c1 = classify(halves.filter(F.col("half") == 1)).withColumnRenamed(
+        "cls", "class_h1"
+    )
+    c2 = classify(halves.filter(F.col("half") == 2)).withColumnRenamed(
+        "cls", "class_h2"
+    )
+    matrix = (
+        c1.join(c2, "l_partkey", "full_outer")
+        .select(
+            F.coalesce("class_h1", F.lit("N")).alias("class_h1"),
+            F.coalesce("class_h2", F.lit("N")).alias("class_h2"),
+        )
+        .groupBy("class_h1", "class_h2")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    tot = Window.partitionBy()
+    return matrix.select(
+        "class_h1",
+        "class_h2",
+        "n_parts",
+        F.round(F.col("n_parts") / F.sum("n_parts").over(tot), 6).alias("share"),
+    )
+
+
+ABC_MIGRATION_ORACLE = """
+    WITH j AS (
+        SELECT l.l_partkey, l.l_extendedprice, l.l_discount, o.o_orderdate
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), bounds AS (
+        SELECT CAST(floor((epoch(MIN(o_orderdate)) + epoch(MAX(o_orderdate))) / 2)
+               AS BIGINT) AS mid_sec
+        FROM orders
+    ), halves AS (
+        SELECT j.*, CASE WHEN epoch(j.o_orderdate) < b.mid_sec THEN 1 ELSE 2 END
+               AS half
+        FROM j CROSS JOIN bounds b
+    ), rev AS (
+        SELECT half, l_partkey,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM halves GROUP BY half, l_partkey
+    ), classed AS (
+        SELECT half, l_partkey,
+               CASE WHEN cum <= 0.80 THEN 'A'
+                    WHEN cum <= 0.95 THEN 'B' ELSE 'C' END AS cls
+        FROM (
+            SELECT half, l_partkey,
+                   SUM(revenue) OVER (PARTITION BY half
+                       ORDER BY revenue DESC, l_partkey ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   / SUM(revenue) OVER (PARTITION BY half) AS cum
+            FROM rev
+        )
+    ), matrix AS (
+        SELECT COALESCE(a.cls, 'N') AS class_h1,
+               COALESCE(b.cls, 'N') AS class_h2,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM (SELECT l_partkey, cls FROM classed WHERE half = 1) a
+        FULL OUTER JOIN (SELECT l_partkey, cls FROM classed WHERE half = 2) b
+          ON a.l_partkey = b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT class_h1, class_h2, n_parts,
+           ROUND(n_parts * 1.0 / SUM(n_parts) OVER (), 6) AS share
+    FROM matrix
+"""

@@ -460,3 +460,17 @@ register("event_trigrams", events.event_trigrams, events.EVENT_TRIGRAMS_ORACLE)
 register("seasonal_index", retail.seasonal_index, retail.SEASONAL_INDEX_ORACLE)
 # out-of-orderness report per type (watermark sizing input)
 register("lateness_profile", events.lateness_profile, events.LATENESS_PROFILE_ORACLE)
+# ABC class transition matrix between timeline halves
+register("abc_migration", retail.abc_migration, retail.ABC_MIGRATION_ORACLE)
+# robust MAD outlier scan of the daily revenue series
+register(
+    "daily_revenue_anomalies",
+    observability.daily_revenue_anomalies,
+    observability.DAILY_REVENUE_ANOMALIES_ORACLE,
+)
+# measured partition-column advisor for the orders table
+register(
+    "partition_advisor",
+    observability.partition_advisor,
+    observability.PARTITION_ADVISOR_ORACLE,
+)
