@@ -306,3 +306,66 @@ GOLDEN_RECORD_CUSTOMERS_ORACLE = """
     FROM u
     GROUP BY custkey
 """
+
+
+# --- schema-evolution union -------------------------------------------
+
+
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two feed VERSIONS of the orders table where v2 added a
+    column (o_orderpriority) that v1 never carried — the
+    schema-evolution read every long-lived warehouse does daily.
+    v1 rows surface the evolved column as NULL via
+    ``unionByName(allowMissingColumns=True)``; the result reports the
+    evolved column's fill rate per feed version so the gap is
+    visible, not silent.
+
+    The version split is deterministic (even/odd order key) so the
+    oracle reproduces it; in production the versions are different
+    file batches. Scale shape: two projections of one scan + a
+    by-name union (no shuffle) + a versions-sized aggregate.
+    """
+    orders = load(spark, sf_dir, "orders")
+    v1 = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("feed_version", F.lit("v1"))
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .withColumn("feed_version", F.lit("v2"))
+    )
+    unioned = v1.unionByName(v2, allowMissingColumns=True)
+    return unioned.groupBy("feed_version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNotNull().cast("long")).alias(
+            "n_with_priority"
+        ),
+        F.round(
+            F.avg(F.col("o_orderpriority").isNotNull().cast("double")), 6
+        ).alias("priority_fill_rate"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+SCHEMA_EVOLUTION_UNION_ORACLE = """
+    WITH unioned AS (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS feed_version
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               o_orderpriority, 'v2' AS feed_version
+        FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT feed_version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_with_priority,
+           ROUND(AVG(CASE WHEN o_orderpriority IS NOT NULL
+                          THEN 1.0 ELSE 0.0 END), 6) AS priority_fill_rate,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM unioned
+    GROUP BY feed_version
+"""

@@ -423,3 +423,53 @@ WINSORIZED_SEGMENT_BALANCES_ORACLE = f"""
     FROM clipped
     GROUP BY segment
 """
+
+
+# --- CUBE (all grouping-set combinations) -----------------------------
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over the FULL CUBE of (priority, status): all four
+    grouping sets — per pair, per priority, per status, grand total —
+    in one pass, with explicit GROUPING flags so consumers can tell a
+    real NULL from a subtotal row (the reason labels also coalesce to
+    'ALL'). Completes the grouping-sets family next to
+    ``sales_rollup``'s hierarchy-only ROLLUP.
+
+    Scale shape: Catalyst plans CUBE as one Expand (x4 here) over the
+    partial-aggregated input — one scan, one shuffle; cost scales
+    with the grouping-set count, which is why the cube stops at two
+    dimensions (2^n sets).
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            # grouping() is an aggregate-context function: it must be
+            # computed inside agg(), not a downstream select
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "g_priority",
+            "g_status",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+SALES_CUBE_ORACLE = """
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""

@@ -474,3 +474,11 @@ register(
     observability.partition_advisor,
     observability.PARTITION_ADVISOR_ORACLE,
 )
+# full CUBE with GROUPING flags (completes the grouping-set family)
+register("sales_cube", stats.sales_cube, stats.SALES_CUBE_ORACLE)
+# schema-evolution union (v2 adds a column; fill-rate report)
+register(
+    "schema_evolution_union",
+    conformance.schema_evolution_union,
+    conformance.SCHEMA_EVOLUTION_UNION_ORACLE,
+)

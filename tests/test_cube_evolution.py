@@ -1,0 +1,50 @@
+"""CUBE grouping sets + schema-evolution union — oracle parity +
+invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+NEW_QUERIES = ["sales_cube", "schema_evolution_union"]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_cube_subtotals_consistent(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.stats import sales_cube
+
+    rows = sales_cube(spark, sf_dir).collect()
+    grand = [r for r in rows if r["g_priority"] == 1 and r["g_status"] == 1]
+    assert len(grand) == 1
+    detail = [r for r in rows if r["g_priority"] == 0 and r["g_status"] == 0]
+    assert grand[0]["n_orders"] == sum(r["n_orders"] for r in detail)
+    # each one-dim margin also sums to the grand total
+    for flag in ("g_priority", "g_status"):
+        margin = [
+            r
+            for r in rows
+            if r[flag] == 1 and r["g_priority"] + r["g_status"] == 1
+        ]
+        assert grand[0]["n_orders"] == sum(r["n_orders"] for r in margin)
+    # the 'ALL' label appears exactly on subtotal rows
+    for r in rows:
+        assert (r["priority"] == "ALL") == (r["g_priority"] == 1)
+        assert (r["status"] == "ALL") == (r["g_status"] == 1)
+
+
+def test_evolution_fill_rates(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.conformance import (
+        schema_evolution_union,
+    )
+
+    rows = {r["feed_version"]: r for r in schema_evolution_union(spark, sf_dir).collect()}
+    assert set(rows) == {"v1", "v2"}
+    assert rows["v1"]["priority_fill_rate"] == 0.0  # column absent pre-evolution
+    assert rows["v2"]["priority_fill_rate"] == 1.0
+    total = rows["v1"]["n_rows"] + rows["v2"]["n_rows"]
+    assert total == load(spark, sf_dir, "orders").count()  # nothing dropped
