@@ -198,3 +198,44 @@ def test_weighted_sample_uses_take_ordered(spark, sf_dir):
     over the full corpus."""
     plan = _q(spark, sf_dir, "weighted_sample_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cube_is_single_expand_aggregation(spark, sf_dir):
+    """CUBE must plan as ONE Expand feeding partial+final aggregates
+    — no join, no repeated scans."""
+    plan = _q(spark, sf_dir, "sales_cube")
+    assert plan.count("Expand") >= 1
+    assert "Join" not in plan
+    # formatted explain prints each scan twice (tree + detail block);
+    # detail blocks carry exactly one Location line per distinct scan
+    assert plan.count("Location:") == 1
+
+
+def test_triangle_joins_are_hash(spark, sf_dir):
+    plan = _q(spark, sf_dir, "copurchase_triangles")
+    assert "CartesianProduct" not in plan
+    bad_bnlj = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line
+        and ("+-" in line or ":-" in line)
+        and "Cross" not in line  # the 1-row summary attach is deliberate
+    ]
+    assert not bad_bnlj, bad_bnlj
+    assert "ExistingRDD" in plan  # checkpointed edge list
+
+
+def test_lateness_single_event_shuffle(spark, sf_dir):
+    """The running-max window is the only pass over raw events: one
+    scan, no join."""
+    plan = _q(spark, sf_dir, "lateness_profile")
+    assert "Join" not in plan
+    assert plan.count("Location:") == 1
+
+
+def test_schema_evolution_no_shuffle_union(spark, sf_dir):
+    """unionByName of the two projections must not shuffle before
+    the final fill-rate aggregate (Union + partial agg only)."""
+    plan = _q(spark, sf_dir, "schema_evolution_union")
+    assert "Join" not in plan
+    assert "Union" in plan
