@@ -392,3 +392,79 @@ FUZZY_NAME_MATCH_ORACLE = """
      AND a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
     WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
+
+
+# --- FastSS deletion-neighborhood fuzzy match -------------------------
+
+
+def fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance <= 1 name matching via FastSS deletion
+    neighborhoods — the EXACT blocking technique for string
+    similarity at scale: every name emits itself plus each
+    single-character-deletion variant (n+1 short strings); two names
+    within Levenshtein 1 PROVABLY share a variant (equality shares
+    the name, insert/delete makes one equal the other's deletion,
+    substitution makes their same-position deletions equal), so the
+    variant equi-join is a complete candidate generator and the
+    levenshtein() verify keeps exactly the true pairs. Compare
+    ``fuzzy_name_match`` (attribute blocking: cheap but recall
+    depends on the blocking key being clean) — FastSS needs no
+    blocking attribute and its recall is a theorem.
+
+    Scale shape: variant generation is a zero-shuffle explode
+    (length+1 rows per name, short strings); the equi-join on the
+    variant carries (id, name) only; candidates dedupe before the
+    verify. Index size is names x avg_length — the standard
+    spelling-correction trade.
+    """
+    cust = load(spark, sf_dir, "customer")
+    consumer = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
+    )
+    corporate = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
+    )
+
+    # variant emitter: position 0 = the name itself, position i>0 =
+    # the name with character i removed
+    def with_variants(df, id_col, name_col):
+        name = F.col(name_col)
+        return df.select(
+            id_col,
+            name_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.length(name)),
+                    lambda i: F.when(i == 0, name).otherwise(
+                        F.concat(
+                            name.substr(F.lit(1), i - 1),
+                            name.substr(i + 1, F.length(name)),
+                        )
+                    ),
+                )
+            ).alias("variant"),
+        )
+
+    va = with_variants(consumer, "id_a", "name_a")
+    vb = with_variants(corporate, "id_b", "name_b")
+    cands = (
+        va.join(vb, "variant")
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return cands.select(
+        "id_a", "id_b", "name_a", "name_b", dist.alias("edit_distance")
+    ).filter(F.col("edit_distance") <= 1)
+
+
+# brute-force oracle (no blocking): identical output proves the
+# deletion-neighborhood candidate generator misses nothing
+FUZZY_MATCH_FASTSS_ORACLE = """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM customer a JOIN customer b
+      ON a.c_custkey % 2 = 0 AND b.c_custkey % 2 = 1
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""

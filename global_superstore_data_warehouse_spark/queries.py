@@ -482,3 +482,10 @@ register(
     conformance.schema_evolution_union,
     conformance.SCHEMA_EVOLUTION_UNION_ORACLE,
 )
+# FastSS deletion-neighborhood fuzzy match (recall-1.0 blocking;
+# oracle is the brute-force unblocked join)
+register(
+    "fuzzy_match_fastss",
+    cleansing.fuzzy_match_fastss,
+    cleansing.FUZZY_MATCH_FASTSS_ORACLE,
+)

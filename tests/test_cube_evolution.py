@@ -48,3 +48,36 @@ def test_evolution_fill_rates(spark, sf_dir):
     assert rows["v2"]["priority_fill_rate"] == 1.0
     total = rows["v1"]["n_rows"] + rows["v2"]["n_rows"]
     assert total == load(spark, sf_dir, "orders").count()  # nothing dropped
+
+
+def test_fastss_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "fuzzy_match_fastss", sf_dir)
+
+
+def test_fastss_equals_unblocked_join(spark, sf_dir):
+    """Deletion-neighborhood candidates must find every pair the
+    brute-force (unblocked) Levenshtein join finds — recall 1.0 by
+    theorem, verified."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.cleansing import (
+        fuzzy_match_fastss,
+    )
+
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_match_fastss(spark, sf_dir).collect()
+    )
+    cust = load(spark, sf_dir, "customer")
+    a = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na")
+    )
+    b = cust.filter(F.col("c_custkey") % 2 == 1).select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb")
+    )
+    brute = sorted(
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(F.levenshtein("na", "nb") <= 1)
+        .collect()
+    )
+    assert got == brute
