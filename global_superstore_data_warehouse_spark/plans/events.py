@@ -1001,3 +1001,112 @@ LATENESS_PROFILE_ORACLE = """
     FROM flagged
     GROUP BY event_type
 """
+
+
+# --- bidirectional nearest-event join ---------------------------------
+
+# (sec, event_id) encoded into one orderable long so the window can
+# carry the WHOLE row identity through last/first(ignorenulls);
+# event_id stays far below the base at any test SF
+NEAREST_KEY_BASE = 10_000_000
+
+
+def nearest_purchase_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every error event, the SAME user's nearest purchase in
+    time — in EITHER direction (the bidirectional generalization of
+    the backward-only as-of join in asof_click_attribution): which
+    purchases sit close to failures. Ties (equal absolute gap)
+    resolve to the earlier (backward) purchase; errors with no
+    purchase on either side keep a NULL neighbor (left semantics).
+
+    Scale shape: the union-window as-of classic, doubled — one
+    user-partitioned sort carries BOTH passes (last purchase-key at
+    or before, first purchase-key after, via last/first(ignorenulls)
+    over mirrored frames); the purchase's (sec, event_id) rides the
+    window as ONE encoded long, so row identity survives without a
+    join back. No inequality join anywhere; one shuffle on user_id.
+    """
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("error", "purchase")
+    )
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").cast("long").alias("sec"),
+    ).withColumn(
+        "pkey",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("sec") * NEAREST_KEY_BASE + F.col("event_id"),
+        ),
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    back = F.last("pkey", ignorenulls=True).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = F.first("pkey", ignorenulls=True).over(
+        order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    errors = (
+        base.withColumn("back_key", back)
+        .withColumn("fwd_key", fwd)
+        .filter(F.col("event_type") == "error")
+    )
+    # `div`, not `/`: the encoded key exceeds 2^53, so double
+    # division would lose the low digits exactly where event_id lives
+    back_sec = F.expr(f"back_key div {NEAREST_KEY_BASE}")
+    fwd_sec = F.expr(f"fwd_key div {NEAREST_KEY_BASE}")
+    back_gap = back_sec - F.col("sec")  # <= 0
+    fwd_gap = fwd_sec - F.col("sec")  # >= 0
+    use_back = F.col("back_key").isNotNull() & (
+        F.col("fwd_key").isNull() | (-back_gap <= fwd_gap)
+    )
+    chosen = F.when(use_back, F.col("back_key")).otherwise(F.col("fwd_key"))
+    chosen_gap = F.when(use_back, back_gap).otherwise(fwd_gap)
+    return errors.select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.date_format(F.to_timestamp("sec"), "yyyy-MM-dd HH:mm:ss").alias("error_ts"),
+        (chosen % NEAREST_KEY_BASE).alias("purchase_id"),
+        chosen_gap.alias("gap_s"),
+    )
+
+
+NEAREST_PURCHASE_TO_ERROR_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(floor(epoch(ts)) AS BIGINT)
+                         * {NEAREST_KEY_BASE} + event_id END AS pkey
+        FROM events
+        WHERE event_type IN ('error', 'purchase')
+    ), passes AS (
+        SELECT *,
+               LAST_VALUE(pkey IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS back_key,
+               FIRST_VALUE(pkey IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY sec, event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS fwd_key
+        FROM base
+    )
+    SELECT event_id AS error_id, user_id,
+           strftime(to_timestamp(sec), '%Y-%m-%d %H:%M:%S') AS error_ts,
+           CASE WHEN use_back THEN back_key % {NEAREST_KEY_BASE}
+                ELSE fwd_key % {NEAREST_KEY_BASE} END AS purchase_id,
+           CASE WHEN use_back THEN back_gap ELSE fwd_gap END AS gap_s
+    FROM (
+        SELECT *,
+               back_key // {NEAREST_KEY_BASE} - sec AS back_gap,
+               fwd_key // {NEAREST_KEY_BASE} - sec AS fwd_gap,
+               back_key IS NOT NULL AND (fwd_key IS NULL
+                   OR -(back_key // {NEAREST_KEY_BASE} - sec)
+                      <= fwd_key // {NEAREST_KEY_BASE} - sec) AS use_back
+        FROM passes
+        WHERE event_type = 'error'
+    )
+"""

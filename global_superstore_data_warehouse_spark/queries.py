@@ -489,3 +489,9 @@ register(
     cleansing.fuzzy_match_fastss,
     cleansing.FUZZY_MATCH_FASTSS_ORACLE,
 )
+# bidirectional nearest-event as-of (union-window, encoded keys)
+register(
+    "nearest_purchase_to_error",
+    events.nearest_purchase_to_error,
+    events.NEAREST_PURCHASE_TO_ERROR_ORACLE,
+)

@@ -39,3 +39,38 @@ def test_lateness_bounds(spark, sf_dir):
         assert 0 <= r["n_late"] <= r["n_events"]
         assert 0.0 <= r["late_share"] <= 1.0
         assert r["p50_late_s"] <= r["p95_late_s"] <= r["max_late_s"]
+
+
+def test_nearest_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "nearest_purchase_to_error", sf_dir)
+
+
+def test_nearest_is_truly_nearest(spark, sf_dir):
+    """Spot-verify against brute force: for every error, no purchase
+    of the same user is strictly closer than the chosen one."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        nearest_purchase_to_error,
+    )
+
+    out = {r["error_id"]: r for r in nearest_purchase_to_error(spark, sf_dir).collect()}
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    )
+    rows = ev.collect()
+    purchases = {}
+    errors = []
+    for r in rows:
+        if r["event_type"] == "purchase":
+            purchases.setdefault(r["user_id"], []).append((r["sec"], r["event_id"]))
+        elif r["event_type"] == "error":
+            errors.append(r)
+    assert len(out) == len(errors)
+    for e in errors:
+        got = out[e["event_id"]]
+        ps = purchases.get(e["user_id"], [])
+        if not ps:
+            assert got["purchase_id"] is None
+            continue
+        best = min(abs(s - e["sec"]) for s, _ in ps)
+        assert abs(got["gap_s"]) == best
