@@ -232,3 +232,116 @@ ROLLING_7D_SALES_ORACLE = f"""
     FROM numbered
     ORDER BY market, day
 """
+
+
+# --- gaps and islands -------------------------------------------------
+
+
+def order_day_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-activity ISLANDS of the order calendar: maximal
+    runs of days that all had at least one order, with each island's
+    bounds, length, and the gap to the next island — the classic
+    gaps-and-islands analysis (outage detection, coverage audits).
+
+    The island key is the date minus the day's dense rank: constant
+    within a consecutive run, strictly changing across a gap — the
+    canonical O(n) window formulation (no self-join, no sequence
+    explode). Plan: distinct days (tiny), one global-order window
+    over the days-sized frame, island aggregate, one lead window for
+    the gap column.
+    """
+    orders = load(spark, sf_dir, "orders")
+    days = orders.select(F.to_date("o_orderdate").alias("day")).distinct()
+    w = Window.orderBy("day")
+    islands = (
+        days.withColumn("rn", F.row_number().over(w))
+        .withColumn("island_key", F.date_sub("day", F.col("rn")))
+        .groupBy("island_key")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+    )
+    nxt = Window.orderBy("start_day")
+    return islands.select(
+        F.date_format("start_day", "yyyy-MM-dd").alias("start_day"),
+        F.date_format("end_day", "yyyy-MM-dd").alias("end_day"),
+        "n_days",
+        F.datediff(F.lead("start_day").over(nxt), F.col("end_day")).alias(
+            "gap_to_next_days"
+        ),
+    )
+
+
+ORDER_DAY_ISLANDS_ORACLE = """
+    WITH days AS (
+        SELECT DISTINCT CAST(o_orderdate AS DATE) AS day FROM orders
+    ), keyed AS (
+        SELECT day,
+               day - CAST(ROW_NUMBER() OVER (ORDER BY day) AS INTEGER)
+                   AS island_key
+        FROM days
+    ), islands AS (
+        SELECT island_key, MIN(day) AS start_day, MAX(day) AS end_day,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM keyed GROUP BY island_key
+    )
+    SELECT strftime(start_day, '%Y-%m-%d') AS start_day,
+           strftime(end_day, '%Y-%m-%d') AS end_day,
+           n_days,
+           CAST(date_diff('day', end_day,
+                LEAD(start_day) OVER (ORDER BY start_day)) AS INTEGER)
+               AS gap_to_next_days
+    FROM islands
+"""
+
+
+# --- cumulative adoption ----------------------------------------------
+
+
+def cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-adoption curve from the event stream: per day, how many
+    users were seen for the FIRST time, and the running total of
+    distinct users ever seen — the growth chart that a naive
+    per-day COUNT(DISTINCT) over expanding windows cannot produce
+    scalably.
+
+    Plan shape: first-seen day is one per-user MIN aggregate
+    (map-side-combined — the corpus never re-scans per day); the
+    curve is a days-sized aggregate plus one cumulative window over
+    at most |days| rows. The expanding-window COUNT DISTINCT this
+    replaces would be O(days x users).
+    """
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy("first_day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("first_day", "yyyy-MM-dd").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("total_users"),
+    )
+
+
+CUMULATIVE_NEW_USERS_ORACLE = """
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ), per_day AS (
+        SELECT first_day, CAST(COUNT(*) AS BIGINT) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT strftime(first_day, '%Y-%m-%d') AS day,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS total_users
+    FROM per_day
+"""

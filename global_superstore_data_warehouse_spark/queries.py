@@ -495,3 +495,11 @@ register(
     events.nearest_purchase_to_error,
     events.NEAREST_PURCHASE_TO_ERROR_ORACLE,
 )
+# gaps-and-islands over the order calendar (date - row_number key)
+register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
+# adoption curve: first-seen aggregate + cumulative window
+register(
+    "cumulative_new_users",
+    windows.cumulative_new_users,
+    windows.CUMULATIVE_NEW_USERS_ORACLE,
+)

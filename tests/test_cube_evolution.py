@@ -81,3 +81,49 @@ def test_fastss_equals_unblocked_join(spark, sf_dir):
         .collect()
     )
     assert got == brute
+
+
+@pytest.mark.parametrize("name", ["order_day_islands", "cumulative_new_users"])
+def test_islands_adoption_match_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_islands_partition_the_calendar(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.windows import (
+        order_day_islands,
+    )
+
+    rows = sorted(
+        order_day_islands(spark, sf_dir).collect(), key=lambda r: r["start_day"]
+    )
+    assert rows
+    n_active_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_days"] for r in rows) == n_active_days  # exact partition
+    for a, b in zip(rows, rows[1:]):
+        assert a["gap_to_next_days"] >= 2  # islands are maximal runs
+        assert a["end_day"] < b["start_day"]
+    assert rows[-1]["gap_to_next_days"] is None
+
+
+def test_adoption_curve_monotone_and_complete(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.windows import (
+        cumulative_new_users,
+    )
+
+    rows = sorted(
+        cumulative_new_users(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    totals = [r["total_users"] for r in rows]
+    assert totals == sorted(totals)
+    assert totals[-1] == (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r["new_users"] for r in rows) == totals[-1]
