@@ -11,9 +11,11 @@ the per-query minimum. Interleaving (rather than back-to-back
 best-of-N per query) decorrelates the minimum from transient host
 load — this sandbox is a shared VM whose available CPU swings 4x+
 between windows, and consecutive runs of one query land in the same
-window. The (much larger) EXTRA set is timed once, in the first
-round: its numbers are informational, and tripling them would blow
-the bench's wall clock past any sane per-round budget.
+window. The (much larger) EXTRA set rides TWO of those rounds (the
+first and the last, maximally separated in time) and reports
+per-query minima too — a single timing made every VM hiccup read as
+a regression; two spaced rounds bound that noise without tripling
+the bench's wall clock.
 
 ``HEADLINE`` is frozen to the round-1 set: BASELINE.md defines the
 bar as 2x of the first recorded total over exactly these queries, so
@@ -147,11 +149,11 @@ def main() -> None:
     for rnd in range(ROUNDS):
         # the frozen HEADLINE runs in every interleaved round
         # (per-query minima decorrelate the shared-VM noise); the
-        # grown EXTRA set runs ONCE — informational timings don't
-        # justify tripling the bench's wall clock now that extras
-        # outnumber the headline 3:1
+        # grown EXTRA set runs in the first and last rounds —
+        # min-of-2 spaced timings, so one VM hiccup can't masquerade
+        # as a plan regression
         batch = [(n, timings) for n in names]
-        if rnd == 0:
+        if rnd in (0, ROUNDS - 1):
             batch += [(n, extra_timings) for n in extra_names]
         for name, sink in batch:
             # construction (incl. any eager checkpoint of reused

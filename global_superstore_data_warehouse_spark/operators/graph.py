@@ -11,10 +11,11 @@ matches, citation links — can cluster with it).
 Shape per round: two groupBy-min shuffles + two joins, each keyed on
 a node id, over an edge set that contracts toward a star forest.
 Rounds are O(log d) in practice; every round ends in a
-``localCheckpoint`` so lineage stays flat, and convergence is a
-fixpoint probe (two ``limit(1)`` anti-joins on the contracted edge
-set — the star forest is a fixpoint of both star operations, proved
-in the paper, so `edges unchanged` is exactly `converged`).
+``localCheckpoint`` so lineage stays flat, and convergence is ONE
+fixpoint probe job per round — a symmetric-difference ``take(1)``
+over the two checkpointed (hence cached, distinct, canonical) edge
+sets. The star forest is a fixpoint of both star operations, proved
+in the paper, so `edges unchanged` is exactly `converged`.
 
 No driver-side state beyond the one-row convergence flag; node ids
 never leave the JVM.
@@ -85,9 +86,13 @@ def connected_components(
     for _ in range(max_rounds):
         after_large = _star_round(e, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint()
-        changed = (
-            after_small.join(e, ["u", "v"], "left_anti").limit(1).count() > 0
-            or e.join(after_small, ["u", "v"], "left_anti").limit(1).count() > 0
+        # single probe job: both sets are distinct + checkpointed, so
+        # the symmetric difference reads cached rows and take(1)
+        # early-exits on the first witness of change
+        changed = not (
+            after_small.exceptAll(e)
+            .unionAll(e.exceptAll(after_small))
+            .isEmpty()
         )
         e = after_small
         if not changed:

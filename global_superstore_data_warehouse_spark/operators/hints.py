@@ -1,0 +1,41 @@
+"""Size-gated join-strategy hints (100 TB design).
+
+``F.broadcast`` is the right call for frames that are provably
+node- or dimension-sized — but a bare hint hard-codes the assumption
+into the plan, and at a large enough graph (billions of nodes) the
+"small" side stops fitting on executors. ``maybe_broadcast`` makes
+the assumption a measured, runtime decision: below the row threshold
+the frame rides a broadcast hint, above it the hint is simply
+dropped and the same plan runs as an ordinary shuffle join (AQE may
+still pick broadcast from its own size stats). The SAME code is the
+100 TB plan — no edit required when the data outgrows the hint.
+
+Counting is cheap by contract: callers gate frames they have already
+``localCheckpoint``ed (the iterative graph ops checkpoint every
+level anyway, so the count reads cached narrow rows), or pass
+``n_rows`` when the cardinality is already known.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Default gate: well under executor-memory scale for the narrow
+# (node id, label)-shaped frames this is used on (~16 bytes/row →
+# tens of MB), and far above anything the test corpora produce.
+BROADCAST_MAX_ROWS = 5_000_000
+
+
+def maybe_broadcast(
+    df: DataFrame,
+    max_rows: int = BROADCAST_MAX_ROWS,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Broadcast hint only when the frame is measured small.
+
+    ``n_rows`` skips the count when the caller already knows the
+    cardinality (e.g. it counted the checkpointed parent frame).
+    """
+    n = df.count() if n_rows is None else n_rows
+    return F.broadcast(df) if n <= max_rows else df

@@ -110,8 +110,9 @@ def interval_overlap_join(
     ``bucketed_interval_join`` — the raw inequality join would plan
     as a nested loop.
 
-    All four bound columns are EPOCH-SECONDS LONGs (integer floor
-    division for bucketing — no float anywhere). Both sides explode
+    All four bound columns are EPOCH-SECONDS LONGs (integer `div`
+    bucketing — no float anywhere; truncating, see below). Both
+    sides explode
     to the buckets they cover; the equi-join on the bucket finds
     co-located candidates; the residual predicate keeps true
     overlaps; and the RESPONSIBILITY condition
@@ -124,9 +125,14 @@ def interval_overlap_join(
     must not collide across inputs.
     """
 
-    # `div` is true integer floor division (`/` on longs would be
-    # double division in Spark); include the end bucket — a bound
-    # inside it can still precede the (exclusive) end
+    # `div` is integer division TRUNCATING toward zero (`/` on longs
+    # would be double division in Spark) — not floor division: for
+    # negative epochs bucket 0 spans (-width, width), i.e. is wider.
+    # Correctness only needs `div` to be monotone non-decreasing and
+    # applied identically on both explode and responsibility sides
+    # (property-tested over negative epochs); fixed-width bucket math
+    # must NOT be layered on top of this. Include the end bucket — a
+    # bound inside it can still precede the (exclusive) end
     l_bucket, r_bucket = f"{BUCKET_COL}_l", f"{BUCKET_COL}_r"
     lb = left.withColumn(
         l_bucket,

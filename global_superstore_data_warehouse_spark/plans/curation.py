@@ -265,14 +265,19 @@ QUALITY_FILTER_ORACLE = f"""
 
 # --- PII pseudonymization / generalization ---------------------------
 
+# Documented TEST pepper (keeps the driver hash stable). The real
+# control is the injectable ``pepper`` parameter below — production
+# passes a secret-manager value, never this literal.
 PII_PEPPER = "gsdw-pepper-v1"
 ACCTBAL_BAND = 1000.0
 
 
-def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pii_pseudonymize_customers(
+    spark: SparkSession, sf_dir: str, pepper: str = PII_PEPPER
+) -> DataFrame:
     """Privacy pass before a table enters a training corpus:
-    direct identifiers are replaced by a KEYED hash (md5 with a
-    pepper literal — same input maps to the same token so joins
+    direct identifiers are replaced by a KEYED hash (md5 with an
+    injectable pepper — same input maps to the same token so joins
     still work, but raw values are not recoverable without the
     pepper), and quasi-identifiers are generalized (account balance
     banded to $1000 buckets). Pure projection: zero shuffles, and the
@@ -280,7 +285,7 @@ def pii_pseudonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return cust.select(
         "c_custkey",
-        F.md5(F.concat(F.lit(PII_PEPPER + "|"), F.col("c_name"))).alias(
+        F.md5(F.concat(F.lit(pepper + "|"), F.col("c_name"))).alias(
             "name_token"
         ),
         F.floor(F.col("c_acctbal") / F.lit(ACCTBAL_BAND))

@@ -1006,8 +1006,12 @@ LATENESS_PROFILE_ORACLE = """
 # --- bidirectional nearest-event join ---------------------------------
 
 # (sec, event_id) encoded into one orderable long so the window can
-# carry the WHOLE row identity through last/first(ignorenulls);
-# event_id stays far below the base at any test SF
+# carry the WHOLE row identity through last/first(ignorenulls). The
+# encoding is only injective while event_id < base, so the plan
+# GUARDS the assumption at runtime (raise_error folded into the key
+# expression — evaluated row-by-row JVM-side, no extra job): at a
+# scale factor where ids outgrow the base, the query fails loudly
+# instead of silently decoding the wrong purchase.
 NEAREST_KEY_BASE = 10_000_000
 
 
@@ -1037,6 +1041,15 @@ def nearest_purchase_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "pkey",
         F.when(
+            F.col("event_id") >= NEAREST_KEY_BASE,
+            F.raise_error(
+                F.lit(
+                    "nearest_purchase_to_error: event_id >= NEAREST_KEY_BASE "
+                    f"({NEAREST_KEY_BASE}) — the (sec, event_id) long encoding "
+                    "would collide; raise the base"
+                )
+            ).cast("long"),
+        ).when(
             F.col("event_type") == "purchase",
             F.col("sec") * NEAREST_KEY_BASE + F.col("event_id"),
         ),

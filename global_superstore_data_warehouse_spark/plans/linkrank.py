@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
 
 DAMPING = 0.85
 N_ITER = 5
@@ -150,11 +151,6 @@ PART_PAGERANK_ORACLE = _pagerank_oracle()
 
 # --- triangle counting (degree-ordered orientation) -------------------
 
-# orientation key = degree * KEY_BASE + node: a single sortable long
-# encoding the (degree, id) total order; KEY_BASE just has to exceed
-# any node id
-KEY_BASE = 10_000_000
-
 
 def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global triangle census of the part co-purchase graph: node and
@@ -172,6 +168,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the wedge (v, w) closes with the oriented edge v->w. Edges are
     checkpointed narrow longs; three hash joins total, no window,
     no driver-side state.
+
+    The (degree, id) total order is compared LEXICOGRAPHICALLY as
+    two columns (identically in the DuckDB oracle) — never encoded
+    into one arithmetic key, which would silently stop being a total
+    order once node ids outgrow the base. The degree keying table is
+    node-sized and rides a size-gated broadcast (maybe_broadcast):
+    at billions of nodes the hint drops itself and the same plan
+    runs as shuffle joins.
     """
     li = load(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
@@ -189,24 +193,41 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ends = und.select(F.col("u").alias("node")).unionAll(
         und.select(F.col("v").alias("node"))
     )
-    deg = ends.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    key = deg.select(
-        "node", "deg", (F.col("deg") * KEY_BASE + F.col("node")).alias("k")
+    deg = ends.groupBy("node").agg(
+        F.count(F.lit(1)).alias("deg")
+    ).localCheckpoint(eager=True)
+    n_key_rows = deg.count()  # cached — gates the broadcast hints
+    ku = maybe_broadcast(
+        deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u")),
+        n_rows=n_key_rows,
     )
-    ku = key.select(F.col("node").alias("u"), F.col("k").alias("ku"))
-    kv = key.select(F.col("node").alias("v"), F.col("k").alias("kv"))
-    keyed = und.join(F.broadcast(ku), "u").join(F.broadcast(kv), "v")
+    kv = maybe_broadcast(
+        deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v")),
+        n_rows=n_key_rows,
+    )
+    keyed = und.join(ku, "u").join(kv, "v")
+    # orient low -> high in the (deg, id) lexicographic total order
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
     eo = keyed.select(
-        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.least("ku", "kv").alias("k_src"),
-        F.greatest("ku", "kv").alias("k_dst"),
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
     ).localCheckpoint(eager=True)
 
     w1, w2 = eo.alias("w1"), eo.alias("w2")
+    # each unordered out-edge pair once: strict (deg, id) order on dst
     wedges = w1.join(
         w2,
-        (F.col("w1.src") == F.col("w2.src")) & (F.col("w1.k_dst") < F.col("w2.k_dst")),
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.deg_dst") < F.col("w2.deg_dst"))
+            | (
+                (F.col("w1.deg_dst") == F.col("w2.deg_dst"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
     ).select(F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y"))
     closing = eo.select(F.col("src").alias("x"), F.col("dst").alias("y"))
     tri = wedges.join(closing, ["x", "y"]).agg(F.count(F.lit(1)).alias("n_triangles"))
@@ -230,7 +251,7 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-COPURCHASE_TRIANGLES_ORACLE = f"""
+COPURCHASE_TRIANGLES_ORACLE = """
     WITH basket AS (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ), und AS (
@@ -242,21 +263,21 @@ COPURCHASE_TRIANGLES_ORACLE = f"""
             SELECT u AS node FROM und UNION ALL SELECT v FROM und
         ) GROUP BY node
     ), keyed AS (
-        SELECT e.u, e.v,
-               du.deg * {KEY_BASE} + e.u AS ku,
-               dv.deg * {KEY_BASE} + e.v AS kv
+        SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v
         FROM und e
         JOIN deg du ON du.node = e.u
         JOIN deg dv ON dv.node = e.v
     ), eo AS (
-        SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
-               CASE WHEN ku < kv THEN v ELSE u END AS dst,
-               LEAST(ku, kv) AS k_src, GREATEST(ku, kv) AS k_dst
+        SELECT CASE WHEN (deg_u, u) < (deg_v, v) THEN u ELSE v END AS src,
+               CASE WHEN (deg_u, u) < (deg_v, v) THEN v ELSE u END AS dst,
+               CASE WHEN (deg_u, u) < (deg_v, v) THEN deg_v ELSE deg_u END
+                   AS deg_dst
         FROM keyed
     ), tri AS (
         SELECT COUNT(*) AS n_triangles
         FROM eo w1
-        JOIN eo w2 ON w1.src = w2.src AND w1.k_dst < w2.k_dst
+        JOIN eo w2 ON w1.src = w2.src
+                  AND (w1.deg_dst, w1.dst) < (w2.deg_dst, w2.dst)
         JOIN eo c ON c.src = w1.dst AND c.dst = w2.dst
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,

@@ -251,6 +251,12 @@ FK_CANDIDATES = [
     ("orders", "o_orderkey", "customer", "c_custkey"),
 ]
 
+# parents whose DISTINCT key set is dimension-sized at every scale
+# factor (region/nation are constant; customer grows but stays the
+# smallest keyed entity) — only these get a broadcast hint.
+# orders/part key sets are fact/catalog-sized: AQE decides for them.
+_BROADCAST_PARENTS = {"region", "nation", "customer"}
+
 
 def fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inclusion-dependency (FK candidate) profiling: for each
@@ -262,16 +268,23 @@ def fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per candidate, both sides collapse to DISTINCT key
     sets first (map-side-combined aggregates), so the membership
-    join is keys x keys, never rows x rows; parent key sets here are
-    dimension-sized and broadcast. One summary row per candidate,
-    unioned — each input table is scanned once per candidate
-    column, nothing is collected driver-side.
+    join is keys x keys, never rows x rows. Only genuinely
+    dimension-sized parents (_BROADCAST_PARENTS) ride a broadcast
+    hint; fact/catalog-sized parent key sets (orders, part — SF x
+    1.5M keys and up) are left to AQE, which picks broadcast from
+    measured size when it fits and a shuffle join when it doesn't.
+    One summary row per candidate, unioned — each input table is
+    scanned once per candidate column, nothing is collected
+    driver-side.
     """
     results = None
     for ct, cc, pt, pc in FK_CANDIDATES:
         child = load(spark, sf_dir, ct).select(F.col(cc).alias("k")).distinct()
         parent = load(spark, sf_dir, pt).select(F.col(pc).alias("k")).distinct()
-        joined = child.join(F.broadcast(parent.withColumn("in_parent", F.lit(1))), "k", "left")
+        flagged = parent.withColumn("in_parent", F.lit(1))
+        if pt in _BROADCAST_PARENTS:
+            flagged = F.broadcast(flagged)
+        joined = child.join(flagged, "k", "left")
         row = joined.agg(
             F.lit(f"{ct}.{cc}").alias("child"),
             F.lit(f"{pt}.{pc}").alias("parent"),
@@ -371,7 +384,9 @@ DAILY_REVENUE_ANOMALIES_ORACLE = f"""
            ROUND(m.med, 6) AS median_revenue,
            ROUND((d.revenue - m.med) / ({MAD_K} * x.mad), 6) AS robust_z
     FROM daily d CROSS JOIN med m CROSS JOIN mad x
-    WHERE ABS((d.revenue - m.med) / ({MAD_K} * x.mad)) > {MAD_Z}
+    -- filter on the ROUNDED z, exactly like the Spark plan: both
+    -- engines must sit on the same side of the |z| = 3 boundary
+    WHERE ABS(ROUND((d.revenue - m.med) / ({MAD_K} * x.mad), 6)) > {MAD_Z}
 """
 
 

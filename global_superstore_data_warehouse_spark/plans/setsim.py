@@ -53,7 +53,14 @@ TAU = 0.95
 
 
 def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    return jaccard_pairs_for_docs(load(spark, sf_dir, "documents"))
+
+
+def jaccard_pairs_for_docs(docs: DataFrame) -> DataFrame:
+    """The exact join over an arbitrary ``documents``-shaped frame —
+    callers that only need ground truth over a (deterministic)
+    document sample filter BEFORE this plan, so every stage runs at
+    sample cardinality (see textops.minhash_recall_eval)."""
     toks = (
         docs.select(
             "doc_id",
@@ -176,11 +183,14 @@ def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the oracle is the brute-force EXACT join (token equi-join, no
 # prefix): identical output proves the prefix filter's recall is 1.0,
-# not approximately 1.0.
-JACCARD_PREFIX_PAIRS_ORACLE = f"""
+# not approximately 1.0. ``doc_filter`` lets composing evals apply
+# the same deterministic document-sample predicate as their Spark
+# plan (TRUE = full corpus).
+def exact_pairs_oracle(doc_filter: str = "TRUE") -> str:
+    return f"""
     WITH tok AS (
         SELECT doc_id, token
-        FROM documents d,
+        FROM (SELECT * FROM documents WHERE {doc_filter}) d,
              LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+')) AS token) t
         WHERE token <> ''
         GROUP BY doc_id, token
@@ -202,3 +212,6 @@ JACCARD_PREFIX_PAIRS_ORACLE = f"""
     )
     WHERE jaccard >= {TAU}
 """
+
+
+JACCARD_PREFIX_PAIRS_ORACLE = exact_pairs_oracle()

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from global_superstore_data_warehouse_spark.catalog import load
 from global_superstore_data_warehouse_spark.functions import text as T
 from global_superstore_data_warehouse_spark.operators.dedup import dedup_exact
+from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
 
 TOKS_SQL = "list_distinct(string_split_regex(trim(text), '\\s+'))"
 ALL_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
@@ -650,12 +651,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate — the vast majority of a real corpus) bypass the loop and
     rejoin at the end as their own canonical.
 
-    Scale note: the per-level node→supernode map here rides
-    ``broadcast()`` because it is document-count-sized and tiny at
-    test scale; at 100 TB (billions of nodes) drop the broadcast
-    hints and the same plan runs as shuffle joins on node id — the
-    standard large-star/small-star shape, still O(log d) levels over
-    a geometrically shrinking edge set.
+    Scale note: the per-level node→supernode map is document-count-
+    sized, so it rides a SIZE-GATED broadcast (``maybe_broadcast``,
+    counted off the already-checkpointed level map — a cached narrow
+    scan, not a recompute): below the row gate the remap joins are
+    broadcast, and at 100 TB (billions of nodes) the hint drops
+    itself and the SAME code runs the remaps as shuffle joins on
+    node id — the standard large-star/small-star shape, still
+    O(log d) levels over a geometrically shrinking edge set.
     """
     docs = load(spark, sf_dir, "documents")
     cand = _blocked_candidate_pairs(docs)
@@ -687,11 +690,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         levels.append(m)
-        ms = m.select(F.col("v").alias("src"), F.col("m").alias("ms"))
-        md = m.select(F.col("v").alias("dst"), F.col("m").alias("md"))
+        n_map = m.count()  # cached (m is checkpointed) — gates hints
+        ms = maybe_broadcast(
+            m.select(F.col("v").alias("src"), F.col("m").alias("ms")), n_rows=n_map
+        )
+        md = maybe_broadcast(
+            m.select(F.col("v").alias("dst"), F.col("m").alias("md")), n_rows=n_map
+        )
         cur = (
-            cur.join(F.broadcast(ms), "src")
-            .join(F.broadcast(md), "dst")
+            cur.join(ms, "src")
+            .join(md, "dst")
             .filter(F.col("ms") != F.col("md"))
             .select(F.col("ms").alias("src"), F.col("md").alias("dst"))
             .distinct()
@@ -702,7 +710,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = levels[0].select(F.col("v").alias("doc_id"), F.col("m").alias("label"))
     for lv in levels[1:]:
-        total = total.join(F.broadcast(lv), total.label == lv.v, "left").select(
+        # level maps past the first are tiny (the graph contracted),
+        # but the hint stays size-gated like the remap joins above
+        total = total.join(maybe_broadcast(lv), total.label == lv.v, "left").select(
             "doc_id", F.coalesce("m", "label").alias("label")
         )
     singles = (
@@ -1306,25 +1316,23 @@ LANG_ID_CONFUSION_ORACLE = f"""
 # --- MinHash-LSH recall evaluation ------------------------------------
 
 
-def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall of the probabilistic MinHash-LSH candidate
-    generator against EXACT ground truth: every pair the
-    prefix-filter join (plans/setsim.py, guaranteed recall 1.0)
-    proves has Jaccard >= its TAU=0.95 should also collide in some
-    LSH band — one summary row (n_true, n_found, recall). The
-    eval-the-evaluator companion to ann_recall: dedup quality is a
-    first-class output, not an assumption.
+# Deterministic md5-bucket document sample for the recall eval's
+# exact-ground-truth side: an eval harness you run at 100 TB takes a
+# sample, not the corpus (the exact join is quadratic in its output).
+# 25% keeps the sf0.01/sf0.1 pair population statistically meaty; at
+# production scale dial it down (0.01% of 100 TB is still ~10 GB of
+# ground-truth documents). The LSH side stays FULL-corpus — that is
+# the index under evaluation, and it is cheap by construction.
+RECALL_SAMPLE_PCT = 25
 
-    Scale shape: composes the two registered plans (both bounded
-    candidate generators) and left-semi-style joins their PAIR KEYS
-    only — token arrays and signatures never ride this join; the
-    final aggregate is one row.
-    """
-    from global_superstore_data_warehouse_spark.plans import setsim
 
-    exact = setsim.jaccard_prefix_pairs(spark, sf_dir).select(
-        F.col("doc_a"), F.col("doc_b")
-    )
+def _recall_sample_pred() -> Column:
+    from global_superstore_data_warehouse_spark.plans.stats import _md5_bucket
+
+    return _md5_bucket(F.col("doc_id")) < RECALL_SAMPLE_PCT
+
+
+def _recall_eval_from_exact(spark, sf_dir: str, exact: DataFrame) -> DataFrame:
     cand = minhash_lsh_candidates(spark, sf_dir).select(
         F.col("doc_id_a").alias("doc_a"),
         F.col("doc_id_b").alias("doc_b"),
@@ -1339,13 +1347,53 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from global_superstore_data_warehouse_spark.plans.setsim import (  # noqa: E402
-    JACCARD_PREFIX_PAIRS_ORACLE as _EXACT_PAIRS_ORACLE,
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the probabilistic MinHash-LSH candidate
+    generator against EXACT ground truth: every pair the
+    prefix-filter join (plans/setsim.py, guaranteed recall 1.0)
+    proves has Jaccard >= its TAU=0.95 should also collide in some
+    LSH band — one summary row (n_true, n_found, recall). The
+    eval-the-evaluator companion to ann_recall: dedup quality is a
+    first-class output, not an assumption.
+
+    SAMPLE-BOUNDED by construction: the exact side runs over a
+    deterministic RECALL_SAMPLE_PCT% md5-bucket document sample
+    (both endpoints in-sample — doc-level sampling induces an
+    unbiased pair sample), so every ground-truth stage runs at
+    sample cardinality while the LSH index under evaluation still
+    covers the full corpus. The full-corpus eval survives as
+    ``minhash_recall_eval_full`` (pytest-only, slow marker).
+
+    Scale shape: composes two bounded candidate generators and
+    left-joins their PAIR KEYS only — token arrays and signatures
+    never ride this join; the final aggregate is one row.
+    """
+    from global_superstore_data_warehouse_spark.plans import setsim
+
+    docs = load(spark, sf_dir, "documents").filter(_recall_sample_pred())
+    exact = setsim.jaccard_pairs_for_docs(docs).select("doc_a", "doc_b")
+    return _recall_eval_from_exact(spark, sf_dir, exact)
+
+
+def minhash_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus ground truth — exhaustive but quadratic in true
+    pairs; kept for pytest (slow) and ad-hoc audits at small SF."""
+    from global_superstore_data_warehouse_spark.plans import setsim
+
+    exact = setsim.jaccard_prefix_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _recall_eval_from_exact(spark, sf_dir, exact)
+
+
+from global_superstore_data_warehouse_spark.plans import setsim as _setsim  # noqa: E402
+from global_superstore_data_warehouse_spark.plans.stats import (  # noqa: E402
+    _md5_bucket_sql as _recall_bucket_sql,
 )
 
-MINHASH_RECALL_EVAL_ORACLE = f"""
+
+def _recall_oracle(doc_filter: str) -> str:
+    return f"""
     WITH exact_pairs AS (
-        {_EXACT_PAIRS_ORACLE}
+        {_setsim.exact_pairs_oracle(doc_filter)}
     ), cand AS (
         {MINHASH_LSH_CANDIDATES_ORACLE}
     )
@@ -1355,6 +1403,12 @@ MINHASH_RECALL_EVAL_ORACLE = f"""
     FROM exact_pairs e
     LEFT JOIN cand c ON e.doc_a = c.doc_id_a AND e.doc_b = c.doc_id_b
 """
+
+
+MINHASH_RECALL_EVAL_ORACLE = _recall_oracle(
+    f"{_recall_bucket_sql('doc_id')} < {RECALL_SAMPLE_PCT}"
+)
+MINHASH_RECALL_EVAL_FULL_ORACLE = _recall_oracle("TRUE")
 
 
 # --- Zipf rank-frequency diagnostic -----------------------------------

@@ -40,6 +40,12 @@ from global_superstore_data_warehouse_spark.catalog import TABLES, load
 
 PRIVILEGES = frozenset({"select", "insert", "update", "delete"})
 
+# Default masking key — the documented TEST key, also what the
+# driver-checked query uses so its hash stays stable. As a privacy
+# control the key is INJECTABLE: every masking entry point threads a
+# ``mask_key`` parameter (deploy with a secret-manager value, never
+# this literal); changing the key changes every mask while preserving
+# join-consistency (test_security proves both properties).
 MASK_PEPPER = "gsdw-mask-v1"
 
 
@@ -128,10 +134,12 @@ class GrantMatrix:
         return df.select(*cols)
 
 
-def keyed_mask(col: str) -> Column:
-    """Deterministic keyed mask: md5(pepper || value). Irreversible
-    without the pepper, stable across runs, join-preserving."""
-    return F.md5(F.concat(F.lit(MASK_PEPPER + "|"), F.col(col).cast("string")))
+def keyed_mask(col: str, mask_key: str = MASK_PEPPER) -> Column:
+    """Deterministic keyed mask: md5(key || value). Irreversible
+    without the key, stable across runs, join-preserving. The key
+    defaults to the documented test pepper; production injects its
+    own."""
+    return F.md5(F.concat(F.lit(mask_key + "|"), F.col(col).cast("string")))
 
 
 def band(col: str, width: float) -> Column:
@@ -143,7 +151,7 @@ ANALYST_SEGMENTS = ("AUTOMOBILE", "BUILDING")
 ANALYST_BAND = 1000.0
 
 
-def reference_matrix() -> GrantMatrix:
+def reference_matrix(mask_key: str = MASK_PEPPER) -> GrantMatrix:
     """The reference's grant matrix re-expressed over this engine's
     tables, plus a masked analyst role (the modern column/row-level
     half of C9).
@@ -172,7 +180,7 @@ def reference_matrix() -> GrantMatrix:
         ViewPolicy(
             columns=(
                 "c_custkey",
-                ("name_masked", lambda: keyed_mask("c_name")),
+                ("name_masked", lambda: keyed_mask("c_name", mask_key)),
                 "c_mktsegment",
                 ("acctbal_band", lambda: band("c_acctbal", ANALYST_BAND)),
             ),

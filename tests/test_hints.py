@@ -1,0 +1,54 @@
+"""maybe_broadcast — the size-gated broadcast hint (operators/hints).
+
+Both modes are asserted at the PLAN level: below the row gate the
+join compiles to a BroadcastHashJoin; above it the hint is dropped
+and (with AQE's auto-broadcast disabled for the assertion) the same
+code compiles to a shuffle join. Hash-parity of the gated callers
+(dedup_clusters, copurchase_triangles) is covered by their oracle
+tests — the gate must never change results, only strategy.
+"""
+
+from pyspark.sql import DataFrame
+
+from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+
+
+def _physical(df: DataFrame) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+
+
+def _join_plan(spark, gated_small: DataFrame) -> str:
+    big = spark.range(0, 1000).withColumnRenamed("id", "k")
+    return _physical(big.join(gated_small, "k"))
+
+
+def test_small_frame_gets_broadcast_hint(spark):
+    small = spark.range(0, 10).withColumnRenamed("id", "k")
+    plan = _join_plan(spark, maybe_broadcast(small, max_rows=100))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_large_frame_drops_the_hint(spark):
+    # gate of 0 rows: nothing qualifies — with auto-broadcast off the
+    # plan must fall back to a shuffle join, proving no hint leaked
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = spark.range(0, 10).withColumnRenamed("id", "k")
+        plan = _join_plan(spark, maybe_broadcast(small, max_rows=0))
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_known_rows_skips_the_count(spark):
+    # n_rows is trusted verbatim — a frame whose real size exceeds
+    # the gate still gets the hint when the caller vouches for it
+    small = spark.range(0, 50).withColumnRenamed("id", "k")
+    plan = _join_plan(spark, maybe_broadcast(small, max_rows=10, n_rows=5))
+    assert "BroadcastHashJoin" in plan

@@ -133,3 +133,52 @@ def test_gdpr_cascade_broadcasts_erasure_set(spark, sf_dir):
 
     plan = gdpr_erasure_cascade(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_mask_key_is_injectable(spark, sf_dir):
+    """A different mask key changes every mask (the pepper is a real
+    control, not decoration) while preserving join-consistency
+    within that key — and the default-key view is unchanged, keeping
+    the driver hash stable."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.security import reference_matrix
+
+    default = reference_matrix().secured_load(spark, sf_dir, "analyst", "customer")
+    rotated = reference_matrix(mask_key="rotated-key").secured_load(
+        spark, sf_dir, "analyst", "customer"
+    )
+    d = default.select("c_custkey", F.col("name_masked").alias("m_default"))
+    r = rotated.select("c_custkey", F.col("name_masked").alias("m_rotated"))
+    joined = d.join(r, "c_custkey").cache()
+    try:
+        n = joined.count()
+        assert n > 0
+        # every mask differs across keys...
+        assert joined.filter(F.col("m_default") == F.col("m_rotated")).count() == 0
+        # ...but within one key the mask stays join-preserving
+        r2 = reference_matrix(mask_key="rotated-key").secured_load(
+            spark, sf_dir, "analyst", "customer"
+        ).select("c_custkey", F.col("name_masked").alias("m_rotated2"))
+        again = r.join(r2, "c_custkey")
+        assert again.filter(F.col("m_rotated") != F.col("m_rotated2")).count() == 0
+    finally:
+        joined.unpersist()
+
+
+def test_pii_pepper_is_injectable(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        pii_pseudonymize_customers,
+    )
+
+    d = pii_pseudonymize_customers(spark, sf_dir).select(
+        "c_custkey", F.col("name_token").alias("t1")
+    )
+    r = pii_pseudonymize_customers(spark, sf_dir, pepper="other-pepper").select(
+        "c_custkey", F.col("name_token").alias("t2")
+    )
+    j = d.join(r, "c_custkey")
+    assert j.count() > 0
+    assert j.filter(F.col("t1") == F.col("t2")).count() == 0
