@@ -8,22 +8,20 @@ compare hashes values under sorted column names.
 REGISTRATION ORDER MATTERS: the driver records CORRECTNESS rows for
 the first 50 entries only. The window therefore holds each operator
 FAMILY's representative queries, rotating so that every registered
-query accumulates a hash-green driver row across rounds: round 4
-swaps in the eight round-3 additions that had not yet seen a driver
-run (tfidf, range join, curation filters/pipeline, the three event
-drill-downs) plus the new two-load SCD2 lifecycle and the two
-round-4 curation additions (decontaminate_ngrams,
-domain_quota_sample), and rotates out entries hash-green in
-CORRECTNESS_r03 whose plan shapes stay covered in-window (see the
-past-window section notes). Late round 4 rotated five more novel
-shapes in (span_dup_stats, cluster_representatives,
-golden_record_customers, gdpr_erasure_cascade, ann_recall) for five
-r03-green shape-covered entries; a final rotation swapped in the
-five newest novel shapes (part_pagerank, session_maintenance_overlap,
-events_gapfill, semantic_dedup, minhash_recall_eval) for five more
-r03-green shape-covered ones (scd2_products/employees,
-dim_product_hierarchy, cosine_topk, ann_lsh_topk). Everything past
-the window keeps identical DuckDB-oracle parity coverage in pytest.
+query accumulates a hash-green driver row across rounds. Round 5
+burns down the rotation debt: eleven genuinely novel, never-driver-
+checked shapes move IN (jaccard_prefix_pairs, sales_cube,
+cdc_apply_orders, fuzzy_match_fastss, kmeans_assign,
+incremental_mv_refresh, scd2_snapshot_diff, market_basket_pairs,
+copurchase_triangles, nearest_purchase_to_error,
+decontaminate_bloom) for eleven r04 hash-green entries whose plan
+shapes stay covered in-window (dim_geography, dm_scd2_propagation,
+cohort_retention, events_sliding, top_events_per_user,
+event_transitions, chunk_overlap, span_dup_stats,
+cluster_representatives, sales_rollup, decontaminate_ngrams — see
+the per-block notes in the past-window section). Earlier rotations
+(rounds 3-4) are recorded in git history. Everything past the
+window keeps identical DuckDB-oracle parity coverage in pytest.
 """
 
 from __future__ import annotations
@@ -67,7 +65,6 @@ register("seasonality_segment", views.seasonality_segment, views.seasonality_seg
 # --- 3NF warehouse layer (SURVEY §1 items 4-7, §2.6 surrogate keys,
 # S8 date generation, J1 snowflake lookups) ---
 register("surrogate_keys_customers", warehouse.surrogate_keys_customers, warehouse.SURROGATE_KEYS_CUSTOMERS_ORACLE)
-register("dim_geography", warehouse.dim_geography, warehouse.DIM_GEOGRAPHY_ORACLE)
 register("dim_address", warehouse.dim_address, warehouse.DIM_ADDRESS_ORACLE)
 register("dim_date", warehouse.dim_date, warehouse.DIM_DATE_ORACLE)
 
@@ -79,9 +76,18 @@ register("conform_two_sources", conformance.conform_two_sources, conformance.CON
 # fact build (J1/J2/J5) ---
 register("scd2_customers", scd.scd2_customers, scd.SCD2_CUSTOMERS_ORACLE)
 register("scd2_two_load_lifecycle", scd.scd2_two_load_lifecycle, scd.SCD2_TWO_LOAD_LIFECYCLE_ORACLE)
-register("dm_scd2_propagation", scd.dm_scd2_propagation, scd.DM_SCD2_PROPAGATION_ORACLE)
+# diff of two as-of snapshots of the SCD2 chain (novel, in round 5)
+register("scd2_snapshot_diff", scd.scd2_snapshot_diff, scd.SCD2_SNAPSHOT_DIFF_ORACLE)
 register("fact_pit_customers", scd.fact_pit_customers, scd.FACT_PIT_CUSTOMERS_ORACLE)
 register("fact_orders", fact.fact_orders, fact.FACT_ORDERS_ORACLE)
+# CDC ordered-apply: snapshot ⊕ I/U/D stream → final state (round 5)
+register("cdc_apply_orders", cdc.cdc_apply_orders, cdc.CDC_APPLY_ORDERS_ORACLE)
+# incremental MV maintenance: merge(state, delta) == full recompute
+register(
+    "incremental_mv_refresh",
+    pipeline.incremental_mv_refresh,
+    pipeline.INCREMENTAL_MV_REFRESH_ORACLE,
+)
 
 # --- DM star join (J8, 9-way) ---
 register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_WIDE_ORACLE)
@@ -101,13 +107,25 @@ register("dedup_clusters", textops.dedup_clusters, textops.DEDUP_CLUSTERS_ORACLE
 # incremental: new-batch fingerprints + band buckets probe the
 # established corpus's index (O(batch) per crawl, not O(corpus))
 register("dedup_incremental", textops.dedup_incremental, textops.DEDUP_INCREMENTAL_ORACLE)
+# exact set-similarity join (prefix filtering + PPJoin filters,
+# recall 1.0 by construction — oracle is the brute-force join; the
+# most novel plan in the repo, in-window round 5)
+register("jaccard_prefix_pairs", setsim.jaccard_prefix_pairs, setsim.JACCARD_PREFIX_PAIRS_ORACLE)
+# FastSS deletion-neighborhood fuzzy match (recall-1.0 blocking)
+register(
+    "fuzzy_match_fastss",
+    cleansing.fuzzy_match_fastss,
+    cleansing.FUZZY_MATCH_FASTSS_ORACLE,
+)
 
 # --- TF-IDF (single-corpus-scan tf + broadcast df) ---
 register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORACLE)
 
-# --- Corpus stats & deterministic sampling (beyond-reference) ---
+# --- Corpus stats & grouping sets (beyond-reference) ---
 register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
-register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
+# full CUBE with GROUPING flags (in-window round 5 — supersedes the
+# rotated-out ROLLUP as the grouping-set family representative)
+register("sales_cube", stats.sales_cube, stats.SALES_CUBE_ORACLE)
 
 # --- Similarity search over embeddings (beyond-reference) ---
 register("ann_ivf_topk", embeddings.ann_ivf_topk, embeddings.ANN_IVF_TOPK_ORACLE)
@@ -115,15 +133,21 @@ register("ann_ivf_topk", embeddings.ann_ivf_topk, embeddings.ANN_IVF_TOPK_ORACLE
 # exact baseline (composes the three top-k plans; in-window late
 # round 4 — novel composed shape)
 register("ann_recall", embeddings.ann_recall, embeddings.ANN_RECALL_ORACLE)
+# k-means Lloyd rounds, fully distributed — no driver collect
+# (iterative family; in-window round 5)
+register("kmeans_assign", embeddings.kmeans_assign, embeddings.KMEANS_ASSIGN_ORACLE)
 
 # --- Event-time analytics (beyond-reference; batch twins of the
 # Structured Streaming jobs in streaming/events.py) ---
-register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
 register("events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_ORACLE)
-register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
-register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
 register("event_funnel", events.event_funnel, events.EVENT_FUNNEL_ORACLE)
-register("event_transitions", events.event_transitions, events.EVENT_TRANSITIONS_ORACLE)
+# bidirectional nearest-event as-of (union-window, guarded encoded
+# keys — novel shape, in-window round 5)
+register(
+    "nearest_purchase_to_error",
+    events.nearest_purchase_to_error,
+    events.NEAREST_PURCHASE_TO_ERROR_ORACLE,
+)
 # HLL++ estimates are engine-specific: no oracle (rows-only check)
 register("events_hourly_approx_users", events.events_hourly_approx_users, None)
 
@@ -150,24 +174,27 @@ register(
 )
 # end-to-end filter -> exact-dedup -> pack composition in one plan
 register("curation_pipeline", curation.curation_pipeline, curation.CURATION_PIPELINE_ORACLE)
-# RAG-style overlapping chunker (splits docs; pack_chunks assigns)
-register("chunk_overlap", curation.chunk_overlap, curation.CHUNK_OVERLAP_ORACLE)
-# benchmark decontamination: n-gram explode + broadcast semi-join
-register("decontaminate_ngrams", curation.decontaminate_ngrams, curation.DECONTAMINATE_NGRAMS_ORACLE)
+# Bloom-prefiltered decontamination: JVM bitmap probe + exact
+# confirm (in-window round 5 — the never-driver-checked half of the
+# equivalence-tested pair; the broadcast-join plan it shadows,
+# decontaminate_ngrams, was r04-green and rotates out)
+register("decontaminate_bloom", curation.decontaminate_bloom, curation.DECONTAMINATE_BLOOM_ORACLE)
 # per-domain quota cap: deterministic md5-order row_number window
 register("domain_quota_sample", curation.domain_quota_sample, curation.DOMAIN_QUOTA_SAMPLE_ORACLE)
 
-# --- Late-round-4 additions, rotated IN (novel shapes; the five
-# rotated-out entries below are all r03 hash-green with their plan
-# shapes still covered in-window — see the past-window notes) ---
-# corpus-level duplicated-span ledger (C4/Dolma paragraph dedup)
-register("span_dup_stats", textops.span_dup_stats, textops.SPAN_DUP_STATS_ORACLE)
-# keep-best-exemplar policy pass after near-dup clustering
+# --- Retail analytics (novel shapes, in-window round 5) ---
+# basket co-occurrence with support/lift (self-join on order key)
+register("market_basket_pairs", retail.market_basket_pairs, retail.MARKET_BASKET_PAIRS_ORACLE)
+
+# --- Graph analytics ---
+# degree-ordered triangle census (lexicographic (deg, id)
+# orientation; in-window round 5)
 register(
-    "cluster_representatives",
-    textops.cluster_representatives,
-    textops.CLUSTER_REPRESENTATIVES_ORACLE,
+    "copurchase_triangles",
+    linkrank.copurchase_triangles,
+    linkrank.COPURCHASE_TRIANGLES_ORACLE,
 )
+
 # per-attribute MDM survivorship in one max_by aggregation
 register(
     "golden_record_customers",
@@ -291,11 +318,41 @@ register("multimodal_resize", multimodal.multimodal_resize, multimodal.MULTIMODA
 register("stratified_sample", stats.stratified_sample, stats.STRATIFIED_SAMPLE_ORACLE)
 register("multimodal_frame_sample", multimodal.multimodal_frame_sample, multimodal.MULTIMODAL_FRAME_SAMPLE_ORACLE)
 
+# --- Rotated OUT round 5 (all r04 hash-green; pytest parity
+# retained; shapes covered in-window) ---
+# dim_geography: the same expr-literal FK-lookup join as the
+# in-window dim_address; dm_scd2_propagation: the in-window
+# scd2_customers/two_load_lifecycle SCD2 shape propagated to the DM.
+register("dim_geography", warehouse.dim_geography, warehouse.DIM_GEOGRAPHY_ORACLE)
+register("dm_scd2_propagation", scd.dm_scd2_propagation, scd.DM_SCD2_PROPAGATION_ORACLE)
+# events_sliding (window groupBy = events_gapfill's spine agg),
+# top_events_per_user (rank window = seasonality_segment),
+# cohort_retention (first-seen + month-diff agg = cumulative shapes
+# in-window via events_gapfill/event_funnel), event_transitions
+# (lag window = nearest_purchase_to_error's ordered user window).
+register("events_sliding", events.events_sliding, events.EVENTS_SLIDING_ORACLE)
+register("top_events_per_user", events.top_events_per_user, events.TOP_EVENTS_PER_USER_ORACLE)
+register("cohort_retention", events.cohort_retention, events.COHORT_RETENTION_ORACLE)
+register("event_transitions", events.event_transitions, events.EVENT_TRANSITIONS_ORACLE)
+# chunk_overlap (same explode/packing shape as the in-window
+# curation_pipeline pack stage), span_dup_stats (paragraph-hash
+# groupBy = dedup family), cluster_representatives (max_by
+# survivorship = in-window golden_record_customers),
+# decontaminate_ngrams (the equivalence-tested broadcast-join twin
+# of the now-in-window decontaminate_bloom, same oracle),
+# sales_rollup (subsumed by the in-window sales_cube).
+register("chunk_overlap", curation.chunk_overlap, curation.CHUNK_OVERLAP_ORACLE)
+register("span_dup_stats", textops.span_dup_stats, textops.SPAN_DUP_STATS_ORACLE)
+register(
+    "cluster_representatives",
+    textops.cluster_representatives,
+    textops.CLUSTER_REPRESENTATIVES_ORACLE,
+)
+register("decontaminate_ngrams", curation.decontaminate_ngrams, curation.DECONTAMINATE_NGRAMS_ORACLE)
+register("sales_rollup", stats.sales_rollup, stats.SALES_ROLLUP_ORACLE)
+
 # --- New in round 4 (pytest-parity; exact-equivalence tested against
 # the in-window plans they shadow) ---
-# Bloom-prefiltered decontamination: JVM bitmap probe + exact confirm
-# (equivalence-tested against decontaminate_ngrams, same oracle)
-register("decontaminate_bloom", curation.decontaminate_bloom, curation.DECONTAMINATE_BLOOM_ORACLE)
 # alternating large-star/small-star CC swapped into the dedup endgame
 # (operators/graph.py; equivalence-tested against dedup_clusters)
 register(
@@ -307,8 +364,6 @@ register(
 register("events_session_window", events.events_session_window, events.EVENTS_SESSION_WINDOW_ORACLE)
 # per-user z-score anomaly scan over event values
 register("events_value_outliers", events.events_value_outliers, events.EVENTS_VALUE_OUTLIERS_ORACLE)
-# k-means Lloyd rounds, fully distributed (no driver collect)
-register("kmeans_assign", embeddings.kmeans_assign, embeddings.KMEANS_ASSIGN_ORACLE)
 # two-phase top-K quota (hot-domain swap-in; equivalence-tested)
 register(
     "domain_quota_sample_twophase",
@@ -357,29 +412,16 @@ register(
 register("leakage_safe_splits", mixtures.leakage_safe_splits, mixtures.LEAKAGE_SAFE_SPLITS_ORACLE)
 # balanced shard assignment audit for the training reader
 register("training_shards", mixtures.training_shards, mixtures.TRAINING_SHARDS_ORACLE)
-# CDC ordered-apply: snapshot ⊕ I/U/D stream → final state
-register("cdc_apply_orders", cdc.cdc_apply_orders, cdc.CDC_APPLY_ORDERS_ORACLE)
 # join-key skew diagnostics (choose broadcast/salt/AQE from data)
 register("join_skew_report", observability.join_skew_report, observability.JOIN_SKEW_REPORT_ORACLE)
 # event-type mix drift, weekday vs weekend (PSI per type)
 register("psi_event_drift", observability.psi_event_drift, observability.PSI_EVENT_DRIFT_ORACLE)
-# exact set-similarity join (prefix filtering, recall 1.0 by
-# construction — oracle is the brute-force exact join)
-register("jaccard_prefix_pairs", setsim.jaccard_prefix_pairs, setsim.JACCARD_PREFIX_PAIRS_ORACLE)
-# incremental MV maintenance: merge(state, delta) == full recompute
-register(
-    "incremental_mv_refresh",
-    pipeline.incremental_mv_refresh,
-    pipeline.INCREMENTAL_MV_REFRESH_ORACLE,
-)
 # per-dimension z-score standardization of the embedding corpus
 register(
     "embedding_standardize",
     embeddings.embedding_standardize,
     embeddings.EMBEDDING_STANDARDIZE_ORACLE,
 )
-# snapshot diff between two as-of states of the SCD2 chain
-register("scd2_snapshot_diff", scd.scd2_snapshot_diff, scd.SCD2_SNAPSHOT_DIFF_ORACLE)
 # label-aware hard negatives for contrastive training
 register(
     "hard_negative_mining",
@@ -388,8 +430,7 @@ register(
 )
 # confusion-matrix eval of the heuristic language identifier
 register("lang_id_confusion", textops.lang_id_confusion, textops.LANG_ID_CONFUSION_ORACLE)
-# retail analytics: co-occurrence, Pareto/ABC, RFM
-register("market_basket_pairs", retail.market_basket_pairs, retail.MARKET_BASKET_PAIRS_ORACLE)
+# retail analytics: Pareto/ABC, RFM
 register("pareto_products", retail.pareto_products, retail.PARETO_PRODUCTS_ORACLE)
 register("rfm_segments", retail.rfm_segments, retail.RFM_SEGMENTS_ORACLE)
 # --- Rotated OUT very late round 4 (all r03 hash-green; pytest
@@ -430,12 +471,6 @@ register(
 )
 # per-segment churn report as of the last order date
 register("churn_flags", retail.churn_flags, retail.CHURN_FLAGS_ORACLE)
-# degree-ordered triangle census of the co-purchase graph
-register(
-    "copurchase_triangles",
-    linkrank.copurchase_triangles,
-    linkrank.COPURCHASE_TRIANGLES_ORACLE,
-)
 # Herfindahl supplier-concentration screen per part
 register(
     "supplier_concentration",
@@ -474,26 +509,11 @@ register(
     observability.partition_advisor,
     observability.PARTITION_ADVISOR_ORACLE,
 )
-# full CUBE with GROUPING flags (completes the grouping-set family)
-register("sales_cube", stats.sales_cube, stats.SALES_CUBE_ORACLE)
 # schema-evolution union (v2 adds a column; fill-rate report)
 register(
     "schema_evolution_union",
     conformance.schema_evolution_union,
     conformance.SCHEMA_EVOLUTION_UNION_ORACLE,
-)
-# FastSS deletion-neighborhood fuzzy match (recall-1.0 blocking;
-# oracle is the brute-force unblocked join)
-register(
-    "fuzzy_match_fastss",
-    cleansing.fuzzy_match_fastss,
-    cleansing.FUZZY_MATCH_FASTSS_ORACLE,
-)
-# bidirectional nearest-event as-of (union-window, encoded keys)
-register(
-    "nearest_purchase_to_error",
-    events.nearest_purchase_to_error,
-    events.NEAREST_PURCHASE_TO_ERROR_ORACLE,
 )
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
