@@ -1123,3 +1123,106 @@ NEAREST_PURCHASE_TO_ERROR_ORACLE = f"""
         WHERE event_type = 'error'
     )
 """
+
+
+# --- interval-union coverage (Allen-algebra union length) -------------
+
+ACTIVE_WINDOW_S = 300  # each event keeps its user "active" 5 minutes
+
+
+def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user UNION length of activity intervals: every event opens
+    a [sec, sec + ACTIVE_WINDOW_S) window; overlapping windows merge,
+    and the report gives each user's merged-island count, total
+    covered seconds, first-to-last span, and coverage ratio — the
+    interval-union measure behind "active time" metrics (and the
+    dual of the gaps-and-islands calendar scan, here on REAL interval
+    overlap rather than day adjacency).
+
+    Scale shape: the sweep-line classic as ONE user-partitioned sort:
+    a window computes the running max of interval ends over strictly
+    preceding rows; a new island starts exactly where the current
+    start clears that max; the island id is a running sum of those
+    flags. Two more user-local aggregates (per-island, then per-user)
+    ride the SAME partitioning — Spark reuses the shuffle, so the
+    whole plan is one exchange on user_id. No inequality join, no
+    self-join, no interval explosion. Ties in start order carry
+    identical ends (fixed width), so the running max — and therefore
+    the output — is deterministic under any tie order.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("s"),
+        (F.col("ts").cast("long") + ACTIVE_WINDOW_S).alias("e"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    islands = flagged.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("s").alias("i_start"),
+        F.max("e").alias("i_end"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.sum("n_events").alias("n_events"),
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_s"),
+        (F.max("i_end") - F.min("i_start")).alias("span_s"),
+        F.round(
+            F.sum(F.col("i_end") - F.col("i_start"))
+            / (F.max("i_end") - F.min("i_start")),
+            6,
+        ).alias("coverage_ratio"),
+    )
+
+
+USER_ACTIVITY_COVERAGE_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS s,
+               CAST(floor(epoch(ts)) AS BIGINT) + {ACTIVE_WINDOW_S} AS e
+        FROM events
+    ), flagged AS (
+        SELECT user_id, s, e,
+               CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                    THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT *,
+                   MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max_e
+            FROM ev
+        )
+    ), numbered AS (
+        SELECT user_id, s, e,
+               SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+        FROM flagged
+    ), islands AS (
+        SELECT user_id, island,
+               COUNT(*) AS n_events,
+               MIN(s) AS i_start, MAX(e) AS i_end
+        FROM numbered GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(n_events) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(i_end - i_start) AS BIGINT) AS covered_s,
+           CAST(MAX(i_end) - MIN(i_start) AS BIGINT) AS span_s,
+           ROUND(SUM(i_end - i_start) * 1.0
+                 / (MAX(i_end) - MIN(i_start)), 6) AS coverage_ratio
+    FROM islands
+    GROUP BY user_id
+"""

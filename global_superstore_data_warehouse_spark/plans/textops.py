@@ -1714,3 +1714,127 @@ QUALITY_PERCENTILES_ORACLE = """
                  ORDER BY quality_score, doc_id), 6) AS source_pctile
     FROM scored
 """
+
+
+# --- unigram LM scoring (perplexity proxy) ----------------------------
+
+
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean token log-likelihood under the corpus's OWN
+    unigram distribution, plus the bits-per-token equivalent — the
+    cheap, fully-SQL-expressible stand-in for the LM-perplexity
+    quality gate of the CCNet/Gopher-style curation stack (docs far
+    off the corpus distribution — boilerplate, templated spam,
+    wrong-tokenizer feeds — surface at the extremes). Train and
+    score ride the same corpus scan.
+
+    Scale shape: one explode -> vocabulary-count aggregate
+    (map-side-combined; the unigram "model" IS this vocab table),
+    the scalar token total rides a 1-row broadcast, and the
+    vocabulary table broadcasts back onto the exploded tokens
+    (vocab is Heaps-law sublinear in corpus size; at 100 TB swap
+    the hint for a shuffle join — same plan). Per-doc aggregate is
+    the only corpus-sized shuffle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = tok.join(F.broadcast(vocab), "w").crossJoin(F.broadcast(total))
+    logp = F.log(F.col("cnt") / F.col("total"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(logp), 6).alias("avg_logprob"),
+        F.round(-F.avg(logp) / F.log(F.lit(2.0)), 6).alias("bits_per_token"),
+    )
+
+
+UNIGRAM_LOGPROB_SCORES_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, token
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+'))
+                      AS token) t
+        WHERE token <> ''
+    ), vocab AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), tot AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(cnt / total)), 6) AS avg_logprob,
+           ROUND(-AVG(ln(cnt / total)) / ln(2), 6) AS bits_per_token
+    FROM tok JOIN vocab USING (token) CROSS JOIN tot
+    GROUP BY doc_id
+"""
+
+
+# --- dedup economics --------------------------------------------------
+
+
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What near-dup deduplication would actually BUY, by cluster
+    size: for each duplicate-cluster cardinality, how many clusters
+    and documents exist and how many tokens the keep-one-canonical
+    policy removes — the capacity-planning report run before paying
+    for a corpus-wide dedup rewrite (and the honest answer to "is
+    dedup worth it on this feed").
+
+    Scale shape: composes the registered ``dedup_clusters`` plan
+    (checkpointed, geometrically-shrinking CC) with a zero-shuffle
+    per-doc token count; one groupBy per cluster, then a cluster-
+    count-sized rollup by size. Output is at most O(max cluster
+    size) rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    clusters = dedup_clusters(spark, sf_dir)
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.filter(T.tokens("text"), lambda t: t != "")).alias("n_tokens"),
+    )
+    per_cluster = (
+        clusters.join(ntok, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("n_tokens").alias("tokens_total"),
+            F.sum(F.when(~F.col("is_canonical"), F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "tokens_removable"
+            ),
+        )
+    )
+    return per_cluster.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.first("cluster_size")).alias("n_docs"),
+        F.sum("tokens_total").alias("tokens_total"),
+        F.sum("tokens_removable").alias("tokens_removable"),
+    )
+
+
+DEDUP_SAVINGS_REPORT_ORACLE = f"""
+    WITH clusters AS (
+        {DEDUP_CLUSTERS_ORACLE}
+    ), ntok AS (
+        SELECT doc_id,
+               CAST(len(list_filter({ALL_TOKS_SQL}, w -> w <> '')) AS INTEGER)
+                   AS n_tokens
+        FROM documents
+    ), per_cluster AS (
+        SELECT c.cluster_id,
+               COUNT(*) AS cluster_size,
+               SUM(n.n_tokens) AS tokens_total,
+               SUM(CASE WHEN NOT c.is_canonical THEN n.n_tokens ELSE 0 END)
+                   AS tokens_removable
+        FROM clusters c JOIN ntok n USING (doc_id)
+        GROUP BY c.cluster_id
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(SUM(tokens_total) AS BIGINT) AS tokens_total,
+           CAST(SUM(tokens_removable) AS BIGINT) AS tokens_removable
+    FROM per_cluster
+    GROUP BY cluster_size
+"""

@@ -523,3 +523,27 @@ register(
     windows.cumulative_new_users,
     windows.CUMULATIVE_NEW_USERS_ORACLE,
 )
+
+# --- New in round 5 (pytest-parity; registered past the window —
+# novel shapes here rotate in next round) ---
+# per-doc mean unigram log-likelihood + bits/token (the fully-SQL
+# perplexity-proxy quality gate; vocab-broadcast scoring join)
+register(
+    "unigram_logprob_scores",
+    textops.unigram_logprob_scores,
+    textops.UNIGRAM_LOGPROB_SCORES_ORACLE,
+)
+# what dedup would buy, by duplicate-cluster size (tokens removable
+# under keep-one-canonical; composes the CC plan + token counts)
+register(
+    "dedup_savings_report",
+    textops.dedup_savings_report,
+    textops.DEDUP_SAVINGS_REPORT_ORACLE,
+)
+# per-user interval-UNION coverage (sweep-line islands over fixed
+# activity windows; one exchange on user_id)
+register(
+    "user_activity_coverage",
+    events.user_activity_coverage,
+    events.USER_ACTIVITY_COVERAGE_ORACLE,
+)

@@ -1,0 +1,75 @@
+"""Round-5 additions: unigram LM scoring, dedup savings report,
+interval-union activity coverage — oracle parity + invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+NEW_QUERIES = [
+    "unigram_logprob_scores",
+    "dedup_savings_report",
+    "user_activity_coverage",
+]
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_matches_oracle(spark, duck, sf_dir, name):
+    assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_unigram_logprob_is_negative_and_bounded(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        unigram_logprob_scores,
+    )
+
+    rows = unigram_logprob_scores(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # probabilities < 1 -> negative log-likelihood, positive bits
+        assert r["avg_logprob"] < 0
+        assert r["bits_per_token"] > 0
+        assert r["n_tokens"] > 0
+
+
+def test_dedup_savings_accounting_closes(spark, sf_dir):
+    """The by-size report must tile the corpus exactly: doc and token
+    totals equal the corpus totals, and removable tokens are exactly
+    the non-canonical share."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.functions import text as T
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        dedup_savings_report,
+    )
+
+    rep = dedup_savings_report(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_toks = docs.select(
+        F.sum(F.size(F.filter(T.tokens("text"), lambda t: t != ""))).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r["n_docs"] for r in rep) == n_docs
+    assert sum(r["tokens_total"] for r in rep) == n_toks
+    for r in rep:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert 0 <= r["tokens_removable"] <= r["tokens_total"]
+    # singleton clusters remove nothing
+    singles = [r for r in rep if r["cluster_size"] == 1]
+    assert all(r["tokens_removable"] == 0 for r in singles)
+
+
+def test_activity_coverage_invariants(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.events import (
+        ACTIVE_WINDOW_S,
+        user_activity_coverage,
+    )
+
+    rows = user_activity_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # union length sits between one window and events * window
+        assert ACTIVE_WINDOW_S <= r["covered_s"] <= r["n_events"] * ACTIVE_WINDOW_S
+        # union never exceeds the first-to-last span
+        assert r["covered_s"] <= r["span_s"]
+        assert r["n_islands"] >= 1
+        assert 0 < r["coverage_ratio"] <= 1.0
