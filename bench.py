@@ -106,6 +106,11 @@ EXTRA = [
     "copurchase_triangles",
     "bpe_pair_counts",
     "weighted_sample_topk",
+    # round-5 additions: unigram perplexity proxy, dedup economics,
+    # interval-union sweep-line
+    "unigram_logprob_scores",
+    "dedup_savings_report",
+    "user_activity_coverage",
 ]
 
 ROUNDS = 3

@@ -40,3 +40,36 @@ def test_bench_emits_one_json_line():
     assert set(doc) == {"metric", "value", "unit", "queries", "extra_queries", "sf"}
     assert doc["unit"] == "sec" and doc["sf"] == 0.001
     assert doc["value"] >= 0 and doc["queries"]
+
+
+def test_correctness_window_is_the_intended_fifty():
+    """The driver hashes only the FIRST 50 registered queries; pin the
+    window so a refactor can't silently push a rotation target past
+    it. Update this list deliberately, together with queries.py's
+    rotation notes."""
+    sys.path.insert(0, REPO)
+    from global_superstore_data_warehouse_spark import registry
+
+    window = list(registry.queries())[:50]
+    assert len(set(window)) == 50
+    # round-5 rotation targets must be inside the window...
+    rotated_in = {
+        "jaccard_prefix_pairs", "sales_cube", "cdc_apply_orders",
+        "fuzzy_match_fastss", "kmeans_assign", "incremental_mv_refresh",
+        "scd2_snapshot_diff", "market_basket_pairs",
+        "copurchase_triangles", "nearest_purchase_to_error",
+        "decontaminate_bloom",
+    }
+    assert rotated_in <= set(window), sorted(rotated_in - set(window))
+    # ...and the rotated-out entries must stay registered (pytest
+    # parity retained) but outside it
+    rotated_out = {
+        "dim_geography", "dm_scd2_propagation", "cohort_retention",
+        "events_sliding", "top_events_per_user", "event_transitions",
+        "chunk_overlap", "span_dup_stats", "cluster_representatives",
+        "sales_rollup", "decontaminate_ngrams",
+    }
+    all_names = set(registry.queries())
+    assert rotated_out <= all_names - set(window), sorted(
+        rotated_out & set(window)
+    )
