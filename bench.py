@@ -107,10 +107,11 @@ EXTRA = [
     "bpe_pair_counts",
     "weighted_sample_topk",
     # round-5 additions: unigram perplexity proxy, dedup economics,
-    # interval-union sweep-line
+    # interval-union sweep-line, end-to-end entity resolution
     "unigram_logprob_scores",
     "dedup_savings_report",
     "user_activity_coverage",
+    "entity_resolution_customers",
 ]
 
 ROUNDS = 3

@@ -369,3 +369,138 @@ SCHEMA_EVOLUTION_UNION_ORACLE = """
     FROM unioned
     GROUP BY feed_version
 """
+
+
+# --- end-to-end entity resolution -------------------------------------
+
+
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ER pipeline in ONE composed plan — the workload the
+    repo's matching/clustering/survivorship operators exist for:
+
+    1. CANDIDATES: FastSS deletion-neighborhood self-match over every
+       customer name (edit distance <= 1; complete by theorem — see
+       ``plans/cleansing.fuzzy_match_fastss``), id_a < id_b.
+    2. MATCH RULE: fuzzy name agreement alone is NOT a match — the
+       pair must also agree on nation and market segment
+       (multi-attribute agreement, the Fellegi-Sunter-style
+       conjunction every production linker uses). On near-sequential
+       id-derived names a lone edit-distance rule is transitively
+       degenerate (every consecutive pair is one substitution apart
+       and CC collapses the corpus to one entity — measured, not
+       hypothetical); the attribute conjunction is what makes the
+       clusters meaningful.
+    3. ENTITIES: connected components over the match pairs
+       (``operators/graph.connected_components`` — the alternating
+       large/small-star operator gets a registered consumer beyond
+       the dedup endgame); unmatched customers attach as their own
+       singleton entity.
+    4. SURVIVORSHIP: one groupBy(entity) — member count, the
+       canonical member's name (min custkey, the same canonical-id
+       convention as dedup_clusters), pooled balance.
+
+    Scale shape: variant explode is zero-shuffle; the variant
+    equi-join carries (id, name, nation, segment) only; CC rounds
+    run on the match-pair edge set (tiny relative to the corpus —
+    matches, not candidates); the final aggregate is one shuffle on
+    entity id. No stage is all-pairs.
+    """
+    from global_superstore_data_warehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    cust = load(spark, sf_dir, "customer")
+    names = cust.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+
+    name = F.col("c_name")
+    variants = names.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.length(name)),
+                lambda i: F.when(i == 0, name).otherwise(
+                    F.concat(
+                        name.substr(F.lit(1), i - 1),
+                        name.substr(i + 1, F.length(name)),
+                    )
+                ),
+            )
+        ).alias("variant"),
+    )
+    va = variants.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"),
+        F.col("c_mktsegment").alias("seg_a"),
+        "variant",
+    )
+    vb = variants.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"),
+        F.col("c_mktsegment").alias("seg_b"),
+        "variant",
+    )
+    pairs = (
+        va.join(vb, "variant")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("nat_a") == F.col("nat_b"))
+            & (F.col("seg_a") == F.col("seg_b"))
+        )
+        .select("id_a", "name_a", "id_b", "name_b")
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") <= 1)
+        .select("id_a", "id_b")
+    )
+
+    labels = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("c_custkey"), F.col("component").alias("entity_id")
+    )
+    singles = (
+        cust.select("c_custkey")
+        .join(labels.select("c_custkey"), "c_custkey", "left_anti")
+        .withColumn("entity_id", F.col("c_custkey"))
+    )
+    assigned = labels.unionByName(singles)
+
+    return (
+        cust.join(assigned, "c_custkey")
+        .groupBy("entity_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min_by("c_name", "c_custkey").alias("canonical_name"),
+            F.round(F.sum("c_acctbal"), 2).alias("pooled_acctbal"),
+        )
+    )
+
+
+ENTITY_RESOLUTION_CUSTOMERS_ORACLE = """
+    WITH RECURSIVE pairs AS (
+        SELECT a.c_custkey AS src, b.c_custkey AS dst
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ), sym AS (
+        SELECT src, dst FROM pairs
+        UNION ALL
+        SELECT dst, src FROM pairs
+    ), reach(n, r) AS (
+        SELECT c_custkey, c_custkey FROM customer
+        UNION
+        SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.n
+    ), labels AS (
+        SELECT n AS c_custkey, MIN(r) AS entity_id FROM reach GROUP BY n
+    )
+    SELECT l.entity_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           arg_min(c.c_name, c.c_custkey) AS canonical_name,
+           ROUND(SUM(c.c_acctbal), 2) AS pooled_acctbal
+    FROM customer c JOIN labels l USING (c_custkey)
+    GROUP BY l.entity_id
+"""

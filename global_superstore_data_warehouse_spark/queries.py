@@ -547,3 +547,10 @@ register(
     events.user_activity_coverage,
     events.USER_ACTIVITY_COVERAGE_ORACLE,
 )
+# end-to-end entity resolution: FastSS match -> connected components
+# -> survivorship, one composed plan (brute-force+recursive oracle)
+register(
+    "entity_resolution_customers",
+    conformance.entity_resolution_customers,
+    conformance.ENTITY_RESOLUTION_CUSTOMERS_ORACLE,
+)

@@ -73,3 +73,59 @@ def test_activity_coverage_invariants(spark, sf_dir):
         assert r["covered_s"] <= r["span_s"]
         assert r["n_islands"] >= 1
         assert 0 < r["coverage_ratio"] <= 1.0
+
+
+def test_activity_coverage_matches_bruteforce_union(spark, sf_dir):
+    """Independent algorithm check: the sweep-line window plan must
+    equal a driver-side brute-force interval union per user."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        ACTIVE_WINDOW_S,
+        user_activity_coverage,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("long").alias("s")
+    ).collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["s"], r["s"] + ACTIVE_WINDOW_S)
+        )
+    expected = {}
+    for u, ivs in by_user.items():
+        ivs.sort()
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        covered = sum(e - s for s, e in merged)
+        expected[u] = (len(ivs), len(merged), covered)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_islands"], r["covered_s"])
+        for r in user_activity_coverage(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_er_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "entity_resolution_customers", sf_dir)
+
+
+def test_er_entities_tile_the_corpus(spark, sf_dir):
+    """Entities exactly partition the customer table, clusters stay
+    attribute-consistent, and the degenerate single-entity collapse
+    (lone edit-distance rule on sequential names) cannot recur."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.conformance import (
+        entity_resolution_customers,
+    )
+
+    rows = entity_resolution_customers(spark, sf_dir).collect()
+    cust = load(spark, sf_dir, "customer")
+    n = cust.count()
+    assert sum(r["n_members"] for r in rows) == n
+    assert len(rows) > n // 2, "match rule collapsed into giant chains"
+    assert max(r["n_members"] for r in rows) <= 10
