@@ -129,3 +129,44 @@ def test_er_entities_tile_the_corpus(spark, sf_dir):
     assert sum(r["n_members"] for r in rows) == n
     assert len(rows) > n // 2, "match rule collapsed into giant chains"
     assert max(r["n_members"] for r in rows) <= 10
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_unigram_scores_vocab_rides_broadcast(spark, sf_dir):
+    """The unigram 'model' (vocab counts) must broadcast back onto
+    the exploded tokens and the scalar total must be a 1-row
+    broadcast — the only corpus-sized Exchange is the per-doc
+    aggregate's."""
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        unigram_logprob_scores,
+    )
+
+    plan = _plan(unigram_logprob_scores(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the deliberate 1-row total
+    assert "CartesianProduct" not in plan
+
+
+def test_activity_coverage_single_exchange(spark, sf_dir):
+    """Sweep-line plan: windows and both aggregates share ONE
+    hashpartitioning exchange on user_id (plus AQE readers) — no
+    join of any kind."""
+    from global_superstore_data_warehouse_spark.plans.events import (
+        user_activity_coverage,
+    )
+
+    import re
+
+    plan = _plan(user_activity_coverage(spark, sf_dir))
+    assert "Join" not in plan
+    # formatted mode prints each node once in the tree and once in
+    # the detail block — count detail headers
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, plan[:2000]
