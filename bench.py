@@ -112,6 +112,7 @@ EXTRA = [
     "dedup_savings_report",
     "user_activity_coverage",
     "entity_resolution_customers",
+    "part_skyline",
 ]
 
 ROUNDS = 3

@@ -681,3 +681,71 @@ ABC_MIGRATION_ORACLE = """
            ROUND(n_parts * 1.0 / SUM(n_parts) OVER (), 6) AS share
     FROM matrix
 """
+
+
+# --- 2-D skyline (Pareto frontier) ------------------------------------
+
+
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SKYLINE operator (Borzsony/Kossmann/Stocker, ICDE'01) in
+    two dimensions: parts not DOMINATED on (cheaper-or-equal price,
+    bigger-or-equal size, at least one strict) — the "best
+    price-for-size frontier" query class relational engines added a
+    dedicated operator for.
+
+    Spark formulation — NOT the O(n^2) dominance join: in 2-D the
+    skyline is exactly { points carrying their price-group's max
+    size, whose size strictly exceeds the running max size over all
+    STRICTLY cheaper price groups }. So: one per-price aggregate
+    (map-side combined), one ROWS-frame running max over the
+    distinct-PRICE table (price-cardinality-sized — the window never
+    sees the parts table), and a broadcast join back. Equal-price
+    ties keep every co-maximal part (equal points do not dominate
+    each other). The O(n^2) NOT EXISTS join survives only as the
+    DuckDB oracle, proving the window formulation exact.
+
+    At 100 TB: the per-price aggregate is the only corpus-sized
+    shuffle; if price cardinality itself outgrows one node's window,
+    the running max decomposes into the same two-phase
+    per-partition-offset shape as ``operators/keys.py``.
+    """
+    part = load(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("grp_max_size")
+    )
+    w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = per_price.withColumn(
+        "cheaper_max", F.max("grp_max_size").over(w)
+    )
+    sky = (
+        part.join(F.broadcast(frontier), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("grp_max_size"))
+            & (
+                F.col("cheaper_max").isNull()
+                | (F.col("p_size") > F.col("cheaper_max"))
+            )
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.round("p_retailprice", 2).alias("p_retailprice"),
+            "p_size",
+        )
+    )
+    return sky
+
+
+PART_SKYLINE_ORACLE = """
+    SELECT p.p_partkey, p.p_name,
+           ROUND(p.p_retailprice, 2) AS p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+"""

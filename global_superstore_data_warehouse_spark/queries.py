@@ -554,3 +554,7 @@ register(
     conformance.entity_resolution_customers,
     conformance.ENTITY_RESOLUTION_CUSTOMERS_ORACLE,
 )
+# 2-D skyline / Pareto frontier: per-price max + running max over
+# the distinct-price table (the O(n^2) dominance join lives only in
+# the oracle)
+register("part_skyline", retail.part_skyline, retail.PART_SKYLINE_ORACLE)

@@ -170,3 +170,36 @@ def test_activity_coverage_single_exchange(spark, sf_dir):
     # the detail block — count detail headers
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 1, plan[:2000]
+
+
+def test_skyline_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "part_skyline", sf_dir)
+
+
+def test_skyline_is_mutually_nondominated(spark, sf_dir):
+    """No skyline member dominates another, and every non-member is
+    dominated by some skyline member (2-D completeness)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.retail import part_skyline
+
+    sky = [
+        (r["p_retailprice"], r["p_size"])
+        for r in part_skyline(spark, sf_dir).collect()
+    ]
+    assert sky
+
+    def dominates(q, p):
+        return q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+
+    for p in sky:
+        assert not any(dominates(q, p) for q in sky if q != p)
+    allp = [
+        (float(r["p_retailprice"]), r["p_size"])
+        for r in load(spark, sf_dir, "part")
+        .select(F.round("p_retailprice", 2).alias("p_retailprice"), "p_size")
+        .collect()
+    ]
+    skyset = set(sky)
+    for p in allp:
+        if p not in skyset:
+            assert any(dominates(q, p) for q in sky)
