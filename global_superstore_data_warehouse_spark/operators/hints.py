@@ -29,13 +29,18 @@ BROADCAST_MAX_ROWS = 5_000_000
 
 def maybe_broadcast(
     df: DataFrame,
-    max_rows: int = BROADCAST_MAX_ROWS,
+    max_rows: int | None = None,
     n_rows: int | None = None,
 ) -> DataFrame:
     """Broadcast hint only when the frame is measured small.
 
+    ``max_rows`` defaults to the module's ``BROADCAST_MAX_ROWS``,
+    resolved at CALL time so tests (and deployments) can lower the
+    gate globally and prove the shuffle-mode plan end-to-end.
     ``n_rows`` skips the count when the caller already knows the
     cardinality (e.g. it counted the checkpointed parent frame).
     """
+    if max_rows is None:
+        max_rows = BROADCAST_MAX_ROWS
     n = df.count() if n_rows is None else n_rows
     return F.broadcast(df) if n <= max_rows else df

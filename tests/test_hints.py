@@ -52,3 +52,26 @@ def test_known_rows_skips_the_count(spark):
     small = spark.range(0, 50).withColumnRenamed("id", "k")
     plan = _join_plan(spark, maybe_broadcast(small, max_rows=10, n_rows=5))
     assert "BroadcastHashJoin" in plan
+
+
+def test_gated_plans_identical_results_in_shuffle_mode(spark, monkeypatch):
+    """End-to-end proof that the gate never changes RESULTS, only
+    strategy: with the global gate forced to 0 rows (every hint
+    dropped — the billions-of-nodes posture), dedup_clusters and
+    copurchase_triangles produce byte-identical output."""
+    from global_superstore_data_warehouse_spark.operators import hints
+    from global_superstore_data_warehouse_spark.plans.linkrank import (
+        copurchase_triangles,
+    )
+    from global_superstore_data_warehouse_spark.plans.textops import dedup_clusters
+
+    sf = "/root/testdata/sf0.001"
+    want_clusters = sorted(map(tuple, dedup_clusters(spark, sf).collect()))
+    want_tri = sorted(map(tuple, copurchase_triangles(spark, sf).collect()))
+
+    monkeypatch.setattr(hints, "BROADCAST_MAX_ROWS", 0)
+    got_clusters = sorted(map(tuple, dedup_clusters(spark, sf).collect()))
+    got_tri = sorted(map(tuple, copurchase_triangles(spark, sf).collect()))
+
+    assert got_clusters == want_clusters
+    assert got_tri == want_tri
