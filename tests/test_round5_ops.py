@@ -203,3 +203,39 @@ def test_skyline_is_mutually_nondominated(spark, sf_dir):
     for p in allp:
         if p not in skyset:
             assert any(dominates(q, p) for q in sky)
+
+
+def test_activity_coverage_equals_catalyst_session_window(spark, sf_dir):
+    """Cross-implementation check: the sweep-line islands are exactly
+    Catalyst's session_window(gap=ACTIVE_WINDOW_S) sessions — same
+    island count and same covered seconds (session window spans
+    [min_ts, last_ts + gap))."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        ACTIVE_WINDOW_S,
+        user_activity_coverage,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.to_timestamp(F.col("ts").cast("long")).alias("ts")
+    )
+    sw = (
+        ev.groupBy(
+            "user_id", F.session_window("ts", f"{ACTIVE_WINDOW_S} seconds")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(
+                F.col("session_window.end").cast("long")
+                - F.col("session_window.start").cast("long")
+            ).alias("covered_s"),
+        )
+    )
+    want = {r["user_id"]: (r["n_islands"], r["covered_s"]) for r in sw.collect()}
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_s"])
+        for r in user_activity_coverage(spark, sf_dir).collect()
+    }
+    assert got == want
