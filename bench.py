@@ -113,6 +113,7 @@ EXTRA = [
     "user_activity_coverage",
     "entity_resolution_customers",
     "part_skyline",
+    "cluster_balanced_sample",
 ]
 
 ROUNDS = 3

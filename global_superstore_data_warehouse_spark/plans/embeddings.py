@@ -775,3 +775,52 @@ def _semantic_dedup_oracle() -> str:
 
 
 SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
+
+
+# --- cluster-balanced diversity sampling ------------------------------
+
+CLUSTER_SAMPLE_QUOTA = 40
+
+
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling over the embedding corpus: cap every
+    k-means cluster at CLUSTER_SAMPLE_QUOTA vectors, chosen in
+    deterministic md5 order — the cluster-balanced subset selection
+    step of the SemDeDup/diversity-filter family (dense regions of
+    embedding space contribute bounded mass to the training mix,
+    sparse regions survive whole).
+
+    Composition: the fully-distributed Lloyd assignment
+    (``kmeans_assign`` — broadcast centroids, no driver collect)
+    feeds the per-group quota shape of ``curation.domain_quota_sample``
+    keyed on cluster_id. The quota window sorts only (vec_id,
+    cluster_id) narrow rows; embeddings never ride the shuffle. At
+    extreme cluster cardinalities the two-phase top-K variant
+    (``domain_quota_sample_twophase``) swaps in unchanged.
+    """
+    assign = kmeans_assign(spark, sf_dir).select("vec_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assign.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= CLUSTER_SAMPLE_QUOTA)
+        .withColumn("sample_rank", F.col("sample_rank").cast("int"))
+    )
+
+
+CLUSTER_BALANCED_SAMPLE_ORACLE = f"""
+    WITH assign AS (
+        {KMEANS_ASSIGN_ORACLE}
+    ), ranked AS (
+        SELECT vec_id, cluster_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS sample_rank
+        FROM assign
+    )
+    SELECT vec_id, cluster_id, CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked
+    WHERE sample_rank <= {CLUSTER_SAMPLE_QUOTA}
+"""

@@ -570,3 +570,10 @@ register("part_skyline", retail.part_skyline, retail.PART_SKYLINE_ORACLE)
 # vs dim_address keep one, event_funnel, ann_ivf_topk vs ann_recall
 # keep one, pii_pseudonymize vs secured_customers keep one,
 # quality_filter vs text_quality keep one).
+# cluster-balanced diversity sampling: distributed Lloyd assignment
+# -> per-cluster md5-order quota (SemDeDup-family subset selection)
+register(
+    "cluster_balanced_sample",
+    embeddings.cluster_balanced_sample,
+    embeddings.CLUSTER_BALANCED_SAMPLE_ORACLE,
+)

@@ -239,3 +239,31 @@ def test_activity_coverage_equals_catalyst_session_window(spark, sf_dir):
         for r in user_activity_coverage(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_cluster_balanced_sample_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "cluster_balanced_sample", sf_dir)
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        CLUSTER_SAMPLE_QUOTA,
+        cluster_balanced_sample,
+        kmeans_assign,
+    )
+
+    sample = cluster_balanced_sample(spark, sf_dir)
+    per_cluster = {
+        r["cluster_id"]: r["n"]
+        for r in sample.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_cluster
+    assert all(n <= CLUSTER_SAMPLE_QUOTA for n in per_cluster.values())
+    # under-quota clusters survive whole
+    full = {
+        r["cluster_id"]: r["n"]
+        for r in kmeans_assign(spark, sf_dir)
+        .groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for cid, n in full.items():
+        assert per_cluster.get(cid, 0) == min(n, CLUSTER_SAMPLE_QUOTA)
