@@ -114,6 +114,7 @@ EXTRA = [
     "entity_resolution_customers",
     "part_skyline",
     "cluster_balanced_sample",
+    "bigram_surprisal_scores",
 ]
 
 ROUNDS = 3

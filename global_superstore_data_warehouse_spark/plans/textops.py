@@ -1838,3 +1838,79 @@ DEDUP_SAVINGS_REPORT_ORACLE = f"""
     FROM per_cluster
     GROUP BY cluster_size
 """
+
+
+def bigram_surprisal_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conditional (bigram) companion to
+    ``unigram_logprob_scores``: per-document mean log P(w2 | w1)
+    under the corpus's own MLE bigram model, plus bits/token —
+    sensitive to WORD-ORDER scrambling and boilerplate the unigram
+    gate is blind to (a shuffled document keeps its unigram score
+    but its bigram surprisal collapses). Scored on observed bigrams
+    of the training corpus itself, so every probability is positive
+    — no smoothing term to desynchronize the two engines.
+
+    Scale shape: bigram generation is the zero-shuffle ``zip_with``
+    slice idiom (bpe_pair_counts); the model IS the bigram-type
+    count table c(w1,w2) with prefix totals c(w1·) derived from it
+    (no second corpus scan), both collocation-vocabulary-sized and
+    broadcast back onto the bigram stream; the per-doc aggregate is
+    the only corpus-sized shuffle. Documents under two tokens carry
+    no bigram and drop out, exactly like the oracle.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.filter(T.tokens("text"), lambda t: t != "").alias("t")
+    )
+    n = F.size("t")
+    big = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), F.lit(1), n - 1),
+                    F.slice(F.col("t"), F.lit(2), n - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    cnt2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cnt1 = cnt2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    scored = big.join(F.broadcast(cnt2), ["w1", "w2"]).join(
+        F.broadcast(cnt1), "w1"
+    )
+    logp = F.log(F.col("c2") / F.col("c1"))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(logp), 6).alias("avg_logprob"),
+        F.round(-F.avg(logp) / F.log(F.lit(2.0)), 6).alias("bits_per_token"),
+    )
+
+
+BIGRAM_SURPRISAL_SCORES_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           w -> w <> '') AS t
+        FROM documents
+    ), big AS (
+        SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        FROM base, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+        WHERE len(t) >= 2
+    ), cnt2 AS (
+        SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY w1, w2
+    ), cnt1 AS (
+        SELECT w1, SUM(c2) AS c1 FROM cnt2 GROUP BY w1
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(c2 / c1)), 6) AS avg_logprob,
+           ROUND(-AVG(ln(c2 / c1)) / ln(2), 6) AS bits_per_token
+    FROM big b
+    JOIN cnt2 USING (w1, w2)
+    JOIN cnt1 USING (w1)
+    GROUP BY b.doc_id
+"""

@@ -577,3 +577,11 @@ register(
     embeddings.cluster_balanced_sample,
     embeddings.CLUSTER_BALANCED_SAMPLE_ORACLE,
 )
+# bigram conditional surprisal (word-order-sensitive LM gate; the
+# model is the broadcast collocation table, prefix totals derived
+# from it with no second corpus scan)
+register(
+    "bigram_surprisal_scores",
+    textops.bigram_surprisal_scores,
+    textops.BIGRAM_SURPRISAL_SCORES_ORACLE,
+)

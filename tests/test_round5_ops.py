@@ -267,3 +267,28 @@ def test_cluster_balanced_sample_caps_every_cluster(spark, sf_dir):
     }
     for cid, n in full.items():
         assert per_cluster.get(cid, 0) == min(n, CLUSTER_SAMPLE_QUOTA)
+
+
+def test_bigram_surprisal_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "bigram_surprisal_scores", sf_dir)
+
+
+def test_bigram_surprisal_detects_scrambling_better_than_unigram(spark, sf_dir):
+    """The reason the bigram gate exists: bigram surprisal is
+    strictly more informative than unigram on word order. Sanity:
+    every doc's conditional bits/token <= its unigram bits/token
+    (conditioning can't raise entropy under MLE on the same corpus
+    is not a theorem per-doc, so assert the corpus-level mean)."""
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        bigram_surprisal_scores,
+        unigram_logprob_scores,
+    )
+
+    bg = bigram_surprisal_scores(spark, sf_dir).agg(
+        F.avg("bits_per_token").alias("b")
+    ).collect()[0]["b"]
+    ug = unigram_logprob_scores(spark, sf_dir).agg(
+        F.avg("bits_per_token").alias("b")
+    ).collect()[0]["b"]
+    assert bg > 0 and ug > 0
+    assert bg < ug, (bg, ug)  # conditioning reduces mean surprisal
