@@ -161,25 +161,49 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.concat(F.lit("ivm:"), F.col("o_orderkey").cast("string"))), 1, 8), 16, 10)
         .cast("long") % 10
     )
-    keys = [F.year("o_orderdate").alias("order_year"), F.col("o_orderpriority")]
+    state_old = mv_partial(orders.filter(bucket != 9))
+    delta = mv_partial(orders.filter(bucket == 9))
+    return mv_finalize(mv_merge(state_old, delta))
 
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy(*keys).agg(
-            F.sum("o_totalprice").alias("sum_price"),
-            F.count(F.lit(1)).alias("n_orders"),
-        )
 
-    state_old = partial(orders.filter(bucket != 9))
-    delta = partial(orders.filter(bucket == 9))
-    merged = (
-        state_old.unionByName(delta)
+# The algebraic pieces, exposed so the STREAMING twin
+# (streaming/events.mv_refresh_stream) folds micro-batch deltas with
+# literally the same code: partial -> merge -> finalize.
+
+
+def mv_partial(orders: DataFrame) -> DataFrame:
+    """Mergeable partial state of the MV for any orders slice."""
+    from pyspark.sql import functions as F
+
+    return orders.groupBy(
+        F.year("o_orderdate").alias("order_year"), F.col("o_orderpriority")
+    ).agg(
+        F.sum("o_totalprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def mv_merge(state: DataFrame, delta: DataFrame) -> DataFrame:
+    """Fold a delta's partials into the state: re-sum the mergeable
+    components (groups-sized work, never table-sized)."""
+    from pyspark.sql import functions as F
+
+    return (
+        state.unionByName(delta)
         .groupBy("order_year", "o_orderpriority")
         .agg(
             F.sum("sum_price").alias("sum_price"),
             F.sum("n_orders").alias("n_orders"),
         )
     )
-    return merged.select(
+
+
+def mv_finalize(state: DataFrame) -> DataFrame:
+    """Derive the non-mergeable outputs (avg, rounding) LAST, off the
+    raw partial state — never stored, never merged."""
+    from pyspark.sql import functions as F
+
+    return state.select(
         "order_year",
         "o_orderpriority",
         F.round("sum_price", 2).alias("sum_price"),

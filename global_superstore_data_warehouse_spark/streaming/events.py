@@ -286,3 +286,65 @@ def type_mix_stream(
         "n_total",
         *shares,
     )
+
+
+def mv_refresh_stream(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """STREAMING incremental view maintenance: a file stream of
+    orders batches folds into the persisted MV state via foreachBatch
+    — literally the same algebraic pieces as the batch plan
+    (``plans/pipeline.mv_partial/mv_merge``): per batch, aggregate
+    the micro-batch to mergeable partials, merge with the stored
+    state (groups-sized work), persist. The non-mergeable outputs
+    (avg, rounding) are derived only at READ time
+    (``pipeline.mv_finalize``) — raw partials are what's stored, the
+    invariant that makes merge == recompute exact.
+
+    The state overwrite is materialized through an eager
+    ``localCheckpoint`` before the write so the new state never reads
+    lazily from the files it replaces; production swaps the
+    parquet-overwrite for a Delta MERGE keyed on the group columns
+    and keeps everything else identical.
+    """
+    from global_superstore_data_warehouse_spark.plans.pipeline import (
+        mv_merge,
+        mv_partial,
+    )
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = mv_partial(batch_df)
+        try:
+            state = spark.read.parquet(state_path)
+            merged = mv_merge(state, delta)
+        except Exception:
+            merged = delta
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_mv_state(spark: SparkSession, state_path: str) -> DataFrame:
+    """Finalized view over the streamed MV state (avg derived last)."""
+    from global_superstore_data_warehouse_spark.plans.pipeline import mv_finalize
+
+    return mv_finalize(spark.read.parquet(state_path))

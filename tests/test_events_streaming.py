@@ -425,3 +425,45 @@ def test_stream_type_mix_equals_batch(spark, sf_dir, tmp_path):
         assert (
             sum(r[f"n_{t}"] for t in EVENT_TYPES) + r["n_other"] == r["n_total"]
         )
+
+
+def test_streaming_mv_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
+    """Streaming IVM: orders arriving as single-file micro-batches
+    fold into the persisted MV state; after the stream drains, the
+    finalized state equals the direct full recompute — merge(partials
+    per batch) == recompute, under Structured Streaming's scheduling
+    rather than a hand-driven loop."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.plans.pipeline import (
+        mv_finalize,
+        mv_partial,
+    )
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        mv_refresh_stream,
+        read_mv_state,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    src = str(tmp_path / "orders_batches")
+    # three deterministic chunk files = three micro-batches
+    orders.withColumn(
+        "chunk", (F.col("o_orderkey") % 3).cast("int")
+    ).write.partitionBy("chunk").parquet(src)
+
+    state = str(tmp_path / "mv_state")
+    mv_refresh_stream(spark, src, state, str(tmp_path / "ckpt_mv"))
+
+    got = {
+        (r["order_year"], r["o_orderpriority"]): (r["sum_price"], r["n_orders"], r["avg_price"])
+        for r in read_mv_state(spark, state).collect()
+    }
+    want = {
+        (r["order_year"], r["o_orderpriority"]): (r["sum_price"], r["n_orders"], r["avg_price"])
+        for r in mv_finalize(mv_partial(orders)).collect()
+    }
+    assert set(got) == set(want)
+    for k, (gs, gn, _ga) in got.items():
+        ws, wn, _wa = want[k]
+        assert gn == wn
+        assert abs(gs - ws) < 1e-6
