@@ -467,3 +467,86 @@ def test_streaming_mv_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
         ws, wn, _wa = want[k]
         assert gn == wn
         assert abs(gs - ws) < 1e-6
+
+
+def _scd2_stream_scenario(spark, sf_dir, tmp_path, max_files, tag):
+    """Drive the two-load SCD2 lifecycle through the stream engine
+    and return {key: sorted version tuples}."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.streaming.scd import scd2_dim_stream
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k, name, attr = "c_custkey", "c_name", "c_mktsegment"
+    load1 = cust.filter(F.col(k) % 3 == 0).select(
+        F.col(k).alias("k"),
+        F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+        F.lit(1).alias("load_seq"),
+        F.lit("2024-01-01").alias("effective_date"),
+    )
+    load2 = cust.filter(F.col(k) % 2 == 0).select(
+        F.col(k).alias("k"),
+        F.concat(
+            F.col(name),
+            F.when(F.col(k) % 12 == 0, F.lit(" v2")).otherwise(F.lit("")),
+        ).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+        F.lit(2).alias("load_seq"),
+        F.lit("2024-06-15").alias("effective_date"),
+    )
+    src = str(tmp_path / f"loads_{tag}")
+    load1.unionByName(load2).write.partitionBy("load_seq").parquet(src)
+
+    dim = str(tmp_path / f"dim_{tag}")
+    scd2_dim_stream(
+        spark, src, dim, str(tmp_path / f"ckpt_{tag}"),
+        keys=["k"], attrs=["name", "attr"], max_files_per_trigger=max_files,
+    )
+    out = {}
+    for r in spark.read.parquet(dim).collect():
+        out.setdefault(r["k"], []).append(
+            (r["name"], r["attr"], str(r["start_dt"]), str(r["end_dt"]), r["is_active"])
+        )
+    return {key: sorted(v) for key, v in out.items()}
+
+
+def test_streaming_scd2_equals_batch_lifecycle(spark, sf_dir, tmp_path):
+    """The streamed version chain equals the hand-chained batch
+    merges, and is invariant to micro-batch granularity (one file
+    per trigger vs everything in one batch — the in-data load_seq
+    ordering, not the engine's batching, decides history)."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.operators.merge import scd2_merge
+
+    got_1 = _scd2_stream_scenario(spark, sf_dir, tmp_path, 1, "one")
+    got_all = _scd2_stream_scenario(spark, sf_dir, tmp_path, 100, "all")
+    assert got_1 == got_all
+
+    # batch reference: the same two loads chained by hand
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k, name, attr = "c_custkey", "c_name", "c_mktsegment"
+    empty = cust.select(
+        F.col(k).alias("k"), F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"),
+        F.to_date(F.lit("2024-01-01")).alias("start_dt"),
+        F.to_date(F.lit("9999-12-31")).alias("end_dt"),
+        F.lit(True).alias("is_active"),
+    ).filter(F.lit(False))
+    l1 = cust.filter(F.col(k) % 3 == 0).select(
+        F.col(k).alias("k"), F.col(name).alias("name"),
+        F.col(attr).cast("string").alias("attr"))
+    l2 = cust.filter(F.col(k) % 2 == 0).select(
+        F.col(k).alias("k"),
+        F.concat(F.col(name), F.when(F.col(k) % 12 == 0, F.lit(" v2")).otherwise(F.lit(""))).alias("name"),
+        F.col(attr).cast("string").alias("attr"))
+    s1 = scd2_merge(empty, l1, keys=["k"], attrs=["name", "attr"], effective_date="2024-01-01")
+    s2 = scd2_merge(s1, l2, keys=["k"], attrs=["name", "attr"], effective_date="2024-06-15")
+    want = {}
+    for r in s2.collect():
+        want.setdefault(r["k"], []).append(
+            (r["name"], r["attr"], str(r["start_dt"]), str(r["end_dt"]), r["is_active"])
+        )
+    want = {key: sorted(v) for key, v in want.items()}
+    assert got_1 == want
