@@ -115,6 +115,7 @@ EXTRA = [
     "part_skyline",
     "cluster_balanced_sample",
     "bigram_surprisal_scores",
+    "daily_user_sketch_rollup",
 ]
 
 ROUNDS = 3

@@ -1226,3 +1226,46 @@ USER_ACTIVITY_COVERAGE_ORACLE = f"""
     FROM islands
     GROUP BY user_id
 """
+
+
+# --- mergeable distinct-count sketches --------------------------------
+
+
+def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE HyperLogLog sketches — the 100 TB distinct-count
+    posture that ``events_hourly_approx_users`` (one-shot
+    approx_count_distinct) can't give you: per-DAY HLL sketches of
+    the active-user set are built once (this is what a production
+    pipeline PERSISTS), then every aggregation level derives by
+    sketch UNION, never by re-scanning events — here each day
+    reports its own estimate plus the running cumulative distinct
+    users over all days so far, a quantity that is NOT a sum of
+    daily counts (repeat users collapse) and would otherwise need a
+    growing re-scan per day.
+
+    Plan: one event scan → days-sized sketch table
+    (``hll_sketch_agg``, map-side combined binary state); the
+    cumulative union is ``hll_union_agg`` over a running window of
+    the DAYS-sized frame. Engine-specific estimates → registered
+    without a SQL oracle (rows-only driver check); the pytest bound
+    proves each estimate within HLL tolerance of the exact count.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.hll_sketch_estimate("sk").alias("daily_users_est"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+                "cumulative_users_est"
+            ),
+        )
+        .orderBy("day")
+    )

@@ -585,3 +585,6 @@ register(
     textops.bigram_surprisal_scores,
     textops.BIGRAM_SURPRISAL_SCORES_ORACLE,
 )
+# mergeable per-day HLL sketches + running union rollup (sketches
+# are the persisted state; estimates engine-specific -> rows-only)
+register("daily_user_sketch_rollup", events.daily_user_sketch_rollup, None)

@@ -292,3 +292,38 @@ def test_bigram_surprisal_detects_scrambling_better_than_unigram(spark, sf_dir):
     ).collect()[0]["b"]
     assert bg > 0 and ug > 0
     assert bg < ug, (bg, ug)  # conditioning reduces mean surprisal
+
+
+def test_sketch_rollup_within_hll_tolerance(spark, sf_dir):
+    """Each daily estimate and every cumulative union estimate sit
+    within HLL tolerance of the exact distinct counts; the final
+    cumulative equals (approximately) the global distinct users."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        daily_user_sketch_rollup,
+    )
+
+    rows = daily_user_sketch_rollup(spark, sf_dir).collect()
+    assert rows
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).collect()
+    seen_by_day, all_seen = {}, set()
+    days = sorted({r["day"] for r in ev})
+    per_day = {d: set() for d in days}
+    for r in ev:
+        per_day[r["day"]].add(r["user_id"])
+    cum = set()
+    exact_daily, exact_cum = {}, {}
+    for d in days:
+        cum |= per_day[d]
+        exact_daily[str(d)] = len(per_day[d])
+        exact_cum[str(d)] = len(cum)
+    TOL = 0.15  # default lgConfigK=12 -> ~1.6% rsd; wide margin
+    for r in rows:
+        ed, ec = exact_daily[r["day"]], exact_cum[r["day"]]
+        assert abs(r["daily_users_est"] - ed) <= max(3, TOL * ed), (r, ed)
+        assert abs(r["cumulative_users_est"] - ec) <= max(3, TOL * ec), (r, ec)
+    # cumulative is monotone non-decreasing
+    ests = [r["cumulative_users_est"] for r in rows]
+    assert ests == sorted(ests)
