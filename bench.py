@@ -116,6 +116,7 @@ EXTRA = [
     "cluster_balanced_sample",
     "bigram_surprisal_scores",
     "daily_user_sketch_rollup",
+    "copurchase_bfs_layers",
 ]
 
 ROUNDS = 3

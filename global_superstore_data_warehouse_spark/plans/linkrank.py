@@ -289,3 +289,106 @@ COPURCHASE_TRIANGLES_ORACLE = """
                AS clustering_coeff
     FROM tri
 """
+
+
+# --- BFS hop layers ---------------------------------------------------
+
+BFS_HOPS = 3
+
+
+def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first hop distance over the co-purchase graph from a
+    deterministic seed (the minimum part key): which parts sit
+    within BFS_HOPS hops of the seed, and at what distance — the
+    frontier-expansion primitive behind "related products within k
+    steps", blast-radius analysis, and graph feature generation.
+    Completes the iterative-graph trio (PageRank = value diffusion,
+    CC = contraction, BFS = frontier expansion).
+
+    Scale shape: the frontier loop over the checkpointed edge list —
+    per hop, one join frontier⋈edges on src (frontier-sized, not
+    graph-sized) plus an anti-join against the visited set; both key
+    on node id. Fixed hop count keeps the plan deterministic and the
+    oracle an unrolled CTE chain; visited/frontier are narrow
+    (node, dist) rows, checkpointed per hop so lineage stays flat.
+    Unreached nodes are reported with dist = -1 (left join, not a
+    filter) so the output tiles the node set exactly.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    seed_key = nodes.agg(F.min("node")).collect()[0][0]  # scalar only
+
+    visited = (
+        nodes.filter(F.col("node") == seed_key)
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for hop in range(1, BFS_HOPS + 1):
+        neighbors = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            neighbors.join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        nodes.join(visited, "node", "left")
+        .select(
+            F.col("node").alias("l_partkey"),
+            F.coalesce("dist", F.lit(-1)).alias("hop_dist"),
+        )
+    )
+
+
+def _bfs_oracle() -> str:
+    cte = [
+        """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), seed AS (SELECT MIN(node) AS s FROM nodes),
+    v0 AS (
+        SELECT node, 0 AS dist FROM nodes, seed WHERE node = seed.s
+    )"""
+    ]
+    for h in range(1, BFS_HOPS + 1):
+        prev = f"v{h - 1}"
+        cte.append(
+            f""",
+    v{h} AS (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT n.node, {h} AS dist
+        FROM (
+            SELECT DISTINCT e.dst AS node
+            FROM {prev} f JOIN edges e ON e.src = f.node
+            WHERE f.dist = {h - 1}
+        ) n
+        WHERE n.node NOT IN (SELECT node FROM {prev})
+    )"""
+        )
+    cte.append(
+        f"""
+    SELECT n.node AS l_partkey,
+           CAST(COALESCE(v.dist, -1) AS INTEGER) AS hop_dist
+    FROM nodes n LEFT JOIN v{BFS_HOPS} v ON v.node = n.node"""
+    )
+    return "".join(cte)
+
+
+COPURCHASE_BFS_LAYERS_ORACLE = _bfs_oracle()

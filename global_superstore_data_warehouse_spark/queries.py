@@ -590,3 +590,10 @@ register(
 # mergeable per-day HLL sketches + running union rollup (sketches
 # are the persisted state; estimates engine-specific -> rows-only)
 register("daily_user_sketch_rollup", events.daily_user_sketch_rollup, None)
+# BFS hop layers from a deterministic seed (frontier expansion —
+# completes the iterative-graph trio; unrolled-CTE oracle)
+register(
+    "copurchase_bfs_layers",
+    linkrank.copurchase_bfs_layers,
+    linkrank.COPURCHASE_BFS_LAYERS_ORACLE,
+)

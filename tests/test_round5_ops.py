@@ -327,3 +327,44 @@ def test_sketch_rollup_within_hll_tolerance(spark, sf_dir):
     # cumulative is monotone non-decreasing
     ests = [r["cumulative_users_est"] for r in rows]
     assert ests == sorted(ests)
+
+
+def test_bfs_layers_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "copurchase_bfs_layers", sf_dir)
+
+
+def test_bfs_layers_are_shortest_distances(spark, sf_dir):
+    """Independent check: hop_dist equals true shortest-path distance
+    (capped at BFS_HOPS) computed by a driver-side BFS."""
+    from collections import deque
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.linkrank import (
+        BFS_HOPS,
+        _copurchase_edges,
+        copurchase_bfs_layers,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).collect()
+    adj = {}
+    for r in edges:
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    seed = min(adj)
+    dist = {seed: 0}
+    q = deque([seed])
+    while q:
+        u = q.popleft()
+        if dist[u] >= BFS_HOPS:
+            continue
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    got = {
+        r["l_partkey"]: r["hop_dist"]
+        for r in copurchase_bfs_layers(spark, sf_dir).collect()
+    }
+    assert set(got) == set(adj)
+    for node in adj:
+        assert got[node] == dist.get(node, -1), node
