@@ -117,6 +117,7 @@ EXTRA = [
     "bigram_surprisal_scores",
     "daily_user_sketch_rollup",
     "copurchase_bfs_layers",
+    "daily_revenue_ewma",
 ]
 
 ROUNDS = 3

@@ -478,3 +478,79 @@ FROM (SELECT {expr} AS v, COUNT(*) AS rows_per_value FROM orders GROUP BY 1)"""
 
 
 PARTITION_ADVISOR_ORACLE = _advisor_oracle()
+
+
+# --- EWMA smoothing ---------------------------------------------------
+
+EWMA_ALPHA = 0.3
+
+
+def daily_revenue_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the daily revenue
+    series (alpha = 0.3, seeded at the first observation) — the
+    smoothing companion to the MAD anomaly scan: EWMA_t =
+    0.3·x_t + 0.7·EWMA_{t-1}, an inherently ORDER-RECURSIVE quantity
+    no window frame expresses directly.
+
+    Spark formulation: the series collapses to ONE ordered array per
+    series key (days-sized — bounded by calendar length, the same
+    per-key-state constraint as sessionization), and a single
+    ``F.aggregate`` fold builds the whole EWMA sequence in one pass
+    (the accumulator is the growing result array; each step reads
+    its predecessor with element_at(-1)). posexplode restores one
+    row per day. With millions of independent series the identical
+    plan partitions by the series key — per-series state stays
+    bounded, the fold is JVM codegen, and nothing is quadratic. The
+    oracle is a days-sized recursive CTE applying the identical
+    float expression in the identical order.
+    """
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    series = daily.groupBy(F.lit(1).alias("series")).agg(
+        F.array_sort(F.collect_list(F.struct("day", "revenue"))).alias("pts")
+    )
+    xs = F.transform("pts", lambda p: p["revenue"])
+    folded = series.select(
+        "pts",
+        F.aggregate(
+            F.slice(xs, 2, F.size(xs) - 1),
+            F.slice(xs, 1, 1),
+            lambda acc, x: F.concat(
+                acc,
+                F.array(
+                    F.lit(0.3) * x + F.lit(0.7) * F.element_at(acc, -1)
+                ),
+            ),
+        ).alias("ewma"),
+    )
+    return (
+        folded.select(F.posexplode("pts").alias("i", "p"), "ewma")
+        .select(
+            F.date_format(F.col("p.day"), "yyyy-MM-dd").alias("day"),
+            F.col("p.revenue").alias("revenue"),
+            F.round(F.element_at("ewma", F.col("i") + 1), 6).alias("ewma"),
+        )
+    )
+
+
+DAILY_REVENUE_EWMA_ORACLE = """
+    WITH RECURSIVE daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    ), numbered AS (
+        SELECT day, revenue,
+               ROW_NUMBER() OVER (ORDER BY day) AS t
+        FROM daily
+    ), ew(t, day, revenue, ewma) AS (
+        SELECT t, day, revenue, revenue FROM numbered WHERE t = 1
+        UNION ALL
+        SELECT n.t, n.day, n.revenue, 0.3 * n.revenue + 0.7 * e.ewma
+        FROM numbered n JOIN ew e ON n.t = e.t + 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, revenue,
+           ROUND(ewma, 6) AS ewma
+    FROM ew
+"""

@@ -597,3 +597,10 @@ register(
     linkrank.copurchase_bfs_layers,
     linkrank.COPURCHASE_BFS_LAYERS_ORACLE,
 )
+# order-recursive EWMA smoothing as one per-series Catalyst fold
+# (recursive-CTE oracle applies the identical float steps in order)
+register(
+    "daily_revenue_ewma",
+    observability.daily_revenue_ewma,
+    observability.DAILY_REVENUE_EWMA_ORACLE,
+)

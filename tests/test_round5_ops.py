@@ -368,3 +368,25 @@ def test_bfs_layers_are_shortest_distances(spark, sf_dir):
     assert set(got) == set(adj)
     for node in adj:
         assert got[node] == dist.get(node, -1), node
+
+
+def test_ewma_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "daily_revenue_ewma", sf_dir)
+
+
+def test_ewma_recursion_matches_python_fold(spark, sf_dir):
+    """Independent check: the Catalyst array fold equals the plain
+    Python recurrence on the same series."""
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        daily_revenue_ewma,
+    )
+
+    rows = sorted(
+        daily_revenue_ewma(spark, sf_dir).collect(), key=lambda r: r["day"]
+    )
+    assert rows
+    acc = rows[0]["revenue"]
+    assert abs(rows[0]["ewma"] - round(acc, 6)) < 1e-9
+    for r in rows[1:]:
+        acc = 0.3 * r["revenue"] + 0.7 * acc
+        assert abs(r["ewma"] - round(acc, 6)) < 1e-6, r["day"]
