@@ -1139,51 +1139,27 @@ def user_activity_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     dual of the gaps-and-islands calendar scan, here on REAL interval
     overlap rather than day adjacency).
 
-    Scale shape: the sweep-line classic as ONE user-partitioned sort:
-    a window computes the running max of interval ends over strictly
-    preceding rows; a new island starts exactly where the current
-    start clears that max; the island id is a running sum of those
-    flags. Two more user-local aggregates (per-island, then per-user)
-    ride the SAME partitioning — Spark reuses the shuffle, so the
-    whole plan is one exchange on user_id. No inequality join, no
-    self-join, no interval explosion. Ties in start order carry
-    identical ends (fixed width), so the running max — and therefore
-    the output — is deterministic under any tie order.
+    Scale shape: delegates to the generic sweep-line operator
+    (``operators/intervals.interval_union_coverage``): one
+    user-partitioned sort carries the running-max island flags and
+    both downstream aggregates — the whole plan is one exchange on
+    user_id, no inequality join, no self-join, no interval
+    explosion. The operator is property-tested against brute-force
+    union on ARBITRARY interval sets (ties, nesting, touching), not
+    just these fixed-width windows.
     """
+    from global_superstore_data_warehouse_spark.operators.intervals import (
+        interval_union_coverage,
+    )
+
     ev = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.col("ts").cast("long").alias("s"),
         (F.col("ts").cast("long") + ACTIVE_WINDOW_S).alias("e"),
     )
-    order = Window.partitionBy("user_id").orderBy("s", "event_id")
-    prev_max_e = F.max("e").over(
-        order.rowsBetween(Window.unboundedPreceding, -1)
-    )
-    flagged = ev.withColumn(
-        "new_island",
-        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0),
-    ).withColumn(
-        "island",
-        F.sum("new_island").over(
-            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
-    islands = flagged.groupBy("user_id", "island").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("s").alias("i_start"),
-        F.max("e").alias("i_end"),
-    )
-    return islands.groupBy("user_id").agg(
-        F.sum("n_events").alias("n_events"),
-        F.count(F.lit(1)).alias("n_islands"),
-        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_s"),
-        (F.max("i_end") - F.min("i_start")).alias("span_s"),
-        F.round(
-            F.sum(F.col("i_end") - F.col("i_start"))
-            / (F.max("i_end") - F.min("i_start")),
-            6,
-        ).alias("coverage_ratio"),
+    return interval_union_coverage(
+        ev, ["user_id"], "s", "e", order_cols=["event_id"]
     )
 
 
