@@ -118,6 +118,7 @@ EXTRA = [
     "daily_user_sketch_rollup",
     "copurchase_bfs_layers",
     "daily_revenue_ewma",
+    "benford_order_totals",
 ]
 
 ROUNDS = 3

@@ -554,3 +554,68 @@ DAILY_REVENUE_EWMA_ORACLE = """
            ROUND(ewma, 6) AS ewma
     FROM ew
 """
+
+
+# --- Benford first-digit screen ---------------------------------------
+
+
+def benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals against
+    Benford's law — the classic anomaly/fraud screen for
+    organically-generated monetary data (fabricated or clamped
+    feeds drift from log10(1 + 1/d)). One row per digit 1-9 with
+    observed share, expected share, and the chi-square contribution;
+    Σ chi2_term against the chi-square(8) critical value is the
+    alarm.
+
+    Plan: first digit is a pure string expression over the scanned
+    column (no UDF), one 9-group partial aggregate, shares against a
+    1-row broadcast total — one scan, group-sized everything after.
+    """
+    orders = load(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs(F.col("o_totalprice")), 6), r"[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    counts = (
+        orders.filter(F.col("o_totalprice") != 0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.agg(F.sum("n").alias("total"))
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / F.col("total")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            F.round(obs, 6).alias("observed_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(
+                (obs - expected) * (obs - expected) / expected * F.col("total"), 6
+            ).alias("chi2_term"),
+        )
+    )
+
+
+BENFORD_ORDER_TOTALS_ORACLE = """
+    WITH counts AS (
+        SELECT CAST(substr(regexp_replace(
+                   format('{:.6f}', ABS(o_totalprice)), '[0.,]', '', 'g'),
+                   1, 1) AS INTEGER) AS digit,
+               COUNT(*) AS n
+        FROM orders WHERE o_totalprice <> 0
+        GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS observed_share,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           ROUND((CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit))
+                 * (CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit) * total, 6) AS chi2_term
+    FROM counts, tot
+"""

@@ -604,3 +604,10 @@ register(
     observability.daily_revenue_ewma,
     observability.DAILY_REVENUE_EWMA_ORACLE,
 )
+# Benford first-digit screen of order totals (chi-square terms per
+# digit; pure string/log expressions, group-sized after one scan)
+register(
+    "benford_order_totals",
+    observability.benford_order_totals,
+    observability.BENFORD_ORDER_TOTALS_ORACLE,
+)

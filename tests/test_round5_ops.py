@@ -390,3 +390,21 @@ def test_ewma_recursion_matches_python_fold(spark, sf_dir):
     for r in rows[1:]:
         acc = 0.3 * r["revenue"] + 0.7 * acc
         assert abs(r["ewma"] - round(acc, 6)) < 1e-6, r["day"]
+
+
+def test_benford_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "benford_order_totals", sf_dir)
+
+
+def test_benford_shares_form_distribution(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        benford_order_totals,
+    )
+
+    rows = benford_order_totals(spark, sf_dir).collect()
+    digits = sorted(r["digit"] for r in rows)
+    assert digits == list(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r["chi2_term"] >= 0
