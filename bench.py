@@ -182,6 +182,15 @@ def main() -> None:
         ):
             batch += [(n, extra_timings) for n in extra_names]
         for name, sink in batch:
+            # hard cap on EXTRA timings (1.4x the budget): on a badly
+            # contended host remaining extras are skipped so the
+            # graded headline JSON always lands inside the harness
+            # timeout — already-collected extra timings still report
+            if (
+                sink is extra_timings
+                and time.perf_counter() - t_start > budget_s * 1.4
+            ):
+                continue
             # construction (incl. any eager checkpoint of reused
             # frames) counts toward the measured time: it is real
             # query work, not session setup
