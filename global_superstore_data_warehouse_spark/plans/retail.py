@@ -749,3 +749,86 @@ PART_SKYLINE_ORACLE = """
           AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
     )
 """
+
+
+# --- exact integer allocation (largest remainder) ---------------------
+
+ALLOC_BUDGET_CENTS = 1_000_000
+
+
+def market_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate an integer budget (1,000,000 cents per order-year)
+    across market segments proportional to revenue, EXACTLY — the
+    largest-remainder (Hamilton) method every finance/planning system
+    needs and floating division cannot give: floor each proportional
+    share, then hand the leftover cents, one each, to the largest
+    fractional remainders (ties broken by segment name). Per-year
+    sums equal the budget to the cent by construction.
+
+    Plan: one partial-aggregated groupBy to (year, segment) revenue
+    cells, a year-window total, and a remainder-rank window over the
+    CELLS frame (years x segments — tiny); the corpus is scanned
+    once. The same shape allocates ad budgets, quota seats
+    (apportionment), and prorated costs.
+    """
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cells = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    per_year = Window.partitionBy("order_year")
+    share = F.col("revenue") / F.sum("revenue").over(per_year)
+    exact = share * ALLOC_BUDGET_CENTS
+    floored = cells.withColumn("base", F.floor(exact).cast("long")).withColumn(
+        "rem", exact - F.floor(exact)
+    )
+    leftover = (
+        F.lit(ALLOC_BUDGET_CENTS) - F.sum("base").over(per_year)
+    ).cast("long")
+    rank = F.row_number().over(
+        per_year.orderBy(F.desc("rem"), F.asc("segment"))
+    )
+    return floored.select(
+        "order_year",
+        "segment",
+        F.round("revenue", 2).alias("revenue"),
+        (F.col("base") + F.when(rank <= leftover, 1).otherwise(0)).alias(
+            "alloc_cents"
+        ),
+    )
+
+
+MARKET_BUDGET_ALLOCATION_ORACLE = f"""
+    WITH cells AS (
+        SELECT year(o.o_orderdate) AS order_year,
+               c.c_mktsegment AS segment,
+               SUM(o.o_totalprice) AS revenue
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), shared AS (
+        SELECT order_year, segment, revenue,
+               revenue / SUM(revenue) OVER (PARTITION BY order_year)
+                   * {ALLOC_BUDGET_CENTS} AS exact
+        FROM cells
+    ), floored AS (
+        SELECT order_year, segment, revenue,
+               CAST(FLOOR(exact) AS BIGINT) AS base,
+               exact - FLOOR(exact) AS rem
+        FROM shared
+    )
+    SELECT order_year, segment,
+           ROUND(revenue, 2) AS revenue,
+           base + CASE WHEN ROW_NUMBER() OVER (
+                      PARTITION BY order_year
+                      ORDER BY rem DESC, segment ASC)
+                  <= {ALLOC_BUDGET_CENTS}
+                     - SUM(base) OVER (PARTITION BY order_year)
+                  THEN 1 ELSE 0 END AS alloc_cents
+    FROM floored
+"""

@@ -611,3 +611,11 @@ register(
     observability.benford_order_totals,
     observability.BENFORD_ORDER_TOTALS_ORACLE,
 )
+# exact integer allocation (largest-remainder/Hamilton): per-year
+# budget distributed proportional to revenue, sums exact by
+# construction
+register(
+    "market_budget_allocation",
+    retail.market_budget_allocation,
+    retail.MARKET_BUDGET_ALLOCATION_ORACLE,
+)

@@ -408,3 +408,29 @@ def test_benford_shares_form_distribution(spark, sf_dir):
     assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r["chi2_term"] >= 0
+
+
+def test_allocation_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "market_budget_allocation", sf_dir)
+
+
+def test_allocation_sums_exactly_to_budget(spark, sf_dir):
+    """The whole point of largest-remainder: every year's integer
+    allocations sum to the budget EXACTLY, and each cell sits within
+    1 cent of its proportional share."""
+    from global_superstore_data_warehouse_spark.plans.retail import (
+        ALLOC_BUDGET_CENTS,
+        market_budget_allocation,
+    )
+
+    rows = market_budget_allocation(spark, sf_dir).collect()
+    by_year = {}
+    for r in rows:
+        by_year.setdefault(r["order_year"], []).append(r)
+    assert by_year
+    for year, cells in by_year.items():
+        assert sum(c["alloc_cents"] for c in cells) == ALLOC_BUDGET_CENTS, year
+        total_rev = sum(c["revenue"] for c in cells)
+        for c in cells:
+            exact = c["revenue"] / total_rev * ALLOC_BUDGET_CENTS
+            assert abs(c["alloc_cents"] - exact) < 1.0 + 1e-6, (year, c)
