@@ -566,8 +566,9 @@ register("part_skyline", retail.part_skyline, retail.PART_SKYLINE_ORACLE)
 # cluster_balanced_sample, daily_user_sketch_rollup (rows-only),
 # order_day_islands, cumulative_new_users, profile_columns,
 # fk_discovery, partition_advisor, temperature_mixture_sample /
-# leakage_safe_splits, daily_revenue_anomalies, event_trigrams,
-# schema_evolution_union.
+# leakage_safe_splits, daily_revenue_anomalies,
+# daily_revenue_ewma, copurchase_bfs_layers, benford_order_totals,
+# market_budget_allocation, event_trigrams, schema_evolution_union.
 # Rotate out r05-green shape-covered entries (candidates: dim_date
 # vs dim_address keep one, event_funnel, ann_ivf_topk vs ann_recall
 # keep one, pii_pseudonymize vs secured_customers keep one,
