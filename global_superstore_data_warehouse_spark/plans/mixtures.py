@@ -264,3 +264,66 @@ WEIGHTED_SAMPLE_TOPK_ORACLE = f"""
     FROM keyed
     QUALIFY rank <= {WSAMPLE_K}
 """
+
+
+# --- near-dup leakage audit across splits -----------------------------
+
+
+def split_near_dup_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit content-fingerprint splitting still NEEDS: exact
+    normalization catches reformatted copies, but NEAR-duplicates
+    (edited boilerplate, truncation-differing crawls) can still straddle the
+    train/test boundary and inflate eval numbers. This composes the
+    MinHash-LSH candidate generator with the split assignment and
+    reports, per split-pair, how many near-dup candidate pairs cross
+    it — the go/no-go evidence before trusting an eval set.
+
+    Scale shape: the candidate pairs are the bounded LSH output
+    (never all-pairs); the split table is a zero-shuffle projection
+    joined twice on doc_id; the report is a handful of rows. The
+    (train, test) row is THE number that must be ~0 after near-dup
+    dedup runs.
+    """
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        minhash_lsh_candidates,
+    )
+
+    cand = minhash_lsh_candidates(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    splits = leakage_safe_splits(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("split").alias("split_b")
+    )
+    tagged = cand.join(sa, "doc_id_a").join(sb, "doc_id_b")
+    # order the pair label so (train,test) and (test,train) pool
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        tagged.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+        .withColumn("crosses_boundary", F.col("split_lo") != F.col("split_hi"))
+    )
+
+
+from global_superstore_data_warehouse_spark.plans.textops import (  # noqa: E402
+    MINHASH_LSH_CANDIDATES_ORACLE as _LSH_CAND_ORACLE,
+)
+
+SPLIT_NEAR_DUP_LEAKAGE_ORACLE = f"""
+    WITH cand AS (
+        {_LSH_CAND_ORACLE}
+    ), splits AS (
+        {LEAKAGE_SAFE_SPLITS_ORACLE}
+    )
+    SELECT LEAST(a.split, b.split) AS split_lo,
+           GREATEST(a.split, b.split) AS split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_near_dup_pairs,
+           LEAST(a.split, b.split) <> GREATEST(a.split, b.split)
+               AS crosses_boundary
+    FROM cand c
+    JOIN splits a ON a.doc_id = c.doc_id_a
+    JOIN splits b ON b.doc_id = c.doc_id_b
+    GROUP BY 1, 2
+"""

@@ -620,3 +620,11 @@ register(
     retail.market_budget_allocation,
     retail.MARKET_BUDGET_ALLOCATION_ORACLE,
 )
+# near-dup leakage audit across content-fingerprint splits (LSH
+# candidates x split assignment; the (train,test) row is the eval
+# go/no-go)
+register(
+    "split_near_dup_leakage",
+    mixtures.split_near_dup_leakage,
+    mixtures.SPLIT_NEAR_DUP_LEAKAGE_ORACLE,
+)

@@ -434,3 +434,22 @@ def test_allocation_sums_exactly_to_budget(spark, sf_dir):
         for c in cells:
             exact = c["revenue"] / total_rev * ALLOC_BUDGET_CENTS
             assert abs(c["alloc_cents"] - exact) < 1.0 + 1e-6, (year, c)
+
+
+def test_split_leakage_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "split_near_dup_leakage", sf_dir)
+
+
+def test_split_leakage_report_accounts_for_all_candidates(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.mixtures import (
+        split_near_dup_leakage,
+    )
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        minhash_lsh_candidates,
+    )
+
+    rows = split_near_dup_leakage(spark, sf_dir).collect()
+    n_cand = minhash_lsh_candidates(spark, sf_dir).count()
+    assert sum(r["n_near_dup_pairs"] for r in rows) == n_cand
+    for r in rows:
+        assert r["crosses_boundary"] == (r["split_lo"] != r["split_hi"])
