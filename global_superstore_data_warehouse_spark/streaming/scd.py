@@ -10,9 +10,18 @@ batching is an engine concern — so ordering rides IN THE DATA. Every
 source row carries (load_seq, effective_date); a micro-batch may
 contain any number of loads, and ``foreachBatch`` folds them in
 load_seq order (the per-batch distinct load list is loads-sized, a
-handful of rows). The result is invariant to how the engine happens
-to batch files — one file per trigger, all at once, or anything
-between (the equivalence test drives both extremes).
+handful of rows). WITHIN any batching the result is invariant — one
+file per trigger, all at once, or anything between (the equivalence
+test drives both extremes).
+
+ACROSS triggers the source must deliver loads in sequence order —
+true by construction when each staged load lands as its own file
+(the file source orders by modification time, and load N is written
+before load N+1 exists). Because a mis-staged queue would otherwise
+CORRUPT history silently, the operator persists the applied
+high-watermark inside the state and REFUSES (raises) any batch
+carrying a load_seq at or below it — out-of-order delivery is a
+loud failure, never a wrong version chain.
 
 State posture at 100 TB: the stored dim is the full version chain;
 the parquet overwrite here becomes a Delta MERGE keyed on the natural
@@ -30,12 +39,19 @@ from pyspark.sql import functions as F
 from global_superstore_data_warehouse_spark.operators.merge import scd2_merge
 
 
+class OutOfOrderLoadError(RuntimeError):
+    """A batch delivered a load_seq at or below the applied
+    high-watermark — the staging queue is mis-ordered; applying it
+    would silently corrupt the version chain."""
+
+
 def _empty_dim(batch_df: DataFrame, keys: Sequence[str], attrs: Sequence[str]) -> DataFrame:
     return (
         batch_df.select(*keys, *attrs)
         .withColumn("start_dt", F.to_date(F.lit("1900-01-01")))
         .withColumn("end_dt", F.to_date(F.lit("9999-12-31")))
         .withColumn("is_active", F.lit(True))
+        .withColumn("_applied_seq", F.lit(0).cast("long"))
         .filter(F.lit(False))
     )
 
@@ -69,9 +85,17 @@ def scd2_dim_stream(
         if not loads:
             return
         try:
-            dim = spark.read.parquet(dim_path)
+            stored = spark.read.parquet(dim_path)
+            watermark = stored.agg(F.max("_applied_seq")).collect()[0][0] or 0
+            dim = stored.drop("_applied_seq")
         except Exception:
-            dim = _empty_dim(batch_df, keys, attrs)
+            watermark = 0
+            dim = _empty_dim(batch_df, keys, attrs).drop("_applied_seq")
+        if loads[0][seq_col] <= watermark:
+            raise OutOfOrderLoadError(
+                f"batch {batch_id} carries load_seq {loads[0][seq_col]} but "
+                f"loads through {watermark} were already applied"
+            )
         for row in loads:
             src = batch_df.filter(F.col(seq_col) == row[seq_col]).select(
                 *keys, *attrs
@@ -79,8 +103,11 @@ def scd2_dim_stream(
             dim = scd2_merge(
                 dim, src, keys=keys, attrs=attrs, effective_date=str(row[eff_col])
             )
+        out = dim.withColumn(
+            "_applied_seq", F.lit(int(loads[-1][seq_col])).cast("long")
+        )
         # materialize before overwriting the path the lineage reads
-        dim.localCheckpoint(eager=True).write.mode("overwrite").parquet(dim_path)
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(dim_path)
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -495,8 +495,17 @@ def _scd2_stream_scenario(spark, sf_dir, tmp_path, max_files, tag):
         F.lit(2).alias("load_seq"),
         F.lit("2024-06-15").alias("effective_date"),
     )
+    # each staged load lands as its OWN file, written in load order —
+    # the production contract the operator documents (the file source
+    # orders by modification time; a single partitioned write gave
+    # both loads near-identical mtimes and a nondeterministic
+    # cross-batch order)
+    import time as _time
+
     src = str(tmp_path / f"loads_{tag}")
-    load1.unionByName(load2).write.partitionBy("load_seq").parquet(src)
+    load1.coalesce(1).write.parquet(src)
+    _time.sleep(1.1)  # distinct mtime on coarse-granularity filesystems
+    load2.coalesce(1).write.mode("append").parquet(src)
 
     dim = str(tmp_path / f"dim_{tag}")
     scd2_dim_stream(
@@ -550,3 +559,45 @@ def test_streaming_scd2_equals_batch_lifecycle(spark, sf_dir, tmp_path):
         )
     want = {key: sorted(v) for key, v in want.items()}
     assert got_1 == want
+
+
+def test_streaming_scd2_rejects_out_of_order_loads(spark, sf_dir, tmp_path):
+    """A load_seq at or below the applied watermark must raise, not
+    silently corrupt the chain."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.streaming.scd import (
+        OutOfOrderLoadError,
+        scd2_dim_stream,
+    )
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(50)
+    mk = lambda seq, eff: cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").cast("string").alias("attr"),
+        F.lit(seq).alias("load_seq"),
+        F.lit(eff).alias("effective_date"),
+    )
+    src = str(tmp_path / "loads_ooo")
+    dim = str(tmp_path / "dim_ooo")
+    # apply load 2 first...
+    mk(2, "2024-06-15").coalesce(1).write.parquet(src)
+    scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_a"),
+                    keys=["k"], attrs=["name", "attr"])
+    # ...then load 1 arrives late: the stream must fail loudly
+    import time as _time
+
+    _time.sleep(1.1)
+    mk(1, "2024-01-01").coalesce(1).write.mode("append").parquet(src)
+    import pyspark.errors
+
+    with pytest.raises(
+        (OutOfOrderLoadError, pyspark.errors.exceptions.base.PySparkException,
+         Exception)
+    ) as exc_info:
+        scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_b"),
+                        keys=["k"], attrs=["name", "attr"])
+    assert "load_seq" in str(exc_info.value) or "OutOfOrder" in str(
+        type(exc_info.value).__name__
+    ) or "already applied" in str(exc_info.value)
