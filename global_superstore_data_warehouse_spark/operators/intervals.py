@@ -5,13 +5,10 @@ The sweep-line classic as ONE key-partitioned sort: order each key's
 intervals by (start, end, id) — a TOTAL order, so the running max of
 interval ends over strictly-preceding rows is deterministic for any
 input, including ties, nesting, and touching intervals — then a new
-island starts exactly where the current start clears that max
-([s, e) half-open semantics: touching intervals s == prev_e MERGE is
-false — s > prev_e-1? No: s >= prev_e starts a new island only when
-s > prev_e is false... see below), and the island id is a running
-sum of start flags. Two further aggregates (per-island, per-key)
-reuse the SAME partitioning — the whole plan is one exchange on the
-key.
+island starts exactly where the current start strictly clears that
+max, and the island id is a running sum of start flags. Two further
+aggregates (per-island, per-key) reuse the SAME partitioning — the
+whole plan is one exchange on the key.
 
 Half-open convention: [s, e) with e > s (empty intervals are the
 caller's to filter). Intervals TOUCHING at a point (next.s == prev.e)

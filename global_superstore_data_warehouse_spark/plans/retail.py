@@ -784,7 +784,14 @@ def market_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_year = Window.partitionBy("order_year")
     share = F.col("revenue") / F.sum("revenue").over(per_year)
-    exact = share * ALLOC_BUDGET_CENTS
+    # round the raw share BEFORE floor/remainder: Spark and DuckDB sum
+    # revenue in different orders, and a ULP-level divergence at a
+    # floor boundary (or between two near-equal remainders) would flip
+    # alloc_cents by +-1. At 6 decimals the ~1e-10 cross-engine noise
+    # cannot straddle a boundary, and near-equal remainders collapse
+    # to exact ties that the (rem DESC, segment ASC) order then breaks
+    # identically in both engines.
+    exact = F.round(share * ALLOC_BUDGET_CENTS, 6)
     floored = cells.withColumn("base", F.floor(exact).cast("long")).withColumn(
         "rem", exact - F.floor(exact)
     )
@@ -813,8 +820,8 @@ MARKET_BUDGET_ALLOCATION_ORACLE = f"""
         GROUP BY 1, 2
     ), shared AS (
         SELECT order_year, segment, revenue,
-               revenue / SUM(revenue) OVER (PARTITION BY order_year)
-                   * {ALLOC_BUDGET_CENTS} AS exact
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY order_year)
+                   * {ALLOC_BUDGET_CENTS}, 6) AS exact
         FROM cells
     ), floored AS (
         SELECT order_year, segment, revenue,

@@ -310,11 +310,32 @@ def mv_refresh_stream(
     lazily from the files it replaces; production swaps the
     parquet-overwrite for a Delta MERGE keyed on the group columns
     and keeps everything else identical.
+
+    Crash-replay discipline: foreachBatch is at-least-once — a crash
+    between the state overwrite and the checkpoint commit replays the
+    batch with the SAME batch_id, and re-merging the delta would
+    silently double-count. The state rows therefore carry the
+    batch_id that produced them (``_last_batch_id``, written
+    ATOMICALLY with the state — a sidecar file could go stale between
+    two writes; a column cannot), and a replayed batch_id is skipped
+    as a no-op. The max() over the state is groups-sized, not
+    table-sized, so the check is as cheap as the merge itself.
+    Existence of the state is an explicit filesystem check — any
+    actual read error (corrupt file, permissions) propagates instead
+    of silently resetting the state.
+
+    Lifecycle caveat the pattern implies: batch ids are meaningful
+    only per-checkpoint, so the state and the checkpoint are a UNIT —
+    delete both or neither. Pointing a fresh checkpoint at existing
+    state correctly no-ops redelivered source files (they were
+    already folded), but it would also skip genuinely new batches
+    whose restarted ids fall at or below the stored one.
     """
     from global_superstore_data_warehouse_spark.plans.pipeline import (
         mv_merge,
         mv_partial,
     )
+    from global_superstore_data_warehouse_spark.streaming.state import path_exists
 
     schema = spark.read.parquet(src_dir).schema
     stream = (
@@ -325,12 +346,19 @@ def mv_refresh_stream(
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         delta = mv_partial(batch_df)
-        try:
-            state = spark.read.parquet(state_path)
-            merged = mv_merge(state, delta)
-        except Exception:
+        if path_exists(spark, state_path):
+            stored = spark.read.parquet(state_path)
+            if "_last_batch_id" in stored.columns:
+                last = stored.agg(F.max("_last_batch_id")).collect()[0][0]
+                if last is not None and batch_id <= last:
+                    return  # at-least-once replay: already folded
+            merged = mv_merge(stored.drop("_last_batch_id"), delta)
+        else:
             merged = delta
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        out = merged.withColumn(
+            "_last_batch_id", F.lit(int(batch_id)).cast("long")
+        )
+        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             state_path
         )
 

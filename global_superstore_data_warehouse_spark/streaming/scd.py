@@ -19,9 +19,19 @@ true by construction when each staged load lands as its own file
 (the file source orders by modification time, and load N is written
 before load N+1 exists). Because a mis-staged queue would otherwise
 CORRUPT history silently, the operator persists the applied
-high-watermark inside the state and REFUSES (raises) any batch
-carrying a load_seq at or below it — out-of-order delivery is a
-loud failure, never a wrong version chain.
+high-watermark and enforces CONTIGUITY: loads at or below the
+watermark are SKIPPED (foreachBatch is at-least-once — a crash
+between the state write and the checkpoint commit replays the batch,
+and replay must be a no-op, not a wedge), while any GAP — the first
+unapplied load not being watermark+1, or non-consecutive seqs within
+the batch — raises. Skipped-ahead delivery is a loud failure, never
+a wrong version chain; duplicate delivery is a no-op.
+
+The watermark lives in a one-row sidecar (``streaming/state.py``) so
+the per-batch ordering check is O(1) metadata, not a full scan of
+the stored version chain; the chain itself still carries
+``_applied_seq`` and is the fallback source of truth when the
+sidecar is missing (dim write lands first, sidecar second).
 
 State posture at 100 TB: the stored dim is the full version chain;
 the parquet overwrite here becomes a Delta MERGE keyed on the natural
@@ -37,12 +47,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.operators.merge import scd2_merge
+from global_superstore_data_warehouse_spark.streaming.state import (
+    path_exists,
+    read_watermark,
+    write_watermark,
+)
 
 
 class OutOfOrderLoadError(RuntimeError):
-    """A batch delivered a load_seq at or below the applied
-    high-watermark — the staging queue is mis-ordered; applying it
-    would silently corrupt the version chain."""
+    """A batch delivered a load sequence with a GAP — the first
+    unapplied load is not watermark+1, or the batch's loads are not
+    consecutive. The staging queue skipped a load; applying past it
+    would silently corrupt the version chain. (Loads at or below the
+    watermark are NOT an error: at-least-once replay re-delivers
+    applied loads, and those are skipped as idempotent no-ops.)"""
 
 
 def _empty_dim(batch_df: DataFrame, keys: Sequence[str], attrs: Sequence[str]) -> DataFrame:
@@ -84,17 +102,31 @@ def scd2_dim_stream(
         )  # loads-sized (a handful of rows), never row-sized
         if not loads:
             return
-        try:
+        if path_exists(spark, dim_path):
             stored = spark.read.parquet(dim_path)
-            watermark = stored.agg(F.max("_applied_seq")).collect()[0][0] or 0
+            # O(1) sidecar; fall back to the chain scan only when the
+            # sidecar is missing (first run on pre-sidecar state, or a
+            # crash before the sidecar write — the chain is the truth)
+            watermark = read_watermark(spark, dim_path)
+            if watermark is None:
+                watermark = stored.agg(F.max("_applied_seq")).collect()[0][0] or 0
             dim = stored.drop("_applied_seq")
-        except Exception:
+        else:
             watermark = 0
             dim = _empty_dim(batch_df, keys, attrs).drop("_applied_seq")
-        if loads[0][seq_col] <= watermark:
+        # at-least-once replay: already-applied loads are no-ops
+        loads = [row for row in loads if row[seq_col] > watermark]
+        if not loads:
+            return
+        # contiguity: the chain may not skip a load — neither from the
+        # watermark to the batch nor within the batch itself
+        expected = list(range(watermark + 1, watermark + 1 + len(loads)))
+        got = [int(row[seq_col]) for row in loads]
+        if got != expected:
             raise OutOfOrderLoadError(
-                f"batch {batch_id} carries load_seq {loads[0][seq_col]} but "
-                f"loads through {watermark} were already applied"
+                f"batch {batch_id} delivers load_seqs {got} but loads through "
+                f"{watermark} were applied — expected the contiguous "
+                f"{expected}; a load was skipped or mis-staged"
             )
         for row in loads:
             src = batch_df.filter(F.col(seq_col) == row[seq_col]).select(
@@ -106,8 +138,11 @@ def scd2_dim_stream(
         out = dim.withColumn(
             "_applied_seq", F.lit(int(loads[-1][seq_col])).cast("long")
         )
-        # materialize before overwriting the path the lineage reads
+        # materialize before overwriting the path the lineage reads;
+        # dim first, sidecar second (stale sidecar => replay no-op,
+        # never a skipped load)
         out.localCheckpoint(eager=True).write.mode("overwrite").parquet(dim_path)
+        write_watermark(spark, dim_path, int(loads[-1][seq_col]))
 
     q = (
         stream.writeStream.foreachBatch(apply_batch)

@@ -468,6 +468,15 @@ def test_streaming_mv_refresh_equals_full_recompute(spark, sf_dir, tmp_path):
         assert gn == wn
         assert abs(gs - ws) < 1e-6
 
+    # at-least-once replay: redriving every batch (fresh checkpoint,
+    # same source, same state) must be a no-op — the state carries the
+    # batch id that produced it and skips replays instead of
+    # double-counting the deltas
+    before = sorted(map(tuple, spark.read.parquet(state).collect()))
+    mv_refresh_stream(spark, src, state, str(tmp_path / "ckpt_mv_replay"))
+    after = sorted(map(tuple, spark.read.parquet(state).collect()))
+    assert after == before
+
 
 def _scd2_stream_scenario(spark, sf_dir, tmp_path, max_files, tag):
     """Drive the two-load SCD2 lifecycle through the stream engine
@@ -561,43 +570,90 @@ def test_streaming_scd2_equals_batch_lifecycle(spark, sf_dir, tmp_path):
     assert got_1 == want
 
 
-def test_streaming_scd2_rejects_out_of_order_loads(spark, sf_dir, tmp_path):
-    """A load_seq at or below the applied watermark must raise, not
-    silently corrupt the chain."""
+def _scd2_loads_fixture(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from global_superstore_data_warehouse_spark.streaming.scd import (
-        OutOfOrderLoadError,
-        scd2_dim_stream,
-    )
-
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").limit(50)
-    mk = lambda seq, eff: cust.select(
+    return lambda seq, eff: cust.select(
         F.col("c_custkey").alias("k"),
         F.col("c_name").alias("name"),
         F.col("c_mktsegment").cast("string").alias("attr"),
         F.lit(seq).alias("load_seq"),
         F.lit(eff).alias("effective_date"),
     )
-    src = str(tmp_path / "loads_ooo")
-    dim = str(tmp_path / "dim_ooo")
-    # apply load 2 first...
+
+
+def test_streaming_scd2_rejects_skipped_loads(spark, sf_dir, tmp_path):
+    """A GAP in the load sequence must raise, not silently apply past
+    the missing load: delivering load 2 onto a fresh dim (the
+    sequencer issues 1-based contiguous seqs) skips load 1."""
+    from global_superstore_data_warehouse_spark.streaming.scd import (
+        OutOfOrderLoadError,
+        scd2_dim_stream,
+    )
+
+    mk = _scd2_loads_fixture(spark, sf_dir)
+    src = str(tmp_path / "loads_gap")
+    dim = str(tmp_path / "dim_gap")
     mk(2, "2024-06-15").coalesce(1).write.parquet(src)
-    scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_a"),
-                    keys=["k"], attrs=["name", "attr"])
-    # ...then load 1 arrives late: the stream must fail loudly
-    import time as _time
-
-    _time.sleep(1.1)
-    mk(1, "2024-01-01").coalesce(1).write.mode("append").parquet(src)
-    import pyspark.errors
-
-    with pytest.raises(
-        (OutOfOrderLoadError, pyspark.errors.exceptions.base.PySparkException,
-         Exception)
-    ) as exc_info:
-        scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_b"),
+    with pytest.raises(Exception) as exc_info:
+        scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_gap"),
                         keys=["k"], attrs=["name", "attr"])
     assert "load_seq" in str(exc_info.value) or "OutOfOrder" in str(
         type(exc_info.value).__name__
-    ) or "already applied" in str(exc_info.value)
+    ) or "skipped" in str(exc_info.value)
+
+
+def test_streaming_scd2_rejects_gap_within_batch(spark, sf_dir, tmp_path):
+    """Non-consecutive seqs inside ONE micro-batch (1 then 3) must
+    raise before anything past the gap is applied."""
+    from global_superstore_data_warehouse_spark.streaming.scd import scd2_dim_stream
+
+    mk = _scd2_loads_fixture(spark, sf_dir)
+    src = str(tmp_path / "loads_inbatch")
+    dim = str(tmp_path / "dim_inbatch")
+    mk(1, "2024-01-01").coalesce(1).write.parquet(src)
+    mk(3, "2024-06-15").coalesce(1).write.mode("append").parquet(src)
+    with pytest.raises(Exception) as exc_info:
+        # everything in one batch -> within-batch contiguity check
+        scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_inbatch"),
+                        keys=["k"], attrs=["name", "attr"],
+                        max_files_per_trigger=100)
+    assert "load_seq" in str(exc_info.value) or "OutOfOrder" in str(
+        type(exc_info.value).__name__
+    ) or "skipped" in str(exc_info.value)
+
+
+def test_streaming_scd2_replay_is_noop(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: redelivering an already-applied
+    load (crash-replay, duplicate staging) must be an idempotent
+    no-op — same chain, same watermark — not a wedge and not a
+    double-apply."""
+    import time as _time
+
+    from global_superstore_data_warehouse_spark.streaming.scd import scd2_dim_stream
+    from global_superstore_data_warehouse_spark.streaming.state import read_watermark
+
+    mk = _scd2_loads_fixture(spark, sf_dir)
+    src = str(tmp_path / "loads_replay")
+    dim = str(tmp_path / "dim_replay")
+    mk(1, "2024-01-01").coalesce(1).write.parquet(src)
+    _time.sleep(1.1)
+    mk(2, "2024-06-15").coalesce(1).write.mode("append").parquet(src)
+    scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_r1"),
+                    keys=["k"], attrs=["name", "attr"])
+    before = sorted(
+        map(tuple, spark.read.parquet(dim).drop("_applied_seq").collect())
+    )
+    assert read_watermark(spark, dim) == 2
+    # redeliver load 2 through a FRESH checkpoint (simulates replay
+    # after a crash that lost the checkpoint commit)
+    _time.sleep(1.1)
+    mk(2, "2024-06-15").coalesce(1).write.mode("append").parquet(src)
+    scd2_dim_stream(spark, src, dim, str(tmp_path / "ckpt_r2"),
+                    keys=["k"], attrs=["name", "attr"])
+    after = sorted(
+        map(tuple, spark.read.parquet(dim).drop("_applied_seq").collect())
+    )
+    assert after == before
+    assert read_watermark(spark, dim) == 2
