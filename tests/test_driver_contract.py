@@ -52,24 +52,34 @@ def test_correctness_window_is_the_intended_fifty():
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
-    # round-5 rotation targets must be inside the window...
+    # round-6 rotation targets must be inside the window...
     rotated_in = {
-        "jaccard_prefix_pairs", "sales_cube", "cdc_apply_orders",
-        "fuzzy_match_fastss", "kmeans_assign", "incremental_mv_refresh",
-        "scd2_snapshot_diff", "market_basket_pairs",
-        "copurchase_triangles", "nearest_purchase_to_error",
-        "decontaminate_bloom",
+        "part_skyline", "entity_resolution_customers",
+        "unigram_logprob_scores", "bigram_surprisal_scores",
+        "user_activity_coverage", "dedup_savings_report",
+        "cluster_balanced_sample", "copurchase_bfs_layers",
+        "daily_revenue_ewma", "benford_order_totals",
+        "market_budget_allocation", "split_near_dup_leakage",
+        "schema_evolution_union", "daily_user_sketch_rollup",
     }
     assert rotated_in <= set(window), sorted(rotated_in - set(window))
     # ...and the rotated-out entries must stay registered (pytest
     # parity retained) but outside it
     rotated_out = {
-        "dim_geography", "dm_scd2_propagation", "cohort_retention",
-        "events_sliding", "top_events_per_user", "event_transitions",
-        "chunk_overlap", "span_dup_stats", "cluster_representatives",
-        "sales_rollup", "decontaminate_ngrams",
+        "dim_date", "scd2_customers", "scd2_snapshot_diff",
+        "dedup_incremental", "ann_ivf_topk", "event_funnel",
+        "events_hourly_approx_users", "quality_filter",
+        "pii_pseudonymize_customers", "golden_record_customers",
+        "session_maintenance_overlap", "events_gapfill",
+        "semantic_dedup", "minhash_recall_eval",
     }
     all_names = set(registry.queries())
     assert rotated_out <= all_names - set(window), sorted(
         rotated_out & set(window)
     )
+    # exactly one rows-only (no-oracle) entry rides in the window
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as e
+
+    no_oracle = [n for n in window if n not in e.oracle_sql()]
+    assert no_oracle == ["daily_user_sketch_rollup"], no_oracle
