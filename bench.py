@@ -27,6 +27,21 @@ the total must stay apples-to-apples. Queries added to the bench
 later (iterative clustering, pandas-path transitions, ANN) are timed
 identically but reported under ``extra_queries`` and excluded from
 ``value``.
+
+HOST-SPEED CANARY: rounds 4-5 measured a compounding ~1.25x -> ~1.7x
+uniform slowdown on plan files untouched since round 1 — host decay,
+not regressions — so every bench now reports a ``canary`` object:
+a FROZEN single-thread pure-CPU loop and a FROZEN inline Spark
+aggregation (written here, never a registered plan, so no plan edit
+can touch it), each timed once per interleaved round (min + max
+reported, plus the 1-minute load average). Dividing the headline
+total by (canary.cpu_s / its round-6 reference, recorded in
+SCALE.md) separates plan regressions from machine drift. DO NOT EDIT
+the canary bodies — their whole value is being identical forever.
+
+``extra_passes`` annotates how many timing passes each extra query
+got (the budget gate can reduce late-alphabet extras to min-of-1 on
+a contended host; a min-of-1 delta is noise, not a regression).
 """
 
 from __future__ import annotations
@@ -123,9 +138,42 @@ EXTRA = [
     "copurchase_bfs_layers",
     "daily_revenue_ewma",
     "benford_order_totals",
+    # round-6 additions: exact integer allocation, the near-dup split
+    # leakage audit, and the schema-evolution fill-rate report
+    "market_budget_allocation",
+    "split_near_dup_leakage",
+    "schema_evolution_union",
 ]
 
 ROUNDS = 3
+
+
+def _cpu_canary_s() -> float:
+    """FROZEN single-thread CPU probe (~0.7 s on an idle core).
+    Allocation-free integer work; immune to Spark, disk, and plan
+    changes — only host speed and contention move it. DO NOT EDIT."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(8_000_000):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    return time.perf_counter() - t0
+
+
+def _spark_canary_s(spark) -> float:
+    """FROZEN inline Spark probe: one fixed aggregation over lineitem,
+    deliberately NOT a registered plan so no operator work can ever
+    change it. Times the scan+shuffle+agg machinery only. DO NOT
+    EDIT."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("s"), F.count(F.lit(1)).alias("n"))
+        .write.format("noop").mode("overwrite").save()
+    )
+    return time.perf_counter() - t0
 
 
 def _sf_from_dir(d: str) -> float:
@@ -168,7 +216,13 @@ def main() -> None:
     t_start = time.perf_counter()
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
+    extra_passes: dict[str, int] = {}
+    cpu_canaries: list[float] = []
+    spark_canaries: list[float] = []
     for rnd in range(ROUNDS):
+        # host-speed canary at the start of every interleaved round
+        cpu_canaries.append(_cpu_canary_s())
+        spark_canaries.append(_spark_canary_s(spark))
         # the frozen HEADLINE runs in every interleaved round
         # (per-query minima decorrelate the shared-VM noise); the
         # grown EXTRA set runs in the first and last rounds —
@@ -200,7 +254,13 @@ def main() -> None:
             el = time.perf_counter() - t0
             prev = sink.get(name)
             sink[name] = round(el if prev is None else min(prev, el), 3)
+            if sink is extra_timings:
+                extra_passes[name] = extra_passes.get(name, 0) + 1
 
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = -1.0
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -210,6 +270,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "extra_queries": extra_timings,
+                "extra_passes": extra_passes,
+                "canary": {
+                    "cpu_s": round(min(cpu_canaries), 3),
+                    "cpu_s_max": round(max(cpu_canaries), 3),
+                    "spark_probe_s": round(min(spark_canaries), 3),
+                    "spark_probe_s_max": round(max(spark_canaries), 3),
+                    "loadavg_1m": load1,
+                },
                 "sf": _sf_from_dir(SF_DIR),
             }
         )

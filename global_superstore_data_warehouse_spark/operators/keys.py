@@ -43,6 +43,31 @@ def add_surrogate_key(
     return df.withColumn(name, (F.row_number().over(w) + F.lit(offset)).cast("long"))
 
 
+def add_surrogate_key_auto(
+    df: DataFrame,
+    order_by: Sequence[str],
+    name: str = "sk",
+    offset: int = 0,
+    n_rows: int | None = None,
+    max_window_rows: int = 5_000_000,
+) -> DataFrame:
+    """Size-gated path choice, same philosophy as
+    ``operators/hints.maybe_broadcast``: the distributed path costs
+    3-4 fixed Spark jobs (range-sample, checkpoint, partition count)
+    that dominate when the input is dimension-sized, while the global
+    window costs a single-partition sort that only hurts past
+    millions of rows. Below the gate use the window; above it the
+    SAME call degrades to the distributed path — no code change when
+    the dimension outgrows the gate. Pass ``n_rows`` when known (a
+    parquet count() is metadata-only) to avoid an extra action. The
+    two paths are output-identical for unique keys (equivalence is
+    pinned in tests/test_warehouse.py)."""
+    n = df.count() if n_rows is None else n_rows
+    if n <= max_window_rows:
+        return add_surrogate_key(df, order_by, name=name, offset=offset)
+    return add_surrogate_key_distributed(df, order_by, name=name, offset=offset)
+
+
 def add_surrogate_key_distributed(
     df: DataFrame,
     order_by: Sequence[str],

@@ -6,8 +6,16 @@ bl_cl.sql:1147-1187).
 
 Join strategy at scale: lineitem ⋈ orders is the one unavoidable
 big-big shuffle (co-partition on orderkey); customer surrogate keys
-come from the *distributed* key path and join via shuffle (customer
-dims are large at 100 TB); supplier/part/market lookups broadcast.
+come from the size-gated key path (``add_surrogate_key_auto``:
+global window when the measured dimension is small, the distributed
+range-partition path past 5M rows), and the customer-lookup join
+rides the size-gated ``maybe_broadcast`` — the RDD-backed key frame
+has no Catalyst stats, so without the measured hint the planner
+falls back to a SortMergeJoin that re-shuffles every joined lineitem
+row on custkey (the single biggest exchange in the round-1..5 plan);
+below the gate the lookup broadcasts, above it (100 TB customer
+dims) the same code degrades to the shuffle join deliberately.
+Supplier/part/market lookups broadcast unconditionally (node-sized).
 Missing FKs resolve to the -1 default member (P7) so the fact never
 carries NULL keys.
 """
@@ -18,9 +26,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
 from global_superstore_data_warehouse_spark.operators.keys import (
     add_surrogate_key,
-    add_surrogate_key_distributed,
+    add_surrogate_key_auto,
 )
 
 
@@ -34,9 +43,13 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
 
     # Surrogate-key lookup tables (row_number by natural key — same
-    # ids the dim builders assign).
-    cust_sk = add_surrogate_key_distributed(
-        customer.select("c_custkey", "c_nationkey"), ["c_custkey"], name="fk_customer"
+    # ids the dim builders assign). The customer path is size-gated:
+    # window below 5M rows, the distributed range-partition path
+    # above (the parquet count is metadata-only).
+    n_customers = customer.count()
+    cust_sk = add_surrogate_key_auto(
+        customer.select("c_custkey", "c_nationkey"), ["c_custkey"],
+        name="fk_customer", n_rows=n_customers,
     )
     supp_sk = add_surrogate_key(
         supplier.select("s_suppkey"), ["s_suppkey"], name="fk_employee"
@@ -87,7 +100,14 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     fact = (
         lineitem.join(ord_keyed, lineitem.l_orderkey == ord_keyed.o_orderkey)
-        .join(cust_lookup, ord_keyed.o_custkey == cust_lookup.c_custkey, "left")
+        .join(
+            # cardinality is known without executing the key pipeline:
+            # the lookup is exactly one row per customer (left join to
+            # geo preserves)
+            maybe_broadcast(cust_lookup, n_rows=n_customers),
+            ord_keyed.o_custkey == cust_lookup.c_custkey,
+            "left",
+        )
         .join(F.broadcast(supp_sk), lineitem.l_suppkey == supp_sk.s_suppkey, "left")
         .join(F.broadcast(part_sk), lineitem.l_partkey == part_sk.p_partkey, "left")
         .select(

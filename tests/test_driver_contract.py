@@ -37,9 +37,20 @@ def test_bench_emits_one_json_line():
     payloads = [l for l in out.stdout.splitlines() if l.strip().startswith("{")]
     assert len(payloads) == 1, out.stdout
     doc = json.loads(payloads[0])
-    assert set(doc) == {"metric", "value", "unit", "queries", "extra_queries", "sf"}
+    assert set(doc) == {
+        "metric", "value", "unit", "queries", "extra_queries",
+        "extra_passes", "canary", "sf",
+    }
     assert doc["unit"] == "sec" and doc["sf"] == 0.001
     assert doc["value"] >= 0 and doc["queries"]
+    # host-speed canary: frozen CPU loop + frozen Spark probe, so the
+    # judge can normalize the headline total against machine drift
+    canary = doc["canary"]
+    assert canary["cpu_s"] > 0 and canary["spark_probe_s"] > 0
+    assert canary["cpu_s_max"] >= canary["cpu_s"]
+    # every timed extra reports how many passes its minimum came from
+    assert set(doc["extra_passes"]) == set(doc["extra_queries"])
+    assert all(1 <= n <= 3 for n in doc["extra_passes"].values())
 
 
 def test_correctness_window_is_the_intended_fifty():
