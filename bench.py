@@ -139,10 +139,12 @@ EXTRA = [
     "daily_revenue_ewma",
     "benford_order_totals",
     # round-6 additions: exact integer allocation, the near-dup split
-    # leakage audit, and the schema-evolution fill-rate report
+    # leakage audit, the schema-evolution fill-rate report, and the
+    # real-BMP-decode pandas path (Arrow round-trip cost visible)
     "market_budget_allocation",
     "split_near_dup_leakage",
     "schema_evolution_union",
+    "multimodal_decode_stats",
 ]
 
 ROUNDS = 3

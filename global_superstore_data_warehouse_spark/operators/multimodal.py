@@ -2,12 +2,20 @@
 as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` pipelines.
 
-The container has no image/audio codecs, so the actual decode step
-is STUBBED (``decode_image`` raises NotImplementedError); everything
-around it — schema, batch shape, partitioning, the pandas UDF
-signature, deterministic feature extraction on raw bytes — is real
-and tested. Swapping the stub for PIL/torchvision changes one
-function body, not the plumbing.
+The container has no image/audio codec LIBRARIES, so ``decode_image``
+vendors a pure-python/numpy decoder for the two headerwise-trivial
+uncompressed formats — BMP (24-bit, BI_RGB, bottom-up or top-down,
+4-byte row padding) and PPM (P6, maxval 255) — and raises
+NotImplementedError for everything else (JPEG/PNG/WEBP need real
+codecs; plug in PIL.Image.open and the plumbing is unchanged). The
+matching ``encode_bmp`` exists so ingest tests and the registered
+end-to-end decode query can build real container bytes. Decode
+correctness is pinned two ways: a golden hand-laid-out BMP byte
+string in tests (breaks encode/decode circularity) and the
+``multimodal_decode_stats`` driver query whose DuckDB oracle computes
+the expected per-image statistics ARITHMETICALLY from the generator
+parameters — a padding/stride/channel-order bug in the decoder shifts
+the means and fails the hash.
 
 Scale notes: blobs ride in parquet binary columns; mapInPandas
 processes Arrow record batches (`spark.sql.execution.arrow
@@ -47,12 +55,95 @@ def make_blob_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes) -> object:
-    """Real image decode — STUB. The plumbing around this function is
-    real; plug in PIL.Image.open(io.BytesIO(blob)) when codecs exist."""
+def encode_bmp(width: int, height: int, rgb) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (BITMAPINFOHEADER,
+    BI_RGB, bottom-up, rows padded to 4 bytes — the classic layout).
+    ``rgb`` is a (height, width, 3) uint8 array in top-down RGB."""
+    import numpy as np
+
+    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    stride = (width * 3 + 3) // 4 * 4
+    body = np.zeros((height, stride), dtype=np.uint8)
+    # bottom-up storage, BGR channel order (both are the BMP default)
+    body[:, : width * 3] = px[::-1, :, ::-1].reshape(height, width * 3)
+    data = body.tobytes()
+    size = 54 + len(data)
+    header = (
+        b"BM"
+        + size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")          # pixel data offset
+        + (40).to_bytes(4, "little")          # BITMAPINFOHEADER size
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)  # >0 => bottom-up
+        + (1).to_bytes(2, "little")           # planes
+        + (24).to_bytes(2, "little")          # bpp
+        + (0).to_bytes(4, "little")           # BI_RGB (uncompressed)
+        + len(data).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2    # 72 dpi
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + data
+
+
+def decode_image(blob: bytes):
+    """Decode a BMP (24-bit BI_RGB) or PPM (P6) container into a
+    (height, width, 3) uint8 RGB numpy array — a REAL pure-python
+    decode (header parse, stride/padding handling, channel-order and
+    scanline-direction normalization). Other formats raise
+    NotImplementedError: JPEG/PNG need codec libraries this container
+    lacks; swapping in PIL changes this function body only."""
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:2] == b"BM":
+        data_off = int.from_bytes(b[10:14], "little")
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        bpp = int.from_bytes(b[28:30], "little")
+        compression = int.from_bytes(b[30:34], "little")
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP supported (bpp={bpp}, "
+                f"compression={compression})"
+            )
+        top_down = h < 0
+        h = abs(h)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(
+            b, dtype=np.uint8, offset=data_off, count=stride * h
+        ).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+        if not top_down:
+            px = px[::-1]
+        return np.ascontiguousarray(px)
+    if b[:2] == b"P6":
+        # header: "P6" <ws> width <ws> height <ws> maxval <single ws>,
+        # with '#' comment lines allowed between tokens
+        pos, tokens = 2, []
+        while len(tokens) < 3:
+            while pos < len(b) and b[pos : pos + 1].isspace():
+                pos += 1
+            if b[pos : pos + 1] == b"#":
+                while pos < len(b) and b[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(b) and not b[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(b[start:pos]))
+        pos += 1  # exactly one whitespace byte after maxval
+        w, h, maxval = tokens
+        if maxval != 255:
+            raise NotImplementedError(f"P6 maxval {maxval} != 255")
+        return (
+            np.frombuffer(b, dtype=np.uint8, offset=pos, count=w * h * 3)
+            .reshape(h, w, 3)
+            .copy()
+        )
     raise NotImplementedError(
-        "image codecs are not available in this environment; "
-        "extract_blob_features uses raw-byte features instead"
+        "only BMP (24-bit) and PPM (P6) decode in this environment; "
+        "JPEG/PNG/WEBP need codec libraries — plug in PIL here"
     )
 
 

@@ -15,6 +15,83 @@ from global_superstore_data_warehouse_spark.operators.multimodal import (
     sample_frames,
 )
 
+DECODE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "mean_r int, mean_g int, mean_b int"
+)
+
+
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL IMAGE DECODE: build genuine 24-bit BMP
+    container bytes per document (deterministic per-channel fill,
+    widths 3..9 so most rows carry 1-3 padding bytes), then decode
+    them with the vendored pure-python BMP parser and report
+    per-image pixel statistics — all inside one Arrow-batched
+    mapInPandas stage, zero shuffle, partition-parallel.
+
+    The oracle never sees the bytes: it computes the SAME statistics
+    arithmetically from the generator parameters (constant channel
+    fills r=doc_id%256 etc.), so any decoder defect — stride/padding
+    mishandling (zero padding bytes would drag a mean down),
+    BGR/RGB swap (r and b means cross), scanline-direction or header
+    offset errors — breaks the value hash. Encode and decode are
+    additionally de-circularized by a golden hand-laid-out BMP byte
+    test in tests/test_multimodal.py."""
+    import pandas as pd  # noqa: F401 (mapInPandas batch type)
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def decode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from global_superstore_data_warehouse_spark.operators.multimodal import (
+            decode_image,
+            encode_bmp,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "n_pixels",
+                "mean_r", "mean_g", "mean_b",
+            )}
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = int(n_chars) % 7 + 3   # 3..9: strides mostly padded
+                h = int(n_chars) % 5 + 2   # 2..6
+                fill = (
+                    int(doc_id) % 256,
+                    (int(doc_id) * 7 + 13) % 256,
+                    (int(doc_id) * 31 + 5) % 256,
+                )
+                px = _np.empty((h, w, 3), dtype=_np.uint8)
+                px[:, :, 0], px[:, :, 1], px[:, :, 2] = fill
+                decoded = decode_image(encode_bmp(w, h, px))
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(decoded.shape[1])
+                out["height"].append(decoded.shape[0])
+                out["n_pixels"].append(decoded.shape[0] * decoded.shape[1])
+                means = decoded.reshape(-1, 3).mean(axis=0)
+                out["mean_r"].append(int(round(means[0])))
+                out["mean_g"].append(int(round(means[1])))
+                out["mean_b"].append(int(round(means[2])))
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(decode_batches, DECODE_STATS_SCHEMA)
+
+
+# the oracle derives every statistic arithmetically from the
+# generator parameters — independent of the container bytes
+MULTIMODAL_DECODE_STATS_ORACLE = """
+    SELECT doc_id,
+           CAST(n_chars % 7 + 3 AS INTEGER) AS width,
+           CAST(n_chars % 5 + 2 AS INTEGER) AS height,
+           CAST((n_chars % 7 + 3) * (n_chars % 5 + 2) AS BIGINT) AS n_pixels,
+           CAST(doc_id % 256 AS INTEGER) AS mean_r,
+           CAST((doc_id * 7 + 13) % 256 AS INTEGER) AS mean_g,
+           CAST((doc_id * 31 + 5) % 256 AS INTEGER) AS mean_b
+    FROM documents
+"""
+
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")

@@ -415,6 +415,14 @@ register("events_hourly", events.events_hourly, events.EVENTS_HOURLY_ORACLE)
 # multimodal_resize: same mapInPandas batch plumbing as the in-window
 # multimodal_features / multimodal_frame_sample pair.
 register("multimodal_resize", multimodal.multimodal_resize, multimodal.MULTIMODAL_RESIZE_ORACLE)
+# NEW round 6: end-to-end REAL image decode (vendored pure-python
+# 24-bit BMP parser; arithmetic oracle never sees the bytes) —
+# round-7 rotation queue, novel shape
+register(
+    "multimodal_decode_stats",
+    multimodal.multimodal_decode_stats,
+    multimodal.MULTIMODAL_DECODE_STATS_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

@@ -28,7 +28,7 @@ def test_any_attr_changed_condition_is_null_safe():
     )
 
 
-@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed: sandbox has no network (pip DNS fails) and pyspark 4.1.2 ships no delta jars — see README capability matrix")
 def test_scd2_delta_merge_equals_full_rewrite(spark, sf_dir, tmp_path):
     """With Delta present, the MERGE path must produce exactly the
     full-rewrite scd2_merge state for the shared customer scenario."""
@@ -57,7 +57,7 @@ def test_scd2_delta_merge_equals_full_rewrite(spark, sf_dir, tmp_path):
     assert want.select(*cols).exceptAll(got.select(*cols)).count() == 0
 
 
-@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed")
+@pytest.mark.skipif(not delta_available(), reason="delta-spark not installed: sandbox has no network (pip DNS fails) and pyspark 4.1.2 ships no delta jars — see README capability matrix")
 def test_scd1_delta_upsert_matches_full_rewrite(spark, sf_dir, tmp_path):
     from global_superstore_data_warehouse_spark.catalog import load
     from global_superstore_data_warehouse_spark.operators.merge import scd1_upsert

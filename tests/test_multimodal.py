@@ -30,3 +30,81 @@ def test_decode_stub_raises(spark):
 @pytest.mark.parametrize("name", ["multimodal_resize", "multimodal_frame_sample"])
 def test_multimodal_extra_matches_oracle(spark, duck, sf_dir, name):
     assert_matches_oracle(spark, duck, name, sf_dir)
+
+
+def test_decode_stub_still_raises_for_real_codecs():
+    """JPEG/PNG remain honestly unimplemented (no codec libs)."""
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+
+
+def test_bmp_decode_golden_bytes():
+    """Hand-laid-out 24-bit BMP (2x2, bottom-up, 2 padding bytes per
+    row) — written byte-by-byte, NOT via encode_bmp, so the decoder
+    is proven against the format spec rather than its own inverse.
+
+    Image (top-down RGB): [[red, green], [blue, white]]."""
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def le(n, k):
+        return n.to_bytes(k, "little")
+
+    # rows stored bottom-up, BGR, stride = 8 (2*3 -> pad to 8)
+    row_bottom = bytes([255, 0, 0,   255, 255, 255]) + b"\x00\x00"  # blue, white
+    row_top = bytes([0, 0, 255,   0, 255, 0]) + b"\x00\x00"         # red, green
+    data = row_bottom + row_top
+    blob = (
+        b"BM" + le(54 + len(data), 4) + b"\x00\x00\x00\x00" + le(54, 4)
+        + le(40, 4) + le(2, 4) + le(2, 4) + le(1, 2) + le(24, 2)
+        + le(0, 4) + le(len(data), 4) + le(2835, 4) * 2 + le(0, 4) * 2
+        + data
+    )
+    px = decode_image(blob)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert px.shape == (2, 2, 3)
+    assert (px == want).all()
+
+
+def test_bmp_roundtrip_with_padding():
+    """encode -> decode is the identity for every width in 1..9 (row
+    strides exercise 0-3 padding bytes) on a deterministic gradient."""
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
+
+    for w in range(1, 10):
+        for h in (1, 2, 5):
+            grad = (
+                (np.arange(h * w * 3) * 7 + w * 13 + h) % 256
+            ).astype(np.uint8).reshape(h, w, 3)
+            assert (decode_image(encode_bmp(w, h, grad)) == grad).all(), (w, h)
+
+
+def test_ppm_p6_decode():
+    """P6 with a comment line and non-trivial dimensions."""
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    w, h = 3, 2
+    body = bytes(range(w * h * 3))
+    blob = b"P6\n# a comment\n3 2\n255\n" + body
+    px = decode_image(blob)
+    assert px.shape == (h, w, 3)
+    assert (px.reshape(-1) == np.frombuffer(body, dtype=np.uint8)).all()
+
+
+def test_multimodal_decode_stats_matches_oracle(spark, duck, sf_dir):
+    """The end-to-end encode->REAL-decode->stats query against the
+    arithmetic oracle (which never sees the container bytes)."""
+    assert_matches_oracle(spark, duck, "multimodal_decode_stats", sf_dir)
