@@ -423,6 +423,14 @@ register(
     multimodal.multimodal_decode_stats,
     multimodal.MULTIMODAL_DECODE_STATS_ORACLE,
 )
+# NEW round 6: parameterized secured view (the BI slicer/drill-through
+# analogue; slicer + RLS predicates plan-asserted into PushedFilters)
+# — round-7 rotation queue, novel shape
+register(
+    "secured_orders_slice",
+    security.secured_orders_slice,
+    security.SECURED_ORDERS_SLICE_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

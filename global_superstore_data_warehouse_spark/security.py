@@ -134,6 +134,56 @@ class GrantMatrix:
         return df.select(*cols)
 
 
+    def slicer_load(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        role: str,
+        table: str,
+        slicers: Mapping[str, object],
+    ) -> DataFrame:
+        """Parameterized SELECT through the secured view — the BI
+        slicer / drill-through analogue (the reference ships a Power
+        BI layer whose slicers become WHERE clauses on its views).
+
+        ``slicers`` maps VIEW OUTPUT columns to a filter spec:
+        a scalar (equality), a list/tuple/set of scalars (IN), or a
+        2-tuple ``(lo, hi)`` of strings/numbers (inclusive BETWEEN).
+        Slicing any column the policy does not expose raises
+        ``PermissionDenied`` — a slicer must not become a side
+        channel onto masked or hidden data.
+
+        Scale shape: slicer predicates are ordinary Catalyst filters
+        over the view projection. For passthrough columns they land
+        in the parquet scan's PushedFilters alongside the row-level
+        security predicate (asserted in tests/test_security.py), so
+        a sliced secured view prunes row groups exactly like a plain
+        filtered scan; for masked/derived columns they filter on the
+        derived expression — correct, just not scan-pruned.
+        """
+        df = self.secured_load(spark, sf_dir, role, table)
+        pol = self.policies.get((role, table))
+        visible = (
+            set(df.columns)
+            if pol is None
+            else {c if isinstance(c, str) else c[0] for c in pol.columns}
+        )
+        for col, spec in slicers.items():
+            if col not in visible:
+                raise PermissionDenied(
+                    f"role {role!r} cannot slice {table!r} on {col!r}: "
+                    f"not exposed by its secured view"
+                )
+            if isinstance(spec, tuple) and len(spec) == 2:
+                lo, hi = spec
+                df = df.filter(F.col(col).between(F.lit(lo), F.lit(hi)))
+            elif isinstance(spec, (list, set, frozenset)):
+                df = df.filter(F.col(col).isin(*sorted(map(str, spec))))
+            else:
+                df = df.filter(F.col(col) == F.lit(spec))
+        return df
+
+
 def keyed_mask(col: str, mask_key: str = MASK_PEPPER) -> Column:
     """Deterministic keyed mask: md5(key || value). Irreversible
     without the key, stable across runs, join-preserving. The key
@@ -187,6 +237,26 @@ def reference_matrix(mask_key: str = MASK_PEPPER) -> GrantMatrix:
             row_filter=lambda: F.col("c_mktsegment").isin(*ANALYST_SEGMENTS),
         ),
     )
+    # analyst also reads orders through a secured view (the BI layer's
+    # fact page): comment hidden, totals banded, pending orders
+    # filtered out by RLS; o_custkey passes through so the view stays
+    # joinable to the secured customer view
+    m.grant(
+        "analyst",
+        "orders",
+        "select",
+        ViewPolicy(
+            columns=(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderdate",
+                "o_orderpriority",
+                "o_orderstatus",
+                ("total_band", lambda: band("o_totalprice", ANALYST_BAND)),
+            ),
+            row_filter=lambda: F.col("o_orderstatus").isin("O", "F"),
+        ),
+    )
     return m
 
 
@@ -208,6 +278,61 @@ SECURED_CUSTOMERS_ANALYST_ORACLE = f"""
            CAST(FLOOR(c_acctbal / {ANALYST_BAND}) AS INTEGER) AS acctbal_band
     FROM customer
     WHERE c_mktsegment IN ({_SEGS})
+"""
+
+
+# --- parameterized secured view (BI slicer analogue) -----------------
+
+SLICE_YEAR = ("1995-01-01", "1995-12-31")
+SLICE_PRIORITIES = ["1-URGENT", "2-HIGH"]
+
+
+def secured_orders_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Power BI drill-through page as a plan: the analyst role's
+    secured orders view, sliced by the year + priority parameters a
+    report page would bind, aggregated to the monthly trend the
+    reference's BI layer charts (Final Task docx §Benefits: demand
+    over time by priority). The slicer values here are the fixed
+    driver bindings; callers pass any others through ``slicer_load``.
+
+    Plan shape (asserted in tests/test_security.py): both slicer
+    predicates AND the policy's RLS predicate reach the parquet
+    scan's PushedFilters — parameterized security costs nothing at
+    100 TB; the banded measure is one codegen'd expression."""
+    df = reference_matrix().slicer_load(
+        spark,
+        sf_dir,
+        "analyst",
+        "orders",
+        {"o_orderdate": SLICE_YEAR, "o_orderpriority": SLICE_PRIORITIES},
+    )
+    return (
+        df.groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.col("o_orderpriority"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("total_band").alias("sum_total_band"),
+        )
+        .orderBy("order_month", "o_orderpriority")
+    )
+
+
+_SLICE_PRIOS = ", ".join(f"'{p}'" for p in SLICE_PRIORITIES)
+
+SECURED_ORDERS_SLICE_ORACLE = f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice / {ANALYST_BAND}) AS INTEGER)) AS BIGINT)
+               AS sum_total_band
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_orderdate BETWEEN DATE '{SLICE_YEAR[0]}' AND DATE '{SLICE_YEAR[1]}'
+      AND o_orderpriority IN ({_SLICE_PRIOS})
+    GROUP BY 1, 2
+    ORDER BY 1, 2
 """
 
 

@@ -20,9 +20,10 @@ def test_grant_matrix_denies_ungranted(spark, sf_dir):
     from global_superstore_data_warehouse_spark.security import PermissionDenied
 
     m = _matrix()
-    # analyst holds SELECT on customer only
+    # analyst reads customer + orders (both through secured views)
+    # and nothing else
     with pytest.raises(PermissionDenied):
-        m.secured_load(spark, sf_dir, "analyst", "orders")
+        m.secured_load(spark, sf_dir, "analyst", "lineitem")
     # source agents are confined to their own staging tables
     # (consumer.sql:91-92 / corporate.sql:93-94 grant per-schema)
     with pytest.raises(PermissionDenied):
@@ -182,3 +183,61 @@ def test_pii_pepper_is_injectable(spark, sf_dir):
     j = d.join(r, "c_custkey")
     assert j.count() > 0
     assert j.filter(F.col("t1") == F.col("t2")).count() == 0
+
+
+def test_secured_orders_slice_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "secured_orders_slice", sf_dir)
+
+
+def test_slicer_predicates_push_into_scan(spark, sf_dir):
+    """Both slicer params AND the policy's RLS predicate must reach
+    the parquet scan's PushedFilters — a sliced secured view prunes
+    row groups like any plain filtered scan."""
+    import io
+    from contextlib import redirect_stdout
+
+    from global_superstore_data_warehouse_spark.security import (
+        secured_orders_slice,
+    )
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        secured_orders_slice(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed, plan
+    line = " ".join(pushed)
+    for col in ("o_orderdate", "o_orderpriority", "o_orderstatus"):
+        assert col in line, (col, line)
+
+
+def test_slicer_on_hidden_column_denied(spark, sf_dir):
+    """A slicer must not become a side channel onto columns the
+    policy hides (o_comment) or masks away (customer c_name)."""
+    import pytest as _pytest
+
+    from global_superstore_data_warehouse_spark.security import (
+        PermissionDenied,
+        reference_matrix,
+    )
+
+    m = reference_matrix()
+    with _pytest.raises(PermissionDenied):
+        m.slicer_load(spark, sf_dir, "analyst", "orders", {"o_comment": "x"})
+    with _pytest.raises(PermissionDenied):
+        m.slicer_load(spark, sf_dir, "analyst", "customer", {"c_name": "x"})
+
+
+def test_slicer_respects_grants(spark, sf_dir):
+    """No grant, no slice: analyst has no lineitem privilege at all."""
+    import pytest as _pytest
+
+    from global_superstore_data_warehouse_spark.security import (
+        PermissionDenied,
+        reference_matrix,
+    )
+
+    with _pytest.raises(PermissionDenied):
+        reference_matrix().slicer_load(
+            spark, sf_dir, "analyst", "lineitem", {"l_orderkey": 1}
+        )
