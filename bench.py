@@ -145,6 +145,9 @@ EXTRA = [
     "split_near_dup_leakage",
     "schema_evolution_union",
     "multimodal_decode_stats",
+    # banded Hamming near-dup + C4 boilerplate strip-and-rebuild
+    "simhash_near_dup_pairs",
+    "boilerplate_strip",
 ]
 
 ROUNDS = 3

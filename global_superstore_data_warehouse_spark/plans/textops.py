@@ -1914,3 +1914,209 @@ BIGRAM_SURPRISAL_SCORES_ORACLE = """
     JOIN cnt1 USING (w1)
     GROUP BY b.doc_id
 """
+
+
+# --- SimHash Hamming-ball near-dup join (bit-band LSH) ---------------
+
+SIMHASH_ND_BITS = 32
+SIMHASH_ND_BANDS = 4
+SIMHASH_ND_MAX_HAMMING = 3  # pigeonhole: <= bands - 1 => recall 1.0
+
+
+def _simhash32(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc (per-token 32-bit md5 prefix; each bit
+    accumulates +1/-1 over distinct tokens; sign vector = hash).
+    Explode + conditional sums — one shuffle on doc_id, codegen'd."""
+    exploded = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens("text"))).alias("w")
+    ).withColumn(
+        "v", F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("v"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_ND_BITS)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*sums)
+    sim = None
+    for b in range(SIMHASH_ND_BITS):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.cast("long").alias("sim"))
+
+
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-ball near-dup pairs via bit-band LSH (the
+    Google/Manku-Jain-Sarma simhash dedup shape): split each 32-bit
+    SimHash into 4 contiguous 8-bit bands; by pigeonhole any pair
+    within Hamming distance 3 agrees on at least ONE whole band, so
+    a (band_idx, band_value) equi-self-join reaches RECALL 1.0
+    without any all-pairs scan — the oracle IS the brute-force
+    O(n^2) Hamming join, so hash-parity proves the recall claim,
+    not just plausibility.
+
+    Scale shape: candidate generation is an equi-join on the band
+    key carrying only (doc_id, sim) — 16 bytes/row; expected bucket
+    width is n/2^band_bits. Production scales the constants, not the
+    plan: a 64-bit simhash with 16-bit bands (buckets ~n/65536,
+    still Hamming <= 3) is the same code with SIMHASH_ND_BITS = 64 /
+    8 hex chars -> 16 — held at 32 bits here so the DuckDB oracle's
+    band arithmetic stays inside BIGINT without edge-casing the sign
+    bit. Hot band values (boilerplate-heavy corpora) would ride the
+    same class-collapse used by minhash_lsh_candidates."""
+    docs = load(spark, sf_dir, "documents")
+    sims = _simhash32(docs).localCheckpoint(eager=True)
+    band_bits = SIMHASH_ND_BITS // SIMHASH_ND_BANDS
+    mask = (1 << band_bits) - 1
+    banded = sims.select(
+        "doc_id",
+        "sim",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sim"), b * band_bits).bitwiseAND(mask)
+                    for b in range(SIMHASH_ND_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sim").alias("sim_a"),
+        "band_idx", "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sim").alias("sim_b"),
+        "band_idx", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()  # a pair may collide on several bands
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.filter(ham <= SIMHASH_ND_MAX_HAMMING).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )
+
+
+def _simhash32_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_ND_BITS)
+    )
+    combine = " + ".join(
+        f"CASE WHEN s{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_ND_BITS)
+    )
+    return f"""
+    WITH e AS (
+        SELECT doc_id, ('0x' || substr(md5(w.w), 1, 8))::BIGINT AS v
+        FROM documents, unnest({TOKS_SQL}) AS w(w)
+    ), s AS (
+        SELECT doc_id, {sums} FROM e GROUP BY doc_id
+    ), sim AS (
+        SELECT doc_id, CAST({combine} AS BIGINT) AS sim FROM s
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {SIMHASH_ND_MAX_HAMMING}
+    """
+
+
+# brute-force all-pairs Hamming join: O(n^2) lives ONLY in the oracle;
+# hash-equality against the banded plan proves recall 1.0
+SIMHASH_NEAR_DUP_PAIRS_ORACLE = _simhash32_sql()
+
+
+# --- C4-style boilerplate strip (corpus-repeated span removal) -------
+
+BOILER_CHUNK_TOKENS = 10
+BOILER_MIN_REPEATS = 3  # C4's "line seen >= 3 times" rule
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate removal, C4-style: any 10-token chunk
+    occurring >= 3 times ACROSS the corpus (nav bars, license
+    footers, cookie banners in a real crawl) is stripped from every
+    document, and the cleaned text is RECONSTRUCTED in original
+    chunk order — the transform itself, not just a report.
+
+    Scale shape: one corpus-wide chunk count (the only full shuffle),
+    then the boiler set — corpus-RARE by definition (only chunks
+    repeated >= 3x) — is checkpointed and rides the size-gated
+    ``maybe_broadcast`` into a left join that flags chunks without
+    moving them; the per-doc regroup aggregates doc-sized rows. The
+    rebuild (when-filter -> collect_list(struct) -> array_sort ->
+    transform -> concat_ws) is entirely codegen'd JVM expressions."""
+    K, R = BOILER_CHUNK_TOKENS, BOILER_MIN_REPEATS
+    docs = load(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    n_chunks = F.greatest(
+        F.ceil(F.size(toks) / F.lit(K)).cast("int"), F.lit(1)
+    )
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i * K + 1, K)),
+            )
+        ).alias("i", "chunk"),
+    )
+    boiler = (
+        chunked.groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= R)
+        .select("chunk", F.lit(True).alias("is_boiler"))
+        .localCheckpoint(eager=True)  # pins the count for the gate
+    )
+    flagged = chunked.join(maybe_broadcast(boiler), "chunk", "left")
+    kept_struct = F.when(
+        F.col("is_boiler").isNull(), F.struct(F.col("i"), F.col("chunk"))
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0)).cast("int").alias(
+            "n_boiler"
+        ),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("chunk"),
+            ),
+        ).alias("clean_text"),
+    )
+
+
+BOILERPLATE_STRIP_ORACLE = f"""
+    WITH toksrc AS (
+        SELECT doc_id, {ALL_TOKS_SQL} AS l FROM documents
+    ), chunks AS (
+        SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+               array_to_string(
+                   list_slice(l, CAST(t.i * {BOILER_CHUNK_TOKENS} + 1 AS BIGINT),
+                              CAST(t.i * {BOILER_CHUNK_TOKENS}
+                                   + {BOILER_CHUNK_TOKENS} AS BIGINT)), ' ')
+                   AS chunk
+        FROM toksrc,
+             LATERAL (SELECT unnest(range(0, greatest(
+                 CAST(ceil(len(l) / {BOILER_CHUNK_TOKENS}.0) AS BIGINT), 1)))
+                 AS i) t
+    ), boiler AS (
+        SELECT chunk FROM chunks GROUP BY chunk
+        HAVING COUNT(*) >= {BOILER_MIN_REPEATS}
+    ), flagged AS (
+        SELECT c.doc_id, c.i, c.chunk, b.chunk IS NOT NULL AS is_b
+        FROM chunks c LEFT JOIN boiler b USING (chunk)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS INTEGER) AS n_boiler,
+           COALESCE(string_agg(CASE WHEN NOT is_b THEN chunk END, ' '
+                               ORDER BY i), '') AS clean_text
+    FROM flagged GROUP BY doc_id
+"""

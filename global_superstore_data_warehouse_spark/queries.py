@@ -431,6 +431,21 @@ register(
     security.secured_orders_slice,
     security.SECURED_ORDERS_SLICE_ORACLE,
 )
+# NEW round 6: Hamming-ball near-dup via simhash bit-band LSH — the
+# O(n^2) Hamming join lives ONLY in the oracle, so hash parity proves
+# the banded plan's recall-1.0 pigeonhole claim. Round-7 queue.
+register(
+    "simhash_near_dup_pairs",
+    textops.simhash_near_dup_pairs,
+    textops.SIMHASH_NEAR_DUP_PAIRS_ORACLE,
+)
+# NEW round 6: C4-style corpus-repeated-span removal WITH cleaned-text
+# reconstruction (the transform, not just the report). Round-7 queue.
+register(
+    "boilerplate_strip",
+    textops.boilerplate_strip,
+    textops.BOILERPLATE_STRIP_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

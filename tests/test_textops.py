@@ -131,3 +131,70 @@ def test_dedup_normalized_coarsens_exact_groups(spark, duck, sf_dir):
         df.select(F.md5(norm).alias("h"), "doc_id").groupBy("h").count().collect()
     )
     assert sorted(r["count"] for r in groups) == [1, 2]
+
+
+def test_simhash_near_dup_pairs_matches_bruteforce_oracle(spark, duck, sf_dir):
+    """Hash parity against the O(n^2) Hamming join PROVES the banded
+    plan's recall-1.0 pigeonhole claim (4 bands, Hamming <= 3)."""
+    assert_matches_oracle(spark, duck, "simhash_near_dup_pairs", sf_dir)
+
+
+def test_simhash_near_dup_pairs_plan_is_banded(spark, sf_dir):
+    """No all-pairs scan: the candidate join must be an equi-join on
+    the band key, never a cartesian/BNLJ."""
+    import io
+    from contextlib import redirect_stdout
+
+    from global_superstore_data_warehouse_spark import registry
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        registry.queries()["simhash_near_dup_pairs"](spark, sf_dir).explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_strip_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "boilerplate_strip", sf_dir)
+
+
+def test_boilerplate_strip_reconstruction_properties(spark, sf_dir):
+    """Reconstruction invariants: clean docs (n_boiler = 0) rebuild
+    their original text verbatim; stripped docs lose exactly their
+    boiler chunks' tokens; chunk order is preserved."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        BOILER_CHUNK_TOKENS,
+        boilerplate_strip,
+    )
+
+    out = boilerplate_strip(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.trim("text"), r"\s+", " ").alias("orig")
+    )
+    j = out.join(docs, "doc_id").localCheckpoint(eager=True)
+    try:
+        # untouched docs round-trip exactly
+        clean = j.filter(F.col("n_boiler") == 0)
+        assert clean.count() > 0
+        assert clean.filter(F.col("clean_text") != F.col("orig")).count() == 0
+        # stripped docs: clean_text is shorter and chunk-order-stable
+        # (every kept token sequence appears in the original in order)
+        stripped = j.filter(F.col("n_boiler") > 0)
+        assert stripped.count() > 0
+        assert stripped.filter(
+            F.length("clean_text") >= F.length("orig")
+        ).count() == 0
+        # token accounting: kept chunks x chunk size bounds the length
+        bad = stripped.filter(
+            F.size(F.split("clean_text", " "))
+            > (F.col("n_chunks") - F.col("n_boiler")) * BOILER_CHUNK_TOKENS
+        )
+        assert bad.count() == 0
+    finally:
+        j.unpersist()
