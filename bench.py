@@ -145,9 +145,11 @@ EXTRA = [
     "split_near_dup_leakage",
     "schema_evolution_union",
     "multimodal_decode_stats",
-    # banded Hamming near-dup + C4 boilerplate strip-and-rebuild
+    # banded Hamming near-dup + C4 boilerplate strip-and-rebuild +
+    # rolling-window exact-substring span dedup
     "simhash_near_dup_pairs",
     "boilerplate_strip",
+    "duplicate_span_islands",
 ]
 
 ROUNDS = 3

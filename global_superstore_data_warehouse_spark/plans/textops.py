@@ -18,6 +18,9 @@ from global_superstore_data_warehouse_spark.catalog import load
 from global_superstore_data_warehouse_spark.functions import text as T
 from global_superstore_data_warehouse_spark.operators.dedup import dedup_exact
 from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+from global_superstore_data_warehouse_spark.operators.intervals import (
+    interval_union_islands,
+)
 
 TOKS_SQL = "list_distinct(string_split_regex(trim(text), '\\s+'))"
 ALL_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
@@ -2119,4 +2122,105 @@ BOILERPLATE_STRIP_ORACLE = f"""
            COALESCE(string_agg(CASE WHEN NOT is_b THEN chunk END, ' '
                                ORDER BY i), '') AS clean_text
     FROM flagged GROUP BY doc_id
+"""
+
+
+# --- maximal duplicated-span islands (exact-substring dedup) ---------
+
+DUPSPAN_W = 15  # rolling-window width in tokens
+
+
+def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate detection at ANY alignment (the
+    Lee et al. "Deduplicating Training Data Makes Language Models
+    Better" operator, window-granular): hash every ROLLING
+    ``DUPSPAN_W``-token window (stride 1), keep windows whose hash
+    occurs in >= 2 distinct documents, and merge each document's
+    overlapping duplicated windows into MAXIMAL spans with the
+    generic sweep-line ``interval_union_islands`` — the removal
+    ledger an exact-substring dedup pass cuts by. Unlike
+    ``span_dup_stats`` (block-aligned non-overlapping spans), a
+    duplicated substring is caught wherever it starts.
+
+    Scale shape: rolling windows cost one row per corpus token —
+    that IS the honest cost of exact-substring dedup (suffix-array
+    builds pay the same token-linear blowup); rows are narrow
+    (doc_id, pos, 16-byte hash). Two uniform-key shuffles (hash
+    count, hash join-back) + the per-doc island window reusing one
+    doc_id exchange. Docs shorter than one window cannot contain a
+    duplicated span and are filtered before the explode."""
+    W = DUPSPAN_W
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", T.tokens("text").alias("toks")).filter(
+        F.size("toks") >= W
+    )
+    win = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - W),
+        lambda i: F.struct(
+            i.cast("int").alias("s"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, W))).alias("h"),
+        ),
+    )
+    pos = tok.select("doc_id", F.explode(win).alias("w")).select(
+        "doc_id", F.col("w.s").alias("s"), (F.col("w.s") + W).alias("e"),
+        F.col("w.h").alias("h"),
+    )
+    heavy = (
+        pos.select("doc_id", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    dup = pos.join(heavy, "h").select("doc_id", "s", "e")
+    islands = interval_union_islands(dup, ["doc_id"], "s", "e")
+    return islands.select(
+        "doc_id",
+        F.col("island").cast("long").alias("island"),
+        F.col("n_intervals").cast("long").alias("n_windows"),
+        F.col("i_start").alias("span_start"),
+        F.col("i_end").alias("span_end"),
+        (F.col("i_end") - F.col("i_start")).alias("span_tokens"),
+    )
+
+
+DUPLICATE_SPAN_ISLANDS_ORACLE = f"""
+    WITH toksrc AS (
+        SELECT doc_id, {ALL_TOKS_SQL} AS l FROM documents
+    ), w AS (
+        SELECT doc_id,
+               CAST(t.i AS INTEGER) AS s,
+               CAST(t.i + {DUPSPAN_W} AS INTEGER) AS e,
+               md5(array_to_string(
+                   list_slice(l, CAST(t.i + 1 AS BIGINT),
+                              CAST(t.i + {DUPSPAN_W} AS BIGINT)), ' ')) AS h
+        FROM toksrc,
+             LATERAL (SELECT unnest(range(0,
+                 greatest(len(l) - {DUPSPAN_W} + 1, 0))) AS i) t
+    ), heavy AS (
+        SELECT h FROM (SELECT DISTINCT doc_id, h FROM w)
+        GROUP BY h HAVING COUNT(*) >= 2
+    ), dup AS (
+        SELECT w.doc_id, w.s, w.e FROM w JOIN heavy USING (h)
+    ), flagged AS (
+        SELECT doc_id, s, e,
+               CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                    OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS f
+        FROM dup
+    ), isl AS (
+        SELECT doc_id, s, e,
+               SUM(f) OVER (PARTITION BY doc_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM flagged
+    )
+    SELECT doc_id,
+           CAST(island AS BIGINT) AS island,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           MIN(s) AS span_start,
+           MAX(e) AS span_end,
+           MAX(e) - MIN(s) AS span_tokens
+    FROM isl GROUP BY doc_id, island
 """

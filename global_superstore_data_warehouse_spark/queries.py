@@ -446,6 +446,14 @@ register(
     textops.boilerplate_strip,
     textops.BOILERPLATE_STRIP_ORACLE,
 )
+# NEW round 6: exact-substring dedup at any alignment (Lee et al.):
+# rolling-window hashes -> cross-doc heavy set -> maximal spans via
+# the generic interval-union sweep-line. Round-7 queue.
+register(
+    "duplicate_span_islands",
+    textops.duplicate_span_islands,
+    textops.DUPLICATE_SPAN_ISLANDS_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

@@ -198,3 +198,44 @@ def test_boilerplate_strip_reconstruction_properties(spark, sf_dir):
         assert bad.count() == 0
     finally:
         j.unpersist()
+
+
+def test_duplicate_span_islands_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "duplicate_span_islands", sf_dir)
+
+
+def test_duplicate_span_islands_recovers_planted_span(spark, tmp_path):
+    """Plant one 20-token substring in two documents at DIFFERENT
+    offsets; the maximal island must cover exactly the planted span
+    in each doc — the any-alignment property block-aligned span
+    dedup cannot give."""
+    from pyspark.sql import Row
+
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        DUPSPAN_W,
+        duplicate_span_islands,
+    )
+
+    shared = " ".join(f"dup{i}" for i in range(20))  # 20 tokens
+    d0_prefix = " ".join(f"alpha{i}" for i in range(7))   # offset 7
+    d0 = f"{d0_prefix} {shared} omega0 omega1"
+    d1_prefix = " ".join(f"beta{i}" for i in range(3))    # offset 3
+    d1 = f"{d1_prefix} {shared} gamma0"
+    rows = [
+        Row(doc_id=0, text=d0, lang="en", source="t", n_chars=len(d0)),
+        Row(doc_id=1, text=d1, lang="en", source="t", n_chars=len(d1)),
+    ]
+    src = str(tmp_path)
+    spark.createDataFrame(rows).write.parquet(f"{src}/documents.parquet")
+
+    out = {
+        r["doc_id"]: r
+        for r in duplicate_span_islands(spark, src).collect()
+    }
+    assert set(out) == {0, 1}
+    for doc_id, offset in ((0, 7), (1, 3)):
+        r = out[doc_id]
+        assert r["span_start"] == offset
+        assert r["span_end"] == offset + 20
+        assert r["span_tokens"] == 20
+        assert r["n_windows"] == 20 - DUPSPAN_W + 1
