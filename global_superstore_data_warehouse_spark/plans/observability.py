@@ -619,3 +619,150 @@ BENFORD_ORDER_TOTALS_ORACLE = """
                  / log10(1.0 + 1.0 / digit) * total, 6) AS chi2_term
     FROM counts, tot
 """
+
+
+# --- per-segment revenue trend (grouped least-squares) ---------------
+
+
+def segment_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment linear revenue trend: daily revenue cells per
+    market segment, then the built-in least-squares aggregates
+    (regr_slope/intercept/r2) over (day-index, revenue) — the
+    is-this-segment-growing panel every ops review reads.
+
+    Scale shape: orders x customer rides a broadcast of the customer
+    projection; the daily cells aggregate map-side BEFORE the
+    regression (the regr_* aggregates then see |segments| x |days|
+    rows); regressions are one partial-aggregable pass — Spark's
+    regr_* are algebraic (sum/sumsq/cross-sum composition), so no
+    second scan and no window. Day index is days-since-corpus-min so
+    both engines regress on identical small integers (epoch-day
+    magnitudes would put the intercept at year-scale extrapolation
+    and amplify float noise past the rounding guard)."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    lo = orders.agg(F.min(F.to_date("o_orderdate")).alias("lo"))
+    daily = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .crossJoin(F.broadcast(lo))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.datediff(F.to_date("o_orderdate"), "lo").alias("day_idx"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return daily.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.regr_slope("revenue", "day_idx"), 4).alias("slope"),
+        F.round(F.regr_intercept("revenue", "day_idx"), 2).alias("intercept"),
+        F.round(F.regr_r2("revenue", "day_idx"), 6).alias("r2"),
+    )
+
+
+SEGMENT_REVENUE_TREND_ORACLE = """
+    WITH lo AS (SELECT MIN(o_orderdate) AS lo FROM orders),
+    daily AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day', lo.lo, o.o_orderdate) AS day_idx,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        CROSS JOIN lo
+        GROUP BY 1, 2
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           ROUND(regr_slope(revenue, day_idx), 4) AS slope,
+           ROUND(regr_intercept(revenue, day_idx), 2) AS intercept,
+           ROUND(regr_r2(revenue, day_idx), 6) AS r2
+    FROM daily GROUP BY segment
+"""
+
+
+# --- mergeable binned-quantile sketch rollup -------------------------
+
+QSKETCH_BIN = 10000  # histogram bin width in price units
+
+
+def quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable PERCENTILE state — the companion to the HLL
+    distinct-count rollup: per-day fixed-bin histograms of order
+    totals are the persisted sketch; any coarser rollup (weeks here,
+    months/all-time identically) merges sketches by bin-sum and reads
+    p50/p90/p99 off the merged cumulative histogram — no second scan
+    of the fact table, ever. Unlike t-digest/HLL the binned sketch is
+    fully DETERMINISTIC, so the oracle recomputes the same binned
+    quantile definition directly from raw rows and hash-equality
+    proves merge(day sketches) == direct computation — the
+    mergeability invariant itself.
+
+    Quantile definition (exact, engine-neutral): rank r = ceil(q*n);
+    the estimate is the UPPER EDGE of the first bin whose cumulative
+    count reaches r — error bounded by one bin width by construction.
+    Plan: one scan -> (day, bin) partial-agg'd counts (the sketch
+    table, |days| x |bins| rows), bin-sum merge to weeks, one tiny
+    window over the merged cells."""
+    orders = load(spark, sf_dir, "orders")
+    day_sketch = (
+        orders.groupBy(
+            F.to_date("o_orderdate").alias("day"),
+            F.floor(F.col("o_totalprice") / QSKETCH_BIN).cast("int").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )  # <- the persisted per-day state
+    weekly = (
+        day_sketch.groupBy(
+            F.date_format(F.date_trunc("week", "day"), "yyyy-MM-dd").alias("week"),
+            "bin",
+        )
+        .agg(F.sum("c").alias("c"))  # <- sketch MERGE: bin-sum only
+    )
+    from pyspark.sql import Window
+
+    w_tot = Window.partitionBy("week")
+    w_cum = (
+        Window.partitionBy("week")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = weekly.withColumn("n", F.sum("c").over(w_tot)).withColumn(
+        "cum", F.sum("c").over(w_cum)
+    )
+
+    def p(q: float, name: str):
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        return F.min(
+            F.when(F.col("cum") >= rank, (F.col("bin") + 1) * QSKETCH_BIN)
+        ).cast("long").alias(name)
+
+    return t.groupBy("week", F.col("n").alias("n_orders")).agg(
+        p(0.50, "p50_upper"), p(0.90, "p90_upper"), p(0.99, "p99_upper")
+    )
+
+
+QUANTILE_SKETCH_ROLLUP_ORACLE = f"""
+    WITH g AS (
+        SELECT strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week,
+               CAST(floor(o_totalprice / {QSKETCH_BIN}) AS INTEGER) AS bin,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ), t AS (
+        SELECT week, bin, c,
+               SUM(c) OVER (PARTITION BY week) AS n,
+               SUM(c) OVER (PARTITION BY week ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM g
+    )
+    SELECT week,
+           CAST(n AS BIGINT) AS n_orders,
+           CAST(MIN(CASE WHEN cum >= ceil(0.50 * n)
+                    THEN (bin + 1) * {QSKETCH_BIN} END) AS BIGINT) AS p50_upper,
+           CAST(MIN(CASE WHEN cum >= ceil(0.90 * n)
+                    THEN (bin + 1) * {QSKETCH_BIN} END) AS BIGINT) AS p90_upper,
+           CAST(MIN(CASE WHEN cum >= ceil(0.99 * n)
+                    THEN (bin + 1) * {QSKETCH_BIN} END) AS BIGINT) AS p99_upper
+    FROM t GROUP BY week, n
+"""

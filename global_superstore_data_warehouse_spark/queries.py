@@ -454,6 +454,21 @@ register(
     textops.duplicate_span_islands,
     textops.DUPLICATE_SPAN_ISLANDS_ORACLE,
 )
+# NEW round 6: per-segment least-squares revenue trend (algebraic
+# regr_* aggregates over map-side-combined daily cells). Round-7 queue.
+register(
+    "segment_revenue_trend",
+    observability.segment_revenue_trend,
+    observability.SEGMENT_REVENUE_TREND_ORACLE,
+)
+# NEW round 6: mergeable binned-quantile sketch rollup — the
+# deterministic percentile companion to the HLL rollup; hash parity
+# proves merge(day sketches) == direct. Round-7 queue.
+register(
+    "quantile_sketch_rollup",
+    observability.quantile_sketch_rollup,
+    observability.QUANTILE_SKETCH_ROLLUP_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

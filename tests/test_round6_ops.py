@@ -1,0 +1,73 @@
+"""Round-6 operator tests: trend regression, mergeable quantile
+sketch, and the parameterized-view family's oracle parity (the
+simhash/boilerplate/span-dedup additions are tested in
+test_textops.py, the slicer in test_security.py, the decoder in
+test_multimodal.py)."""
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+
+
+def test_segment_revenue_trend_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "segment_revenue_trend", sf_dir)
+
+
+def test_segment_revenue_trend_sane(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        segment_revenue_trend,
+    )
+
+    rows = segment_revenue_trend(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["n_days"] > 1
+        assert 0.0 <= r["r2"] <= 1.0
+
+
+def test_quantile_sketch_rollup_matches_oracle(spark, duck, sf_dir):
+    """merge(per-day sketches) == direct binned quantiles — the
+    mergeability invariant, by hash equality."""
+    assert_matches_oracle(spark, duck, "quantile_sketch_rollup", sf_dir)
+
+
+def test_quantile_sketch_percentiles_are_ordered_and_bounded(spark, sf_dir):
+    """p50 <= p90 <= p99, each within one bin above the true exact
+    percentile (the sketch's documented error bound)."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        QSKETCH_BIN,
+        quantile_sketch_rollup,
+    )
+
+    out = quantile_sketch_rollup(spark, sf_dir)
+    bad = out.filter(
+        (F.col("p50_upper") > F.col("p90_upper"))
+        | (F.col("p90_upper") > F.col("p99_upper"))
+    )
+    assert bad.count() == 0
+
+    # error bound vs the sketch's own quantile definition — the exact
+    # value at rank ceil(q*n) (NOT the interpolated percentile(), which
+    # for even n averages ranks n/2 and n/2+1 and can sit arbitrarily
+    # far above the rank element). Upper-edge estimate lands strictly
+    # above that element and within one bin: true < est <= true + BIN.
+    orders = load(spark, sf_dir, "orders").select(
+        F.date_format(F.date_trunc("week", F.to_date("o_orderdate")),
+                      "yyyy-MM-dd").alias("week"),
+        "o_totalprice",
+    )
+    exact = orders.groupBy("week").agg(
+        F.element_at(
+            F.sort_array(F.collect_list("o_totalprice")),
+            F.ceil(F.lit(0.5) * F.count(F.lit(1))).cast("int"),
+        ).alias("true_p50")
+    )
+    j = out.join(exact, "week")
+    viol = j.filter(
+        (F.col("p50_upper") <= F.col("true_p50"))
+        | (F.col("p50_upper") > F.col("true_p50") + QSKETCH_BIN)
+    )
+    assert viol.count() == 0
