@@ -1245,3 +1245,112 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# --- mergeable count-min sketch (heavy-hitter counts) -----------------
+
+CMS_DEPTH = 4  # independent hash rows
+CMS_WIDTH = 128  # cells per row
+CMS_TOPK = 20  # heavy hitters probed
+
+
+def _cms_cell(i: int, key):
+    """Row-``i`` count-min cell of ``key``: 60-bit md5-prefix hash of
+    'cm{i}|{key}' mod width — the same seeded-md5 primitive the
+    minhash/fastss family shares with its DuckDB oracles."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"cm{i}|"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable COUNT-MIN sketch — the frequency companion to the
+    HLL distinct-count rollup (daily_user_sketch_rollup) and the
+    binned-quantile rollup: per-DAY depth x width cell-count grids of
+    per-user event counts are the persisted state; the all-time
+    sketch derives by CELL-SUM merge (never a re-scan), and any key's
+    estimated count reads as min over rows of its hashed cell. Unlike
+    HLL the md5-seeded sketch is fully DETERMINISTIC, so the oracle
+    recomputes the identical grid DIRECTLY from raw rows and
+    hash-equality proves merge(day sketches) == direct — the
+    mergeability invariant itself. The classic guarantee (est >=
+    exact, est <= exact + (e/width)*N w.h.p.) is pinned in pytest.
+
+    Plan: one scan -> (day, row, cell) partial-agg'd counts (the
+    persisted sketch table, |days| x depth x width rows max); cell-sum
+    merge to one depth x width grid (tiny, broadcast); the exact
+    top-k (the verification probe set — at 100 TB you'd probe
+    candidate keys, not recompute exact counts) joins the broadcast
+    grid on (row, cell) and takes min over rows. No UDFs, no
+    all-pairs, sketch size independent of N."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    cells = ev.select(
+        "day",
+        F.posexplode(
+            F.array(*[_cms_cell(i, F.col("user_id")) for i in range(CMS_DEPTH)])
+        ).alias("i", "cell"),
+    )
+    day_sketch = cells.groupBy("day", "i", "cell").agg(
+        F.count(F.lit(1)).alias("c")
+    )  # <- the persisted per-day state
+    cms = day_sketch.groupBy("i", "cell").agg(
+        F.sum("c").alias("c")
+    )  # <- sketch MERGE: cell-sum only
+    topk = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("user_id"))
+        .limit(CMS_TOPK)
+    )
+    probes = topk.select(
+        "user_id",
+        "exact_cnt",
+        F.posexplode(
+            F.array(*[_cms_cell(i, F.col("user_id")) for i in range(CMS_DEPTH)])
+        ).alias("i", "cell"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["i", "cell"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )
+
+
+COUNTMIN_HEAVY_HITTERS_ORACLE = f"""
+    WITH grid AS (
+        SELECT t.i AS i,
+               ('0x' || substr(md5('cm' || t.i || '|' || user_id), 1, 15))::BIGINT
+                   % {CMS_WIDTH} AS cell,
+               COUNT(*) AS c
+        FROM events, range({CMS_DEPTH}) t(i)
+        GROUP BY 1, 2
+    ), topk AS (
+        SELECT user_id, COUNT(*) AS exact_cnt FROM events
+        GROUP BY user_id ORDER BY exact_cnt DESC, user_id LIMIT {CMS_TOPK}
+    ), probes AS (
+        SELECT k.user_id, k.exact_cnt, t.i AS i,
+               ('0x' || substr(md5('cm' || t.i || '|' || k.user_id), 1, 15))::BIGINT
+                   % {CMS_WIDTH} AS cell
+        FROM topk k, range({CMS_DEPTH}) t(i)
+    )
+    SELECT p.user_id, p.exact_cnt,
+           MIN(g.c) AS cms_est,
+           MIN(g.c) - p.exact_cnt AS overcount
+    FROM probes p JOIN grid g USING (i, cell)
+    GROUP BY p.user_id, p.exact_cnt
+"""

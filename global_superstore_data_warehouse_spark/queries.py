@@ -469,6 +469,15 @@ register(
     observability.quantile_sketch_rollup,
     observability.QUANTILE_SKETCH_ROLLUP_ORACLE,
 )
+# NEW round 6: mergeable count-min sketch — deterministic md5-seeded
+# frequency grid; hash parity proves merge(day grids) == direct, and
+# pytest pins est >= exact. Completes the sketch trio (HLL distinct,
+# binned quantile, CMS frequency). Round-7 queue.
+register(
+    "countmin_heavy_hitters",
+    events.countmin_heavy_hitters,
+    events.COUNTMIN_HEAVY_HITTERS_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

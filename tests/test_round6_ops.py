@@ -71,3 +71,32 @@ def test_quantile_sketch_percentiles_are_ordered_and_bounded(spark, sf_dir):
         | (F.col("p50_upper") > F.col("true_p50") + QSKETCH_BIN)
     )
     assert viol.count() == 0
+
+
+def test_countmin_heavy_hitters_matches_oracle(spark, duck, sf_dir):
+    """merge(per-day grids) == direct md5 count-min grid — sketch
+    mergeability by hash equality (the oracle never groups by day)."""
+    assert_matches_oracle(spark, duck, "countmin_heavy_hitters", sf_dir)
+
+
+def test_countmin_never_undercounts_and_is_bounded(spark, sf_dir):
+    """The count-min guarantee: est >= exact always; and with
+    depth=4 rows the min-of-rows estimate stays within the classic
+    (e/width)*N bound for every probed heavy hitter (deterministic
+    data, so the w.h.p. bound is simply checked)."""
+    import math
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        CMS_WIDTH,
+        countmin_heavy_hitters,
+    )
+
+    rows = countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(rows) > 0
+    n_events = load(spark, sf_dir, "events").count()
+    bound = math.e / CMS_WIDTH * n_events
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["cms_est"] == r["exact_cnt"] + r["overcount"]
+        assert r["overcount"] <= bound, (r, bound)
