@@ -139,3 +139,62 @@ def lsh_bucket_sql(emb: str, planes: list[list[float]], dims: int) -> str:
             f"CASE WHEN {dot_sql(emb, arr, dims)} > 0 THEN {2**j} ELSE 0 END"
         )
     return "CAST(" + " + ".join(parts) + " AS INTEGER)"
+
+
+# --- int8 scalar quantization (compressed-corpus ANN) -----------------
+
+
+def int8_scale(emb: Column) -> Column:
+    """Per-vector symmetric quantization scale: max|x| / 127 (clamped
+    away from zero so an all-zero vector quantizes to zeros instead of
+    dividing by zero). One fold over the array."""
+    return (
+        F.greatest(
+            F.array_max(F.transform(emb, lambda x: F.abs(x.cast("double")))),
+            F.lit(1e-30),
+        )
+        / F.lit(127.0)
+    )
+
+
+def int8_quantize(emb: Column, scale: Column) -> Column:
+    """int8 code array: floor(x/scale + 0.5) — an explicit, engine-
+    neutral rounding (both engines floor identically-rounded IEEE
+    doubles), NOT round(), whose half-away/half-even convention
+    differs across engines. ``scale`` must be a pre-materialized
+    column, not an inline fold."""
+    return F.transform(
+        emb, lambda x: F.floor(x.cast("double") / scale + F.lit(0.5)).cast("int")
+    )
+
+
+def int_dot(a: Column, b: Column) -> Column:
+    """EXACT integer dot product of two code arrays — the approx
+    similarity is derived from integers, so it is bit-identical in
+    any engine (no float summation-order concerns at all)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int8_scale_sql(e: str) -> str:
+    return (
+        f"(greatest(list_max(list_transform({e},"
+        " x -> abs(CAST(x AS DOUBLE)))), 1e-30) / 127.0)"
+    )
+
+
+def int8_quantize_sql(e: str, scale: str) -> str:
+    return (
+        f"list_transform({e},"
+        f" x -> CAST(floor(CAST(x AS DOUBLE) / {scale} + 0.5) AS INTEGER))"
+    )
+
+
+def int_dot_sql(a: str, b: str, dims: int) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, {dims + 1}), "
+        f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)), 'sum')"
+    )

@@ -824,3 +824,121 @@ CLUSTER_BALANCED_SAMPLE_ORACLE = f"""
     FROM ranked
     WHERE sample_rank <= {CLUSTER_SAMPLE_QUOTA}
 """
+
+
+# --- int8 scalar-quantized ANN with exact rerank ----------------------
+
+RERANK_M = 10  # approx candidates refined exactly per query
+
+
+def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-corpus ANN: per-vector symmetric int8 quantization
+    (scale = max|x|/127) shrinks the scanned corpus 4x vs float32 /
+    8x vs float64 — at 100 TB the int8 code table IS what you
+    persist and scan; the float vectors are fetched only for the
+    top-M rerank (M rows per query, not |corpus|). The candidate
+    scan ranks by integer dot products (EXACT arithmetic — the
+    approx scores are bit-identical across engines by construction,
+    no float summation-order tolerance games), then the top-M
+    candidates are re-scored with exact float cosine and the final
+    top-k is returned with both scores for audit.
+
+    Plan: quantize in one projection (no shuffle), broadcast the
+    quantized query set, one corpus scan for the integer-dot
+    candidate ranking, rerank window over M x |queries| rows.
+    Recall vs the exact brute-force baseline is pinned in pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    z = (
+        emb.withColumn("scale", S.int8_scale(F.col("embedding")))
+        .withColumn("q8", S.int8_quantize(F.col("embedding"), F.col("scale")))
+        .drop("scale")
+        .withColumn(
+            "n2", F.greatest(S.int_dot(F.col("q8"), F.col("q8")), F.lit(1))
+        )
+    )
+    q = z.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("q8").alias("qq8"),
+        F.col("n2").alias("qn2"),
+    )
+    pairs = z.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    approx = F.round(
+        S.int_dot(F.col("qq8"), F.col("q8"))
+        / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("n2"))),
+        6,
+    )
+    cand = (
+        pairs.select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "q_emb",
+            "embedding",
+            approx.alias("approx_sim"),
+        )
+        .withColumn(
+            "arank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("approx_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("arank") <= RERANK_M)
+    )
+    exact = F.round(S.cosine(F.col("q_emb"), F.col("embedding")), 6)
+    return (
+        cand.select(
+            "query_id", "neighbor_id", "approx_sim", exact.alias("cosine_sim")
+        )
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine_sim"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+def _int8_oracle() -> str:
+    scale = S.int8_scale_sql("embedding")
+    return f"""
+    WITH qz AS (
+        SELECT vec_id, embedding,
+               {S.int8_quantize_sql('embedding', scale)} AS q8
+        FROM embeddings
+    ), z AS (
+        SELECT vec_id, embedding, q8,
+               greatest({S.int_dot_sql('q8', 'q8', DIMS)}, 1) AS n2
+        FROM qz
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS q_emb, q8 AS qq8, n2 AS qn2
+        FROM z WHERE vec_id < {NUM_QUERIES}
+    ), cand AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, q.q_emb, e.embedding,
+               ROUND({S.int_dot_sql('q.qq8', 'e.q8', DIMS)}
+                     / (sqrt(q.qn2) * sqrt(e.n2)), 6) AS approx_sim
+        FROM z e CROSS JOIN q WHERE e.vec_id <> q.query_id
+    ), top_m AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY approx_sim DESC, neighbor_id ASC) AS arank
+        FROM cand
+        QUALIFY arank <= {RERANK_M}
+    ), scored AS (
+        SELECT query_id, neighbor_id, approx_sim,
+               ROUND({S.cosine_sql('q_emb', 'embedding', DIMS)}, 6) AS cosine_sim
+        FROM top_m
+    )
+    SELECT query_id, neighbor_id, approx_sim, cosine_sim,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+ANN_INT8_RERANK_ORACLE = _int8_oracle()

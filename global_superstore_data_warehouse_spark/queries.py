@@ -478,6 +478,15 @@ register(
     events.countmin_heavy_hitters,
     events.COUNTMIN_HEAVY_HITTERS_ORACLE,
 )
+# NEW round 6: int8 scalar-quantized ANN with exact top-M rerank —
+# the compressed-corpus scan path (4x smaller than float32); approx
+# scores are exact integer arithmetic so parity needs no tolerance.
+# Round-7 queue.
+register(
+    "ann_int8_rerank",
+    embeddings.ann_int8_rerank,
+    embeddings.ANN_INT8_RERANK_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

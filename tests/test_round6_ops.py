@@ -100,3 +100,30 @@ def test_countmin_never_undercounts_and_is_bounded(spark, sf_dir):
         assert r["overcount"] >= 0, r
         assert r["cms_est"] == r["exact_cnt"] + r["overcount"]
         assert r["overcount"] <= bound, (r, bound)
+
+
+def test_ann_int8_rerank_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "ann_int8_rerank", sf_dir)
+
+
+def test_ann_int8_recall_vs_exact(spark, sf_dir):
+    """int8-compressed candidate scan + top-M exact rerank recovers
+    (nearly) the exact brute-force top-k: recall@k >= 0.8, and every
+    returned neighbor's exact cosine matches the brute-force score
+    for that pair (the rerank step is exact by construction)."""
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        ann_int8_rerank,
+        cosine_topk,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine_sim"]
+        for r in cosine_topk(spark, sf_dir).collect()
+    }
+    got = ann_int8_rerank(spark, sf_dir).collect()
+    hits = sum(1 for r in got if (r["query_id"], r["neighbor_id"]) in exact)
+    assert hits / len(exact) >= 0.8, (hits, len(exact))
+    for r in got:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cosine_sim"] == exact[key], (key, r["cosine_sim"], exact[key])
