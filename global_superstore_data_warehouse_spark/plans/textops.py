@@ -204,16 +204,21 @@ NUM_HASHES = 8
 ROWS_PER_BAND = 4
 
 
-def _sig_sql_from(toks_expr: str) -> str:
-    """DuckDB SQL for the 8-seed MinHash signature of ``toks_expr``."""
+def _sig_sql_from(hashed_expr: str) -> str:
+    """DuckDB SQL for the 8-seed MinHash signature of a PRE-HASHED
+    60-bit token-hash list (``_hashed_sql`` output) — min of XOR
+    mixes, the exact twin of ``functions.text.minhash_signature``
+    (same inlined seed constants)."""
+    seeds = T.minhash_seeds(NUM_HASHES)
     return ",\n               ".join(
-        f"list_min(list_transform({toks_expr}, w -> md5('s{i}|' || w))) AS mh{i}"
+        f"list_min(list_transform({hashed_expr}, h -> xor(h, {seeds[i]})))"
+        f" AS mh{i}"
         for i in range(NUM_HASHES)
     )
 
 
 def _sig_sql() -> str:
-    return _sig_sql_from("toks")
+    return _sig_sql_from("tokh")
 
 
 # --- bounded-block candidate generation ------------------------------
@@ -240,7 +245,7 @@ def _blocked_candidate_pairs(docs: DataFrame) -> DataFrame:
     applies the identical banding, so parity checks the same set.
 
     Plan: the 8-seed signature is materialized ONCE with an eager
-    ``localCheckpoint`` (narrow rows: ids + block keys + 8 md5s),
+    ``localCheckpoint`` (narrow rows: ids + block keys + 8 longs),
     then exploded to (band_id, bucket) rows for a SINGLE bucket
     self-join + pair dedup — token arrays never ride the shuffle,
     and the expensive tokenize+8xmd5 lineage is never recomputed
@@ -249,19 +254,21 @@ def _blocked_candidate_pairs(docs: DataFrame) -> DataFrame:
     """
     # explicit repartition before the checkpoint: AQE coalesces
     # shuffles by BYTES, and minhash rows are tiny relative to their
-    # CPU cost (8 md5s per token) — without this the checkpoint
+    # CPU cost (an md5 per token + 8 mixes) — without this the checkpoint
     # freezes a 1-partition layout and every downstream join runs
     # single-threaded. Hash-spread by doc_id is also the layout the
     # signature scan wants at 100 TB.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    # tokenize ONCE in a standalone projection: minhash_signature
+    # tokenize+hash ONCE in a standalone projection: minhash_signature
     # references the array 8x (one transform per seed), and inlined
-    # that would re-split the document 8x per row (see _shingles)
+    # that would re-split and re-md5 the document 8x per row (see
+    # _shingles); the signature mixes the 60-bit hashes, never the
+    # token strings
     base = docs.repartition(n_part, "doc_id").select(
         "doc_id",
         "lang",
         F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int").alias("len_b"),
-        F.array_distinct(T.tokens("text")).alias("toks"),
+        T.hashed_set(T.tokens("text")).alias("toks"),
     )
     sig = base.select(
         "doc_id",
@@ -387,7 +394,7 @@ NGRAM_JACCARD_PAIRS_ORACLE = f"""
                CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS INTEGER) AS len_b,
                {_hashed_sql('t')} AS toks,
                {_hashed_sql(SHINGLES3_SQL)} AS sh3,
-               {_sig_sql_from('list_distinct(t)')}
+               {_sig_sql_from(_hashed_sql('t'))}
         FROM raw
     )
     SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
@@ -484,19 +491,19 @@ def _lsh_verified_doc_pairs(docs: DataFrame) -> DataFrame:
     # keeps every downstream self-join 32-way here and N-way on a
     # cluster.
     n_part = docs.sparkSession.sparkContext.defaultParallelism
-    # tokenize ONCE in a standalone projection (9 downstream
-    # references: hashed_set + 8 minhash transforms — see _shingles)
+    # tokenize+hash ONCE in a standalone projection (9 downstream
+    # references: verification set + 8 minhash mixes — see _shingles);
+    # the hashed longs serve BOTH the signature (XOR mixes) and the
+    # verification intersections (primitive-long array_intersect)
     base = classes.repartition(n_part, "cls").select(
         "cls",
         "rep",
-        F.array_distinct(T.tokens("text")).alias("t0"),
+        T.hashed_set(T.tokens("text")).alias("t0"),
     )
     sig = base.select(
         "cls",
         "rep",
-        # hashed token sets for the verification intersections:
-        # primitive-long array_intersect, not string compares
-        T.hashed_set(F.col("t0")).alias("toks"),
+        F.col("t0").alias("toks"),
         *T.minhash_signature(F.col("t0"), NUM_HASHES),
     ).localCheckpoint(eager=True)
     n_bands = NUM_HASHES // ROWS_PER_BAND
@@ -737,7 +744,7 @@ DEDUP_CLUSTERS_ORACLE = f"""
         SELECT doc_id, lang,
                CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS INTEGER) AS len_b,
                {_hashed_sql('t')} AS toks,
-               {_sig_sql_from('list_distinct(t)')}
+               {_sig_sql_from(_hashed_sql('t'))}
         FROM raw
     ), pairs AS (
         SELECT a.doc_id AS src, b.doc_id AS dst
@@ -932,7 +939,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.floor(F.col("n_chars") / F.lit(LEN_BUCKET)).cast("int").alias("len_b"),
         F.md5("text").alias("fp"),
-        F.array_distinct(T.tokens("text")).alias("t0"),
+        T.hashed_set(T.tokens("text")).alias("t0"),
     )
     sig = base.select(
         "doc_id",
@@ -940,7 +947,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "len_b",
         "fp",
-        T.hashed_set(F.col("t0")).alias("toks"),
+        F.col("t0").alias("toks"),
         *T.minhash_signature(F.col("t0"), NUM_HASHES),
     ).localCheckpoint(eager=True)
     batch = sig.filter("is_new")
@@ -1009,7 +1016,7 @@ DEDUP_INCREMENTAL_ORACLE = f"""
                CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS INTEGER) AS len_b,
                md5(text) AS fp,
                {_hashed_sql('t')} AS toks,
-               {_sig_sql_from('t')}
+               {_sig_sql_from(_hashed_sql('t'))}
         FROM raw
     ), b AS (SELECT * FROM d WHERE is_new
     ), c AS (SELECT * FROM d WHERE NOT is_new

@@ -1,12 +1,14 @@
-# ROUND-7 ROTATION QUEUE (39 registered entries have never had a
-# driver row; next up, novel shapes first): profile_columns,
-# fk_discovery, partition_advisor, temperature_mixture_sample,
-# leakage_safe_splits, daily_revenue_anomalies, event_trigrams,
-# order_day_islands, cumulative_new_users, events_session_window,
-# events_value_outliers, weighted_sample_topk, revenue_cohorts,
-# winsorized_segment_balances — then the retail/observability tail
-# (pareto_products, rfm_segments, join_skew_report, psi_event_drift,
-# corpus_report, ...). Rotate out r06-green shape-covered entries.
+# ROUND-7 ROTATION QUEUE (43 registered entries have never had a
+# driver row; next up, novel shapes first): countmin_heavy_hitters,
+# quantile_sketch_rollup, ann_int8_rerank, segment_revenue_trend,
+# profile_columns, fk_discovery, partition_advisor,
+# temperature_mixture_sample, leakage_safe_splits,
+# daily_revenue_anomalies, event_trigrams, order_day_islands,
+# cumulative_new_users, events_session_window, events_value_outliers,
+# weighted_sample_topk, revenue_cohorts, winsorized_segment_balances
+# — then the retail/observability tail (pareto_products,
+# rfm_segments, join_skew_report, psi_event_drift, corpus_report,
+# ...). Rotate out r06-green shape-covered entries.
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
