@@ -766,3 +766,137 @@ QUANTILE_SKETCH_ROLLUP_ORACLE = f"""
                     THEN (bin + 1) * {QSKETCH_BIN} END) AS BIGINT) AS p99_upper
     FROM t GROUP BY week, n
 """
+
+
+# --- declarative data-quality expectations (Deequ-style) --------------
+
+PRIORITY_DOMAIN = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+ORDERDATE_LO, ORDERDATE_HI = "1995-01-01", "2002-01-01"  # [lo, hi)
+
+
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS over the orders feed —
+    the contract gate a production pipeline runs before publishing a
+    load: uniqueness, non-negativity, date-range, domain membership,
+    completeness, referential integrity, and a grain expectation
+    (one order per customer-day, which this feed genuinely violates —
+    the report must be able to say FAIL, not just echo green). One
+    row per expectation: (expectation, n_violations, passed).
+
+    Scale shape (the Deequ insight): ALL row-local checks compute in
+    ONE map-side-combined pass over the fact — conditional sums and
+    count-distincts in a single agg, no per-check scans; the only
+    additional work is the referential check, a key-only left-anti
+    join (column-pruned to the two key columns; broadcast or shuffle
+    by dim size). The per-check unpivot happens on the one-row
+    result, not on data. Adding a 20th expectation costs one more
+    expression in the same scan, not another pass over 100 TB."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    day = F.to_date("o_orderdate")
+    agg = orders.agg(
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+            "duplicate_orderkey"
+        ),
+        F.sum(
+            F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)
+        ).alias("nonpositive_totalprice"),
+        F.sum(
+            F.when(
+                day.isNull()
+                | (day < F.lit(ORDERDATE_LO).cast("date"))
+                | (day >= F.lit(ORDERDATE_HI).cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("orderdate_out_of_range"),
+        F.sum(
+            F.when(~F.col("o_orderpriority").isin(*PRIORITY_DOMAIN), 1).otherwise(0)
+        ).alias("priority_out_of_domain"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        (
+            F.count(F.lit(1)) - F.count_distinct(F.col("o_custkey"), day)
+        ).alias("repeat_customer_day"),
+    )
+    fk = (
+        orders.select("o_custkey")
+        .join(
+            cust.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("unresolved_custkey_fk"))
+    )
+    checks = [
+        "duplicate_orderkey",
+        "nonpositive_totalprice",
+        "orderdate_out_of_range",
+        "priority_out_of_domain",
+        "null_custkey",
+        "repeat_customer_day",
+        "unresolved_custkey_fk",
+    ]
+    one_row = agg.crossJoin(fk)
+    exploded = one_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("expectation"),
+                        F.col(c).cast("long").alias("n_violations"),
+                    )
+                    for c in checks
+                ]
+            )
+        ).alias("e")
+    )
+    return exploded.select(
+        F.col("e.expectation").alias("expectation"),
+        F.col("e.n_violations").alias("n_violations"),
+        (F.col("e.n_violations") == 0).alias("passed"),
+    )
+
+
+_PRIO_IN = ", ".join(f"'{p}'" for p in PRIORITY_DOMAIN)
+
+EXPECTATIONS_REPORT_ORACLE = f"""
+    WITH a AS (
+        SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_orderkey,
+               SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS nonpositive_totalprice,
+               SUM(CASE WHEN CAST(o_orderdate AS DATE) IS NULL
+                        OR CAST(o_orderdate AS DATE) < DATE '{ORDERDATE_LO}'
+                        OR CAST(o_orderdate AS DATE) >= DATE '{ORDERDATE_HI}'
+                        THEN 1 ELSE 0 END) AS orderdate_out_of_range,
+               SUM(CASE WHEN o_orderpriority NOT IN ({_PRIO_IN})
+                        THEN 1 ELSE 0 END) AS priority_out_of_domain,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                   AS null_custkey,
+               COUNT(*) - (SELECT COUNT(*) FROM (
+                   SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE)
+                   FROM orders)) AS repeat_customer_day
+        FROM orders
+    ), f AS (
+        SELECT COUNT(*) AS unresolved_custkey_fk
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+    ), u AS (
+        SELECT 'duplicate_orderkey' AS expectation,
+               CAST(duplicate_orderkey AS BIGINT) AS n_violations FROM a
+        UNION ALL SELECT 'nonpositive_totalprice',
+               CAST(nonpositive_totalprice AS BIGINT) FROM a
+        UNION ALL SELECT 'orderdate_out_of_range',
+               CAST(orderdate_out_of_range AS BIGINT) FROM a
+        UNION ALL SELECT 'priority_out_of_domain',
+               CAST(priority_out_of_domain AS BIGINT) FROM a
+        UNION ALL SELECT 'null_custkey', CAST(null_custkey AS BIGINT) FROM a
+        UNION ALL SELECT 'repeat_customer_day',
+               CAST(repeat_customer_day AS BIGINT) FROM a
+        UNION ALL SELECT 'unresolved_custkey_fk',
+               CAST(unresolved_custkey_fk AS BIGINT) FROM f
+    )
+    SELECT expectation, n_violations, n_violations = 0 AS passed FROM u
+"""

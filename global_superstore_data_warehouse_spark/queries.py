@@ -489,6 +489,14 @@ register(
     embeddings.ann_int8_rerank,
     embeddings.ANN_INT8_RERANK_ORACLE,
 )
+# NEW round 6: declarative data-quality expectations (Deequ-style) —
+# every row-local check in ONE map-side-combined scan + a key-only
+# referential anti-join. Round-7 queue.
+register(
+    "expectations_report",
+    observability.expectations_report,
+    observability.EXPECTATIONS_REPORT_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

@@ -127,3 +127,23 @@ def test_ann_int8_recall_vs_exact(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in exact:
             assert r["cosine_sim"] == exact[key], (key, r["cosine_sim"], exact[key])
+
+
+def test_expectations_report_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "expectations_report", sf_dir)
+
+
+def test_expectations_report_can_fail(spark, sf_dir):
+    """The report must be able to say FAIL: the repeat-customer-day
+    grain expectation is genuinely violated by this feed, while the
+    integrity checks (unique key, FK, completeness) pass."""
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        expectations_report,
+    )
+
+    rows = {r["expectation"]: r for r in expectations_report(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    assert not rows["repeat_customer_day"]["passed"]
+    for name in ("duplicate_orderkey", "null_custkey", "unresolved_custkey_fk"):
+        assert rows[name]["passed"], name
+        assert rows[name]["n_violations"] == 0
