@@ -73,6 +73,33 @@ def cms_rollup_stream(
 ) -> None:
     """Fold a parquet file stream into the persisted count-min grid;
     drains everything available (``availableNow``) then returns."""
+    sketch_rollup_stream(
+        spark,
+        src_dir,
+        state_path,
+        checkpoint,
+        partial_fn=lambda b: cms_partial(b, key),
+        merge_fn=cms_merge,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def sketch_rollup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint: str,
+    partial_fn,
+    merge_fn,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Generic streamed sketch maintenance: ANY sketch whose state is
+    a DataFrame with a commutative/associative ``merge_fn`` (CMS cell
+    grids, binned histograms, HLL binaries via hll_union_agg) folds a
+    file stream into persisted state with the same at-least-once
+    replay discipline — ``partial_fn(batch_df)`` builds the batch's
+    partial sketch, ``merge_fn(stored, delta)`` merges. The batch id
+    rides the state atomically; replays skip."""
     schema = spark.read.parquet(src_dir).schema
     stream = (
         spark.readStream.schema(schema)
@@ -81,13 +108,13 @@ def cms_rollup_stream(
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = cms_partial(batch_df, key)
+        delta = partial_fn(batch_df)
         if path_exists(spark, state_path):
             stored = spark.read.parquet(state_path)
             last = stored.agg(F.max("_last_batch_id")).collect()[0][0]
             if last is not None and batch_id <= last:
                 return  # at-least-once replay: already folded
-            merged = cms_merge(stored.drop("_last_batch_id"), delta)
+            merged = merge_fn(stored.drop("_last_batch_id"), delta)
         else:
             merged = delta
         out = merged.withColumn(
@@ -104,6 +131,83 @@ def cms_rollup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def quantile_partial(batch_df: DataFrame, value_col: str = "o_totalprice") -> DataFrame:
+    """(bin, c) binned-histogram partial of one micro-batch — the
+    same fixed bins as ``plans/observability.quantile_sketch_rollup``
+    (bin width ``QSKETCH_BIN``), so the streamed state is
+    hash-identical to the batch plan's merged sketch."""
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        QSKETCH_BIN,
+    )
+
+    return (
+        batch_df.groupBy(
+            F.floor(F.col(value_col) / QSKETCH_BIN).cast("int").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def quantile_merge(stored: DataFrame, delta: DataFrame) -> DataFrame:
+    return (
+        stored.unionByName(delta).groupBy("bin").agg(F.sum("c").alias("c"))
+    )
+
+
+def quantile_rollup_stream(
+    spark: SparkSession,
+    src_dir: str,
+    state_path: str,
+    checkpoint: str,
+    value_col: str = "o_totalprice",
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Streamed binned-quantile maintenance — the percentile twin of
+    ``cms_rollup_stream`` over the same generic fold."""
+    sketch_rollup_stream(
+        spark,
+        src_dir,
+        state_path,
+        checkpoint,
+        partial_fn=lambda b: quantile_partial(b, value_col),
+        merge_fn=quantile_merge,
+        max_files_per_trigger=max_files_per_trigger,
+    )
+
+
+def read_quantile_estimates(
+    spark: SparkSession, state_path: str, qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Read percentile upper-edge estimates off the persisted
+    histogram: rank r = ceil(q*n); the estimate is the upper edge of
+    the first bin whose cumulative count reaches r (one row per q).
+    The state is |bins| rows, so this is driver-cheap by design."""
+    from pyspark.sql import Window
+
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        QSKETCH_BIN,
+    )
+
+    hist = spark.read.parquet(state_path).drop("_last_batch_id")
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    t = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .crossJoin(hist.agg(F.sum("c").alias("n")))
+        .crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(q,) for q in qs], "q double")
+            )
+        )
+    )
+    return (
+        t.filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(
+            F.min((F.col("bin") + 1) * QSKETCH_BIN).cast("long").alias("upper_edge")
+        )
+    )
 
 
 def read_cms_estimates(
