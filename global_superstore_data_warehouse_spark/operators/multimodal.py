@@ -147,6 +147,71 @@ def decode_image(blob: bytes):
     )
 
 
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal WAV writer: RIFF/WAVE container, PCM (format 1), mono,
+    16-bit little-endian — the classic canonical layout. ``samples``
+    is any int16-coercible sequence."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype=np.int16).tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + int(sample_rate).to_bytes(4, "little")
+        + int(sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits/sample
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + len(fmt).to_bytes(4, "little")
+        + fmt
+        + b"data"
+        + len(pcm).to_bytes(4, "little")
+        + pcm
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_wav(blob: bytes):
+    """Decode a WAV container into (sample_rate, int16 numpy array) —
+    a REAL pure-python decode: RIFF validation plus a proper chunk
+    WALK (fmt/data may be separated by LIST/fact/cue chunks, chunks
+    are word-aligned), PCM16 mono only. Compressed or multichannel
+    audio raises NotImplementedError — plug in soundfile/librosa here
+    and the mapInPandas plumbing is unchanged."""
+    import numpy as np
+
+    b = bytes(blob)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE container")
+    pos, rate, n_channels, bits, audio_format = 12, None, None, None, None
+    data_off, data_len = None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        clen = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            audio_format = int.from_bytes(b[pos + 8 : pos + 10], "little")
+            n_channels = int.from_bytes(b[pos + 10 : pos + 12], "little")
+            rate = int.from_bytes(b[pos + 12 : pos + 16], "little")
+            bits = int.from_bytes(b[pos + 22 : pos + 24], "little")
+        elif cid == b"data":
+            data_off, data_len = pos + 8, clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data_off is None:
+        raise NotImplementedError("missing fmt or data chunk")
+    if audio_format != 1 or n_channels != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 mono supported (format={audio_format}, "
+            f"channels={n_channels}, bits={bits})"
+        )
+    samples = np.frombuffer(
+        b, dtype="<i2", offset=data_off, count=data_len // 2
+    )
+    return rate, samples
+
+
 def extract_blob_features(blob_table: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: one Arrow round-trip, no
     shuffle; output schema is fixed and typed.

@@ -154,3 +154,76 @@ MULTIMODAL_FEATURES_ORACLE = """
            CAST(n_chars % 48 + 1 AS INTEGER) AS height
     FROM documents
 """
+
+
+# --- real audio decode (WAV PCM16) ------------------------------------
+
+AUDIO_STATS_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples int, duration_us long, "
+    "sum_abs long, peak_abs long"
+)
+AUDIO_RATE = 8000  # Hz -> one sample = 125 us exactly
+
+
+def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL AUDIO DECODE — the WAV twin of
+    ``multimodal_decode_stats``: build genuine RIFF/WAVE PCM16 mono
+    container bytes per document (a deterministic per-SAMPLE
+    waveform, so a byte-offset, endianness, or chunk-walk defect
+    shifts every statistic, unlike a constant fill), decode them with
+    the vendored pure-python WAV parser, and report per-clip sample
+    statistics — one Arrow-batched mapInPandas stage, zero shuffle.
+
+    The oracle never sees the bytes: it recomputes the SAME integer
+    statistics arithmetically from the waveform formula
+    s_t = ((doc_id*7919 + t*31) % 2048) - 1024, so parity is exact
+    (integer sums, no float audio math). Encode/decode circularity is
+    broken by a golden hand-laid-out WAV byte test in
+    tests/test_multimodal.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def decode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from global_superstore_data_warehouse_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "duration_us",
+                "sum_abs", "peak_abs",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 128
+                t = _np.arange(n, dtype=_np.int64)
+                samples = ((d * 7919 + t * 31) % 2048) - 1024
+                rate, decoded = decode_wav(encode_wav(AUDIO_RATE, samples))
+                a = _np.abs(decoded.astype(_np.int64))
+                out["doc_id"].append(d)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(decoded))
+                out["duration_us"].append(len(decoded) * 1_000_000 // rate)
+                out["sum_abs"].append(int(a.sum()))
+                out["peak_abs"].append(int(a.max()))
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(decode_batches, AUDIO_STATS_SCHEMA)
+
+
+AUDIO_DECODE_STATS_ORACLE = f"""
+    SELECT doc_id,
+           {AUDIO_RATE} AS sample_rate,
+           CAST(64 + doc_id % 128 AS INTEGER) AS n_samples,
+           CAST((64 + doc_id % 128) * 125 AS BIGINT) AS duration_us,
+           CAST(list_aggregate(list_transform(range(0, 64 + doc_id % 128),
+                t -> abs(((doc_id * 7919 + t * 31) % 2048) - 1024)),
+                'sum') AS BIGINT) AS sum_abs,
+           CAST(list_max(list_transform(range(0, 64 + doc_id % 128),
+                t -> abs(((doc_id * 7919 + t * 31) % 2048) - 1024)))
+                AS BIGINT) AS peak_abs
+    FROM documents
+"""

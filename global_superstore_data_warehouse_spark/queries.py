@@ -497,6 +497,14 @@ register(
     observability.expectations_report,
     observability.EXPECTATIONS_REPORT_ORACLE,
 )
+# NEW round 6: real end-to-end WAV PCM16 decode (the audio twin of
+# multimodal_decode_stats) — oracle recomputes the integer waveform
+# stats arithmetically, never from the bytes. Round-7 queue.
+register(
+    "audio_decode_stats",
+    multimodal.audio_decode_stats,
+    multimodal.AUDIO_DECODE_STATS_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

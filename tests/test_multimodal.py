@@ -108,3 +108,65 @@ def test_multimodal_decode_stats_matches_oracle(spark, duck, sf_dir):
     """The end-to-end encode->REAL-decode->stats query against the
     arithmetic oracle (which never sees the container bytes)."""
     assert_matches_oracle(spark, duck, "multimodal_decode_stats", sf_dir)
+
+
+# --- WAV decode (real pure-python audio path) -------------------------
+
+
+def test_decode_wav_golden_bytes():
+    """Hand-laid-out WAV bytes (independent of encode_wav): an extra
+    odd-length LIST chunk sits between fmt and data, so a decoder
+    that doesn't walk chunks word-aligned reads garbage."""
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")      # PCM
+        + (1).to_bytes(2, "little")      # mono
+        + (8000).to_bytes(4, "little")   # rate
+        + (16000).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")      # block align
+        + (16).to_bytes(2, "little")     # bits
+    )
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad
+    pcm = b"\xe8\x03" + b"\x18\xfc" + b"\x01\x01"  # 1000, -1000, 257
+    data = b"data" + (6).to_bytes(4, "little") + pcm
+    body = b"WAVE" + fmt + junk + data
+    blob = b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    rate, samples = decode_wav(blob)
+    assert rate == 8000
+    assert samples.tolist() == [1000, -1000, 257]
+    assert samples.dtype == np.dtype("<i2")
+
+
+def test_decode_wav_roundtrip_and_refusals():
+    import numpy as np
+    import pytest
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([0, 32767, -32768, 5], dtype=np.int16)
+    rate, got = decode_wav(encode_wav(44100, s))
+    assert rate == 44100 and got.tolist() == s.tolist()
+
+    with pytest.raises(NotImplementedError):
+        decode_wav(b"RIFFxxxxAVI ")  # not WAVE
+    # stereo refused
+    stereo = bytearray(encode_wav(8000, s))
+    stereo[22] = 2
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(stereo))
+
+
+def test_audio_decode_stats_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "audio_decode_stats", sf_dir)
