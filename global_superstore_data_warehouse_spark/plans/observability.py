@@ -900,3 +900,118 @@ EXPECTATIONS_REPORT_ORACLE = f"""
     )
     SELECT expectation, n_violations, n_violations = 0 AS passed FROM u
 """
+
+
+# --- sketch-based join-size estimation (CMS inner product) ------------
+
+JS_DEPTH = 4
+JS_WIDTH = 65536  # wider than the frequency CMS: the inner-product
+#                   estimate's additive error is ~|A||B|/width per row
+
+
+def _js_cell(i: int, key):
+    """Row-``i`` cell for the join-size grids — same md5 primitive as
+    ``plans/events._cms_cell`` but over the wider JS_WIDTH domain."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"js{i}|"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % JS_WIDTH
+    )
+
+
+def _js_grid(df: DataFrame, key: str) -> DataFrame:
+    return (
+        df.select(
+            F.posexplode(
+                F.array(*[_js_cell(i, F.col(key)) for i in range(JS_DEPTH)])
+            ).alias("i", "cell")
+        )
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based equi-join CARDINALITY estimation (the classic
+    AMS/count-min inner-product estimator a cost-based planner uses
+    before committing to a join strategy): |A ⋈ B| on a key is
+    estimated as min over hash rows of dot(grid_A[i], grid_B[i]) —
+    each row's inner product is Σ_cell cnt_A·cnt_B ≥ Σ_key cnt_A·cnt_B
+    (collisions only ADD cross terms), so the estimate NEVER
+    undershoots; expected additive error per row is |A||B|/width.
+    Demonstrated on orders ⋈ lineitem over orderkey, with the exact
+    join size computed alongside so the report carries its own
+    accuracy audit (and the oracle hash-checks both).
+
+    Scale shape: each side is one scan → depth x width grid (map-side
+    combined, fixed size regardless of |table|); the dot is a join of
+    two tiny grids; the exact size is computed from per-key counts
+    (never materializing the join). At 100 TB you persist the grids
+    per table/column once and estimate ANY pairwise join in O(grid) —
+    this is exactly what the sketch buys that sampling does not."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ga = _js_grid(orders, "o_orderkey")
+    gb = _js_grid(li, "l_orderkey")
+    est = (
+        ga.join(gb.withColumnRenamed("c", "cb"), ["i", "cell"])
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("cb")).alias("dot"))
+        .agg(F.min("dot").alias("est_joinsize"))
+    )
+    ka = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    kb = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    true = ka.join(kb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("true_joinsize")
+    )
+    return est.crossJoin(true).select(
+        "est_joinsize",
+        "true_joinsize",
+        F.round(
+            (F.col("est_joinsize") - F.col("true_joinsize"))
+            / F.col("true_joinsize"),
+            6,
+        ).alias("rel_overestimate"),
+    )
+
+
+JOIN_SIZE_ESTIMATE_ORACLE = f"""
+    WITH ga AS (
+        SELECT t.i AS i,
+               ('0x' || substr(md5('js' || t.i || '|' || o_orderkey), 1, 15))::BIGINT
+                   % {JS_WIDTH} AS cell,
+               COUNT(*) AS c
+        FROM orders, range({JS_DEPTH}) t(i) GROUP BY 1, 2
+    ), gb AS (
+        SELECT t.i AS i,
+               ('0x' || substr(md5('js' || t.i || '|' || l_orderkey), 1, 15))::BIGINT
+                   % {JS_WIDTH} AS cell,
+               COUNT(*) AS c
+        FROM lineitem, range({JS_DEPTH}) t(i) GROUP BY 1, 2
+    ), dots AS (
+        SELECT ga.i, SUM(ga.c * gb.c) AS dot
+        FROM ga JOIN gb USING (i, cell) GROUP BY ga.i
+    ), est AS (
+        SELECT MIN(dot) AS est_joinsize FROM dots
+    ), ka AS (
+        SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1
+    ), kb AS (
+        SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1
+    ), tru AS (
+        SELECT SUM(ca * cb) AS true_joinsize FROM ka JOIN kb USING (k)
+    )
+    SELECT CAST(est_joinsize AS BIGINT) AS est_joinsize,
+           CAST(true_joinsize AS BIGINT) AS true_joinsize,
+           ROUND((est_joinsize - true_joinsize) * 1.0 / true_joinsize, 6)
+               AS rel_overestimate
+    FROM est, tru
+"""

@@ -505,6 +505,14 @@ register(
     multimodal.audio_decode_stats,
     multimodal.AUDIO_DECODE_STATS_ORACLE,
 )
+# NEW round 6: CMS inner-product join-cardinality estimator (what a
+# cost-based planner consults before picking a join strategy) with
+# its own accuracy audit. Round-7 queue.
+register(
+    "join_size_estimate",
+    observability.join_size_estimate,
+    observability.JOIN_SIZE_ESTIMATE_ORACLE,
+)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---

@@ -147,3 +147,22 @@ def test_expectations_report_can_fail(spark, sf_dir):
     for name in ("duplicate_orderkey", "null_custkey", "unresolved_custkey_fk"):
         assert rows[name]["passed"], name
         assert rows[name]["n_violations"] == 0
+
+
+def test_join_size_estimate_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "join_size_estimate", sf_dir)
+
+
+def test_join_size_estimate_never_undershoots_and_is_tight(spark, sf_dir):
+    """Inner-product collisions only ADD cross terms, so the estimate
+    is a guaranteed upper bound; at JS_WIDTH the expected additive
+    error (|A||B|/width per row, min over rows) keeps the
+    overestimate under 100% on this data."""
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        join_size_estimate,
+    )
+
+    r = join_size_estimate(spark, sf_dir).collect()[0]
+    assert r["est_joinsize"] >= r["true_joinsize"]
+    assert r["rel_overestimate"] >= 0
+    assert r["rel_overestimate"] < 1.0, r
