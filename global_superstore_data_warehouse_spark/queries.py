@@ -1,5 +1,6 @@
-# ROUND-7 ROTATION QUEUE (43 registered entries have never had a
+# ROUND-7 ROTATION QUEUE (46 registered entries have never had a
 # driver row; next up, novel shapes first): countmin_heavy_hitters,
+# join_size_estimate, expectations_report, audio_decode_stats,
 # quantile_sketch_rollup, ann_int8_rerank, segment_revenue_trend,
 # profile_columns, fk_discovery, partition_advisor,
 # temperature_mixture_sample, leakage_safe_splits,
