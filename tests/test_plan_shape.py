@@ -239,3 +239,31 @@ def test_schema_evolution_no_shuffle_union(spark, sf_dir):
     plan = _q(spark, sf_dir, "schema_evolution_union")
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_round6_sketch_and_ann_plans(spark, sf_dir):
+    """Round-6 additions keep the scale contract: the count-min probe
+    join and the int8 rerank candidate scan broadcast their small
+    side; the join-size estimator joins two fixed-size grids (never
+    the raw keys); the expectations suite is ONE scan of orders for
+    all row-local checks plus a key-only anti-join."""
+    plan = _q(spark, sf_dir, "countmin_heavy_hitters")
+    assert "BroadcastHashJoin" in plan  # tiny merged grid broadcasts
+    assert "CartesianProduct" not in plan
+
+    plan = _q(spark, sf_dir, "ann_int8_rerank")
+    # 5-row quantized query set rides a broadcast; the corpus scan is
+    # the stream side — never a shuffled pair materialization
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+    plan = _q(spark, sf_dir, "join_size_estimate")
+    assert "CartesianProduct" not in plan
+    # the estimate never touches a row wider than (i, cell, c): no
+    # orders x lineitem join appears anywhere in the plan
+    assert "o_totalprice" not in plan
+
+    plan = _q(spark, sf_dir, "expectations_report")
+    # one scan computes every row-local check: orders parquet is read
+    # at most twice (agg pass + key-only anti-join), not per-check
+    assert len(re.findall(r"orders\.parquet", plan)) <= 2
