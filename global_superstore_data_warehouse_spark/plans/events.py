@@ -1354,3 +1354,100 @@ COUNTMIN_HEAVY_HITTERS_ORACLE = f"""
     FROM probes p JOIN grid g USING (i, cell)
     GROUP BY p.user_id, p.exact_cnt
 """
+
+
+# --- deterministic approximate distinct (KMV) --------------------------
+
+KMV_K = 32
+
+
+def daily_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MINIMUM-VALUES approximate distinct users per day — the
+    approximate-distinct path that, unlike HLL
+    (``daily_user_sketch_rollup``, engine-specific binaries,
+    rows-only driver check), IS cross-engine deterministic: hashes
+    are the repo's 60-bit md5 primitive, the sketch is the k smallest
+    distinct hashes per day, and the estimator is the textbook
+    (k-1)/h_(k) (with the exact count used verbatim when a day has
+    <= k distinct users — the sketch then contains the whole set).
+    The DuckDB oracle recomputes the identical estimate, so the
+    driver hash-checks an APPROXIMATE algorithm exactly. Output is
+    self-auditing: exact count, estimate, and relative error per day
+    (expected ~1/sqrt(k) ≈ 18%; bounds pinned in pytest).
+
+    Scale shape: one scan → (day, hash) distinct (shuffle on day+h),
+    per-day bottom-k via one rank window (k rows survive per day —
+    the sketch is k longs per day, mergeable by keep-k-smallest-of-
+    union, same discipline as the CMS/quantile/HLL family). The
+    estimate itself derives from integer hashes with one exact-double
+    fold, so no float-summation-order tolerance games."""
+    ev = load(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    d = ev.select(F.to_date("ts").alias("day"), h.alias("h")).distinct()
+    w_rank = Window.partitionBy("day").orderBy("h")
+    w_all = Window.partitionBy("day")
+    r = d.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "cnt", F.count(F.lit(1)).over(w_all)
+    )
+    agg = r.groupBy("day").agg(
+        F.max("cnt").alias("exact_users"),
+        F.max(F.when(F.col("rn") <= KMV_K, F.col("h"))).alias("kth"),
+    )
+    est = F.when(
+        F.col("exact_users") <= KMV_K, F.col("exact_users")
+    ).otherwise(
+        F.floor(
+            F.lit(float(KMV_K - 1)) * F.lit(2.0**60) / F.col("kth")
+        ).cast("long")
+    )
+    return agg.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "exact_users",
+        est.alias("kmv_users"),
+    ).withColumn(
+        "rel_error",
+        F.round(
+            F.abs(F.col("kmv_users") - F.col("exact_users"))
+            / F.col("exact_users"),
+            6,
+        ),
+    )
+
+
+DAILY_USERS_KMV_ORACLE = f"""
+    WITH d AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+               ('0x' || substr(md5('kmv|' || user_id), 1, 15))::BIGINT AS h
+        FROM events
+    ), r AS (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY day) AS cnt
+        FROM d
+    ), a AS (
+        SELECT day, MAX(cnt) AS exact_users,
+               MAX(CASE WHEN rn <= {KMV_K} THEN h END) AS kth
+        FROM r GROUP BY day
+    ), e AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(exact_users AS BIGINT) AS exact_users,
+               CASE WHEN exact_users <= {KMV_K} THEN CAST(exact_users AS BIGINT)
+                    ELSE CAST(FLOOR({KMV_K - 1}.0 * POW(2.0, 60) / kth) AS BIGINT)
+               END AS kmv_users
+        FROM a
+    )
+    SELECT day, exact_users, kmv_users,
+           ROUND(ABS(kmv_users - exact_users) * 1.0 / exact_users, 6)
+               AS rel_error
+    FROM e
+"""

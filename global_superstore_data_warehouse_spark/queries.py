@@ -1,6 +1,7 @@
-# ROUND-7 ROTATION QUEUE (46 registered entries have never had a
+# ROUND-7 ROTATION QUEUE (47 registered entries have never had a
 # driver row; next up, novel shapes first): countmin_heavy_hitters,
 # join_size_estimate, expectations_report, audio_decode_stats,
+# daily_users_kmv,
 # quantile_sketch_rollup, ann_int8_rerank, segment_revenue_trend,
 # profile_columns, fk_discovery, partition_advisor,
 # temperature_mixture_sample, leakage_safe_splits,
@@ -513,6 +514,14 @@ register(
     "join_size_estimate",
     observability.join_size_estimate,
     observability.JOIN_SIZE_ESTIMATE_ORACLE,
+)
+# NEW round 6: KMV approximate distinct — the deterministic
+# (hash-checkable) counterpart of the HLL rollup, self-auditing
+# against the exact count. Round-7 queue.
+register(
+    "daily_users_kmv",
+    events.daily_users_kmv,
+    events.DAILY_USERS_KMV_ORACLE,
 )
 
 # --- Rotated out hash-green in r03 to make room for the round-4

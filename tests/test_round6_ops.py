@@ -166,3 +166,32 @@ def test_join_size_estimate_never_undershoots_and_is_tight(spark, sf_dir):
     assert r["est_joinsize"] >= r["true_joinsize"]
     assert r["rel_overestimate"] >= 0
     assert r["rel_overestimate"] < 1.0, r
+
+
+def test_daily_users_kmv_matches_oracle(spark, duck, sf_dir):
+    """An APPROXIMATE algorithm hash-checked exactly: the KMV
+    estimator is deterministic md5 arithmetic in both engines."""
+    assert_matches_oracle(spark, duck, "daily_users_kmv", sf_dir)
+
+
+def test_daily_users_kmv_accuracy(spark, sf_dir):
+    """KMV error behaves like the theory says: exact when a day has
+    <= k distinct users; otherwise mean relative error well inside
+    ~1/sqrt(k) territory and no day wildly off."""
+    from global_superstore_data_warehouse_spark.plans.events import (
+        KMV_K,
+        daily_users_kmv,
+    )
+
+    rows = daily_users_kmv(spark, sf_dir).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        if r["exact_users"] <= KMV_K:
+            assert r["kmv_users"] == r["exact_users"]
+            assert r["rel_error"] == 0.0
+        else:
+            errs.append(r["rel_error"])
+            assert r["rel_error"] < 0.8, r
+    if errs:
+        assert sum(errs) / len(errs) < 0.35, sum(errs) / len(errs)
