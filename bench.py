@@ -150,6 +150,18 @@ EXTRA = [
     "simhash_near_dup_pairs",
     "boilerplate_strip",
     "duplicate_span_islands",
+    # late-round-6 additions: the mergeable-sketch family (count-min
+    # frequency, binned quantiles, CMS join-size estimation, KMV
+    # distinct), int8-quantized ANN, the single-scan expectations
+    # suite, per-segment regression trend, real WAV decode
+    "countmin_heavy_hitters",
+    "quantile_sketch_rollup",
+    "join_size_estimate",
+    "daily_users_kmv",
+    "ann_int8_rerank",
+    "expectations_report",
+    "segment_revenue_trend",
+    "audio_decode_stats",
 ]
 
 ROUNDS = 3
