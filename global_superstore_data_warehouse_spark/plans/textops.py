@@ -2231,3 +2231,44 @@ DUPLICATE_SPAN_ISLANDS_ORACLE = f"""
            MAX(e) - MIN(s) AS span_tokens
     FROM isl GROUP BY doc_id, island
 """
+
+
+def simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the SIMHASH Hamming-ball detector against
+    the same exact Jaccard ground truth ``minhash_recall_eval`` uses
+    — the apples-to-apples audit of the two near-dup FAMILIES, not
+    their internals (the banded simhash plan's recall-1.0 vs its own
+    Hamming ball is already hash-proven against the brute-force
+    oracle; this measures whether Hamming <= 3 on 32 bits DETECTS
+    token-level near-dups at all). Same md5-bucket document sample,
+    same one-row (n_true, n_found, recall) contract, so the two
+    evals sit side by side in the driver output and the choice of
+    family on a new corpus is a measurement, not a vibe."""
+    from global_superstore_data_warehouse_spark.plans import setsim
+
+    docs = load(spark, sf_dir, "documents").filter(_recall_sample_pred())
+    exact = setsim.jaccard_pairs_for_docs(docs).select("doc_a", "doc_b")
+    cand = simhash_near_dup_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    joined = exact.join(cand, ["doc_a", "doc_b"], "left")
+    found = F.coalesce(F.col("hit"), F.lit(0))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum(found).alias("n_found"),
+        F.round(F.avg(found), 6).alias("recall"),
+    )
+
+
+SIMHASH_RECALL_EVAL_ORACLE = f"""
+    WITH exact_pairs AS (
+        {_setsim.exact_pairs_oracle(f"{_recall_bucket_sql('doc_id')} < {RECALL_SAMPLE_PCT}")}
+    ), cand AS (
+        {SIMHASH_NEAR_DUP_PAIRS_ORACLE}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(c.doc_a) AS BIGINT) AS n_found,
+           ROUND(COUNT(c.doc_a) * 1.0 / COUNT(*), 6) AS recall
+    FROM exact_pairs e
+    LEFT JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+"""

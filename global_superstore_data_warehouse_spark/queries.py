@@ -1,7 +1,7 @@
-# ROUND-7 ROTATION QUEUE (47 registered entries have never had a
+# ROUND-7 ROTATION QUEUE (48 registered entries have never had a
 # driver row; next up, novel shapes first): countmin_heavy_hitters,
 # join_size_estimate, expectations_report, audio_decode_stats,
-# daily_users_kmv,
+# daily_users_kmv, simhash_recall_eval,
 # quantile_sketch_rollup, ann_int8_rerank, segment_revenue_trend,
 # profile_columns, fk_discovery, partition_advisor,
 # temperature_mixture_sample, leakage_safe_splits,
@@ -522,6 +522,14 @@ register(
     "daily_users_kmv",
     events.daily_users_kmv,
     events.DAILY_USERS_KMV_ORACLE,
+)
+# NEW round 6: simhash detection recall vs the same exact Jaccard
+# ground truth minhash_recall_eval uses — the two near-dup families
+# measured side by side (0.871 vs 0.996 at sf0.1). Round-7 queue.
+register(
+    "simhash_recall_eval",
+    textops.simhash_recall_eval,
+    textops.SIMHASH_RECALL_EVAL_ORACLE,
 )
 
 # --- Rotated out hash-green in r03 to make room for the round-4

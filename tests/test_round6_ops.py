@@ -195,3 +195,21 @@ def test_daily_users_kmv_accuracy(spark, sf_dir):
             assert r["rel_error"] < 0.8, r
     if errs:
         assert sum(errs) / len(errs) < 0.35, sum(errs) / len(errs)
+
+
+def test_simhash_recall_eval_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "simhash_recall_eval", sf_dir)
+
+
+def test_simhash_recall_eval_informative(spark, sf_dir):
+    """The family comparison is a measurement, not a vibe: simhash
+    Hamming<=3 catches most (but at larger SF not all) of the exact
+    0.95-Jaccard ground truth — measured 1.0 at sf0.01, 0.871 at
+    sf0.1 vs minhash-LSH's 0.996."""
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        simhash_recall_eval,
+    )
+
+    r = simhash_recall_eval(spark, sf_dir).collect()[0]
+    assert r["n_true"] > 0
+    assert 0.5 < r["recall"] <= 1.0, r
