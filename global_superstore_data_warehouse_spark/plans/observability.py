@@ -875,9 +875,16 @@ EXPECTATIONS_REPORT_ORACLE = f"""
                         THEN 1 ELSE 0 END) AS priority_out_of_domain,
                SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
                    AS null_custkey,
+               -- Spark's multi-column count_distinct EXCLUDES tuples
+               -- with any NULL; mirror that here so the check keeps
+               -- matching on a feed where the grain keys go null
+               -- (null-keyed rows then count as grain violations,
+               -- which is the intended strictness)
                COUNT(*) - (SELECT COUNT(*) FROM (
                    SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE)
-                   FROM orders)) AS repeat_customer_day
+                   FROM orders
+                   WHERE o_custkey IS NOT NULL
+                     AND o_orderdate IS NOT NULL)) AS repeat_customer_day
         FROM orders
     ), f AS (
         SELECT COUNT(*) AS unresolved_custkey_fk
