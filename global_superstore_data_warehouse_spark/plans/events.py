@@ -1393,7 +1393,14 @@ def daily_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             10,
         ).cast("long")
     )
-    d = ev.select(F.to_date("ts").alias("day"), h.alias("h")).distinct()
+    # null keys out BEFORE the rank window: a null hash would sort
+    # NULLS FIRST in Spark but NULLS LAST in DuckDB and silently skew
+    # the k-th minimum
+    d = (
+        ev.filter(F.col("user_id").isNotNull())
+        .select(F.to_date("ts").alias("day"), h.alias("h"))
+        .distinct()
+    )
     w_rank = Window.partitionBy("day").orderBy("h")
     w_all = Window.partitionBy("day")
     r = d.withColumn("rn", F.row_number().over(w_rank)).withColumn(
@@ -1429,6 +1436,7 @@ DAILY_USERS_KMV_ORACLE = f"""
         SELECT DISTINCT CAST(ts AS DATE) AS day,
                ('0x' || substr(md5('kmv|' || user_id), 1, 15))::BIGINT AS h
         FROM events
+        WHERE user_id IS NOT NULL
     ), r AS (
         SELECT day, h,
                ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn,
