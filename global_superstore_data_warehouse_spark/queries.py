@@ -1,16 +1,13 @@
-# ROUND-7 ROTATION QUEUE (48 registered entries have never had a
-# driver row; next up, novel shapes first): countmin_heavy_hitters,
-# join_size_estimate, expectations_report, audio_decode_stats,
-# daily_users_kmv, simhash_recall_eval,
-# quantile_sketch_rollup, ann_int8_rerank, segment_revenue_trend,
-# profile_columns, fk_discovery, partition_advisor,
-# temperature_mixture_sample, leakage_safe_splits,
-# daily_revenue_anomalies, event_trigrams, order_day_islands,
-# cumulative_new_users, events_session_window, events_value_outliers,
-# weighted_sample_topk, revenue_cohorts, winsorized_segment_balances
-# — then the retail/observability tail (pareto_products,
-# rfm_segments, join_skew_report, psi_event_drift, corpus_report,
-# ...). Rotate out r06-green shape-covered entries.
+# ROUND-8 ROTATION QUEUE (~39 registered entries still lack a
+# driver row; next up, novel shapes first): daily_revenue_anomalies,
+# event_trigrams, order_day_islands, cumulative_new_users,
+# events_session_window, events_value_outliers, weighted_sample_topk,
+# revenue_cohorts, winsorized_segment_balances, secured_orders_slice,
+# simhash_near_dup_pairs, boilerplate_strip, duplicate_span_islands,
+# multimodal_decode_stats, dedup_normalized_docs — then the
+# retail/observability tail (pareto_products, rfm_segments,
+# join_skew_report, psi_event_drift, corpus_report, ...). Rotate out
+# r07-green shape-covered entries.
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
@@ -21,18 +18,21 @@ compare hashes values under sorted column names.
 REGISTRATION ORDER MATTERS: the driver records CORRECTNESS rows for
 the first 50 entries only. The window therefore holds each operator
 FAMILY's representative queries, rotating so that every registered
-query accumulates a hash-green driver row across rounds. Round 6
-rotates FOURTEEN never-driver-checked shapes IN (part_skyline,
-entity_resolution_customers, unigram_logprob_scores,
-bigram_surprisal_scores, user_activity_coverage,
-dedup_savings_report, cluster_balanced_sample, copurchase_bfs_layers,
-daily_revenue_ewma, benford_order_totals, market_budget_allocation,
-split_near_dup_leakage, schema_evolution_union,
-daily_user_sketch_rollup) for fourteen r05 hash-green entries whose
-plan shapes stay covered in-window — see the "Rotated OUT round 6"
-block past the window. Earlier rotations (rounds 3-5) are recorded
-in git history. Everything past the window keeps identical
-DuckDB-oracle parity coverage in pytest.
+query accumulates a hash-green driver row across rounds. NOTE: no
+CORRECTNESS_r06 was recorded by the driver, so round 7 KEEPS the
+fourteen round-6 rotation targets in-window (they still lack rows)
+and rotates FOURTEEN MORE never-driver-checked shapes IN
+(countmin_heavy_hitters, join_size_estimate, expectations_report,
+audio_decode_stats, daily_users_kmv, simhash_recall_eval,
+quantile_sketch_rollup, ann_int8_rerank, segment_revenue_trend,
+profile_columns, fk_discovery, partition_advisor,
+temperature_mixture_sample, leakage_safe_splits) for fourteen r05
+hash-green entries whose plan shapes stay covered in-window — see
+the "Rotated OUT round 7" block past the window. The window is now
+22 repeat-green + 28 first-timers, every one locally verified at
+sf0.01 via tools/check_some.py before rotation. Earlier rotations
+(rounds 3-6) are recorded in git history. Everything past the
+window keeps identical DuckDB-oracle parity coverage in pytest.
 """
 
 from __future__ import annotations
@@ -70,13 +70,11 @@ from global_superstore_data_warehouse_spark.registry import register
 # --- Flagship analytical views (reference mat views, bl_dm.sql) ---
 register("yearly_sales_profit", views.yearly_sales_profit, views.yearly_sales_profit_oracle())
 register("sales_employees_regions", views.sales_employees_regions, views.sales_employees_regions_oracle())
-register("pricing_summary", views.pricing_summary, views.pricing_summary_oracle())
 register("seasonality_segment", views.seasonality_segment, views.seasonality_segment_oracle())
 
 # --- 3NF warehouse layer (SURVEY §1 items 4-7, §2.6 surrogate keys,
 # S8 date generation, J1 snowflake lookups) ---
 register("surrogate_keys_customers", warehouse.surrogate_keys_customers, warehouse.SURROGATE_KEYS_CUSTOMERS_ORACLE)
-register("dim_address", warehouse.dim_address, warehouse.DIM_ADDRESS_ORACLE)
 
 # --- Two-source heterogeneous conformance (consumer.sql vs
 # corporate.sql shapes -> one conformed model, bl_cl.sql) ---
@@ -96,9 +94,6 @@ register(
     pipeline.INCREMENTAL_MV_REFRESH_ORACLE,
 )
 
-# --- DM star join (J8, 9-way) ---
-register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_WIDE_ORACLE)
-
 # --- C9 roles/GRANTs: the analyst role's secured view (privilege
 # gate + keyed column masks + pushed-down row filter; security.py) ---
 register(
@@ -108,7 +103,6 @@ register(
 )
 
 # --- Text analysis & dedup (beyond-reference training-data ops) ---
-register("text_quality", textops.text_quality, textops.TEXT_QUALITY_ORACLE)
 register("minhash_lsh_candidates", textops.minhash_lsh_candidates, textops.MINHASH_LSH_CANDIDATES_ORACLE)
 register("dedup_clusters", textops.dedup_clusters, textops.DEDUP_CLUSTERS_ORACLE)
 # exact set-similarity join (prefix filtering + PPJoin filters,
@@ -122,34 +116,10 @@ register(
     cleansing.FUZZY_MATCH_FASTSS_ORACLE,
 )
 
-# --- TF-IDF (single-corpus-scan tf + broadcast df) ---
-register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORACLE)
-
 # --- Corpus stats & grouping sets (beyond-reference) ---
-register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
 # full CUBE with GROUPING flags (in-window round 5 — supersedes the
 # rotated-out ROLLUP as the grouping-set family representative)
 register("sales_cube", stats.sales_cube, stats.SALES_CUBE_ORACLE)
-
-# --- Similarity search over embeddings (beyond-reference) ---
-# ANN quality eval: recall@k of both approximate indexes vs the
-# exact baseline (composes the three top-k plans; in-window late
-# round 4 — novel composed shape)
-register("ann_recall", embeddings.ann_recall, embeddings.ANN_RECALL_ORACLE)
-# k-means Lloyd rounds, fully distributed — no driver collect
-# (iterative family; in-window round 5)
-register("kmeans_assign", embeddings.kmeans_assign, embeddings.KMEANS_ASSIGN_ORACLE)
-
-# --- Event-time analytics (beyond-reference; batch twins of the
-# Structured Streaming jobs in streaming/events.py) ---
-register("events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_ORACLE)
-# bidirectional nearest-event as-of (union-window, guarded encoded
-# keys — novel shape, in-window round 5)
-register(
-    "nearest_purchase_to_error",
-    events.nearest_purchase_to_error,
-    events.NEAREST_PURCHASE_TO_ERROR_ORACLE,
-)
 
 # --- Range/interval join (bucket-blocked; operators/rangejoin.py) ---
 register(
@@ -173,21 +143,6 @@ register("curation_pipeline", curation.curation_pipeline, curation.CURATION_PIPE
 # equivalence-tested pair; the broadcast-join plan it shadows,
 # decontaminate_ngrams, was r04-green and rotates out)
 register("decontaminate_bloom", curation.decontaminate_bloom, curation.DECONTAMINATE_BLOOM_ORACLE)
-# per-domain quota cap: deterministic md5-order row_number window
-register("domain_quota_sample", curation.domain_quota_sample, curation.DOMAIN_QUOTA_SAMPLE_ORACLE)
-
-# --- Retail analytics (novel shapes, in-window round 5) ---
-# basket co-occurrence with support/lift (self-join on order key)
-register("market_basket_pairs", retail.market_basket_pairs, retail.MARKET_BASKET_PAIRS_ORACLE)
-
-# --- Graph analytics ---
-# degree-ordered triangle census (lexicographic (deg, id)
-# orientation; in-window round 5)
-register(
-    "copurchase_triangles",
-    linkrank.copurchase_triangles,
-    linkrank.COPURCHASE_TRIANGLES_ORACLE,
-)
 
 # right-to-erasure cascade customer -> orders -> lineitem
 register(
@@ -203,9 +158,6 @@ register(
 # inside the in-window ann_recall composition) ---
 # distributed PageRank (iterative family; unrolled-CTE oracle)
 register("part_pagerank", linkrank.part_pagerank, linkrank.PART_PAGERANK_ORACLE)
-
-# --- Multimodal binary-column plumbing (mapInPandas; beyond-reference) ---
-register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
 
 # --- Rotated IN round 6 (never driver-checked before; fourteen novel
 # shapes get their first CORRECTNESS rows — see the matching
@@ -295,6 +247,84 @@ register(
 # rows-only entry events_hourly_approx_users so the window still
 # carries exactly one no-oracle row)
 register("daily_user_sketch_rollup", events.daily_user_sketch_rollup, None)
+
+# --- Rotated IN round 7 (never driver-checked before; fourteen more
+# shapes get their first CORRECTNESS rows — see the matching
+# "Rotated OUT round 7" block past the window for what made room,
+# and which in-window entry covers each out-rotated shape) ---
+# mergeable count-min sketch: deterministic md5-seeded frequency
+# grid; hash parity proves merge(day grids) == direct
+register(
+    "countmin_heavy_hitters",
+    events.countmin_heavy_hitters,
+    events.COUNTMIN_HEAVY_HITTERS_ORACLE,
+)
+# CMS inner-product join-cardinality estimator + accuracy audit
+register(
+    "join_size_estimate",
+    observability.join_size_estimate,
+    observability.JOIN_SIZE_ESTIMATE_ORACLE,
+)
+# declarative data-quality expectations in ONE map-side-combined scan
+register(
+    "expectations_report",
+    observability.expectations_report,
+    observability.EXPECTATIONS_REPORT_ORACLE,
+)
+# real end-to-end WAV PCM16 decode (audio twin of the image path)
+register(
+    "audio_decode_stats",
+    multimodal.audio_decode_stats,
+    multimodal.AUDIO_DECODE_STATS_ORACLE,
+)
+# KMV approximate distinct, self-auditing against the exact count
+register(
+    "daily_users_kmv",
+    events.daily_users_kmv,
+    events.DAILY_USERS_KMV_ORACLE,
+)
+# simhash detection recall vs the exact Jaccard ground truth
+register(
+    "simhash_recall_eval",
+    textops.simhash_recall_eval,
+    textops.SIMHASH_RECALL_EVAL_ORACLE,
+)
+# mergeable binned-quantile sketch rollup (merge == direct parity)
+register(
+    "quantile_sketch_rollup",
+    observability.quantile_sketch_rollup,
+    observability.QUANTILE_SKETCH_ROLLUP_ORACLE,
+)
+# int8 scalar-quantized ANN scan with exact top-M rerank
+register(
+    "ann_int8_rerank",
+    embeddings.ann_int8_rerank,
+    embeddings.ANN_INT8_RERANK_ORACLE,
+)
+# per-segment least-squares revenue trend (algebraic regr_* aggs)
+register(
+    "segment_revenue_trend",
+    observability.segment_revenue_trend,
+    observability.SEGMENT_REVENUE_TREND_ORACLE,
+)
+# single-pass per-column profiling (count/null/distinct/min/max)
+register("profile_columns", observability.profile_columns, observability.PROFILE_COLUMNS_ORACLE)
+# inclusion-dependency (FK) discovery across the star's key columns
+register("fk_discovery", observability.fk_discovery, observability.FK_DISCOVERY_ORACLE)
+# partition-layout advisor (rows/bytes per candidate key → skew)
+register(
+    "partition_advisor",
+    observability.partition_advisor,
+    observability.PARTITION_ADVISOR_ORACLE,
+)
+# temperature-scaled mixture sampling over domain shares
+register(
+    "temperature_mixture_sample",
+    mixtures.temperature_mixture_sample,
+    mixtures.TEMPERATURE_MIXTURE_SAMPLE_ORACLE,
+)
+# leakage-safe fingerprint-level train/val/test splits
+register("leakage_safe_splits", mixtures.leakage_safe_splits, mixtures.LEAKAGE_SAFE_SPLITS_ORACLE)
 
 # ======================================================================
 # Past the driver window (entries 51+) — every entry below keeps
@@ -458,79 +488,46 @@ register(
     textops.duplicate_span_islands,
     textops.DUPLICATE_SPAN_ISLANDS_ORACLE,
 )
-# NEW round 6: per-segment least-squares revenue trend (algebraic
-# regr_* aggregates over map-side-combined daily cells). Round-7 queue.
+# --- Rotated OUT round 7 (all r05 hash-green; pytest parity
+# retained; shapes covered in-window) ---
+# pricing_summary (TPC-H-Q1 agg = yearly_sales_profit family),
+# dim_address (snowflake FK lookup = fact_orders' 6-way FK chain),
+# order_details_wide (star join = yearly_sales_profit 7-way),
+# text_quality (row-local text metrics ride unigram/bigram scores +
+# expectations_report), tfidf_topk_terms (broadcast-df shape =
+# unigram_logprob's broadcast vocab), priority_price_quantiles
+# (exact percentile family = quantile_sketch_rollup), ann_recall
+# (recall-eval composition = simhash_recall_eval + ann_int8_rerank),
+# kmeans_assign (rides inside cluster_balanced_sample), events_
+# sessionize (gap windows = user_activity_coverage sweep-line),
+# nearest_purchase_to_error (as-of = asof_click_attribution),
+# copurchase_triangles (graph trio keeps pagerank + bfs_layers),
+# domain_quota_sample (rank-window sampling = temperature_mixture_
+# sample), market_basket_pairs (self-join agg = copurchase edge
+# build), multimodal_features (mapInPandas plumbing =
+# audio_decode_stats' real decode).
+register("pricing_summary", views.pricing_summary, views.pricing_summary_oracle())
+register("dim_address", warehouse.dim_address, warehouse.DIM_ADDRESS_ORACLE)
+register("order_details_wide", dmstar.order_details_wide, dmstar.ORDER_DETAILS_WIDE_ORACLE)
+register("text_quality", textops.text_quality, textops.TEXT_QUALITY_ORACLE)
+register("tfidf_topk_terms", stats.tfidf_topk_terms, stats.TFIDF_TOPK_TERMS_ORACLE)
+register("priority_price_quantiles", stats.priority_price_quantiles, stats.PRIORITY_PRICE_QUANTILES_ORACLE)
+register("ann_recall", embeddings.ann_recall, embeddings.ANN_RECALL_ORACLE)
+register("kmeans_assign", embeddings.kmeans_assign, embeddings.KMEANS_ASSIGN_ORACLE)
+register("events_sessionize", events.events_sessionize, events.EVENTS_SESSIONIZE_ORACLE)
 register(
-    "segment_revenue_trend",
-    observability.segment_revenue_trend,
-    observability.SEGMENT_REVENUE_TREND_ORACLE,
+    "nearest_purchase_to_error",
+    events.nearest_purchase_to_error,
+    events.NEAREST_PURCHASE_TO_ERROR_ORACLE,
 )
-# NEW round 6: mergeable binned-quantile sketch rollup — the
-# deterministic percentile companion to the HLL rollup; hash parity
-# proves merge(day sketches) == direct. Round-7 queue.
 register(
-    "quantile_sketch_rollup",
-    observability.quantile_sketch_rollup,
-    observability.QUANTILE_SKETCH_ROLLUP_ORACLE,
+    "copurchase_triangles",
+    linkrank.copurchase_triangles,
+    linkrank.COPURCHASE_TRIANGLES_ORACLE,
 )
-# NEW round 6: mergeable count-min sketch — deterministic md5-seeded
-# frequency grid; hash parity proves merge(day grids) == direct, and
-# pytest pins est >= exact. Completes the sketch trio (HLL distinct,
-# binned quantile, CMS frequency). Round-7 queue.
-register(
-    "countmin_heavy_hitters",
-    events.countmin_heavy_hitters,
-    events.COUNTMIN_HEAVY_HITTERS_ORACLE,
-)
-# NEW round 6: int8 scalar-quantized ANN with exact top-M rerank —
-# the compressed-corpus scan path (4x smaller than float32); approx
-# scores are exact integer arithmetic so parity needs no tolerance.
-# Round-7 queue.
-register(
-    "ann_int8_rerank",
-    embeddings.ann_int8_rerank,
-    embeddings.ANN_INT8_RERANK_ORACLE,
-)
-# NEW round 6: declarative data-quality expectations (Deequ-style) —
-# every row-local check in ONE map-side-combined scan + a key-only
-# referential anti-join. Round-7 queue.
-register(
-    "expectations_report",
-    observability.expectations_report,
-    observability.EXPECTATIONS_REPORT_ORACLE,
-)
-# NEW round 6: real end-to-end WAV PCM16 decode (the audio twin of
-# multimodal_decode_stats) — oracle recomputes the integer waveform
-# stats arithmetically, never from the bytes. Round-7 queue.
-register(
-    "audio_decode_stats",
-    multimodal.audio_decode_stats,
-    multimodal.AUDIO_DECODE_STATS_ORACLE,
-)
-# NEW round 6: CMS inner-product join-cardinality estimator (what a
-# cost-based planner consults before picking a join strategy) with
-# its own accuracy audit. Round-7 queue.
-register(
-    "join_size_estimate",
-    observability.join_size_estimate,
-    observability.JOIN_SIZE_ESTIMATE_ORACLE,
-)
-# NEW round 6: KMV approximate distinct — the deterministic
-# (hash-checkable) counterpart of the HLL rollup, self-auditing
-# against the exact count. Round-7 queue.
-register(
-    "daily_users_kmv",
-    events.daily_users_kmv,
-    events.DAILY_USERS_KMV_ORACLE,
-)
-# NEW round 6: simhash detection recall vs the same exact Jaccard
-# ground truth minhash_recall_eval uses — the two near-dup families
-# measured side by side (0.871 vs 0.996 at sf0.1). Round-7 queue.
-register(
-    "simhash_recall_eval",
-    textops.simhash_recall_eval,
-    textops.SIMHASH_RECALL_EVAL_ORACLE,
-)
+register("domain_quota_sample", curation.domain_quota_sample, curation.DOMAIN_QUOTA_SAMPLE_ORACLE)
+register("market_basket_pairs", retail.market_basket_pairs, retail.MARKET_BASKET_PAIRS_ORACLE)
+register("multimodal_features", multimodal.multimodal_features, multimodal.MULTIMODAL_FEATURES_ORACLE)
 
 # --- Rotated out hash-green in r03 to make room for the round-4
 # additions; shapes covered in-window ---
@@ -625,14 +622,8 @@ register("corpus_report", textops.corpus_report, textops.CORPUS_REPORT_ORACLE)
 
 # --- Late-round-4 additions (pytest-parity; registered past the
 # window — novel shapes here rotate in next round) ---
-# temperature-based source reweighting (rate ∝ n^-0.5, md5 threshold)
-register(
-    "temperature_mixture_sample",
-    mixtures.temperature_mixture_sample,
-    mixtures.TEMPERATURE_MIXTURE_SAMPLE_ORACLE,
-)
-# content-fingerprint-level train/val/test split (leakage guard)
-register("leakage_safe_splits", mixtures.leakage_safe_splits, mixtures.LEAKAGE_SAFE_SPLITS_ORACLE)
+# (temperature_mixture_sample + leakage_safe_splits moved into the
+# window in round 7)
 # balanced shard assignment audit for the training reader
 register("training_shards", mixtures.training_shards, mixtures.TRAINING_SHARDS_ORACLE)
 # join-key skew diagnostics (choose broadcast/salt/AQE from data)
@@ -664,12 +655,10 @@ register("scd2_products", scd.scd2_products, scd.SCD2_PRODUCTS_ORACLE)
 register("scd2_employees", scd.scd2_employees, scd.SCD2_EMPLOYEES_ORACLE)
 register("cosine_topk", embeddings.cosine_topk, embeddings.COSINE_TOPK_ORACLE)
 register("ann_lsh_topk", embeddings.ann_lsh_topk, embeddings.ANN_LSH_TOPK_ORACLE)
-# one-pass per-column table profiler (long-form explode of one agg row)
-register("profile_columns", observability.profile_columns, observability.PROFILE_COLUMNS_ORACLE)
+# (profile_columns moved into the window in round 7)
 # Zipf rank-frequency slope per source (corpus-health diagnostic)
 register("zipf_slope_by_source", textops.zipf_slope_by_source, textops.ZIPF_SLOPE_BY_SOURCE_ORACLE)
-# inclusion-dependency (FK candidate) profiling with containment
-register("fk_discovery", observability.fk_discovery, observability.FK_DISCOVERY_ORACLE)
+# (fk_discovery moved into the window in round 7)
 # Shannon entropy of each source's token distribution
 register(
     "token_entropy_by_source",
@@ -726,13 +715,7 @@ register(
     observability.daily_revenue_anomalies,
     observability.DAILY_REVENUE_ANOMALIES_ORACLE,
 )
-# measured partition-column advisor for the orders table
-register(
-    "partition_advisor",
-    observability.partition_advisor,
-    observability.PARTITION_ADVISOR_ORACLE,
-)
-# schema-evolution union (v2 adds a column; fill-rate report)
+# (partition_advisor moved into the window in round 7)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

@@ -63,8 +63,11 @@ def test_correctness_window_is_the_intended_fifty():
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
-    # round-6 rotation targets must be inside the window...
+    # round-6 AND round-7 rotation targets must be inside the window
+    # (no CORRECTNESS_r06 was recorded, so the round-6 fourteen stay
+    # in until they get their first driver row)
     rotated_in = {
+        # round 6
         "part_skyline", "entity_resolution_customers",
         "unigram_logprob_scores", "bigram_surprisal_scores",
         "user_activity_coverage", "dedup_savings_report",
@@ -72,17 +75,33 @@ def test_correctness_window_is_the_intended_fifty():
         "daily_revenue_ewma", "benford_order_totals",
         "market_budget_allocation", "split_near_dup_leakage",
         "schema_evolution_union", "daily_user_sketch_rollup",
+        # round 7
+        "countmin_heavy_hitters", "join_size_estimate",
+        "expectations_report", "audio_decode_stats",
+        "daily_users_kmv", "simhash_recall_eval",
+        "quantile_sketch_rollup", "ann_int8_rerank",
+        "segment_revenue_trend", "profile_columns",
+        "fk_discovery", "partition_advisor",
+        "temperature_mixture_sample", "leakage_safe_splits",
     }
     assert rotated_in <= set(window), sorted(rotated_in - set(window))
     # ...and the rotated-out entries must stay registered (pytest
     # parity retained) but outside it
     rotated_out = {
+        # round 6
         "dim_date", "scd2_customers", "scd2_snapshot_diff",
         "dedup_incremental", "ann_ivf_topk", "event_funnel",
         "events_hourly_approx_users", "quality_filter",
         "pii_pseudonymize_customers", "golden_record_customers",
         "session_maintenance_overlap", "events_gapfill",
         "semantic_dedup", "minhash_recall_eval",
+        # round 7
+        "pricing_summary", "dim_address", "order_details_wide",
+        "text_quality", "tfidf_topk_terms", "priority_price_quantiles",
+        "ann_recall", "kmeans_assign", "events_sessionize",
+        "nearest_purchase_to_error", "copurchase_triangles",
+        "domain_quota_sample", "market_basket_pairs",
+        "multimodal_features",
     }
     all_names = set(registry.queries())
     assert rotated_out <= all_names - set(window), sorted(
