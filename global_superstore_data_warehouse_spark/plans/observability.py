@@ -1022,3 +1022,225 @@ JOIN_SIZE_ESTIMATE_ORACLE = f"""
                AS rel_overestimate
     FROM est, tru
 """
+
+
+# --- storage-layout skipping evaluation (the 100 TB scan question) ---
+
+LAYOUT_ZONE_ROWS = 512  # rows per simulated zone (a parquet row group)
+LAYOUT_DATE_LO, LAYOUT_DATE_HI = "1995-03-01", "1995-03-31"
+LAYOUT_CUST_BAND_DIV = 50  # custkey predicate spans 1/50th of the key range
+
+# 8-bit-per-dimension Morton interleave, pure integer bit arithmetic
+# (the same curve sources/layout.morton_key writes; inlined here so
+# both engines evaluate the identical expression)
+_Z16_EXPR = " + ".join(
+    f"(((dx >> {i}) & 1) << {2 * i + 1}) + (((cx >> {i}) & 1) << {2 * i})"
+    for i in range(8)
+)
+
+
+def layout_skipping_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the ``orders`` table would a zone-mapped reader
+    SKIP under each candidate storage layout? Simulates the lakehouse
+    data-skipping stack end-to-end: rows are laid out per year
+    partition in one of three orders — ``shuffled`` (md5 of the key:
+    the no-clustering baseline, where only year-partition pruning
+    helps), ``date_sorted`` (range-sorted on o_orderdate), and
+    ``zorder_date_cust`` (8-bit Morton interleave of date x custkey,
+    the two-dimensional clustering trade) — cut into
+    {LAYOUT_ZONE_ROWS}-row zones (parquet row groups), and each
+    zone's min/max is tested against two predicates: a one-month
+    date range and a 2% custkey band. Reported per (layout,
+    predicate): zone counts, the fraction skipped, rows skipped, and
+    ``matched_in_skipped`` — matching rows inside skipped zones,
+    which MUST be 0 (min/max pruning is lossless); the report audits
+    its own correctness the way join_size_estimate does.
+
+    This is the measured justification for ``sources/layout.py``'s
+    writers: write_range_sorted wins its own dimension outright,
+    write_zordered buys skipping on BOTH dimensions at once, and the
+    shuffled baseline shows what partition pruning alone leaves on
+    the table.
+
+    Scale shape: one bounds aggregate broadcast back (1 row), then
+    per layout a YEAR-PARTITIONED window sort (zones never cross the
+    partition boundary — exactly how files nest inside partition
+    dirs, and why no global sort appears here), a (year, zone)-sized
+    aggregate, and a 6-row summary union. Everything after the scan
+    is zone-cardinality-sized.
+    """
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("min_d"),
+        F.datediff(F.max("o_orderdate"), F.min("o_orderdate")).alias("span_d"),
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+    )
+    o = (
+        orders.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "dx",
+            F.expr("CAST((datediff(o_orderdate, min_d) * 255) DIV greatest(span_d, 1) AS INT)"),
+        )
+        .withColumn(
+            "cx",
+            F.expr(
+                "CAST(((o_custkey - min_ck) * 255) DIV greatest(max_ck - min_ck, 1) AS INT)"
+            ),
+        )
+        .withColumn("zkey", F.expr(_Z16_EXPR))
+        .withColumn("yr", F.year("o_orderdate"))
+        .withColumn(
+            "m_date",
+            F.col("o_orderdate")
+            .between(
+                F.to_date(F.lit(LAYOUT_DATE_LO)), F.to_date(F.lit(LAYOUT_DATE_HI))
+            )
+            .cast("long"),
+        )
+        .withColumn(
+            "m_cust",
+            F.expr(
+                f"CAST(o_custkey BETWEEN min_ck AND "
+                f"min_ck + (max_ck - min_ck) DIV {LAYOUT_CUST_BAND_DIV} AS LONG)"
+            ),
+        )
+    )
+    layouts = {
+        "shuffled": [F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey")],
+        "date_sorted": [F.col("o_orderdate"), F.col("o_orderkey")],
+        "zorder_date_cust": [F.col("zkey"), F.col("o_orderkey")],
+    }
+    out = None
+    for lname, order in layouts.items():
+        w = Window.partitionBy("yr").orderBy(*order)
+        zoned = o.withColumn(
+            "zone",
+            F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(LAYOUT_ZONE_ROWS)).cast(
+                "bigint"
+            ),
+        )
+        zs = zoned.groupBy("yr", "zone").agg(
+            F.min("o_orderdate").alias("zmin_d"),
+            F.max("o_orderdate").alias("zmax_d"),
+            F.min("o_custkey").alias("zmin_c"),
+            F.max("o_custkey").alias("zmax_c"),
+            F.count(F.lit(1)).alias("zrows"),
+            F.sum("m_date").alias("zm_date"),
+            F.sum("m_cust").alias("zm_cust"),
+            F.min("min_ck").alias("min_ck"),
+            F.min("max_ck").alias("max_ck"),
+        )
+        skip_date = (
+            F.col("zmax_d") < F.to_date(F.lit(LAYOUT_DATE_LO))
+        ) | (F.col("zmin_d") > F.to_date(F.lit(LAYOUT_DATE_HI)))
+        skip_cust = (F.col("zmax_c") < F.col("min_ck")) | (
+            F.col("zmin_c")
+            > F.col("min_ck")
+            + F.expr(f"(max_ck - min_ck) DIV {LAYOUT_CUST_BAND_DIV}")
+        )
+        for pname, skip, zm in (
+            ("march_1995", skip_date, "zm_date"),
+            ("cust_band", skip_cust, "zm_cust"),
+        ):
+            row = zs.agg(
+                F.lit(lname).alias("layout"),
+                F.lit(pname).alias("predicate"),
+                F.count(F.lit(1)).alias("n_zones"),
+                F.sum(skip.cast("long")).alias("zones_skipped"),
+                F.round(F.sum(skip.cast("long")) / F.count(F.lit(1)), 6).alias(
+                    "skip_frac"
+                ),
+                F.sum(F.when(skip, F.col("zrows")).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("rows_skipped"),
+                F.sum(F.when(skip, F.col(zm)).otherwise(F.lit(0)))
+                .cast("bigint")
+                .alias("matched_in_skipped"),
+            )
+            out = row if out is None else out.unionAll(row)
+    return out
+
+
+_Z16_SQL = _Z16_EXPR  # identical integer expression in DuckDB syntax
+
+LAYOUT_SKIPPING_EVAL_ORACLE = f"""
+    WITH b AS (
+        SELECT MIN(o_orderdate) AS min_d,
+               date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS span_d,
+               MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck
+        FROM orders
+    ), o AS (
+        SELECT o_orderkey, o_orderdate, o_custkey,
+               b.min_ck, b.max_ck,
+               CAST((date_diff('day', b.min_d, o_orderdate) * 255)
+                    // GREATEST(b.span_d, 1) AS INT) AS dx,
+               CAST(((o_custkey - b.min_ck) * 255)
+                    // GREATEST(b.max_ck - b.min_ck, 1) AS INT) AS cx,
+               year(o_orderdate) AS yr,
+               CAST(o_orderdate BETWEEN DATE '{LAYOUT_DATE_LO}'
+                    AND DATE '{LAYOUT_DATE_HI}' AS BIGINT) AS m_date,
+               CAST(o_custkey BETWEEN b.min_ck AND b.min_ck +
+                    (b.max_ck - b.min_ck) // {LAYOUT_CUST_BAND_DIV} AS BIGINT)
+                   AS m_cust
+        FROM orders, b
+    ), oz AS (
+        SELECT *, {_Z16_SQL} AS zkey FROM o
+    ), zoned AS (
+        SELECT *,
+               (ROW_NUMBER() OVER (PARTITION BY yr
+                    ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) - 1)
+                   // {LAYOUT_ZONE_ROWS} AS zone_shuffled,
+               (ROW_NUMBER() OVER (PARTITION BY yr
+                    ORDER BY o_orderdate, o_orderkey) - 1)
+                   // {LAYOUT_ZONE_ROWS} AS zone_date,
+               (ROW_NUMBER() OVER (PARTITION BY yr
+                    ORDER BY zkey, o_orderkey) - 1)
+                   // {LAYOUT_ZONE_ROWS} AS zone_z
+        FROM oz
+    ), zs AS (
+        SELECT layout, yr, zone,
+               MIN(o_orderdate) AS zmin_d, MAX(o_orderdate) AS zmax_d,
+               MIN(o_custkey) AS zmin_c, MAX(o_custkey) AS zmax_c,
+               COUNT(*) AS zrows,
+               SUM(m_date) AS zm_date, SUM(m_cust) AS zm_cust,
+               MIN(min_ck) AS min_ck, MIN(max_ck) AS max_ck
+        FROM (
+            SELECT 'shuffled' AS layout, zone_shuffled AS zone, * FROM zoned
+            UNION ALL
+            SELECT 'date_sorted' AS layout, zone_date AS zone, * FROM zoned
+            UNION ALL
+            SELECT 'zorder_date_cust' AS layout, zone_z AS zone, * FROM zoned
+        )
+        GROUP BY layout, yr, zone
+    ), flagged AS (
+        SELECT *,
+               CAST(zmax_d < DATE '{LAYOUT_DATE_LO}'
+                    OR zmin_d > DATE '{LAYOUT_DATE_HI}' AS BIGINT) AS skip_date,
+               CAST(zmax_c < min_ck OR zmin_c > min_ck +
+                    (max_ck - min_ck) // {LAYOUT_CUST_BAND_DIV} AS BIGINT)
+                   AS skip_cust
+        FROM zs
+    )
+    SELECT layout, 'march_1995' AS predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(skip_date) AS BIGINT) AS zones_skipped,
+           ROUND(SUM(skip_date) * 1.0 / COUNT(*), 6) AS skip_frac,
+           CAST(SUM(CASE WHEN skip_date = 1 THEN zrows ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+           CAST(SUM(CASE WHEN skip_date = 1 THEN zm_date ELSE 0 END) AS BIGINT)
+               AS matched_in_skipped
+    FROM flagged GROUP BY layout
+    UNION ALL
+    SELECT layout, 'cust_band' AS predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(skip_cust) AS BIGINT) AS zones_skipped,
+           ROUND(SUM(skip_cust) * 1.0 / COUNT(*), 6) AS skip_frac,
+           CAST(SUM(CASE WHEN skip_cust = 1 THEN zrows ELSE 0 END) AS BIGINT)
+               AS rows_skipped,
+           CAST(SUM(CASE WHEN skip_cust = 1 THEN zm_cust ELSE 0 END) AS BIGINT)
+               AS matched_in_skipped
+    FROM flagged GROUP BY layout
+"""

@@ -2272,3 +2272,155 @@ SIMHASH_RECALL_EVAL_ORACLE = f"""
     FROM exact_pairs e
     LEFT JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
 """
+
+
+# --- BPE merge learning (the iterated rounds bpe_pair_counts promises) ---
+
+BPE_MERGE_ROUNDS = 6
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {BPE_MERGE_ROUNDS} BPE merges from the corpus:
+    the classic train-a-tokenizer loop (count adjacent symbol pairs →
+    merge the most frequent pair everywhere → repeat), run the way it
+    distributes — over the WORD VOCABULARY with word counts as
+    weights, so after the one corpus scan that builds the vocab, no
+    round ever touches the corpus again.
+
+    Per round: pair generation is the same zero-shuffle ``zip_with``
+    over two slices of the symbol array as bpe_pair_counts, weighted
+    by word count and map-side-combined to the pair-vocabulary; the
+    argmax pair (ONE row — the only driver-side state, scalar-class
+    like the k-means round scalars) becomes a literal
+    ``replace(' l r ' -> ' lr ')`` column transform applied to every
+    vocab entry. Ties break deterministically on (freq DESC, pair
+    ASC) in both engines.
+
+    Merge application uses single-pass leftmost non-overlapping
+    string replace — identical semantics in Spark and DuckDB, so
+    parity is by construction. (For a run of >=4 identical symbols a
+    greedy pairwise scanner would merge one pair more than replace
+    does; real tokenizers differ on the same edge, and the learned
+    merge TABLE — the operator's output — is unaffected.)
+
+    Output: one row per learned merge (step, left_sym, right_sym,
+    merged, pair_freq). Reference anchor: the reference has no
+    tokenizer; this extends the training-data surface the way
+    SURVEY §6's beyond-reference items commission.
+    """
+    docs = load(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(T.tokens("text")).alias("w0"))
+        .select(F.lower("w0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    # one corpus scan; rounds re-read this vocab-sized snapshot
+    cur = vocab.select(
+        "wc",
+        F.concat(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" _")
+        ).alias("seq"),
+    ).localCheckpoint(eager=True)
+    merges = []
+    for step in range(1, BPE_MERGE_ROUNDS + 1):
+        toks = cur.select("wc", F.split("seq", " ").alias("t"))
+        n = F.size("t")
+        pairs = toks.select(
+            "wc",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), F.lit(1), n - 1),
+                    F.slice(F.col("t"), F.lit(2), n - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("pair"),
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r = best[0]["pair"].split(" ")
+        merges.append((step, l, r, l + r, int(best[0]["freq"])))
+        cur = cur.withColumn(
+            "seq",
+            F.trim(
+                F.expr(
+                    f"replace(concat(' ', seq, ' '), ' {l} {r} ', ' {l}{r} ')"
+                )
+            ),
+        )
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return spark.createDataFrame(
+        merges,
+        StructType(
+            [
+                StructField("step", LongType()),
+                StructField("left_sym", StringType()),
+                StructField("right_sym", StringType()),
+                StructField("merged", StringType()),
+                StructField("pair_freq", LongType()),
+            ]
+        ),
+    )
+
+
+def _bpe_learn_oracle() -> str:
+    """Unrolled {BPE_MERGE_ROUNDS}-stage CTE chain mirroring the loop."""
+    parts = [
+        f"""vocab AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
+        FROM (
+            SELECT lower(unnest({ALL_TOKS_SQL})) AS w FROM documents
+        )
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY w
+    ), s0 AS (
+        SELECT wc, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' _' AS seq
+        FROM vocab
+    )"""
+    ]
+    for i in range(BPE_MERGE_ROUNDS):
+        parts.append(
+            f"""p{i} AS (
+        SELECT string_split(pair, ' ')[1] AS l,
+               string_split(pair, ' ')[2] AS r,
+               CAST(SUM(wc) AS BIGINT) AS freq
+        FROM (
+            SELECT wc, unnest(list_transform(range(1, len(t)),
+                              j -> t[j] || ' ' || t[j + 1])) AS pair
+            FROM (SELECT wc, string_split(seq, ' ') AS t FROM s{i})
+        )
+        GROUP BY 1, 2
+    ), b{i} AS (
+        SELECT l, r, freq FROM p{i}
+        ORDER BY freq DESC, l || ' ' || r ASC LIMIT 1
+    ), s{i + 1} AS (
+        SELECT wc, trim(replace(' ' || seq || ' ',
+                                ' ' || b.l || ' ' || b.r || ' ',
+                                ' ' || b.l || b.r || ' ')) AS seq
+        FROM s{i}, b{i} b
+    )"""
+        )
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({i + 1} AS BIGINT) AS step, l AS left_sym,
+               r AS right_sym, l || r AS merged, freq AS pair_freq
+        FROM b{i}"""
+        for i in range(BPE_MERGE_ROUNDS)
+    )
+    return "WITH " + ", ".join(parts) + " " + selects
+
+
+BPE_LEARN_MERGES_ORACLE = _bpe_learn_oracle()

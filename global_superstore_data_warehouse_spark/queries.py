@@ -716,6 +716,24 @@ register(
     observability.DAILY_REVENUE_ANOMALIES_ORACLE,
 )
 # (partition_advisor moved into the window in round 7)
+# NEW round 7: zone-map data-skipping evaluation — shuffled vs
+# range-sorted vs Z-order layouts x (date, custkey) predicates, with
+# the matched-in-skipped=0 self-audit. The measured justification
+# for sources/layout.py's writers. Round-8 queue.
+register(
+    "layout_skipping_eval",
+    observability.layout_skipping_eval,
+    observability.LAYOUT_SKIPPING_EVAL_ORACLE,
+)
+# NEW round 7: distributed BPE merge learning — the iterated rounds
+# bpe_pair_counts' docstring promises, run over the weighted word
+# vocabulary (corpus scanned once; K unrolled-CTE oracle). Round-8
+# queue.
+register(
+    "bpe_learn_merges",
+    textops.bpe_learn_merges,
+    textops.BPE_LEARN_MERGES_ORACLE,
+)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window
