@@ -162,6 +162,22 @@ EXTRA = [
     "expectations_report",
     "segment_revenue_trend",
     "audio_decode_stats",
+    # round-7 additions: zone-map layout skipping evaluation (three
+    # window sorts + zone aggregates) and the BPE train/apply pair
+    # (iterative vocab-level merge loop; apply is train + one join)
+    "layout_skipping_eval",
+    "bpe_learn_merges",
+    "bpe_vocab_compression",
+    # PQ train->encode->ADC-scan loop; multi-touch time-decay
+    # attribution (keyed-equi-join + purchase-window normalization)
+    "ann_pq_adc",
+    "multitouch_attribution",
+    # DSIR hashed-n-gram selection (one corpus scan + 64-row model);
+    # IVFADC (cell pruning x residual PQ codes); containment audit
+    # (class collapse + rarest-token block, doc-sized output)
+    "dsir_importance_weights",
+    "ann_ivf_pq",
+    "superset_containment",
 ]
 
 ROUNDS = 3

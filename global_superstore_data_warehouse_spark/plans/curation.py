@@ -747,3 +747,162 @@ CHUNK_OVERLAP_ORACLE = f"""
                AS chunk_text
     FROM c
 """
+
+
+# --- multi-touch attribution (the panel view asof_click_ gives 1-touch) ---
+
+ATTR_WINDOW_DAYS = 7
+_DAY_US = 86_400_000_000
+
+
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate every purchase's value across ALL its prior touches
+    (click/view/signup) in a {ATTR_WINDOW_DAYS}-day window with
+    time-decay weights — the multi-touch generalization of
+    asof_click_attribution's last-touch join, reported per channel:
+    touch count, purchases reached, attributed value, and the
+    channel's share of total purchase value. Purchases with no touch
+    in the window report under the ``direct`` channel at full value,
+    so attributed value CONSERVES total purchase value exactly
+    (pytest-pinned).
+
+    Determinism across engines: the decay weight is a stepped
+    INTEGER (<1d: 8, <2d: 4, <4d: 2, else 1 — halving buckets
+    instead of a float ``pow`` whose libm rounding differs between
+    JVM and DuckDB); shares are integer/integer doubles (IEEE
+    division is correctly rounded, hence engine-exact), per-touch
+    allocations round at 6 dp, channel sums at 2.
+
+    Scale shape: the touch-to-purchase join is EQUI-keyed on
+    user_id (the inequality is a residual filter, never a cartesian
+    — per-user event counts bound the blowup); share normalization
+    windows on purchase_id (fully parallel); the report is
+    channel-cardinality-sized with a broadcast 1-row total.
+    """
+    ev = load(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type").isin("click", "view", "signup")).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.unix_micros("ts").alias("t_us"),
+        F.col("event_type").alias("ch"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("value").alias("p_value"),
+    )
+    j = purch.join(touches, "user_id", "left").withColumn(
+        "in_window",
+        F.col("t_us").isNotNull()
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - F.lit(ATTR_WINDOW_DAYS * _DAY_US)),
+    )
+    age = F.col("p_us") - F.col("t_us")
+    w = (
+        F.when(~F.col("in_window"), F.lit(0))
+        .when(age < 1 * _DAY_US, 8)
+        .when(age < 2 * _DAY_US, 4)
+        .when(age < 4 * _DAY_US, 2)
+        .otherwise(1)
+        .cast("long")
+    )
+    weighted = j.withColumn("w", w)
+    tot_w = F.sum("w").over(Window.partitionBy("purchase_id"))
+    alloc = (
+        weighted.withColumn("tw", tot_w)
+        # a purchase with no in-window touch keeps ONE row (left join
+        # null or zero-weight touches collapse to 'direct')
+        .withColumn(
+            "keep",
+            F.when(F.col("tw") > 0, F.col("w") > 0).otherwise(
+                F.row_number().over(
+                    Window.partitionBy("purchase_id").orderBy(
+                        F.asc_nulls_first("touch_id")
+                    )
+                )
+                == 1
+            ),
+        )
+        .filter(F.col("keep"))
+        .withColumn(
+            "channel", F.when(F.col("tw") > 0, F.col("ch")).otherwise(F.lit("direct"))
+        )
+        .withColumn(
+            "attributed",
+            F.round(
+                F.when(
+                    F.col("tw") > 0, F.col("w") / F.col("tw") * F.col("p_value")
+                ).otherwise(F.col("p_value")),
+                6,
+            ),
+        )
+    )
+    tot = purch.agg(F.sum("p_value").alias("total_value"))
+    return (
+        alloc.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_attributions"),
+            F.countDistinct("purchase_id").cast("bigint").alias("n_purchases"),
+            F.round(F.sum("attributed"), 2).alias("attributed_value"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "n_attributions",
+            "n_purchases",
+            "attributed_value",
+            F.round(F.col("attributed_value") / F.col("total_value"), 6).alias(
+                "share_of_total"
+            ),
+        )
+    )
+
+
+MULTITOUCH_ATTRIBUTION_ORACLE = f"""
+    WITH touches AS (
+        SELECT user_id, event_id AS touch_id, epoch_us(ts) AS t_us,
+               event_type AS ch
+        FROM events WHERE event_type IN ('click', 'view', 'signup')
+    ), purch AS (
+        SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS p_us,
+               value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    ), j AS (
+        SELECT p.purchase_id, p.p_us, p.p_value, t.touch_id, t.t_us, t.ch,
+               t.t_us IS NOT NULL AND t.t_us < p.p_us
+                   AND t.t_us >= p.p_us - {ATTR_WINDOW_DAYS * _DAY_US}
+                   AS in_window
+        FROM purch p LEFT JOIN touches t USING (user_id)
+    ), weighted AS (
+        SELECT *,
+               CAST(CASE WHEN NOT in_window THEN 0
+                         WHEN p_us - t_us < {1 * _DAY_US} THEN 8
+                         WHEN p_us - t_us < {2 * _DAY_US} THEN 4
+                         WHEN p_us - t_us < {4 * _DAY_US} THEN 2
+                         ELSE 1 END AS BIGINT) AS w
+        FROM j
+    ), alloc AS (
+        SELECT *,
+               CASE WHEN tw > 0 THEN ch ELSE 'direct' END AS channel,
+               ROUND(CASE WHEN tw > 0 THEN w * 1.0 / tw * p_value
+                          ELSE p_value END, 6) AS attributed
+        FROM (
+            SELECT *, SUM(w) OVER (PARTITION BY purchase_id) AS tw,
+                   ROW_NUMBER() OVER (PARTITION BY purchase_id
+                       ORDER BY touch_id ASC NULLS FIRST) AS rn
+            FROM weighted
+        )
+        WHERE CASE WHEN tw > 0 THEN w > 0 ELSE rn = 1 END
+    ), tot AS (
+        SELECT SUM(p_value) AS total_value FROM purch
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_attributions,
+           CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+           ROUND(SUM(attributed), 2) AS attributed_value,
+           ROUND(ROUND(SUM(attributed), 2) / total_value, 6)
+               AS share_of_total
+    FROM alloc, tot
+    GROUP BY channel, total_value
+"""

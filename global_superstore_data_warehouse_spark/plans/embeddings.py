@@ -942,3 +942,456 @@ def _int8_oracle() -> str:
 
 
 ANN_INT8_RERANK_ORACLE = _int8_oracle()
+
+
+# --- product quantization: train codebooks, encode, ADC scan ---------
+
+PQ_M = 4                 # subspaces
+PQ_SUBDIM = DIMS // PQ_M  # 16 dims per subspace
+PQ_K = 8                 # codes per subspace -> 3 bits, 12-bit vector code
+
+
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the full train → encode → search
+    loop (Jégou et al.'s PQ): split every vector into {PQ_M}
+    subvectors, train a {PQ_K}-centroid codebook per subspace
+    (deterministic init = the first {PQ_K} vectors' subvectors, one
+    Lloyd refinement — the same broadcast-assign / posexplode-mean
+    shape as kmeans_assign), encode the corpus as {PQ_M} small codes
+    per vector, then answer each query with ASYMMETRIC DISTANCE
+    COMPUTATION: a per-query lookup table of query-subvector ×
+    centroid distances (broadcast, {PQ_M}·{PQ_K} rows per query)
+    joined to the code table and summed — the corpus's float vectors
+    are never touched during the scan. Returns per-query top
+    {TOP_K} by ADC distance with the true float distance alongside
+    (the rerank/audit column).
+
+    Scale shape: codebooks and LUTs are broadcast-sized model state;
+    the ADC scan is code-table × LUT join + map-side-combined sum —
+    at 100 TB the code table (12 bits/vector here vs 2048 for the
+    floats) IS the thing you scan, the same compressed-scan posture
+    as ann_int8_rerank but sublinear in dimension. Argmin windows
+    partition on (vec_id, m) — fully parallel.
+
+    Determinism: codebook means round to 6 dp in both engines (the
+    kmeans_assign discipline); distance sums are rounded AFTER the
+    fixed-order sequential fold; ranking ties break on vec_id.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("v", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    init = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+    a0 = (
+        subs.join(F.broadcast(init), "m")
+        .select("vec_id", "m", "sv", "cid", _sq_dist(F.col("sv"), F.col("c")).alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("d", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    cb = (
+        a0.select("m", "cid", F.posexplode("sv").alias("dim0", "val"))
+        .groupBy("m", "cid", "dim0")
+        .agg((F.round(F.avg("val"), 6) + F.lit(0.0)).alias("cv"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+    )
+    codes = (
+        subs.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "cid", _sq_dist(F.col("sv"), F.col("c")).alias("d"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("d", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < NUM_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("m").alias("lm"), "sv")
+        .join(F.broadcast(cb.withColumnRenamed("m", "lm")), "lm")
+        .select(
+            "query_id",
+            "lm",
+            F.col("cid").alias("lcid"),
+            _sq_dist(F.col("sv"), F.col("c")).alias("dpart"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["lm"]) & (codes["code"] == lut["lcid"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("dpart"), 6).alias("adc_dist"))
+    )
+    topk = (
+        adc.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    return (
+        topk.join(F.broadcast(eq), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "adc_dist",
+            F.round(_sq_dist(F.col("qv"), F.col("nv")), 6).alias("true_sq_dist"),
+        )
+    )
+
+
+_PQ_SUB_D = _sq_dist_sql("s.sv", "i.c", PQ_SUBDIM)
+_PQ_CB_D = _sq_dist_sql("s.sv", "c.c", PQ_SUBDIM)
+_PQ_LUT_D = _sq_dist_sql("q.sv", "c.c", PQ_SUBDIM)
+_PQ_TRUE_D = _sq_dist_sql("eq.v", "en.v", DIMS)
+
+ANN_PQ_ADC_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), subs AS (
+        SELECT vec_id, m,
+               list_slice(v, m * {PQ_SUBDIM} + 1, m * {PQ_SUBDIM} + {PQ_SUBDIM})
+                   AS sv
+        FROM e, range(0, {PQ_M}) t(m)
+    ), init AS (
+        SELECT m, vec_id AS cid, sv AS c FROM subs WHERE vec_id < {PQ_K}
+    ), a0 AS (
+        SELECT s.vec_id, s.m, s.sv, i.cid, {_PQ_SUB_D} AS d
+        FROM subs s JOIN init i USING (m)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                   ORDER BY d, cid) = 1
+    ), cbm AS (
+        SELECT a0.m, a0.cid, i AS dim, ROUND(AVG(a0.sv[i]), 6) + 0.0 AS cv
+        FROM a0, range(1, {PQ_SUBDIM + 1}) t(i)
+        GROUP BY a0.m, a0.cid, i
+    ), cb AS (
+        SELECT m, cid, list(cv ORDER BY dim) AS c FROM cbm GROUP BY m, cid
+    ), codes AS (
+        SELECT s.vec_id, s.m, c.cid AS code, {_PQ_CB_D} AS d
+        FROM subs s JOIN cb c USING (m)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                   ORDER BY d, cid) = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, q.m, c.cid, {_PQ_LUT_D} AS dpart
+        FROM subs q JOIN cb c USING (m)
+        WHERE q.vec_id < {NUM_QUERIES}
+    ), adc AS (
+        SELECT l.query_id, cd.vec_id, ROUND(SUM(l.dpart), 6) AS adc_dist
+        FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.cid
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY l.query_id, cd.vec_id
+    ), topk AS (
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        FROM adc
+        QUALIFY rank <= {TOP_K}
+    )
+    SELECT t.query_id, t.neighbor_id, t.rank, t.adc_dist,
+           ROUND({_PQ_TRUE_D}, 6) AS true_sq_dist
+    FROM topk t
+    JOIN e eq ON eq.vec_id = t.query_id
+    JOIN e en ON en.vec_id = t.neighbor_id
+"""
+
+
+# --- IVF + PQ on residuals: the IVFADC index ------------------------
+
+
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search", §IV): the composition of the two scale levers
+    this family builds separately — IVF pruning (scan only the
+    NPROBE probed cells, not the corpus) and PQ compression (scan
+    {PQ_M} small codes per vector, not floats). A coarse quantizer
+    of NUM_LISTS seed vectors assigns every vector to a cell; PQ
+    codebooks are trained on the RESIDUAL v - c_cell (residual
+    energy is what's left after the coarse quantizer explains the
+    cell mean — the standard IVFADC refinement over quantizing raw
+    vectors); queries probe their NPROBE nearest cells and score
+    candidates by per-cell asymmetric-distance lookup tables over
+    the QUERY residual. Returns per-query top {TOP_K} by ADC
+    distance with the exact float distance alongside for audit.
+
+    Scale shape: seeds, codebooks, and per-(query, cell) LUTs are
+    broadcast-sized model state ({PQ_M}·{PQ_K} rows per probed
+    cell); the scan side touches ONLY the code rows of probed cells
+    — cell_id is the partition key of the persisted index at 100 TB,
+    so probing prunes partitions, and the per-cell scan reads
+    {PQ_M} small ints per vector. All argmin windows partition on
+    (vec_id[, m]) — fully parallel, no global sort.
+
+    Determinism: same disciplines as ann_pq_adc — codebook means
+    round to 6 dp, ADC sums round AFTER the fixed-order fold,
+    ranking ties break on vec_id; coarse assignment argmin breaks
+    ties on cell id.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    seeds = e.filter(F.col("vec_id") < NUM_LISTS).select(
+        F.col("vec_id").cast("int").alias("cell"), F.col("v").alias("c")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(seeds))
+        .select("vec_id", "v", "cell", _sq_dist(F.col("v"), F.col("c")).alias("d"), "c")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id").orderBy("d", "cell")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "cell",
+            F.zip_with("v", "c", lambda a, b: a - b).alias("r"),
+        )
+    )
+    rsubs = assigned.select(
+        "vec_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("r", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "cell", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    init = rsubs.filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").alias("cid"), F.col("sv").alias("c")
+    )
+    a0 = (
+        rsubs.join(F.broadcast(init), "m")
+        .select(
+            "vec_id", "m", "sv", "cid", _sq_dist(F.col("sv"), F.col("c")).alias("d")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("d", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    cb = (
+        a0.select("m", "cid", F.posexplode("sv").alias("dim0", "val"))
+        .groupBy("m", "cid", "dim0")
+        .agg((F.round(F.avg("val"), 6) + F.lit(0.0)).alias("cv"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim0", "cv"))),
+                lambda s: s["cv"],
+            ).alias("c")
+        )
+    )
+    codes = (
+        rsubs.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "cell", "m", "cid", _sq_dist(F.col("sv"), F.col("c")).alias("d")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("d", "cid")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "m", F.col("cid").alias("code"))
+    )
+    # queries probe their NPROBE nearest cells, then build one LUT per
+    # probed cell over the query's residual AGAINST THAT CELL
+    q = e.filter(F.col("vec_id") < NUM_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id", "qv", "cell", _sq_dist(F.col("qv"), F.col("c")).alias("d"), "c"
+        )
+        .withColumn(
+            "prank",
+            F.row_number().over(Window.partitionBy("query_id").orderBy("d", "cell")),
+        )
+        .filter(F.col("prank") <= NPROBE)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qv", "c", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    qsubs = probes.select(
+        "query_id",
+        "cell",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("qr", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", "cell", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+    lut = qsubs.join(F.broadcast(cb), "m").select(
+        "query_id",
+        F.col("cell").alias("lcell"),
+        F.col("m").alias("lm"),
+        F.col("cid").alias("lcid"),
+        _sq_dist(F.col("sv"), F.col("c")).alias("dpart"),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["cell"] == lut["lcell"])
+            & (codes["m"] == lut["lm"])
+            & (codes["code"] == lut["lcid"]),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("dpart"), 6).alias("adc_dist"))
+    )
+    topk = (
+        adc.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("adc_dist", "vec_id")
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+        .withColumnRenamed("vec_id", "neighbor_id")
+    )
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    return (
+        topk.join(F.broadcast(q), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            "adc_dist",
+            F.round(_sq_dist(F.col("qv"), F.col("nv")), 6).alias("true_sq_dist"),
+        )
+    )
+
+
+_IVFPQ_COARSE_D = _sq_dist_sql("e.v", "s.c", DIMS)
+_IVFPQ_SUB_D = _sq_dist_sql("s.sv", "i.c", PQ_SUBDIM)
+_IVFPQ_CB_D = _sq_dist_sql("s.sv", "c.c", PQ_SUBDIM)
+_IVFPQ_LUT_D = _sq_dist_sql("q.sv", "c.c", PQ_SUBDIM)
+_IVFPQ_QCOARSE_D = _sq_dist_sql("q.qv", "s.c", DIMS)
+_IVFPQ_TRUE_D = _sq_dist_sql("eq.v", "en.v", DIMS)
+
+ANN_IVF_PQ_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), seeds AS (
+        SELECT CAST(vec_id AS INTEGER) AS cell, v AS c
+        FROM e WHERE vec_id < {NUM_LISTS}
+    ), assigned AS (
+        SELECT e.vec_id, s.cell,
+               list_transform(range(1, {DIMS + 1}),
+                              i -> e.v[i] - s.c[i]) AS r
+        FROM e CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {_IVFPQ_COARSE_D}, s.cell) = 1
+    ), rsubs AS (
+        SELECT vec_id, cell, m,
+               list_slice(r, m * {PQ_SUBDIM} + 1,
+                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+        FROM assigned, range(0, {PQ_M}) t(m)
+    ), init AS (
+        SELECT m, vec_id AS cid, sv AS c FROM rsubs WHERE vec_id < {PQ_K}
+    ), a0 AS (
+        SELECT s.vec_id, s.m, s.sv, i.cid, {_IVFPQ_SUB_D} AS d
+        FROM rsubs s JOIN init i USING (m)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                   ORDER BY d, cid) = 1
+    ), cbm AS (
+        SELECT a0.m, a0.cid, i AS dim, ROUND(AVG(a0.sv[i]), 6) + 0.0 AS cv
+        FROM a0, range(1, {PQ_SUBDIM + 1}) t(i)
+        GROUP BY a0.m, a0.cid, i
+    ), cb AS (
+        SELECT m, cid, list(cv ORDER BY dim) AS c FROM cbm GROUP BY m, cid
+    ), codes AS (
+        SELECT s.vec_id, s.cell, s.m, c.cid AS code, {_IVFPQ_CB_D} AS d
+        FROM rsubs s JOIN cb c USING (m)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                   ORDER BY d, cid) = 1
+    ), qv AS (
+        SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {NUM_QUERIES}
+    ), probes AS (
+        SELECT q.query_id, s.cell,
+               list_transform(range(1, {DIMS + 1}),
+                              i -> q.qv[i] - s.c[i]) AS qr
+        FROM qv q CROSS JOIN seeds s
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q.query_id
+                ORDER BY {_IVFPQ_QCOARSE_D}, s.cell) <= {NPROBE}
+    ), qsubs AS (
+        SELECT query_id, cell, m,
+               list_slice(qr, m * {PQ_SUBDIM} + 1,
+                          m * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+        FROM probes, range(0, {PQ_M}) t(m)
+    ), lut AS (
+        SELECT q.query_id, q.cell, q.m, c.cid, {_IVFPQ_LUT_D} AS dpart
+        FROM qsubs q JOIN cb c USING (m)
+    ), adc AS (
+        SELECT l.query_id, cd.vec_id, ROUND(SUM(l.dpart), 6) AS adc_dist
+        FROM codes cd
+        JOIN lut l ON cd.cell = l.cell AND cd.m = l.m AND cd.code = l.cid
+        WHERE cd.vec_id <> l.query_id
+        GROUP BY l.query_id, cd.vec_id
+    ), topk AS (
+        SELECT query_id, vec_id AS neighbor_id, adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+        FROM adc
+        QUALIFY rank <= {TOP_K}
+    )
+    SELECT t.query_id, t.neighbor_id, t.rank, t.adc_dist,
+           ROUND({_IVFPQ_TRUE_D}, 6) AS true_sq_dist
+    FROM topk t
+    JOIN e eq ON eq.vec_id = t.query_id
+    JOIN e en ON en.vec_id = t.neighbor_id
+"""

@@ -33,6 +33,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.functions.text import tokens
 
 # temperature-sampling pivot: a source with <= PIVOT_DOCS documents is
 # kept whole; larger sources keep PIVOT_SQRT/sqrt(n) of their docs —
@@ -326,4 +327,168 @@ SPLIT_NEAR_DUP_LEAKAGE_ORACLE = f"""
     JOIN splits a ON a.doc_id = c.doc_id_a
     JOIN splits b ON b.doc_id = c.doc_id_b
     GROUP BY 1, 2
+"""
+
+
+# --- DSIR: data selection via hashed-n-gram importance weights ------
+
+# Xie et al., NeurIPS 2023, "Data Selection for Language Models via
+# Importance Resampling": score every raw-pool document by how much
+# more likely its hashed n-gram features are under the TARGET
+# distribution than under the RAW distribution, then keep the
+# highest-weighted documents. Here the target is the English slice of
+# the corpus (the deterministic stand-in for "looks like the
+# high-quality domain") and the raw pool is the whole corpus.
+DSIR_BUCKETS = 64
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance weight over hashed unigram+bigram
+    features: weight(d) = sum_b n_b(d) * lr_b where lr_b is the
+    per-bucket log-likelihood ratio
+    ln p_target(b) - ln p_raw(b) (Laplace-smoothed bucket unigram
+    models), n_b(d) the document's feature count in bucket b.
+
+    Determinism across engines: lr_b is rounded to MICRO-log units
+    (bigint, round(lr * 1e6)) before the per-document sum, so the
+    document weight is an exact INTEGER dot product — no float
+    summation whose order could differ between Spark and DuckDB; the
+    readable double is derived from the integer at the end. `ln`
+    itself is computed once per bucket ({DSIR_BUCKETS} rows), where
+    a last-place rounding divergence could only flip a micro-unit on
+    a knife-edge — the same exposure class as the round-6dp log ops
+    in plans/textops.py, but on 64 model rows instead of per-row.
+
+    Scale shape: the feature model is {DSIR_BUCKETS} rows built by two
+    map-side-combined aggregates over one corpus scan (bucket =
+    md5-hash of the feature mod {DSIR_BUCKETS} — a pure projection);
+    per-document bucket counts join the broadcast 64-row lr table and
+    re-aggregate by doc_id. Two shuffles total, both on keys with
+    bounded cardinality (bucket, doc_id); `selected` compares the
+    weight to the scalar 0 (more target-like than raw-like), so no
+    global ranking window is needed. At 100 TB the model fits in one
+    broadcast and the corpus is scanned once for counts and once for
+    scoring (or once total if the bucket counts are cached).
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.filter(tokens("text"), lambda t: t != "")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).withColumn(
+        "bucket",
+        (
+            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).cast("int"),
+    )
+    doc_counts = feats.groupBy("doc_id", "lang", "source", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    raw = feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (
+        feats.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    # scalar totals ride a broadcast 1-row frame (no unpartitioned
+    # window); the model table is DSIR_BUCKETS rows
+    totals = (
+        raw.agg(F.sum("c_raw").alias("tot_raw"))
+        .crossJoin(tgt.agg(F.sum("c_tgt").alias("tot_tgt")))
+    )
+    model = (
+        raw.join(tgt, "bucket", "left")
+        .withColumn("c_tgt", F.coalesce("c_tgt", F.lit(0)))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.round(
+                (
+                    F.log(
+                        (F.col("c_tgt") + 1)
+                        / (F.col("tot_tgt") + F.lit(DSIR_BUCKETS))
+                    )
+                    - F.log(
+                        (F.col("c_raw") + 1)
+                        / (F.col("tot_raw") + F.lit(DSIR_BUCKETS))
+                    )
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return (
+        doc_counts.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_feats"),
+            F.sum(F.col("n") * F.col("lr_micro")).cast("bigint").alias("w_micro"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_feats",
+            F.round(F.col("w_micro") / 1e6, 6).alias("dsir_logweight"),
+            (F.col("w_micro") > 0).alias("selected"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_WEIGHTS_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           t -> t <> '') AS ts
+        FROM documents
+    ), feats AS (
+        SELECT doc_id, lang, source, f AS feat
+        FROM (
+            SELECT doc_id, lang, source, unnest(ts) AS f FROM toks
+            UNION ALL
+            SELECT doc_id, lang, source,
+                   unnest(list_transform(
+                       range(1, len(ts)),
+                       i -> ts[i] || ' ' || ts[i + 1])) AS f
+            FROM toks
+        )
+    ), bucketed AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5(feat), 1, 8))::BIGINT
+                    % {DSIR_BUCKETS} AS INTEGER) AS bucket
+        FROM feats
+    ), doc_counts AS (
+        SELECT doc_id, lang, source, bucket, COUNT(*) AS n
+        FROM bucketed GROUP BY 1, 2, 3, 4
+    ), raw AS (
+        SELECT bucket, COUNT(*) AS c_raw FROM bucketed GROUP BY 1
+    ), tgt AS (
+        SELECT bucket, COUNT(*) AS c_tgt FROM bucketed
+        WHERE lang = 'en' GROUP BY 1
+    ), model AS (
+        SELECT r.bucket,
+               CAST(ROUND((
+                   ln((COALESCE(t.c_tgt, 0) + 1) * 1.0 /
+                      (SUM(COALESCE(t.c_tgt, 0)) OVER () + {DSIR_BUCKETS}))
+                 - ln((r.c_raw + 1) * 1.0 /
+                      (SUM(r.c_raw) OVER () + {DSIR_BUCKETS}))
+               ) * 1e6) AS BIGINT) AS lr_micro
+        FROM raw r LEFT JOIN tgt t USING (bucket)
+    )
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(SUM(d.n) AS BIGINT) AS n_feats,
+           ROUND(SUM(d.n * m.lr_micro) / 1e6, 6) AS dsir_logweight,
+           SUM(d.n * m.lr_micro) > 0 AS selected
+    FROM doc_counts d JOIN model m USING (bucket)
+    GROUP BY 1, 2, 3
 """

@@ -215,3 +215,128 @@ def exact_pairs_oracle(doc_filter: str = "TRUE") -> str:
 
 
 JACCARD_PREFIX_PAIRS_ORACLE = exact_pairs_oracle()
+
+
+# --- containment / proper-superset detection -------------------------
+
+def superset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CONTAINMENT audit: for every document, how many
+    OTHER documents' token sets strictly contain it (quote extraction
+    / subset-page dedup — the asymmetric relative of the symmetric
+    Jaccard join above: containment |A∩B|/|A| = 1.0 exactly when
+    A ⊆ B, which a Jaccard threshold can never express for
+    differently-sized sets). Output per document: set size, exact
+    duplicates (same token set), and the count of documents whose set
+    is a proper superset.
+
+    Scale shape — the same class-collapse + rarity-blocking spine as
+    ``jaccard_pairs_for_docs``: identical token sets collapse to one
+    class, so the pairwise stage runs at class cardinality; a class
+    pair (a ⊊ b) is only generated where b contains a's single
+    RAREST token (containment prefix length at tau=1.0 is
+    n - ceil(n) + 1 = 1 — the Bayardo prefix theorem specialized to
+    subset containment), plus the length filter n_b > n_a (a proper
+    subset is strictly smaller; equal size forces equal sets = same
+    class). The verify is an exact array_except on the class token
+    arrays, and per-doc counts re-expand through the membership
+    table. Worst case is this corpus's saturated 31-token vocabulary
+    (every token's class-level df is large); on a real crawl the
+    rarest-token df is small and the candidate join is near-linear.
+    The final report is doc-sized with no global window.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(F.filter(tokens("text"), lambda t: t != ""))
+            ).alias("ts"),
+        )
+        .withColumn("n", F.size("ts"))
+        .filter(F.col("n") > 0)
+        .withColumn("cls", F.md5(F.concat_ws("\x1f", "ts")))
+    )
+    member = toks.select("doc_id", "n", "cls").localCheckpoint(eager=True)
+    classes = toks.groupBy("cls").agg(
+        F.min_by("ts", "doc_id").alias("ts"),
+        F.min("n").alias("n"),
+        F.count(F.lit(1)).alias("sz"),
+    ).localCheckpoint(eager=True)
+
+    ex = classes.select("cls", "n", F.explode("ts").alias("token"))
+    dfreq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    rarest = (
+        ex.join(F.broadcast(dfreq), "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cls").orderBy("df", "token")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("cls", "n", "token")
+    )
+
+    cand = (
+        rarest.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("b.n") > F.col("a.n")),
+        )
+        .select(F.col("a.cls").alias("cls_a"), F.col("b.cls").alias("cls_b"))
+        .distinct()
+    )
+    ca = classes.select(F.col("cls").alias("cls_a"), F.col("ts").alias("ts_a"))
+    cb = classes.select(
+        F.col("cls").alias("cls_b"), F.col("ts").alias("ts_b"), F.col("sz").alias("sz_b")
+    )
+    sup = (
+        cand.join(ca, "cls_a")
+        .join(cb, "cls_b")
+        .filter(F.size(F.array_except("ts_a", "ts_b")) == 0)
+        .groupBy("cls_a")
+        .agg(F.sum("sz_b").alias("n_sup"))
+    )
+    cls_sz = classes.select("cls", "sz").join(
+        sup.withColumnRenamed("cls_a", "cls"), "cls", "left"
+    )
+    return (
+        member.join(cls_sz, "cls")
+        .select(
+            "doc_id",
+            F.col("n").cast("int").alias("n_tokens"),
+            (F.col("sz") - 1).cast("bigint").alias("n_exact_dups"),
+            F.coalesce("n_sup", F.lit(0)).cast("bigint").alias("n_superset_docs"),
+        )
+    )
+
+
+# brute-force oracle: class x class subset test via list_has_all —
+# independent of the rarity-blocked candidate path, so identical
+# output proves the block generates every true subset pair
+SUPERSET_CONTAINMENT_ORACLE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_filter(
+                   string_split_regex(trim(text), '\\s+'),
+                   t -> t <> ''))) AS ts
+        FROM documents
+    ), t2 AS (
+        SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0
+    ), cls AS (
+        SELECT ts, MIN(n) AS n, COUNT(*) AS sz FROM t2 GROUP BY ts
+    ), sup AS (
+        SELECT a.ts AS ts_a, SUM(b.sz) AS n_sup
+        FROM cls a JOIN cls b
+          ON b.n > a.n AND list_has_all(b.ts, a.ts)
+        GROUP BY a.ts
+    )
+    SELECT d.doc_id,
+           CAST(d.n AS INTEGER) AS n_tokens,
+           CAST(c.sz - 1 AS BIGINT) AS n_exact_dups,
+           CAST(COALESCE(s.n_sup, 0) AS BIGINT) AS n_superset_docs
+    FROM t2 d
+    JOIN cls c ON c.ts = d.ts
+    LEFT JOIN sup s ON s.ts_a = d.ts
+"""

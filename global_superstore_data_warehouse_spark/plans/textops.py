@@ -2279,35 +2279,11 @@ SIMHASH_RECALL_EVAL_ORACLE = f"""
 BPE_MERGE_ROUNDS = 6
 
 
-def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Learn the first {BPE_MERGE_ROUNDS} BPE merges from the corpus:
-    the classic train-a-tokenizer loop (count adjacent symbol pairs →
-    merge the most frequent pair everywhere → repeat), run the way it
-    distributes — over the WORD VOCABULARY with word counts as
-    weights, so after the one corpus scan that builds the vocab, no
-    round ever touches the corpus again.
-
-    Per round: pair generation is the same zero-shuffle ``zip_with``
-    over two slices of the symbol array as bpe_pair_counts, weighted
-    by word count and map-side-combined to the pair-vocabulary; the
-    argmax pair (ONE row — the only driver-side state, scalar-class
-    like the k-means round scalars) becomes a literal
-    ``replace(' l r ' -> ' lr ')`` column transform applied to every
-    vocab entry. Ties break deterministically on (freq DESC, pair
-    ASC) in both engines.
-
-    Merge application uses single-pass leftmost non-overlapping
-    string replace — identical semantics in Spark and DuckDB, so
-    parity is by construction. (For a run of >=4 identical symbols a
-    greedy pairwise scanner would merge one pair more than replace
-    does; real tokenizers differ on the same edge, and the learned
-    merge TABLE — the operator's output — is unaffected.)
-
-    Output: one row per learned merge (step, left_sym, right_sym,
-    merged, pair_freq). Reference anchor: the reference has no
-    tokenizer; this extends the training-data surface the way
-    SURVEY §6's beyond-reference items commission.
-    """
+def _bpe_learn(spark: SparkSession, sf_dir: str):
+    """Run the BPE merge loop; returns (merges, encoded_vocab) where
+    merges is [(step, l, r, merged, freq), ...] and encoded_vocab is
+    the vocab-sized (w, wc, seq) DataFrame AFTER all merges applied —
+    the learned tokenizer's encoding of every word."""
     docs = load(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(T.tokens("text")).alias("w0"))
@@ -2318,6 +2294,7 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # one corpus scan; rounds re-read this vocab-sized snapshot
     cur = vocab.select(
+        "w",
         "wc",
         F.concat(
             F.trim(F.regexp_replace("w", "(.)", "$1 ")), F.lit(" _")
@@ -2356,6 +2333,39 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+    return merges, cur
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first {BPE_MERGE_ROUNDS} BPE merges from the corpus:
+    the classic train-a-tokenizer loop (count adjacent symbol pairs →
+    merge the most frequent pair everywhere → repeat), run the way it
+    distributes — over the WORD VOCABULARY with word counts as
+    weights, so after the one corpus scan that builds the vocab, no
+    round ever touches the corpus again.
+
+    Per round: pair generation is the same zero-shuffle ``zip_with``
+    over two slices of the symbol array as bpe_pair_counts, weighted
+    by word count and map-side-combined to the pair-vocabulary; the
+    argmax pair (ONE row — the only driver-side state, scalar-class
+    like the k-means round scalars) becomes a literal
+    ``replace(' l r ' -> ' lr ')`` column transform applied to every
+    vocab entry. Ties break deterministically on (freq DESC, pair
+    ASC) in both engines.
+
+    Merge application uses single-pass leftmost non-overlapping
+    string replace — identical semantics in Spark and DuckDB, so
+    parity is by construction. (For a run of >=4 identical symbols a
+    greedy pairwise scanner would merge one pair more than replace
+    does; real tokenizers differ on the same edge, and the learned
+    merge TABLE — the operator's output — is unaffected.)
+
+    Output: one row per learned merge (step, left_sym, right_sym,
+    merged, pair_freq). Reference anchor: the reference has no
+    tokenizer; this extends the training-data surface the way
+    SURVEY §6's beyond-reference items commission.
+    """
+    merges, _ = _bpe_learn(spark, sf_dir)
     from pyspark.sql.types import (
         LongType,
         StringType,
@@ -2377,8 +2387,9 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_learn_oracle() -> str:
-    """Unrolled {BPE_MERGE_ROUNDS}-stage CTE chain mirroring the loop."""
+def _bpe_stage_chain() -> str:
+    """The shared unrolled {BPE_MERGE_ROUNDS}-stage WITH-chain both
+    BPE oracles build on: vocab → s0 → (p_i, b_i, s_{i+1})*."""
     parts = [
         f"""vocab AS (
         SELECT w, CAST(COUNT(*) AS BIGINT) AS wc
@@ -2388,7 +2399,8 @@ def _bpe_learn_oracle() -> str:
         WHERE regexp_matches(w, '^[a-z]+$')
         GROUP BY w
     ), s0 AS (
-        SELECT wc, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' _' AS seq
+        SELECT w, wc,
+               trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' _' AS seq
         FROM vocab
     )"""
     ]
@@ -2408,19 +2420,101 @@ def _bpe_learn_oracle() -> str:
         SELECT l, r, freq FROM p{i}
         ORDER BY freq DESC, l || ' ' || r ASC LIMIT 1
     ), s{i + 1} AS (
-        SELECT wc, trim(replace(' ' || seq || ' ',
-                                ' ' || b.l || ' ' || b.r || ' ',
-                                ' ' || b.l || b.r || ' ')) AS seq
+        SELECT w, wc, trim(replace(' ' || seq || ' ',
+                                   ' ' || b.l || ' ' || b.r || ' ',
+                                   ' ' || b.l || b.r || ' ')) AS seq
         FROM s{i}, b{i} b
     )"""
         )
+    return "WITH " + ", ".join(parts)
+
+
+def _bpe_learn_oracle() -> str:
     selects = " UNION ALL ".join(
         f"""SELECT CAST({i + 1} AS BIGINT) AS step, l AS left_sym,
                r AS right_sym, l || r AS merged, freq AS pair_freq
         FROM b{i}"""
         for i in range(BPE_MERGE_ROUNDS)
     )
-    return "WITH " + ", ".join(parts) + " " + selects
+    return _bpe_stage_chain() + " " + selects
 
 
 BPE_LEARN_MERGES_ORACLE = _bpe_learn_oracle()
+
+
+def bpe_vocab_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges: encode every word with the
+    {BPE_MERGE_ROUNDS}-merge tokenizer _bpe_learn trains and report,
+    per source, how much the symbol stream shrank — word occurrences,
+    symbols at the character baseline (chars + end marker, i.e. the
+    zero-merge encoding), symbols after the merges, and the ratio.
+    The measured "was the tokenizer worth it" readout, and the apply
+    half of the train/apply pair (bpe_learn_merges is the train
+    half).
+
+    Scale shape: encoding happens on the VOCAB (one row per distinct
+    word — the corpus is never re-encoded row by row); per-source
+    word counts join the vocab-sized encoding table via a size-gated
+    broadcast, then a sources-sized aggregate. At 100 TB the
+    encoding table is exactly the artifact you'd ship to the
+    tokenizer workers.
+    """
+    from global_superstore_data_warehouse_spark.operators.hints import (
+        maybe_broadcast,
+    )
+
+    _, enc = _bpe_learn(spark, sf_dir)
+    enc_len = enc.select(
+        "w", F.size(F.split("seq", " ")).cast("bigint").alias("n_sym")
+    )
+    docs = load(spark, sf_dir, "documents")
+    ws = (
+        docs.select("source", F.explode(T.tokens("text")).alias("w0"))
+        .select("source", F.lower("w0").alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    base = F.sum(F.col("n") * (F.length("w") + F.lit(1)))
+    after = F.sum(F.col("n") * F.col("n_sym"))
+    return (
+        ws.join(maybe_broadcast(enc_len), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_word_occurrences"),
+            base.cast("bigint").alias("symbols_char_baseline"),
+            after.cast("bigint").alias("symbols_after_merges"),
+            F.round(after / base, 6).alias("compression_ratio"),
+        )
+    )
+
+
+def _bpe_compression_oracle() -> str:
+    chain = _bpe_stage_chain()
+    last = f"s{BPE_MERGE_ROUNDS}"
+    return f"""{chain}
+    SELECT ws.source,
+           CAST(SUM(ws.n) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM(ws.n * (len(ws.w) + 1)) AS BIGINT)
+               AS symbols_char_baseline,
+           CAST(SUM(ws.n * e.n_sym) AS BIGINT) AS symbols_after_merges,
+           ROUND(SUM(ws.n * e.n_sym) * 1.0 /
+                 SUM(ws.n * (len(ws.w) + 1)), 6) AS compression_ratio
+    FROM (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (
+            SELECT source, lower(unnest({ALL_TOKS_SQL})) AS w
+            FROM documents
+        )
+        WHERE regexp_matches(w, '^[a-z]+$')
+        GROUP BY source, w
+    ) ws
+    JOIN (
+        SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+        FROM {last}
+    ) e USING (w)
+    GROUP BY ws.source
+"""
+
+
+BPE_VOCAB_COMPRESSION_ORACLE = _bpe_compression_oracle()

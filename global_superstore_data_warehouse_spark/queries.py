@@ -1,13 +1,16 @@
-# ROUND-8 ROTATION QUEUE (~39 registered entries still lack a
-# driver row; next up, novel shapes first): daily_revenue_anomalies,
-# event_trigrams, order_day_islands, cumulative_new_users,
-# events_session_window, events_value_outliers, weighted_sample_topk,
-# revenue_cohorts, winsorized_segment_balances, secured_orders_slice,
-# simhash_near_dup_pairs, boilerplate_strip, duplicate_span_islands,
-# multimodal_decode_stats, dedup_normalized_docs — then the
-# retail/observability tail (pareto_products, rfm_segments,
-# join_skew_report, psi_event_drift, corpus_report, ...). Rotate out
-# r07-green shape-covered entries.
+# ROUND-8 ROTATION QUEUE (~46 registered entries still lack a
+# driver row; next up, novel shapes first — the round-7 additions
+# lead: layout_skipping_eval, bpe_learn_merges,
+# bpe_vocab_compression, ann_pq_adc, multitouch_attribution,
+# dsir_importance_weights, superset_containment, ann_ivf_pq — then
+# daily_revenue_anomalies, event_trigrams, order_day_islands,
+# cumulative_new_users, events_session_window, events_value_outliers,
+# weighted_sample_topk, revenue_cohorts, winsorized_segment_balances,
+# secured_orders_slice, simhash_near_dup_pairs, boilerplate_strip,
+# duplicate_span_islands, multimodal_decode_stats,
+# dedup_normalized_docs — then the retail/observability tail
+# (pareto_products, rfm_segments, join_skew_report, psi_event_drift,
+# corpus_report, ...). Rotate out r07-green shape-covered entries.
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
@@ -733,6 +736,60 @@ register(
     "bpe_learn_merges",
     textops.bpe_learn_merges,
     textops.BPE_LEARN_MERGES_ORACLE,
+)
+# NEW round 7: the apply half — encode the vocab with the learned
+# merges, report per-source symbol compression. Round-8 queue.
+register(
+    "bpe_vocab_compression",
+    textops.bpe_vocab_compression,
+    textops.BPE_VOCAB_COMPRESSION_ORACLE,
+)
+# NEW round 7: product-quantization ANN — train per-subspace
+# codebooks, encode the corpus to 12-bit codes, answer queries via
+# asymmetric-distance LUT scan (the compressed-scan family's
+# dimension-sublinear member next to ann_int8_rerank). Round-8
+# queue.
+register(
+    "ann_pq_adc",
+    embeddings.ann_pq_adc,
+    embeddings.ANN_PQ_ADC_ORACLE,
+)
+# NEW round 7: multi-touch time-decay attribution (integer decay
+# buckets for engine-exact weights; conserves total purchase value;
+# the panel generalization of asof_click_attribution). Round-8 queue.
+register(
+    "multitouch_attribution",
+    curation.multitouch_attribution,
+    curation.MULTITOUCH_ATTRIBUTION_ORACLE,
+)
+# NEW round 7: DSIR data selection (Xie et al. 2023) — hashed
+# unigram+bigram bucket models for target (lang='en') vs raw pool,
+# per-doc log-likelihood-ratio weight as an exact integer dot product
+# (micro-log units — no cross-engine float-sum order exposure).
+# Round-8 queue.
+register(
+    "dsir_importance_weights",
+    mixtures.dsir_importance_weights,
+    mixtures.DSIR_IMPORTANCE_WEIGHTS_ORACLE,
+)
+# NEW round 7: asymmetric containment audit — per-doc count of
+# proper-superset documents via class collapse + rarest-token
+# blocking (containment prefix length 1 at tau=1.0); brute-force
+# class x class list_has_all oracle proves block recall 1.0.
+# Round-8 queue.
+register(
+    "superset_containment",
+    setsim.superset_containment,
+    setsim.SUPERSET_CONTAINMENT_ORACLE,
+)
+# NEW round 7: IVFADC — IVF cell pruning composed with PQ residual
+# codes and per-(query, cell) ADC LUTs; the 100 TB shape where
+# probing prunes partitions AND the scan reads 12-bit codes.
+# Round-8 queue.
+register(
+    "ann_ivf_pq",
+    embeddings.ann_ivf_pq,
+    embeddings.ANN_IVF_PQ_ORACLE,
 )
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
