@@ -237,13 +237,33 @@ def superset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     n - ceil(n) + 1 = 1 — the Bayardo prefix theorem specialized to
     subset containment), plus the length filter n_b > n_a (a proper
     subset is strictly smaller; equal size forces equal sets = same
-    class). The verify is an exact array_except on the class token
-    arrays, and per-doc counts re-expand through the membership
-    table. Worst case is this corpus's saturated 31-token vocabulary
-    (every token's class-level df is large); on a real crawl the
-    rarest-token df is small and the candidate join is near-linear.
-    The final report is doc-sized with no global window.
+    class). On a real crawl the rarest-token df is small and the
+    candidate join is near-linear; on THIS corpus's saturated
+    31-token vocabulary the block barely prunes (5.7M candidates
+    from 3.9k classes at sf0.1), so the subset TEST must be cheap:
+    each class carries a 62-bit token bitmask and the test is
+    ``(m_a & m_b) == m_a`` evaluated inside the join's codegen —
+    no array joins, no array_except per candidate. Two tiers,
+    chosen by the observed vocabulary size (a scalar):
+
+    - vocab <= 62: one bit per DISTINCT TOKEN (dense df-ordered
+      index) — the mask test IS the exact subset test, verify-free;
+    - vocab > 62: two independent hashed 62-bit Bloom masks as a
+      NECESSARY-condition prefilter (a ⊆ b ⇒ mask_a ⊆ mask_b, so
+      recall stays 1.0), exact array_except verify only on the
+      survivors (measured 11x survivor cut at sf0.1).
+
+    Both tiers are equality-tested against each other
+    (tests/test_round7_ops.py) and against the brute-force oracle.
+    Rewrite measured at sf0.1: 32.5 s → ~7 s. The final report is
+    doc-sized with no global window.
     """
+    return _superset_containment(spark, sf_dir, force_bloom=False)
+
+
+def _superset_containment(
+    spark: SparkSession, sf_dir: str, force_bloom: bool
+) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -261,10 +281,47 @@ def superset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("ts", "doc_id").alias("ts"),
         F.min("n").alias("n"),
         F.count(F.lit(1)).alias("sz"),
-    ).localCheckpoint(eager=True)
+    )
 
-    ex = classes.select("cls", "n", F.explode("ts").alias("token"))
-    dfreq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ex0 = classes.select("cls", F.explode("ts").alias("token"))
+    dfreq = ex0.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    vocab = dfreq.count()  # scalar: picks the mask tier
+    exact_masks = vocab <= 62 and not force_bloom
+    if exact_masks:
+        # dense one-bit-per-token index, df-ordered (deterministic)
+        bits = dfreq.select(
+            "token",
+            "df",
+            (F.row_number().over(Window.orderBy("df", "token")) - 1).alias(
+                "rk"
+            ),
+        ).select(
+            "token",
+            "df",
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(rk AS INT))").alias(
+                "bit1"
+            ),
+            F.lit(0).cast("long").alias("bit2"),
+        )
+    else:
+        # two independent hashed 62-bit Bloom masks (k=1 each)
+        def _bit(seed: str) -> F.Column:
+            return F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(pmod(xxhash64(concat('{seed}', token)), 62) AS INT))"
+            )
+
+        bits = dfreq.select(
+            "token", "df", _bit("sb1:").alias("bit1"), _bit("sb2:").alias("bit2")
+        )
+    masks = (
+        ex0.join(F.broadcast(bits), "token")
+        .groupBy("cls")
+        .agg(F.bit_or("bit1").alias("m1"), F.bit_or("bit2").alias("m2"))
+    )
+    classes = classes.join(masks, "cls").localCheckpoint(eager=True)
+
+    ex = classes.select("cls", "n", "m1", "m2", F.explode("ts").alias("token"))
     rarest = (
         ex.join(F.broadcast(dfreq), "token")
         .withColumn(
@@ -274,30 +331,53 @@ def superset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") == 1)
-        .select("cls", "n", "token")
+        .select("cls", "n", "m1", "m2", "token")
     )
 
+    # rarest emits ONE row per class a and b's tokens are distinct, so
+    # each (a, b) pair arises at most once — no distinct needed; the
+    # mask subset test runs inside the join's generated code
     cand = (
         rarest.alias("a")
         .join(
             ex.alias("b"),
             (F.col("a.token") == F.col("b.token"))
-            & (F.col("b.n") > F.col("a.n")),
+            & (F.col("b.n") > F.col("a.n"))
+            & (
+                F.col("a.m1").bitwiseAND(F.col("b.m1")) == F.col("a.m1")
+            )
+            & (
+                F.col("a.m2").bitwiseAND(F.col("b.m2")) == F.col("a.m2")
+            ),
         )
         .select(F.col("a.cls").alias("cls_a"), F.col("b.cls").alias("cls_b"))
-        .distinct()
     )
-    ca = classes.select(F.col("cls").alias("cls_a"), F.col("ts").alias("ts_a"))
-    cb = classes.select(
-        F.col("cls").alias("cls_b"), F.col("ts").alias("ts_b"), F.col("sz").alias("sz_b")
-    )
-    sup = (
-        cand.join(ca, "cls_a")
-        .join(cb, "cls_b")
-        .filter(F.size(F.array_except("ts_a", "ts_b")) == 0)
-        .groupBy("cls_a")
-        .agg(F.sum("sz_b").alias("n_sup"))
-    )
+    if exact_masks:
+        # the dense mask test was the exact subset test already
+        sup = (
+            cand.join(
+                classes.select(
+                    F.col("cls").alias("cls_b"), F.col("sz").alias("sz_b")
+                ),
+                "cls_b",
+            )
+            .groupBy("cls_a")
+            .agg(F.sum("sz_b").alias("n_sup"))
+        )
+    else:
+        ca = classes.select(F.col("cls").alias("cls_a"), F.col("ts").alias("ts_a"))
+        cb = classes.select(
+            F.col("cls").alias("cls_b"),
+            F.col("ts").alias("ts_b"),
+            F.col("sz").alias("sz_b"),
+        )
+        sup = (
+            cand.join(ca, "cls_a")
+            .join(cb, "cls_b")
+            .filter(F.size(F.array_except("ts_a", "ts_b")) == 0)
+            .groupBy("cls_a")
+            .agg(F.sum("sz_b").alias("n_sup"))
+        )
     cls_sz = classes.select("cls", "sz").join(
         sup.withColumnRenamed("cls_a", "cls"), "cls", "left"
     )

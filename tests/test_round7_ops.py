@@ -211,6 +211,25 @@ def test_superset_containment_matches_oracle(spark, duck, sf_dir):
     assert_matches_oracle(spark, duck, "superset_containment", sf_dir)
 
 
+def test_superset_containment_tiers_agree(spark, sf_dir):
+    """The exact-dense-mask tier (vocab <= 62, verify-free) and the
+    hashed-Bloom-prefilter tier (general-vocab path, exact
+    array_except verify on survivors) must produce identical audits —
+    the Bloom mask is a necessary condition of subsetness, so neither
+    tier can lose a true pair."""
+    from global_superstore_data_warehouse_spark.plans.setsim import (
+        _superset_containment,
+    )
+
+    exact = sorted(
+        map(tuple, _superset_containment(spark, sf_dir, force_bloom=False).collect())
+    )
+    bloom = sorted(
+        map(tuple, _superset_containment(spark, sf_dir, force_bloom=True).collect())
+    )
+    assert exact == bloom
+
+
 def test_superset_containment_invariants(spark, sf_dir):
     """Structural truths independent of the oracle: a document whose
     set equals the GLOBAL token union can have no proper superset;
