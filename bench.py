@@ -178,6 +178,9 @@ EXTRA = [
     "dsir_importance_weights",
     "ann_ivf_pq",
     "superset_containment",
+    # COW transaction-log merge lifecycle (create -> file-pruned
+    # SCD1 merge -> snapshot audit; timing includes the table writes)
+    "cow_merge_upsert",
 ]
 
 ROUNDS = 3

@@ -1,0 +1,163 @@
+"""Lakehouse-layer registered queries: the COW transaction-log
+table's MERGE exercised end-to-end under the driver's oracle gate.
+
+``sources/cowtable.py`` holds the mechanism (commit log, bucketed
+files, footer stats, pruned MERGE); this plan runs a full
+create → upsert-batch → merge → snapshot-read lifecycle against the
+driver's customer table and reports a per-bucket audit the DuckDB
+oracle reproduces from pure SQL — so the HASH check proves the
+file-pruned merge computed exactly the logical upsert, and the
+``rewritten`` column proves the pruning decision itself (bucket ∈
+source buckets) is the one the log-level merge made.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.sources import cowtable
+
+NBUCKETS = 16
+N_INSERTS = 3
+
+
+def cow_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 upsert through the copy-on-write transaction-log table,
+    verified at the VALUE level by the driver's oracle: CREATE the
+    customer table range-bucketed 16 ways on c_custkey, merge a
+    deterministic update batch (the first fifth of the key range
+    gets +100.00 on c_acctbal, plus {N_INSERTS} brand-new keys above
+    the range), then snapshot-read the result and fold it to a
+    per-bucket audit: row count, how many rows the batch updated /
+    inserted, the balance total in exact integer cents, and whether
+    the MERGE rewrote that bucket's file (it must rewrite exactly
+    the buckets the source keys map to — 4 of 16 here — and carry
+    the rest by reference; tests/test_cowtable.py proves the carried
+    files' inodes never move).
+
+    Scale shape: the merge reads only touched buckets' files
+    (file-level pruning via the commit log — Delta's MERGE shape);
+    the audit is one scan of the snapshot with a 16-group
+    aggregation. The tempdir table is demonstration plumbing; at
+    100 TB the same log sits next to the data on object storage.
+    """
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    lo, hi = int(lo), int(hi)
+    cut = lo + (hi - lo) // 5
+
+    root = tempfile.mkdtemp(prefix="cow-upsert-") + "/tbl"
+    cowtable.create(
+        spark, root, df, key="c_custkey", nbuckets=NBUCKETS, bounds=(lo, hi)
+    )
+
+    inserts = spark.range(1, N_INSERTS + 1).select(
+        (F.lit(hi) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("new customer "), F.col("id")).alias("c_name"),
+        F.col("id").cast("double").alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    source = (
+        df.filter(F.col("c_custkey") <= cut)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+        .unionByName(inserts)
+    )
+    report = cowtable.merge_scd1(
+        spark,
+        root,
+        source,
+        keys=["c_custkey"],
+        attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    touched = report["touched_buckets"]
+
+    meta = cowtable._read_meta(root)
+    snap = cowtable.read_version(spark, root)
+    return (
+        snap.withColumn(
+            "bucket", cowtable._bucket_col(F.col("c_custkey"), meta)
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                (F.col("c_custkey") <= cut).cast("long")
+            ).alias("n_updated"),
+            F.sum((F.col("c_custkey") > hi).cast("long")).alias("n_inserted"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("long")
+            ).alias("sum_acctbal_cents"),
+        )
+        .withColumn(
+            "rewritten",
+            F.col("bucket").isin([int(b) for b in touched]).cast("int"),
+        )
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.col("n_updated").cast("bigint").alias("n_updated"),
+            F.col("n_inserted").cast("bigint").alias("n_inserted"),
+            "sum_acctbal_cents",
+            "rewritten",
+        )
+    )
+
+
+# The oracle rebuilds the identical upsert + bucket audit from pure
+# SQL: bucket = GREATEST(0, LEAST(15, ((k - lo) * 16) // (hi - lo + 1)))
+# over the post-merge state (source wins on key match, unmatched
+# target passes through, inserts append); rewritten = bucket is one a
+# source key maps to. A hash match therefore proves the COW-pruned
+# merge produced exactly the logical upsert AND pruned exactly the
+# right buckets.
+COW_MERGE_UPSERT_ORACLE = f"""
+    WITH bounds AS (
+        SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi,
+               MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) // 5 AS cut
+        FROM customer
+    ), source AS (
+        SELECT c.c_custkey, c.c_name,
+               ROUND(c.c_acctbal + 100.0, 2) AS c_acctbal, c.c_mktsegment
+        FROM customer c, bounds b WHERE c.c_custkey <= b.cut
+        UNION ALL
+        SELECT b.hi + i.i, 'new customer ' || i.i,
+               CAST(i.i AS DOUBLE), 'BUILDING'
+        FROM bounds b, (SELECT UNNEST(range(1, {N_INSERTS + 1})) AS i) i
+    ), merged AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM source
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+        FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM source)
+    ), bucketed AS (
+        SELECT m.*,
+               GREATEST(0, LEAST({NBUCKETS - 1},
+                   CAST(((m.c_custkey - b.lo) * {NBUCKETS})
+                        // (b.hi - b.lo + 1) AS INT))) AS bucket,
+               b.cut, b.hi AS hi0
+        FROM merged m, bounds b
+    ), touched AS (
+        SELECT DISTINCT GREATEST(0, LEAST({NBUCKETS - 1},
+                   CAST(((s.c_custkey - b.lo) * {NBUCKETS})
+                        // (b.hi - b.lo + 1) AS INT))) AS bucket
+        FROM source s, bounds b
+    )
+    SELECT CAST(bk.bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN bk.c_custkey <= bk.cut THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_updated,
+           CAST(SUM(CASE WHEN bk.c_custkey > bk.hi0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_inserted,
+           CAST(SUM(CAST(ROUND(bk.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents,
+           CAST(CASE WHEN bk.bucket IN (SELECT bucket FROM touched)
+                THEN 1 ELSE 0 END AS INTEGER) AS rewritten
+    FROM bucketed bk
+    GROUP BY bk.bucket
+"""

@@ -49,6 +49,7 @@ from global_superstore_data_warehouse_spark.plans import (
     embeddings,
     events,
     fact,
+    lakehouse,
     linkrank,
     mixtures,
     multimodal,
@@ -790,6 +791,16 @@ register(
     "ann_ivf_pq",
     embeddings.ann_ivf_pq,
     embeddings.ANN_IVF_PQ_ORACLE,
+)
+# NEW round 7: SCD1 upsert through the copy-on-write transaction-log
+# table (sources/cowtable.py — the executed ACID-MERGE swap-in):
+# create -> file-pruned merge -> snapshot read, folded to a
+# per-bucket audit whose hash proves both the upsert values AND the
+# pruning decision. Round-8 queue.
+register(
+    "cow_merge_upsert",
+    lakehouse.cow_merge_upsert,
+    lakehouse.COW_MERGE_UPSERT_ORACLE,
 )
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)

@@ -193,12 +193,14 @@ def create(
     df: DataFrame,
     key: str,
     nbuckets: int = 16,
+    bounds: tuple[int, int] | None = None,
 ) -> None:
     """CREATE the table at ``root`` from ``df``, range-bucketed on the
     integer column ``key``. Freezes the bucket function's (lo, hi,
-    nbuckets) in metadata.json; commits version 1."""
+    nbuckets) in metadata.json; commits version 1. ``bounds`` lets a
+    caller that already scanned for (min, max) skip the extra job."""
     os.makedirs(_log_path(root), exist_ok=False)
-    lo, hi = df.agg(F.min(key), F.max(key)).first()
+    lo, hi = bounds if bounds is not None else df.agg(F.min(key), F.max(key)).first()
     meta = {"key": key, "lo": int(lo), "hi": int(hi), "nbuckets": nbuckets}
     with open(_meta_path(root), "w") as f:
         json.dump(meta, f)

@@ -205,3 +205,25 @@ class TestCowScd2EqualsFullRewrite:
             assert _norm(got) == _norm(expected)
         finally:
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cow_merge_upsert_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "cow_merge_upsert", sf_dir)
+
+
+def test_cow_merge_upsert_prunes_some_buckets(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.lakehouse import (
+        cow_merge_upsert,
+    )
+
+    rows = cow_merge_upsert(spark, sf_dir).collect()
+    rewritten = [r.bucket for r in rows if r.rewritten == 1]
+    carried = [r.bucket for r in rows if r.rewritten == 0]
+    # the fifth-of-range update + top inserts touch SOME buckets only
+    assert rewritten and carried
+    # inserted rows land in the top bucket, which must be rewritten
+    top = max(r.bucket for r in rows)
+    assert top in rewritten
+    assert sum(r.n_inserted for r in rows) == 3
