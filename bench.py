@@ -181,6 +181,10 @@ EXTRA = [
     # COW transaction-log merge lifecycle (create -> file-pruned
     # SCD1 merge -> snapshot audit; timing includes the table writes)
     "cow_merge_upsert",
+    # margin-based bitext mining (broadcast side + two K-NN rank
+    # windows); k-anonymity release audit (two groupBys + one join)
+    "bitext_margin_mining",
+    "k_anonymity_audit",
 ]
 
 ROUNDS = 3

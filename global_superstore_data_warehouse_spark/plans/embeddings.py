@@ -1395,3 +1395,150 @@ ANN_IVF_PQ_ORACLE = f"""
     JOIN e eq ON eq.vec_id = t.query_id
     JOIN e en ON en.vec_id = t.neighbor_id
 """
+
+
+# --- margin-based bitext mining (Artetxe & Schwenk 2019) --------------
+
+MARGIN_K = 4  # kNN neighborhood size for the margin normalizer
+
+
+def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-corpus mining across languages with MARGIN scoring
+    (Artetxe & Schwenk 2019, the LASER/CCMatrix recipe): a raw
+    cosine threshold fails because some source sentences are "hubs"
+    (high cosine to everything), so each candidate pair (x, y) is
+    scored relative to its neighborhoods — here the DISTANCE margin
+
+        margin(x, y) = cos(x, y)
+                     - ( avg cos of x's K-NN in the target side
+                       + avg cos of y's K-NN in the source side ) / 2
+
+    and x's best y is mined when its margin is positive (better than
+    its neighborhood average). Sides: lang='en' documents vs
+    lang='de' documents (documents.doc_id ≡ embeddings.vec_id).
+
+    Engine-exact discipline: cosines become integer MICRO-units
+    (round(cos*1e6)), so the K-NN sums are exact integers and the
+    ranking score ``2K*cm - sum_knn_x - sum_knn_y`` is pure integer
+    arithmetic — no float-sum-order exposure anywhere in the
+    ranking; the float margin is derived LAST for display. (The
+    ratio-margin variant divides by the neighborhood average, which
+    is ill-defined when synthetic cosines go negative — the distance
+    margin is subtraction-only, total, and rank-equivalent for
+    mining.)
+
+    Scale shape: the de side (the smaller language) broadcasts;
+    cosine reuses per-side precomputed norms so each pair costs ONE
+    64-dim fold, not three; both K-NN reductions are rank windows
+    partitioned by one side (partial top-K per partition); output is
+    |en|-sized. At 100 TB the broadcast side becomes the LSH/IVF
+    bucketed candidate join the ANN family already implements —
+    margin scoring composes with any candidate generator.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    sides = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "vec_id", "embedding", "lang"
+    )
+
+    def side(lang: str, idc: str, embc: str, nc: str) -> DataFrame:
+        s = sides.filter(F.col("lang") == lang).select(
+            F.col("vec_id").alias(idc), F.col("embedding").alias(embc)
+        )
+        return s.withColumn(nc, S.norm(F.col(embc)))
+
+    en = side("en", "x_id", "x_emb", "x_norm")
+    de = side("de", "y_id", "y_emb", "y_norm")
+
+    cm = F.round(
+        S.dot(F.col("x_emb"), F.col("y_emb"))
+        / (F.col("x_norm") * F.col("y_norm"))
+        * 1000000.0
+    ).cast("long")
+    pairs = (
+        en.crossJoin(F.broadcast(de))
+        .select("x_id", "y_id", cm.alias("cm"))
+        .localCheckpoint(eager=True)
+    )
+
+    wx = Window.partitionBy("x_id").orderBy(F.desc("cm"), F.asc("y_id"))
+    wy = Window.partitionBy("y_id").orderBy(F.desc("cm"), F.asc("x_id"))
+    sum_x = (
+        pairs.withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= MARGIN_K)
+        .groupBy("x_id")
+        .agg(F.sum("cm").alias("sx"))
+    )
+    sum_y = (
+        pairs.withColumn("rn", F.row_number().over(wy))
+        .filter(F.col("rn") <= MARGIN_K)
+        .groupBy("y_id")
+        .agg(F.sum("cm").alias("sy"))
+    )
+
+    score = (
+        F.lit(2 * MARGIN_K) * F.col("cm") - F.col("sx") - F.col("sy")
+    ).alias("score")
+    best = (
+        pairs.join(sum_x, "x_id")
+        .join(sum_y, "y_id")
+        .select("x_id", "y_id", "cm", score)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("x_id").orderBy(
+                    F.desc("score"), F.asc("y_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        F.col("x_id").alias("src_id"),
+        F.col("y_id").alias("tgt_id"),
+        F.round(F.col("cm") / 1000000.0, 6).alias("cosine_sim"),
+        F.round(
+            F.col("score").cast("double") / (2 * MARGIN_K * 1000000.0), 6
+        ).alias("margin"),
+        (F.col("score") > 0).cast("int").alias("mined"),
+    )
+
+
+BITEXT_MARGIN_MINING_ORACLE = f"""
+    WITH emb AS (
+        SELECT e.vec_id, e.embedding, d.lang,
+               {S.norm_sql('e.embedding', DIMS)} AS nrm
+        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        WHERE d.lang IN ('en', 'de')
+    ), pairs AS (
+        SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+               CAST(ROUND({S.dot_sql('x.embedding', 'y.embedding', DIMS)}
+                    / (x.nrm * y.nrm) * 1000000.0) AS BIGINT) AS cm
+        FROM emb x CROSS JOIN emb y
+        WHERE x.lang = 'en' AND y.lang = 'de'
+    ), sum_x AS (
+        SELECT x_id, SUM(cm) AS sx FROM (
+            SELECT x_id, cm, ROW_NUMBER() OVER (PARTITION BY x_id
+                   ORDER BY cm DESC, y_id ASC) AS rn
+            FROM pairs) WHERE rn <= {MARGIN_K} GROUP BY x_id
+    ), sum_y AS (
+        SELECT y_id, SUM(cm) AS sy FROM (
+            SELECT y_id, cm, ROW_NUMBER() OVER (PARTITION BY y_id
+                   ORDER BY cm DESC, x_id ASC) AS rn
+            FROM pairs) WHERE rn <= {MARGIN_K} GROUP BY y_id
+    ), scored AS (
+        SELECT p.x_id, p.y_id, p.cm,
+               {2 * MARGIN_K} * p.cm - s.sx - t.sy AS score
+        FROM pairs p
+        JOIN sum_x s USING (x_id)
+        JOIN sum_y t USING (y_id)
+    )
+    SELECT x_id AS src_id, y_id AS tgt_id,
+           ROUND(cm / 1000000.0, 6) AS cosine_sim,
+           ROUND(CAST(score AS DOUBLE) / {2 * MARGIN_K * 1000000.0}, 6)
+               AS margin,
+           CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS mined
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY x_id
+            ORDER BY score DESC, y_id ASC) = 1
+"""

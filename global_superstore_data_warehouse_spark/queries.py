@@ -802,6 +802,23 @@ register(
     lakehouse.cow_merge_upsert,
     lakehouse.COW_MERGE_UPSERT_ORACLE,
 )
+# NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
+# distance-margin scoring of en->de candidate pairs against both
+# sides' K-NN neighborhoods, exact integer micro-cosine ranking.
+# Round-8 queue.
+register(
+    "bitext_margin_mining",
+    embeddings.bitext_margin_mining,
+    embeddings.BITEXT_MARGIN_MINING_ORACLE,
+)
+# NEW round 7: k-anonymity / l-diversity release audit over the
+# customer quasi-identifiers, with the one-step generalization
+# repair decision. Round-8 queue.
+register(
+    "k_anonymity_audit",
+    security.k_anonymity_audit,
+    security.K_ANONYMITY_AUDIT_ORACLE,
+)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

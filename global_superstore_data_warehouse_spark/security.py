@@ -428,3 +428,95 @@ GDPR_ERASURE_CASCADE_ORACLE = f"""
     JOIN kept_c c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
 """
+
+
+# --- k-anonymity / l-diversity audit ----------------------------------
+
+K_ANON_THRESHOLD = 5
+ACCTBAL_BAND = 1000  # acctbal generalization band width
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy re-identification audit BEFORE data release — the
+    check a warehouse must run on any extract the secured views
+    (above) don't fully mask: a row is k-anonymous when at least k
+    rows share its quasi-identifier (QI) combination, so an attacker
+    who knows someone's QIs can't narrow below k candidates.
+
+    QIs here: (c_mktsegment, c_nationkey, acctbal band of width
+    {ACCTBAL_BAND}). Per QI equivalence class this reports the class
+    size (its k), its l-DIVERSITY (distinct sensitive values — the
+    exact balance — inside the class: a class can be k-anonymous yet
+    leak the sensitive value when all members share it), whether it
+    violates k >= {K_ANON_THRESHOLD}, and whether one step of
+    GENERALIZATION (dropping the acctbal band, the standard
+    hierarchy climb) repairs the violation — the exact decision a
+    release pipeline automates.
+
+    Scale shape: two groupBys (QI-level, then generalized level —
+    the second is a rollup of the first's partials), one
+    classes-sized broadcast-able join back; no windows, no
+    row-scale collects. Everything is exact integer arithmetic.
+    """
+    cust = load(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / ACCTBAL_BAND).cast("long")
+    qi = cust.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("int").alias("c_nationkey"),
+        band.alias("acctbal_band"),
+        "c_acctbal",
+    )
+    classes = qi.groupBy("c_mktsegment", "c_nationkey", "acctbal_band").agg(
+        F.count(F.lit(1)).alias("k_size"),
+        F.countDistinct("c_acctbal").alias("l_diversity"),
+    )
+    general = qi.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("k_general")
+    )
+    return (
+        classes.join(general, ["c_mktsegment", "c_nationkey"])
+        .select(
+            "c_mktsegment",
+            "c_nationkey",
+            "acctbal_band",
+            F.col("k_size").cast("bigint").alias("k_size"),
+            F.col("l_diversity").cast("bigint").alias("l_diversity"),
+            F.col("k_general").cast("bigint").alias("k_general"),
+            (F.col("k_size") < K_ANON_THRESHOLD).cast("int").alias("violates_k"),
+            (
+                (F.col("k_size") < K_ANON_THRESHOLD)
+                & (F.col("k_general") >= K_ANON_THRESHOLD)
+            ).cast("int").alias("fixed_by_generalization"),
+        )
+    )
+
+
+K_ANONYMITY_AUDIT_ORACLE = f"""
+    WITH qi AS (
+        SELECT c_mktsegment,
+               CAST(c_nationkey AS INTEGER) AS c_nationkey,
+               CAST(FLOOR(c_acctbal / {ACCTBAL_BAND}) AS BIGINT)
+                   AS acctbal_band,
+               c_acctbal
+        FROM customer
+    ), classes AS (
+        SELECT c_mktsegment, c_nationkey, acctbal_band,
+               COUNT(*) AS k_size,
+               COUNT(DISTINCT c_acctbal) AS l_diversity
+        FROM qi GROUP BY 1, 2, 3
+    ), general AS (
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS k_general
+        FROM qi GROUP BY 1, 2
+    )
+    SELECT c.c_mktsegment, c.c_nationkey, c.acctbal_band,
+           CAST(c.k_size AS BIGINT) AS k_size,
+           CAST(c.l_diversity AS BIGINT) AS l_diversity,
+           CAST(g.k_general AS BIGINT) AS k_general,
+           CAST(CASE WHEN c.k_size < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END
+               AS INTEGER) AS violates_k,
+           CAST(CASE WHEN c.k_size < {K_ANON_THRESHOLD}
+                      AND g.k_general >= {K_ANON_THRESHOLD}
+                THEN 1 ELSE 0 END AS INTEGER) AS fixed_by_generalization
+    FROM classes c
+    JOIN general g USING (c_mktsegment, c_nationkey)
+"""

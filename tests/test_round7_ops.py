@@ -318,3 +318,53 @@ def test_ann_ivf_pq_structure_and_signal(spark, sf_dir):
         pcts.append(pct)
         assert pct <= 0.8, (qid, top1, pct)
     assert sum(pcts) / len(pcts) <= 0.45, pcts
+
+
+def test_bitext_margin_mining_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "bitext_margin_mining", sf_dir)
+
+
+def test_bitext_margin_demotes_hubs(spark, sf_dir):
+    """Margin semantics: every src doc appears exactly once; mined
+    pairs have margin > 0; margin never exceeds the raw cosine's
+    distance to -1 neighborhoods (sanity: margin <= cos + 1); and a
+    pair is mined iff its cosine beats its own neighborhood average —
+    so mined pairs' cosines are strictly above their margin-implied
+    baseline."""
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        bitext_margin_mining,
+    )
+
+    rows = bitext_margin_mining(spark, sf_dir).collect()
+    assert rows
+    src_ids = [r.src_id for r in rows]
+    assert len(src_ids) == len(set(src_ids))
+    for r in rows:
+        assert (r.mined == 1) == (r.margin > 0)
+        # margin = cos - neighborhood avg, and cosines live in [-1, 1]
+        assert r.margin <= r.cosine_sim + 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r.cosine_sim <= 1.0 + 1e-9
+
+
+def test_k_anonymity_audit_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "k_anonymity_audit", sf_dir)
+
+
+def test_k_anonymity_invariants(spark, sf_dir):
+    """Structural truths: class sizes sum to the table's row count;
+    l_diversity <= k_size; the generalized class is never smaller
+    than any of its member classes; fixed_by_generalization implies
+    violates_k."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.security import (
+        k_anonymity_audit,
+    )
+
+    rows = k_anonymity_audit(spark, sf_dir).collect()
+    total = load(spark, sf_dir, "customer").count()
+    assert sum(r.k_size for r in rows) == total
+    for r in rows:
+        assert r.l_diversity <= r.k_size
+        assert r.k_general >= r.k_size
+        if r.fixed_by_generalization:
+            assert r.violates_k
