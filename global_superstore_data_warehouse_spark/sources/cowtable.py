@@ -208,6 +208,51 @@ def create(
     _commit(root, 1, {"op": "create", "adds": adds, "removes": []})
 
 
+def append(spark: SparkSession, root: str, df: DataFrame) -> None:
+    """Blind append (no key matching): adds new bucketed files next
+    to the existing ones — the cheap ingest path that over time
+    creates the small-files problem ``compact`` repairs."""
+    meta = _read_meta(root)
+    version = current_version(root)
+    adds = _write_bucketed(root, version + 1, df, meta["key"], meta)
+    _commit(root, version + 1, {"op": "append", "adds": adds, "removes": []})
+
+
+def compact(spark: SparkSession, root: str, min_files: int = 2) -> dict:
+    """OPTIMIZE: rewrite every bucket holding >= ``min_files`` live
+    files into one file (bin-packing at demonstration scale — real
+    compaction also targets a size threshold); single-file buckets
+    carry over untouched. Pure file-layout change: the snapshot's
+    ROWS are identical before and after (pytest-pinned), only the
+    file count drops. Returns {buckets_compacted, files_before,
+    files_after}."""
+    meta = _read_meta(root)
+    version = current_version(root)
+    files = live_files(root, version)
+    by_bucket: dict[int, list[dict]] = {}
+    for e in files:
+        by_bucket.setdefault(e["bucket"], []).append(e)
+    victims = {b: es for b, es in by_bucket.items() if len(es) >= min_files}
+    if not victims:
+        return {
+            "buckets_compacted": 0,
+            "files_before": len(files),
+            "files_after": len(files),
+        }
+    paths = [
+        os.path.join(root, e["file"]) for es in victims.values() for e in es
+    ]
+    merged = spark.read.parquet(*paths)
+    adds = _write_bucketed(root, version + 1, merged, meta["key"], meta)
+    removes = [e["file"] for es in victims.values() for e in es]
+    _commit(root, version + 1, {"op": "compact", "adds": adds, "removes": removes})
+    return {
+        "buckets_compacted": len(victims),
+        "files_before": len(files),
+        "files_after": len(files) - len(removes) + len(adds),
+    }
+
+
 def current_version(root: str) -> int:
     versions = [
         int(n[:8])

@@ -227,3 +227,34 @@ def test_cow_merge_upsert_prunes_some_buckets(spark, sf_dir):
     top = max(r.bucket for r in rows)
     assert top in rewritten
     assert sum(r.n_inserted for r in rows) == 3
+
+
+def test_append_then_compact_preserves_state(spark, sf_dir, root):
+    """OPTIMIZE semantics: appends fragment buckets into many files;
+    compact rewrites multi-file buckets to one file each WITHOUT
+    changing a single row, and old versions stay readable."""
+    df = _customers(spark, sf_dir)
+    half1 = df.filter(F.col("c_custkey") % 2 == 0)
+    half2 = df.filter(F.col("c_custkey") % 2 == 1)
+    cowtable.create(spark, root, half1, key="c_custkey", nbuckets=4)
+    cowtable.append(spark, root, half2)
+    files_before = cowtable.live_files(root)
+    # appends created multi-file buckets
+    buckets = [e["bucket"] for e in files_before]
+    assert len(buckets) > len(set(buckets))
+    pre = _norm(cowtable.read_version(spark, root))
+    report = cowtable.compact(spark, root)
+    assert report["buckets_compacted"] > 0
+    assert report["files_after"] < report["files_before"]
+    files_after = cowtable.live_files(root)
+    # one file per bucket now
+    assert len(files_after) == len({e["bucket"] for e in files_after})
+    # rows identical; history readable at every version
+    assert _norm(cowtable.read_version(spark, root)) == pre
+    assert _norm(cowtable.read_version(spark, root, version=2)) == pre
+    assert [h["op"] for h in cowtable.history(root)] == [
+        "create", "append", "compact",
+    ]
+    # idempotent: nothing left to compact
+    again = cowtable.compact(spark, root)
+    assert again["buckets_compacted"] == 0
