@@ -185,6 +185,8 @@ EXTRA = [
     # windows); k-anonymity release audit (two groupBys + one join)
     "bitext_margin_mining",
     "k_anonymity_audit",
+    # OPTIMIZE bin-packing planner (metadata-sized inventory)
+    "compaction_plan",
 ]
 
 ROUNDS = 3

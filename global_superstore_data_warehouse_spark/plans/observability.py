@@ -16,7 +16,7 @@ window over the full data, output bounded by the key cardinality.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
@@ -1243,4 +1243,103 @@ LAYOUT_SKIPPING_EVAL_ORACLE = f"""
            CAST(SUM(CASE WHEN skip_cust = 1 THEN zm_cust ELSE 0 END) AS BIGINT)
                AS matched_in_skipped
     FROM flagged GROUP BY layout
+"""
+
+
+# --- compaction planner (OPTIMIZE bin packing) -------------------------
+
+COMPACT_TARGET_BYTES = 1 << 20  # 1 MiB demonstration target
+EST_ROW_BYTES = 128  # flat per-row estimate for the simulated inventory
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPTIMIZE *planner*: given a file inventory (small files
+    accumulate from incremental loads — the classic small-files
+    problem), assign files to compaction bins so each output file
+    lands near the target size. ``sources/cowtable.py::compact`` is
+    the executable rewrite; this is the decision layer a table
+    service runs across thousands of partitions to pick WHAT to
+    rewrite.
+
+    Inventory here is simulated deterministically from the driver's
+    static parquet (it ships one file per table): one "file" per
+    (order_year, order_month) of orders with est_bytes = rows x
+    {EST_ROW_BYTES}. Packing is the cumulative-sum rule real
+    compactors use on sorted runs: within each year partition, files
+    in month order; bin = floor(running_bytes_before / target) —
+    bins never cross the partition boundary (compaction must respect
+    partitioning or it breaks pruning). Output: one row per bin with
+    file count, bytes, month span, and utilization vs target.
+
+    Scale shape: the inventory is a metadata-sized frame (one row
+    per file — millions of rows at 100 TB, not billions); one
+    window cumsum per partition + one groupBy. All-integer until the
+    final utilization ratio.
+    """
+    orders = load(spark, sf_dir, "orders")
+    inv = (
+        orders.groupBy(
+            F.year("o_orderdate").alias("part_year"),
+            F.month("o_orderdate").alias("file_month"),
+        )
+        .agg((F.count(F.lit(1)) * EST_ROW_BYTES).alias("est_bytes"))
+    )
+    w = (
+        Window.partitionBy("part_year")
+        .orderBy("file_month")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = inv.withColumn(
+        "bin_id",
+        (
+            F.coalesce(F.sum("est_bytes").over(w), F.lit(0))
+            / COMPACT_TARGET_BYTES
+        ).cast("long"),
+    )
+    return (
+        binned.groupBy("part_year", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("est_bytes").alias("bin_bytes"),
+            F.min("file_month").alias("first_month"),
+            F.max("file_month").alias("last_month"),
+        )
+        .select(
+            F.col("part_year").cast("int").alias("part_year"),
+            F.col("bin_id").cast("int").alias("bin_id"),
+            F.col("n_files").cast("bigint").alias("n_files"),
+            F.col("bin_bytes").cast("bigint").alias("bin_bytes"),
+            F.col("first_month").cast("int").alias("first_month"),
+            F.col("last_month").cast("int").alias("last_month"),
+            F.round(
+                F.col("bin_bytes") / F.lit(COMPACT_TARGET_BYTES), 6
+            ).alias("utilization"),
+        )
+    )
+
+
+COMPACTION_PLAN_ORACLE = f"""
+    WITH inv AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS part_year,
+               CAST(month(o_orderdate) AS INT) AS file_month,
+               COUNT(*) * {EST_ROW_BYTES} AS est_bytes
+        FROM orders GROUP BY 1, 2
+    ), binned AS (
+        SELECT *,
+               CAST(COALESCE(SUM(est_bytes) OVER (
+                   PARTITION BY part_year ORDER BY file_month
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+        FROM inv
+    )
+    SELECT CAST(part_year AS INTEGER) AS part_year,
+           CAST(bin_id AS INTEGER) AS bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(est_bytes) AS BIGINT) AS bin_bytes,
+           CAST(MIN(file_month) AS INTEGER) AS first_month,
+           CAST(MAX(file_month) AS INTEGER) AS last_month,
+           ROUND(CAST(SUM(est_bytes) AS DOUBLE) / {COMPACT_TARGET_BYTES}, 6)
+               AS utilization
+    FROM binned
+    GROUP BY part_year, bin_id
 """

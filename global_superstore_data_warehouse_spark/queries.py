@@ -819,6 +819,15 @@ register(
     security.k_anonymity_audit,
     security.K_ANONYMITY_AUDIT_ORACLE,
 )
+# NEW round 7: OPTIMIZE bin-packing planner over a simulated
+# per-month file inventory — partition-respecting cumulative-sum
+# packing toward the target file size (cowtable.compact is the
+# executable rewrite; this is the decision layer). Round-8 queue.
+register(
+    "compaction_plan",
+    observability.compaction_plan,
+    observability.COMPACTION_PLAN_ORACLE,
+)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

@@ -368,3 +368,45 @@ def test_k_anonymity_invariants(spark, sf_dir):
         assert r.k_general >= r.k_size
         if r.fixed_by_generalization:
             assert r.violates_k
+
+
+def test_compaction_plan_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "compaction_plan", sf_dir)
+
+
+def test_compaction_plan_invariants(spark, sf_dir):
+    """Bins never cross the partition boundary, never split a file,
+    cover every file exactly once (bytes conserved), and every bin
+    except possibly a partition's last starts because the previous
+    bin crossed the target."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        COMPACT_TARGET_BYTES,
+        EST_ROW_BYTES,
+        compaction_plan,
+    )
+
+    rows = compaction_plan(spark, sf_dir).collect()
+    assert rows
+    total_bytes = (
+        load(spark, sf_dir, "orders").count() * EST_ROW_BYTES
+    )
+    assert sum(r.bin_bytes for r in rows) == total_bytes
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r.part_year, []).append(r)
+        assert r.first_month <= r.last_month
+        assert r.n_files >= 1
+    for year, bins in by_part.items():
+        bins.sort(key=lambda r: r.bin_id)
+        # bin ids are the cumsum-rule sequence: nondecreasing, and a
+        # new bin only opens after cumulative bytes crossed its edge
+        cum = 0
+        for r in bins:
+            assert r.bin_id == cum // COMPACT_TARGET_BYTES
+            cum += r.bin_bytes
+        # month ranges of consecutive bins don't interleave
+        for a, b in zip(bins, bins[1:]):
+            assert a.last_month < b.first_month
