@@ -317,16 +317,32 @@ def _touched_buckets(source: DataFrame, key: str, meta: dict) -> list[int]:
     return sorted(r["b"] for r in rows)
 
 
+def last_batch_id(root: str) -> int | None:
+    """Highest ``batch_id`` recorded in any commit, or None — the
+    exactly-once watermark for streaming writers: the commit log IS
+    the source of truth, so a foreachBatch replay after a crash sees
+    its own batch_id already committed and no-ops."""
+    best = None
+    for v in range(1, current_version(root) + 1):
+        with open(_commit_path(root, v)) as f:
+            b = json.load(f).get("batch_id")
+        if b is not None and (best is None or b > best):
+            best = b
+    return best
+
+
 def _merge_files(
     spark: SparkSession,
     root: str,
     source: DataFrame,
     op: str,
     merge_fn,
+    extra: dict | None = None,
 ) -> dict:
     """Shared COW merge driver: prune files by the source's touched
     buckets, run ``merge_fn(touched_state) -> new_state`` on ONLY
-    that slice, rewrite those buckets, commit. Returns the pruning
+    that slice, rewrite those buckets, commit (with any ``extra``
+    payload fields, e.g. a streaming batch_id). Returns the pruning
     report {touched_buckets, files_rewritten, files_carried}."""
     meta = _read_meta(root)
     key = meta["key"]
@@ -345,11 +361,10 @@ def _merge_files(
         target = spark.read.parquet(any_file).limit(0)
     new_state = merge_fn(target)
     adds = _write_bucketed(root, version + 1, new_state, key, meta)
-    _commit(
-        root,
-        version + 1,
-        {"op": op, "adds": adds, "removes": [e["file"] for e in hit]},
-    )
+    payload = {"op": op, "adds": adds, "removes": [e["file"] for e in hit]}
+    if extra:
+        payload.update(extra)
+    _commit(root, version + 1, payload)
     return {
         "touched_buckets": sorted(touched),
         "files_rewritten": len(hit),
@@ -363,6 +378,7 @@ def merge_scd1(
     source: DataFrame,
     keys: Sequence[str],
     attrs: Sequence[str],
+    extra: dict | None = None,
 ) -> dict:
     """SCD1 upsert as a file-pruned COW MERGE: semantics are exactly
     ``operators/merge.py::scd1_upsert`` (source wins on key match,
@@ -374,7 +390,7 @@ def merge_scd1(
     def apply(target: DataFrame) -> DataFrame:
         return scd1_upsert(target, source, keys, attrs).drop("is_updated")
 
-    return _merge_files(spark, root, source, "merge_scd1", apply)
+    return _merge_files(spark, root, source, "merge_scd1", apply, extra)
 
 
 def merge_scd2(

@@ -139,7 +139,8 @@ def test_commit_log_is_valid_json_chain(spark, sf_dir, root):
     for v in range(1, cowtable.current_version(root) + 1):
         with open(cowtable._commit_path(root, v)) as f:
             c = json.load(f)
-        assert set(c) == {"op", "adds", "removes"}
+        assert {"op", "adds", "removes"} <= set(c)
+        assert set(c) <= {"op", "adds", "removes", "batch_id"}
 
 
 # --- hypothesis: COW SCD2 merge == full-rewrite SCD2 merge ------------
