@@ -317,6 +317,32 @@ def _touched_buckets(source: DataFrame, key: str, meta: dict) -> list[int]:
     return sorted(r["b"] for r in rows)
 
 
+def vacuum(root: str, retain_versions: int = 1) -> dict:
+    """Garbage-collect data files no snapshot in the retention window
+    can reference: keep every file live in any of the last
+    ``retain_versions`` versions, delete the rest (files removed by
+    old commits, and orphans staged by crashed writers that never
+    committed). Time travel to vacuumed versions stops working —
+    exactly Delta's VACUUM contract. Returns {files_deleted,
+    files_kept, bytes_deleted}."""
+    top = current_version(root)
+    keep: set[str] = set()
+    for v in range(max(1, top - retain_versions + 1), top + 1):
+        keep |= {e["file"] for e in live_files(root, v)}
+    data_dir = os.path.join(root, DATA_DIR)
+    deleted = kept = freed = 0
+    for name in sorted(os.listdir(data_dir)):
+        rel = f"{DATA_DIR}/{name}"
+        if rel in keep:
+            kept += 1
+            continue
+        path = os.path.join(data_dir, name)
+        freed += os.stat(path).st_size
+        os.unlink(path)
+        deleted += 1
+    return {"files_deleted": deleted, "files_kept": kept, "bytes_deleted": freed}
+
+
 def last_batch_id(root: str) -> int | None:
     """Highest ``batch_id`` recorded in any commit, or None — the
     exactly-once watermark for streaming writers: the commit log IS

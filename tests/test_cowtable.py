@@ -259,3 +259,36 @@ def test_append_then_compact_preserves_state(spark, sf_dir, root):
     # idempotent: nothing left to compact
     again = cowtable.compact(spark, root)
     assert again["buckets_compacted"] == 0
+
+
+def test_vacuum_deletes_unreachable_and_orphans(spark, sf_dir, root):
+    """After a merge, vacuum(retain_versions=1) removes the files the
+    merge replaced plus never-committed orphans; the current snapshot
+    is untouched; time travel to the vacuumed version breaks (the
+    documented VACUUM contract)."""
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    pre = _norm(cowtable.read_version(spark, root))
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    source = df.filter(F.col("c_custkey") <= lo + (hi - lo) // 4).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 1.0, 2)
+    )
+    cowtable.merge_scd1(
+        spark, root, source, keys=["c_custkey"],
+        attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    # plant an orphan (a crashed writer's staged file)
+    orphan = os.path.join(root, cowtable.DATA_DIR, "v99-b00000-0.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"not really parquet")
+    snap = _norm(cowtable.read_version(spark, root))
+    report = cowtable.vacuum(root, retain_versions=1)
+    assert report["files_deleted"] > 0
+    assert report["bytes_deleted"] > 0
+    assert not os.path.exists(orphan)
+    # current snapshot intact
+    assert _norm(cowtable.read_version(spark, root)) == snap
+    assert snap != pre
+    # vacuumed version no longer readable
+    with pytest.raises(Exception):
+        cowtable.read_version(spark, root, version=1).collect()
