@@ -187,6 +187,8 @@ EXTRA = [
     "k_anonymity_audit",
     # OPTIMIZE bin-packing planner (metadata-sized inventory)
     "compaction_plan",
+    # temporal split leakage audit (per-user session windows)
+    "temporal_split_audit",
 ]
 
 ROUNDS = 3

@@ -1459,3 +1459,118 @@ DAILY_USERS_KMV_ORACLE = f"""
                AS rel_error
     FROM e
 """
+
+
+# --- temporal split leakage audit --------------------------------------
+
+SPLIT_CUTOFF = "2024-01-15 12:00:00"  # train < cutoff <= test (mid-activity, mid-month)
+
+
+def temporal_split_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval hygiene for TIME-based splits — the temporal sibling of
+    ``split_near_dup_leakage`` (which audits content leakage): when a
+    model trains on events before {SPLIT_CUTOFF} and evaluates after,
+    any SESSION that SPANS the cutoff leaks future behavior into
+    train-side features (session length, session value, "ended with
+    purchase" labels all peek past the boundary). Per session-start
+    day this reports the session census — clean-train, clean-test,
+    spanning — plus the exact number of post-cutoff events sitting
+    inside spanning sessions (the leaked rows a quarantine must
+    drop). Sessions are the registered 10-minute-gap sessionization
+    (``events_sessionize``), so the audit grades the same object the
+    feature pipeline builds.
+
+    Scale shape: one per-user lag/cumsum window (shuffle on user_id
+    only), one session-level groupBy, one day-level rollup; the
+    output is days-sized. All counts are exact integers.
+    """
+    cutoff = F.unix_timestamp(F.lit(SPLIT_CUTOFF))
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.col("ts").cast("long").alias("sec")
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("sec") - F.lag("sec").over(order) > SESSION_GAP_SECONDS, 1
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        + 1,
+    )
+    sessions = flagged.groupBy("user_id", "session_seq").agg(
+        F.min("sec").alias("smin"),
+        F.max("sec").alias("smax"),
+        F.sum((F.col("sec") >= cutoff).cast("long")).alias("n_post"),
+    )
+    classed = sessions.select(
+        F.date_format(F.from_unixtime("smin"), "yyyy-MM-dd").alias("day"),
+        (F.col("smax") < cutoff).cast("long").alias("is_train"),
+        (F.col("smin") >= cutoff).cast("long").alias("is_test"),
+        ((F.col("smin") < cutoff) & (F.col("smax") >= cutoff))
+        .cast("long")
+        .alias("is_spanning"),
+        F.when(
+            (F.col("smin") < cutoff) & (F.col("smax") >= cutoff),
+            F.col("n_post"),
+        )
+        .otherwise(F.lit(0))
+        .alias("leaked"),
+    )
+    return classed.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("is_train").alias("n_train_sessions"),
+        F.sum("is_test").alias("n_test_sessions"),
+        F.sum("is_spanning").alias("n_spanning_sessions"),
+        F.sum("leaked").alias("leaked_future_events"),
+    )
+
+
+TEMPORAL_SPLIT_AUDIT_ORACLE = f"""
+    WITH ev AS (
+        SELECT user_id, event_id, epoch(ts)::BIGINT AS sec FROM events
+    ), flagged AS (
+        SELECT *,
+               CASE WHEN sec - LAG(sec) OVER w > {SESSION_GAP_SECONDS}
+                    THEN 1 ELSE 0 END AS new_session
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), seq AS (
+        SELECT *,
+               SUM(new_session) OVER (PARTITION BY user_id
+                   ORDER BY sec, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1
+                   AS session_seq
+        FROM flagged
+    ), sessions AS (
+        SELECT user_id, session_seq,
+               MIN(sec) AS smin, MAX(sec) AS smax,
+               SUM(CASE WHEN sec >= epoch(TIMESTAMP '{SPLIT_CUTOFF}')
+                   THEN 1 ELSE 0 END) AS n_post
+        FROM seq GROUP BY user_id, session_seq
+    ), classed AS (
+        SELECT strftime(to_timestamp(smin), '%Y-%m-%d') AS day,
+               CASE WHEN smax < epoch(TIMESTAMP '{SPLIT_CUTOFF}')
+                    THEN 1 ELSE 0 END AS is_train,
+               CASE WHEN smin >= epoch(TIMESTAMP '{SPLIT_CUTOFF}')
+                    THEN 1 ELSE 0 END AS is_test,
+               CASE WHEN smin < epoch(TIMESTAMP '{SPLIT_CUTOFF}')
+                     AND smax >= epoch(TIMESTAMP '{SPLIT_CUTOFF}')
+                    THEN 1 ELSE 0 END AS is_spanning,
+               CASE WHEN smin < epoch(TIMESTAMP '{SPLIT_CUTOFF}')
+                     AND smax >= epoch(TIMESTAMP '{SPLIT_CUTOFF}')
+                    THEN n_post ELSE 0 END AS leaked
+        FROM sessions
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(is_train) AS BIGINT) AS n_train_sessions,
+           CAST(SUM(is_test) AS BIGINT) AS n_test_sessions,
+           CAST(SUM(is_spanning) AS BIGINT) AS n_spanning_sessions,
+           CAST(SUM(leaked) AS BIGINT) AS leaked_future_events
+    FROM classed
+    GROUP BY day
+"""

@@ -1,8 +1,10 @@
-# ROUND-8 ROTATION QUEUE (~46 registered entries still lack a
+# ROUND-8 ROTATION QUEUE (~50 registered entries still lack a
 # driver row; next up, novel shapes first — the round-7 additions
-# lead: layout_skipping_eval, bpe_learn_merges,
-# bpe_vocab_compression, ann_pq_adc, multitouch_attribution,
-# dsir_importance_weights, superset_containment, ann_ivf_pq — then
+# lead: cow_merge_upsert (the COW ACID-merge lifecycle),
+# layout_skipping_eval, bpe_learn_merges, bpe_vocab_compression,
+# ann_pq_adc, multitouch_attribution, dsir_importance_weights,
+# superset_containment, ann_ivf_pq, bitext_margin_mining,
+# k_anonymity_audit, compaction_plan — then
 # daily_revenue_anomalies, event_trigrams, order_day_islands,
 # cumulative_new_users, events_session_window, events_value_outliers,
 # weighted_sample_topk, revenue_cohorts, winsorized_segment_balances,
@@ -827,6 +829,14 @@ register(
     "compaction_plan",
     observability.compaction_plan,
     observability.COMPACTION_PLAN_ORACLE,
+)
+# NEW round 7: temporal split leakage audit — sessions spanning the
+# train/test time cutoff leak future behavior into train features;
+# per-day census + leaked post-cutoff event counts. Round-8 queue.
+register(
+    "temporal_split_audit",
+    events.temporal_split_audit,
+    events.TEMPORAL_SPLIT_AUDIT_ORACLE,
 )
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)

@@ -410,3 +410,29 @@ def test_compaction_plan_invariants(spark, sf_dir):
         # month ranges of consecutive bins don't interleave
         for a, b in zip(bins, bins[1:]):
             assert a.last_month < b.first_month
+
+
+def test_temporal_split_audit_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "temporal_split_audit", sf_dir)
+
+
+def test_temporal_split_audit_invariants(spark, sf_dir):
+    """Every session is exactly one of train/test/spanning; leaked
+    events only come from spanning sessions; the session census
+    matches the registered sessionizer's session count."""
+    from global_superstore_data_warehouse_spark.plans.events import (
+        events_sessionize,
+        temporal_split_audit,
+    )
+
+    rows = temporal_split_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_train_sessions + r.n_test_sessions + r.n_spanning_sessions
+            == r.n_sessions
+        )
+        if r.leaked_future_events > 0:
+            assert r.n_spanning_sessions > 0
+    total_sessions = events_sessionize(spark, sf_dir).count()
+    assert sum(r.n_sessions for r in rows) == total_sessions
