@@ -1497,9 +1497,12 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x_id").alias("src_id"),
         F.col("y_id").alias("tgt_id"),
         F.round(F.col("cm") / 1000000.0, 6).alias("cosine_sim"),
-        F.round(
-            F.col("score").cast("double") / (2 * MARGIN_K * 1000000.0), 6
-        ).alias("margin"),
+        # EXACT integer margin in 2K*micro-cosine units (score/8e6
+        # would be the float margin, but score ≡ 4 mod 8 lands the
+        # quotient on an exact 6dp half and Spark/DuckDB round those
+        # in different directions for negatives — measured once in
+        # 808 rows at sf0.1; integers can't disagree)
+        F.col("score").alias("margin_micro8"),
         (F.col("score") > 0).cast("int").alias("mined"),
     )
 
@@ -1535,8 +1538,7 @@ BITEXT_MARGIN_MINING_ORACLE = f"""
     )
     SELECT x_id AS src_id, y_id AS tgt_id,
            ROUND(cm / 1000000.0, 6) AS cosine_sim,
-           ROUND(CAST(score AS DOUBLE) / {2 * MARGIN_K * 1000000.0}, 6)
-               AS margin,
+           CAST(score AS BIGINT) AS margin_micro8,
            CAST(CASE WHEN score > 0 THEN 1 ELSE 0 END AS INTEGER) AS mined
     FROM scored
     QUALIFY ROW_NUMBER() OVER (PARTITION BY x_id

@@ -340,9 +340,10 @@ def test_bitext_margin_demotes_hubs(spark, sf_dir):
     src_ids = [r.src_id for r in rows]
     assert len(src_ids) == len(set(src_ids))
     for r in rows:
-        assert (r.mined == 1) == (r.margin > 0)
-        # margin = cos - neighborhood avg, and cosines live in [-1, 1]
-        assert r.margin <= r.cosine_sim + 1.0 + 1e-9
+        assert (r.mined == 1) == (r.margin_micro8 > 0)
+        # margin = cos - neighborhood avg, cosines live in [-1, 1]:
+        # margin_micro8 = margin * 8e6 <= (cos + 1) * 8e6
+        assert r.margin_micro8 <= (r.cosine_sim + 1.0) * 8_000_000 + 8
         assert -1.0 - 1e-9 <= r.cosine_sim <= 1.0 + 1e-9
 
 
