@@ -189,6 +189,8 @@ EXTRA = [
     "compaction_plan",
     # temporal split leakage audit (per-user session windows)
     "temporal_split_audit",
+    # BM25 ranked retrieval (broadcast query semi-join + integer sums)
+    "bm25_topk",
 ]
 
 ROUNDS = 3

@@ -18,7 +18,7 @@ native partial-aggregated ROLLUP.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
@@ -317,8 +317,6 @@ def tfidf_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * idf, 6).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
@@ -472,4 +470,137 @@ SALES_CUBE_ORACLE = """
            ROUND(SUM(o_totalprice), 2) AS revenue
     FROM orders
     GROUP BY CUBE(o_orderpriority, o_orderstatus)
+"""
+
+
+# --- BM25 retrieval ---------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_DOCS = 5
+BM25_QUERIES = [
+    (1, ["hash", "join", "table"]),
+    (2, ["sort", "merge", "spark"]),
+    (3, ["window", "agg", "stream"]),
+]
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text retrieval: top-{BM25_TOP_DOCS} documents per query by
+    Okapi BM25 (k1={BM25_K1}, b={BM25_B}; idf = ln(1 + (N-df+0.5)/
+    (df+0.5))) over three fixed keyword queries — the ranked-search
+    counterpart of ``tfidf_topk_terms``'s per-document term view.
+
+    Engine-exact discipline: document length, term frequency, and
+    document frequency are exact integers; avgdl is one double from
+    two exact ints; each (query term, doc) contribution is computed
+    with an identical expression tree in both engines and quantized
+    to MICRO units — so the per-(query, doc) score is an exact
+    INTEGER SUM over matched terms (never a float sum whose order
+    Spark's partial aggregation could permute), and ranking ties
+    break on doc_id.
+
+    Scale shape: the inverted structure is (doc, term, tf) — one
+    corpus scan behind a shared localCheckpoint feeding tf, dl, df;
+    the query set and the vocabulary-sized df ride broadcasts; the
+    only corpus-scale shuffle is the per-(query, doc) sum, whose
+    input is already pruned to query terms by the broadcast
+    semi-join. At 100 TB this is exactly a distributed inverted
+    index probe: partition by term, prune to query terms, aggregate
+    per doc.
+    """
+    docs = load(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = (
+        terms.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+
+    qrows = [(qid, t) for qid, ts in BM25_QUERIES for t in ts]
+    queries = spark.createDataFrame(qrows, "query_id int, term string")
+
+    avgdl = F.col("total_dl") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / avgdl
+    )
+    contrib = F.round(
+        idf * (F.col("tf") * F.lit(BM25_K1 + 1.0) / denom) * F.lit(1000000.0)
+    ).cast("long")
+
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", contrib.alias("c"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= BM25_TOP_DOCS)
+        .select("query_id", "doc_id", "score_micro", "rank")
+    )
+
+
+def _bm25_query_values() -> str:
+    rows = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+    )
+    return f"(VALUES {rows}) q(query_id, term)"
+
+
+BM25_TOPK_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, t.term
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+')) AS term) t
+        WHERE t.term <> ''
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1
+    ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl
+    ), q AS (
+        SELECT * FROM {_bm25_query_values()}
+    ), contrib AS (
+        SELECT q.query_id, tf.doc_id,
+               CAST(ROUND(
+                   ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * {BM25_K1 + 1.0}
+                      / (tf.tf + {BM25_K1} * ({1.0 - BM25_B}
+                         + {BM25_B} * dl.dl / (s.total_dl / s.n_docs))))
+                   * 1000000.0) AS BIGINT) AS c
+        FROM tf
+        JOIN q USING (term)
+        JOIN dl USING (doc_id)
+        JOIN df USING (term)
+        CROSS JOIN stats s
+    )
+    SELECT query_id, doc_id,
+           CAST(SUM(c) AS BIGINT) AS score_micro,
+           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY SUM(c) DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM contrib
+    GROUP BY query_id, doc_id
+    QUALIFY rank <= {BM25_TOP_DOCS}
 """

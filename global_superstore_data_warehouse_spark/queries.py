@@ -838,6 +838,11 @@ register(
     events.temporal_split_audit,
     events.TEMPORAL_SPLIT_AUDIT_ORACLE,
 )
+# NEW round 7: Okapi BM25 ranked retrieval over three keyword
+# queries — the inverted-index probe shape; per-term contributions
+# quantized to micro units so per-doc scores sum as exact integers.
+# Round-8 queue.
+register("bm25_topk", stats.bm25_topk, stats.BM25_TOPK_ORACLE)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

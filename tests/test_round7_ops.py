@@ -437,3 +437,41 @@ def test_temporal_split_audit_invariants(spark, sf_dir):
             assert r.n_spanning_sessions > 0
     total_sessions = events_sessionize(spark, sf_dir).count()
     assert sum(r.n_sessions for r in rows) == total_sessions
+
+
+def test_bm25_topk_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "bm25_topk", sf_dir)
+
+
+def test_bm25_ranking_semantics(spark, sf_dir):
+    """Every query returns a dense 1..k ranking ordered by
+    non-increasing score; a document containing NONE of a query's
+    terms can never appear in its ranking."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.functions.text import tokens
+    from global_superstore_data_warehouse_spark.plans.stats import (
+        BM25_QUERIES,
+        BM25_TOP_DOCS,
+        bm25_topk,
+    )
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    docs = {
+        r.doc_id: set(r.ts)
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", F.array_distinct(tokens("text")).alias("ts"))
+        .collect()
+    }
+    for qid, terms in BM25_QUERIES:
+        got = sorted(by_q[qid], key=lambda r: r.rank)
+        assert [r.rank for r in got] == list(range(1, len(got) + 1))
+        assert len(got) <= BM25_TOP_DOCS
+        scores = [r.score_micro for r in got]
+        assert scores == sorted(scores, reverse=True)
+        for r in got:
+            assert docs[r.doc_id] & set(terms), (qid, r.doc_id)
