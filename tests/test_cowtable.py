@@ -292,3 +292,44 @@ def test_vacuum_deletes_unreachable_and_orphans(spark, sf_dir, root):
     # vacuumed version no longer readable
     with pytest.raises(Exception):
         cowtable.read_version(spark, root, version=1).collect()
+
+
+def test_changes_cdf_matches_merge_effects(spark, sf_dir, root):
+    """The change feed between create and merge must be exactly the
+    merge's effects: inserts = brand-new keys, update_pre/post pairs
+    = keys whose attrs changed (with correct old/new values), no
+    deletes from an upsert, and rows whose attrs didn't change never
+    appear."""
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    cut = lo + (hi - lo) // 4
+    changed = df.filter(F.col("c_custkey") <= cut).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    # include a NO-OP source row (same attrs) — must not appear in CDF
+    noop = df.filter(F.col("c_custkey") == hi)
+    inserts = spark.createDataFrame(
+        [(hi + 1, "new customer", 1.0, "BUILDING")],
+        "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+    )
+    cowtable.merge_scd1(
+        spark, root, changed.unionByName(noop).unionByName(inserts),
+        keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    feed = cowtable.changes(spark, root, 1, 2).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], []).append(r)
+    assert sorted(by_type) == ["insert", "update_post", "update_pre"]
+    assert [r.c_custkey for r in by_type["insert"]] == [hi + 1]
+    changed_keys = {r.c_custkey for r in changed.collect()}
+    assert {r.c_custkey for r in by_type["update_pre"]} == changed_keys
+    assert {r.c_custkey for r in by_type["update_post"]} == changed_keys
+    # the no-op key appears nowhere
+    assert all(r.c_custkey != hi for r in feed)
+    # pre/post values straddle the +100
+    pre = {r.c_custkey: r.c_acctbal for r in by_type["update_pre"]}
+    post = {r.c_custkey: r.c_acctbal for r in by_type["update_post"]}
+    for k in changed_keys:
+        assert abs(post[k] - pre[k] - 100.0) < 0.01
