@@ -612,11 +612,20 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized; the window never sees raw events.
     """
     ev = load(spark, sf_dir, "events")
+    # avg over integer MICRO-value units: a raw AVG(double) exposes
+    # partial-aggregation sum order, which flipped one sf0.1 hour
+    # (43.472812 vs ...13) at the 6dp rounding boundary; the integer
+    # sum is order-free and the single division is deterministic
+    # (values are non-negative, so per-row half-rounding agrees
+    # across engines too)
+    vmicro = F.round(F.col("value") * 1000000.0).cast("long")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour_ts")
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(
+            F.sum(vmicro) / F.count(F.lit(1)) / 1000000.0, 6
+        ).alias("avg_value"),
     )
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("lo"),
@@ -652,7 +661,8 @@ EVENTS_GAPFILL_ORACLE = """
     WITH hourly AS (
         SELECT event_type, date_trunc('hour', ts) AS hour_ts,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               ROUND(AVG(value), 6) AS avg_value
+               ROUND(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT))
+                     / COUNT(*) / 1000000.0, 6) AS avg_value
         FROM events GROUP BY 1, 2
     ),
     bounds AS (
