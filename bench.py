@@ -191,6 +191,9 @@ EXTRA = [
     "temporal_split_audit",
     # BM25 ranked retrieval (broadcast query semi-join + integer sums)
     "bm25_topk",
+    # one-scan sufficient-statistics correlation matrix; A/B z-test
+    "measure_correlations",
+    "ab_test_report",
 ]
 
 ROUNDS = 3

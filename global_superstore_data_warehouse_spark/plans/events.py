@@ -1584,3 +1584,104 @@ TEMPORAL_SPLIT_AUDIT_ORACLE = f"""
     FROM classed
     GROUP BY day
 """
+
+
+# --- A/B conversion z-test ---------------------------------------------
+
+AB_Z_CRITICAL = 1.959964  # two-sided 95%
+AB_CONV_VALUE = 150.0  # conversion = a purchase at/above this value
+
+
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on purchase conversion between a
+    deterministic 50/50 user split (variant = user_id parity — the
+    hash-bucket assignment an experimentation platform uses): the
+    one-row readout every A/B dashboard computes. Conversion = user
+    emitted at least one 'purchase' event.
+
+    Engine-exact: counts are exact integers; rates and the pooled
+    z-statistic are single fixed-shape double expressions over those
+    integers (no float aggregation anywhere), rounded at the end.
+
+    Scale shape: one scan → per-user any-purchase flag (groupBy
+    user_id, map-side combined) → two-group aggregate → one row.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase")
+                & (F.col("value") >= AB_CONV_VALUE)
+            ).cast("int")
+        ).alias("conv")
+    )
+    g = per_user.groupBy((F.col("user_id") % 2 == 0).alias("is_a")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    row = g.agg(
+        F.sum(F.when(F.col("is_a"), F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("is_a"), F.col("c"))).alias("conv_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("n"))).alias("n_b"),
+        F.sum(F.when(~F.col("is_a"), F.col("c"))).alias("conv_b"),
+    )
+    p_a = F.col("conv_a") / F.col("n_a")
+    p_b = F.col("conv_b") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    se = F.sqrt(
+        pool * (F.lit(1.0) - pool)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = F.when(se != 0.0, (p_a - p_b) / se)  # NULL when zero variance
+    return row.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_score"),
+        F.coalesce(
+            (F.abs(z) > AB_Z_CRITICAL).cast("int"), F.lit(0)
+        ).alias("significant"),
+    )
+
+
+AB_TEST_REPORT_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                   THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT (user_id % 2 = 0) AS is_a, COUNT(*) AS n, SUM(conv) AS c
+        FROM per_user GROUP BY 1
+    ), row_ AS (
+        SELECT SUM(CASE WHEN is_a THEN n END) AS n_a,
+               SUM(CASE WHEN is_a THEN c END) AS conv_a,
+               SUM(CASE WHEN NOT is_a THEN n END) AS n_b,
+               SUM(CASE WHEN NOT is_a THEN c END) AS conv_b
+        FROM g
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(conv_a AS BIGINT) AS conv_a,
+           ROUND(conv_a / n_a, 6) AS rate_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(conv_b AS BIGINT) AS conv_b,
+           ROUND(conv_b / n_b, 6) AS rate_b,
+           ROUND(CASE WHEN sqrt((conv_a + conv_b) / (n_a + n_b)
+                        * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) <> 0.0
+                 THEN (conv_a / n_a - conv_b / n_b)
+                      / sqrt((conv_a + conv_b) / (n_a + n_b)
+                        * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END, 6) AS z_score,
+           CAST(CASE WHEN ABS(COALESCE(CASE WHEN sqrt((conv_a + conv_b) / (n_a + n_b)
+                        * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) <> 0.0
+                 THEN (conv_a / n_a - conv_b / n_b)
+                      / sqrt((conv_a + conv_b) / (n_a + n_b)
+                        * (1.0 - (conv_a + conv_b) / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b)) END, 0.0)) > {AB_Z_CRITICAL}
+                THEN 1 ELSE 0 END AS INTEGER) AS significant
+    FROM row_
+"""

@@ -604,3 +604,116 @@ BM25_TOPK_ORACLE = f"""
     GROUP BY query_id, doc_id
     QUALIFY rank <= {BM25_TOP_DOCS}
 """
+
+
+# --- exact-integer Pearson correlation matrix --------------------------
+
+CORR_MEASURES = [
+    ("quantity", "CAST(l_quantity AS BIGINT)"),
+    ("price_cents", "CAST(ROUND(l_extendedprice * 100) AS BIGINT)"),
+    ("discount_bp", "CAST(ROUND(l_discount * 10000) AS BIGINT)"),
+    ("tax_bp", "CAST(ROUND(l_tax * 10000) AS BIGINT)"),
+]
+
+
+def measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the lineitem measures —
+    the feature-redundancy screen a modeling pipeline runs before
+    training — computed so the hash can't drift: every measure is
+    quantized to an exact integer unit (cents / basis points), the
+    five sufficient statistics (Σx, Σy, Σxy, Σx², Σy²) are exact
+    INTEGER sums (Spark's built-in ``corr`` and a naive AVG both sum
+    doubles in partition order — the exposure the gapfill fix in
+    this round measured), and r is derived from them at the very end
+    with one fixed-shape double expression.
+
+    Scale shape: ONE scan aggregates all 14 sufficient statistics
+    map-side into a single row; the 6-pair matrix is unpivoted from
+    that row — no joins, no windows, nothing grows with the corpus.
+    Long sums hold to ~3e16 per statistic (fine at these SFs); the
+    100 TB variant casts the products to decimal(38,0) — same plan,
+    wider accumulator.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    cols = {name: F.expr(sql) for name, sql in CORR_MEASURES}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    names = [name for name, _ in CORR_MEASURES]
+    # per-row products stay in int64 (<= ~1e14) but their SUMS pass
+    # 9.2e18 already at sf0.1 — accumulate the product sums in
+    # decimal(38,0) (DuckDB's BIGINT sums widen to HUGEINT on their
+    # own, same exact integers)
+    for name in names:
+        aggs.append(F.sum(cols[name]).alias(f"s_{name}"))
+        aggs.append(
+            F.sum((cols[name] * cols[name]).cast("decimal(38,0)")).alias(
+                f"ss_{name}"
+            )
+        )
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(
+                F.sum((cols[a] * cols[b]).cast("decimal(38,0)")).alias(
+                    f"sp_{a}_{b}"
+                )
+            )
+    row = li.agg(*aggs)
+
+    # the derived products (n·Σxy, Σx·Σy, ...) exceed int64 already at
+    # sf0.1 (~1.8e22) — widen to decimal(38,0) for the exact derived
+    # integers, cast to double only at the end (DuckDB reaches the
+    # same exact integers via HUGEINT; the int→double conversion is
+    # the same nearest-double in both)
+    def d(c: str) -> F.Column:
+        return F.col(c).cast("decimal(38,0)")
+
+    pairs = None
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = (d("n") * d(f"sp_{a}_{b}") - d(f"s_{a}") * d(f"s_{b}")).cast(
+                "double"
+            )
+            da = (d("n") * d(f"ss_{a}") - d(f"s_{a}") * d(f"s_{a}")).cast(
+                "double"
+            )
+            db = (d("n") * d(f"ss_{b}") - d(f"s_{b}") * d(f"s_{b}")).cast(
+                "double"
+            )
+            one = row.select(
+                F.lit(a).alias("measure_x"),
+                F.lit(b).alias("measure_y"),
+                F.col("n").cast("bigint").alias("n"),
+                F.round(num / (F.sqrt(da) * F.sqrt(db)), 6).alias("pearson_r"),
+            )
+            pairs = one if pairs is None else pairs.unionAll(one)
+    return pairs
+
+
+def _corr_oracle() -> str:
+    names = [name for name, _ in CORR_MEASURES]
+    exprs = dict(CORR_MEASURES)
+    stats = ["COUNT(*) AS n"]
+    for name in names:
+        stats.append(f"SUM({exprs[name]}) AS s_{name}")
+        stats.append(f"SUM({exprs[name]} * {exprs[name]}) AS ss_{name}")
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            stats.append(f"SUM({exprs[a]} * {exprs[b]}) AS sp_{a}_{b}")
+    selects = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            selects.append(
+                f"""SELECT '{a}' AS measure_x, '{b}' AS measure_y,
+       CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)
+             / (sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE))
+                * sqrt(CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE))), 6)
+           AS pearson_r
+    FROM stats"""
+            )
+    return (
+        "WITH stats AS (SELECT " + ", ".join(stats) + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+MEASURE_CORRELATIONS_ORACLE = _corr_oracle()

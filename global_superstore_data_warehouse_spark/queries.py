@@ -843,6 +843,18 @@ register(
 # quantized to micro units so per-doc scores sum as exact integers.
 # Round-8 queue.
 register("bm25_topk", stats.bm25_topk, stats.BM25_TOPK_ORACLE)
+# NEW round 7: exact-integer Pearson correlation matrix (feature
+# redundancy screen; sufficient statistics as exact integer sums,
+# one scan, one row). Round-8 queue.
+register(
+    "measure_correlations",
+    stats.measure_correlations,
+    stats.MEASURE_CORRELATIONS_ORACLE,
+)
+# NEW round 7: two-proportion A/B conversion z-test (parity split,
+# high-value-purchase conversion, zero-variance guarded). Round-8
+# queue.
+register("ab_test_report", events.ab_test_report, events.AB_TEST_REPORT_ORACLE)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

@@ -475,3 +475,54 @@ def test_bm25_ranking_semantics(spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         for r in got:
             assert docs[r.doc_id] & set(terms), (qid, r.doc_id)
+
+
+def test_measure_correlations_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "measure_correlations", sf_dir)
+
+
+def test_measure_correlations_invariants(spark, sf_dir):
+    """Pearson r lives in [-1, 1]; every unordered measure pair
+    appears exactly once; n equals the lineitem row count."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.stats import (
+        CORR_MEASURES,
+        measure_correlations,
+    )
+
+    rows = measure_correlations(spark, sf_dir).collect()
+    k = len(CORR_MEASURES)
+    assert len(rows) == k * (k - 1) // 2
+    pairs = {(r.measure_x, r.measure_y) for r in rows}
+    assert len(pairs) == len(rows)
+    n_li = load(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert -1.0 <= r.pearson_r <= 1.0
+        assert r.n == n_li
+
+
+def test_ab_test_report_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "ab_test_report", sf_dir)
+
+
+def test_ab_test_invariants(spark, sf_dir):
+    """Counts partition the user set, rates = conv/n, and the z
+    sign agrees with the rate difference."""
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        ab_test_report,
+    )
+
+    r = ab_test_report(spark, sf_dir).collect()[0]
+    users = (
+        load(spark, sf_dir, "events")
+        .agg(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert r.n_a + r.n_b == users
+    assert 0 <= r.conv_a <= r.n_a and 0 <= r.conv_b <= r.n_b
+    assert abs(r.rate_a - r.conv_a / r.n_a) < 1e-6
+    if r.z_score is not None and r.rate_a != r.rate_b:
+        assert (r.z_score > 0) == (r.rate_a > r.rate_b)
