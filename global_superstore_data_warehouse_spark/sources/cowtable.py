@@ -288,6 +288,38 @@ def read_version(
     return spark.read.parquet(*[os.path.join(root, e["file"]) for e in files])
 
 
+def scan_key_range(
+    spark: SparkSession,
+    root: str,
+    key_lo: int,
+    key_hi: int,
+    version: int | None = None,
+) -> DataFrame:
+    """Read-side zone-map pruning: a key-range scan that opens ONLY
+    the files whose logged footer [min_key, max_key] envelope
+    overlaps [key_lo, key_hi] — the log IS the file index, so the
+    planner never lists or footers the skipped files (at 100 TB
+    that's the difference between a metadata lookup and an object-
+    store LIST + open per file). The residual filter still applies
+    inside the surviving files (envelopes admit false positives,
+    never false negatives — pruning is lossless by construction,
+    pytest-proven against the unpruned scan)."""
+    files = live_files(root, version)
+    hit = [
+        e
+        for e in files
+        if e["min_key"] <= key_hi and e["max_key"] >= key_lo
+    ]
+    key = _read_meta(root)["key"]
+    if not hit:
+        any_file = os.path.join(root, files[0]["file"])
+        return spark.read.parquet(any_file).limit(0)
+    return (
+        spark.read.parquet(*[os.path.join(root, e["file"]) for e in hit])
+        .filter((F.col(key) >= key_lo) & (F.col(key) <= key_hi))
+    )
+
+
 def history(root: str) -> list[dict]:
     """The commit log, oldest first (op + files added/removed)."""
     out = []

@@ -333,3 +333,34 @@ def test_changes_cdf_matches_merge_effects(spark, sf_dir, root):
     post = {r.c_custkey: r.c_acctbal for r in by_type["update_post"]}
     for k in changed_keys:
         assert abs(post[k] - pre[k] - 100.0) < 0.01
+
+
+def test_scan_key_range_prunes_losslessly(spark, sf_dir, root):
+    """The stats-pruned scan returns exactly the rows a full-scan
+    filter returns, for narrow, wide, empty, and boundary ranges —
+    and actually prunes files for narrow ranges."""
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    n_files = len(cowtable.live_files(root))
+    cases = [
+        (lo, lo),  # single bottom key
+        (lo, lo + (hi - lo) // 8),  # narrow
+        (lo, hi),  # everything
+        (hi + 10, hi + 20),  # empty above range
+    ]
+    for a, b in cases:
+        got = _norm(
+            cowtable.scan_key_range(spark, root, a, b).select(*df.columns)
+        )
+        want = _norm(
+            df.filter((F.col("c_custkey") >= a) & (F.col("c_custkey") <= b))
+        )
+        assert got == want, (a, b)
+    # the narrow range must open strictly fewer files than exist
+    narrow = [
+        e
+        for e in cowtable.live_files(root)
+        if e["min_key"] <= lo + (hi - lo) // 8 and e["max_key"] >= lo
+    ]
+    assert 0 < len(narrow) < n_files
