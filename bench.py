@@ -191,9 +191,11 @@ EXTRA = [
     "temporal_split_audit",
     # BM25 ranked retrieval (broadcast query semi-join + integer sums)
     "bm25_topk",
-    # one-scan sufficient-statistics correlation matrix; A/B z-test
+    # one-scan sufficient-statistics correlation matrix; A/B z-test;
+    # contingency-table mutual information
     "measure_correlations",
     "ab_test_report",
+    "mutual_information",
 ]
 
 ROUNDS = 3

@@ -717,3 +717,105 @@ def _corr_oracle() -> str:
 
 
 MEASURE_CORRELATIONS_ORACLE = _corr_oracle()
+
+
+# --- mutual information between categorical columns --------------------
+
+MI_PAIRS = [
+    ("c_mktsegment", "c_nationkey"),
+    ("c_mktsegment", "acctbal_band"),
+    ("c_nationkey", "acctbal_band"),
+]
+MI_BAND = 1000
+
+
+def mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between customer categorical columns (the
+    dependence screen feature selection runs where Pearson only sees
+    linear numeric relationships): MI(X;Y) = Σ p(x,y) ln(p(x,y) /
+    (p(x)p(y))) over the joint contingency table; 0 iff independent.
+    Pairs: segment x nation, segment x balance band, nation x band.
+
+    Engine-exact: all probabilities are ratios of exact counts; each
+    CELL's contribution is computed with one fixed-shape double
+    expression and quantized to NANO units, so the per-pair total is
+    an exact integer sum over cells — the float-sum-order trap (the
+    gapfill lesson) can't bite, and ln appears only on count ratios
+    identical in both engines.
+
+    Scale shape: one scan per pair builds the joint contingency
+    table (map-side combined, |X| x |Y| rows); marginals derive from
+    the joint by a second cells-sized aggregation — the raw table is
+    never re-scanned; windows over cells-sized frames only.
+    """
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_mktsegment").cast("string").alias("c_mktsegment"),
+        F.col("c_nationkey").cast("string").alias("c_nationkey"),
+        F.floor(F.col("c_acctbal") / MI_BAND)
+        .cast("long")
+        .cast("string")
+        .alias("acctbal_band"),
+    )
+    out = None
+    for xc, yc in MI_PAIRS:
+        joint = cust.groupBy(
+            F.col(xc).alias("x"), F.col(yc).alias("y")
+        ).agg(F.count(F.lit(1)).alias("nxy"))
+        wx = Window.partitionBy("x")
+        wy = Window.partitionBy("y")
+        wall = Window.partitionBy()
+        cells = joint.select(
+            "nxy",
+            F.sum("nxy").over(wx).alias("nx"),
+            F.sum("nxy").over(wy).alias("ny"),
+            F.sum("nxy").over(wall).alias("n"),
+        )
+        contrib = F.round(
+            (F.col("nxy") / F.col("n"))
+            * F.log(
+                (F.col("nxy") * F.col("n"))
+                / (F.col("nx") * F.col("ny"))
+            )
+            * F.lit(1000000000.0)
+        ).cast("long")
+        one = cells.agg(
+            F.lit(xc).alias("col_x"),
+            F.lit(yc).alias("col_y"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(contrib).alias("mi_nano"),
+        )
+        out = one if out is None else out.unionAll(one)
+    return out
+
+
+def _mi_oracle() -> str:
+    parts = []
+    sql_cols = {
+        "c_mktsegment": "CAST(c_mktsegment AS VARCHAR)",
+        "c_nationkey": "CAST(c_nationkey AS VARCHAR)",
+        "acctbal_band": (
+            f"CAST(CAST(FLOOR(c_acctbal / {MI_BAND}) AS BIGINT) AS VARCHAR)"
+        ),
+    }
+    for xc, yc in MI_PAIRS:
+        parts.append(
+            f"""SELECT '{xc}' AS col_x, '{yc}' AS col_y,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CAST(ROUND((nxy / n) * ln((nxy * n) / (nx * ny))
+            * 1000000000.0) AS BIGINT)) AS BIGINT) AS mi_nano
+FROM (
+    SELECT nxy,
+           SUM(nxy) OVER (PARTITION BY x) AS nx,
+           SUM(nxy) OVER (PARTITION BY y) AS ny,
+           SUM(nxy) OVER () AS n
+    FROM (
+        SELECT {sql_cols[xc]} AS x, {sql_cols[yc]} AS y,
+               COUNT(*) AS nxy
+        FROM customer GROUP BY 1, 2
+    )
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+MUTUAL_INFORMATION_ORACLE = _mi_oracle()

@@ -855,6 +855,14 @@ register(
 # high-value-purchase conversion, zero-variance guarded). Round-8
 # queue.
 register("ab_test_report", events.ab_test_report, events.AB_TEST_REPORT_ORACLE)
+# NEW round 7: mutual information between categorical columns (the
+# nonlinear dependence screen; per-cell contributions quantized to
+# nano units, exact integer totals). Round-8 queue.
+register(
+    "mutual_information",
+    stats.mutual_information,
+    stats.MUTUAL_INFORMATION_ORACLE,
+)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

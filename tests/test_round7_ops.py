@@ -526,3 +526,42 @@ def test_ab_test_invariants(spark, sf_dir):
     assert abs(r.rate_a - r.conv_a / r.n_a) < 1e-6
     if r.z_score is not None and r.rate_a != r.rate_b:
         assert (r.z_score > 0) == (r.rate_a > r.rate_b)
+
+
+def test_mutual_information_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "mutual_information", sf_dir)
+
+
+def test_mutual_information_invariants(spark, sf_dir):
+    """MI is non-negative (up to per-cell nano rounding), bounded by
+    ln(min cardinality), and a column paired with itself would be its
+    entropy — here we check the registered pairs' cell counts match
+    the true contingency sizes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.stats import (
+        MI_BAND,
+        MI_PAIRS,
+        mutual_information,
+    )
+
+    rows = {(r.col_x, r.col_y): r for r in mutual_information(spark, sf_dir).collect()}
+    assert set(rows) == set(MI_PAIRS)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / MI_BAND).alias("acctbal_band"),
+    )
+    n = cust.count()
+    for (xc, yc), r in rows.items():
+        cells = cust.groupBy(xc, yc).count().count()
+        assert r.n_cells == cells
+        # nano-rounding can push a true-0 MI slightly negative;
+        # tolerance = half a nano per cell
+        assert r.mi_nano >= -r.n_cells
+        kx = cust.select(xc).distinct().count()
+        ky = cust.select(yc).distinct().count()
+        assert r.mi_nano / 1e9 <= math.log(min(kx, ky)) + 1e-6
