@@ -196,6 +196,8 @@ EXTRA = [
     "measure_correlations",
     "ab_test_report",
     "mutual_information",
+    # streamed COW ingestion lifecycle (3 availableNow drains)
+    "cow_stream_upsert",
 ]
 
 ROUNDS = 3

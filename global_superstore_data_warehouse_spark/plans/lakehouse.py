@@ -161,3 +161,91 @@ COW_MERGE_UPSERT_ORACLE = f"""
     FROM bucketed bk
     GROUP BY bk.bucket
 """
+
+
+# --- streamed COW upsert lifecycle --------------------------------------
+
+
+def cow_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING ingestion path, driver-oracle-proven end to end:
+    three deterministic customer batches arrive as files and drain
+    through ``streaming/cow.py``'s foreachBatch sink (availableNow,
+    one run per arrival so apply order is pinned), each an SCD1
+    upsert commit carrying its batch_id in the transaction log; the
+    final snapshot folds to a per-segment audit the oracle rebuilds
+    from pure SQL. A hash match proves the streamed, log-ledgered,
+    file-pruned merge chain computed exactly the sequential upserts.
+
+    Batches: (1) custkey % 3 == 0 (base load); (2) % 3 == 1 with
+    +10.00 balance (disjoint insert); (3) % 6 == 0 re-labeled
+    segment 'STREAMED' (updates half of batch 1).
+    """
+    from global_superstore_data_warehouse_spark.streaming.cow import (
+        cow_upsert_stream,
+    )
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    batches = [
+        cust.filter(F.col("c_custkey") % 3 == 0),
+        cust.filter(F.col("c_custkey") % 3 == 1).withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") + 10.0, 2)
+        ),
+        cust.filter(F.col("c_custkey") % 6 == 0).withColumn(
+            "c_mktsegment", F.lit("STREAMED")
+        ),
+    ]
+    work = tempfile.mkdtemp(prefix="cow-stream-q-")
+    src = f"{work}/src"
+    root = f"{work}/tbl"
+    ckpt = f"{work}/ckpt"
+    for b in batches:  # one drain per arrival: apply order is pinned
+        b.coalesce(1).write.mode("append").parquet(src)
+        cow_upsert_stream(
+            spark,
+            src_dir=src,
+            root=root,
+            checkpoint=ckpt,
+            key="c_custkey",
+            keys=["c_custkey"],
+            attrs=["c_name", "c_acctbal", "c_mktsegment"],
+        )
+    snap = cowtable.read_version(spark, root)
+    return (
+        snap.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("c_acctbal") * 100).cast("long")
+            ).alias("sum_acctbal_cents"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            "sum_acctbal_cents",
+        )
+    )
+
+
+COW_STREAM_UPSERT_ORACLE = """
+    WITH final AS (
+        -- batch 1 survivors: % 3 = 0 but not re-labeled by batch 3
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 0 AND c_custkey % 6 <> 0
+        UNION ALL
+        -- batch 3: % 6 = 0 re-labeled
+        SELECT c_custkey, c_name, c_acctbal, 'STREAMED'
+        FROM customer WHERE c_custkey % 6 = 0
+        UNION ALL
+        -- batch 2: disjoint inserts with +10.00
+        SELECT c_custkey, c_name, ROUND(c_acctbal + 10.0, 2), c_mktsegment
+        FROM customer WHERE c_custkey % 3 = 1
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents
+    FROM final
+    GROUP BY c_mktsegment
+"""

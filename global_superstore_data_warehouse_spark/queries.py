@@ -863,6 +863,15 @@ register(
     stats.mutual_information,
     stats.MUTUAL_INFORMATION_ORACLE,
 )
+# NEW round 7: the streaming COW ingestion lifecycle — three batch
+# arrivals drained through the foreachBatch sink (batch_id ledger in
+# the transaction log), final snapshot audited per segment. Round-8
+# queue.
+register(
+    "cow_stream_upsert",
+    lakehouse.cow_stream_upsert,
+    lakehouse.COW_STREAM_UPSERT_ORACLE,
+)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

@@ -364,3 +364,9 @@ def test_scan_key_range_prunes_losslessly(spark, sf_dir, root):
         if e["min_key"] <= lo + (hi - lo) // 8 and e["max_key"] >= lo
     ]
     assert 0 < len(narrow) < n_files
+
+
+def test_cow_stream_upsert_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "cow_stream_upsert", sf_dir)
