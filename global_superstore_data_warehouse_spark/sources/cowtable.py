@@ -281,11 +281,17 @@ def read_version(
     spark: SparkSession, root: str, version: int | None = None
 ) -> DataFrame:
     """Snapshot read (time travel when ``version`` is given): one
-    parquet scan over exactly the files live at that version."""
+    parquet scan over exactly the files live at that version.
+    ``mergeSchema`` unions the live files' schemas, so a snapshot
+    that spans a column-adding append (schema evolution) null-fills
+    the old files' missing columns — Delta's additive evolution
+    semantics."""
     files = live_files(root, version)
     if not files:
         raise ValueError(f"no live files at {root} version {version}")
-    return spark.read.parquet(*[os.path.join(root, e["file"]) for e in files])
+    return spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["file"]) for e in files]
+    )
 
 
 def scan_key_range(

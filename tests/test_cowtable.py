@@ -370,3 +370,23 @@ def test_cow_stream_upsert_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "cow_stream_upsert", sf_dir)
+
+
+def test_append_evolves_schema_additively(spark, sf_dir, root):
+    """A later append may carry a NEW column: snapshots spanning the
+    evolution null-fill the old files (Delta's additive evolution);
+    time travel to the pre-evolution version shows the old schema."""
+    df = _customers(spark, sf_dir)
+    half1 = df.filter(F.col("c_custkey") % 2 == 0)
+    half2 = df.filter(F.col("c_custkey") % 2 == 1).withColumn(
+        "loyalty_tier", F.lit("GOLD")
+    )
+    cowtable.create(spark, root, half1, key="c_custkey", nbuckets=4)
+    cowtable.append(spark, root, half2)
+    snap = cowtable.read_version(spark, root)
+    assert "loyalty_tier" in snap.columns
+    rows = {r.c_custkey: r.loyalty_tier for r in snap.collect()}
+    for k, tier in rows.items():
+        assert tier == ("GOLD" if k % 2 == 1 else None)
+    v1 = cowtable.read_version(spark, root, version=1)
+    assert "loyalty_tier" not in v1.columns
