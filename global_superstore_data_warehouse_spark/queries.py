@@ -1,10 +1,13 @@
-# ROUND-8 ROTATION QUEUE (~50 registered entries still lack a
+# ROUND-8 ROTATION QUEUE (~56 registered entries still lack a
 # driver row; next up, novel shapes first — the round-7 additions
-# lead: cow_merge_upsert (the COW ACID-merge lifecycle),
-# layout_skipping_eval, bpe_learn_merges, bpe_vocab_compression,
-# ann_pq_adc, multitouch_attribution, dsir_importance_weights,
+# lead: cow_merge_upsert + cow_stream_upsert (the COW ACID-merge and
+# streamed-ledger lifecycles), layout_skipping_eval,
+# bpe_learn_merges, bpe_vocab_compression, ann_pq_adc,
+# multitouch_attribution, dsir_importance_weights,
 # superset_containment, ann_ivf_pq, bitext_margin_mining,
-# k_anonymity_audit, compaction_plan — then
+# k_anonymity_audit, compaction_plan, temporal_split_audit,
+# bm25_topk, measure_correlations, ab_test_report,
+# mutual_information — then
 # daily_revenue_anomalies, event_trigrams, order_day_islands,
 # cumulative_new_users, events_session_window, events_value_outliers,
 # weighted_sample_topk, revenue_cohorts, winsorized_segment_balances,
