@@ -565,3 +565,73 @@ def test_mutual_information_invariants(spark, sf_dir):
         kx = cust.select(xc).distinct().count()
         ky = cust.select(yc).distinct().count()
         assert r.mi_nano / 1e9 <= math.log(min(kx, ky)) + 1e-6
+
+
+# --- hypothesis: containment audit on arbitrary corpora ----------------
+
+
+def _superset_brute_force(texts):
+    """Python reference: per doc, exact-dup count and proper-superset
+    count over the token-set classes."""
+    sets = [frozenset(t.split()) for t in texts]
+    out = []
+    for i, s in enumerate(sets):
+        if not s:
+            continue
+        dups = sum(1 for t in sets if t == s) - 1
+        sups = sum(1 for t in sets if t > s)
+        out.append((i, len(s), dups, sups))
+    return sorted(out)
+
+
+def test_superset_containment_property(spark, tmp_path):
+    """Both mask tiers must reproduce the brute-force audit on a
+    pathological corpus: nested chains, exact dups, disjoint sets,
+    empty docs, single-token docs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from global_superstore_data_warehouse_spark.plans.setsim import (
+        _superset_containment,
+    )
+
+    alphabet = ["alpha", "beta", "gamma", "delta", "eps"]
+    doc = st.lists(st.sampled_from(alphabet), min_size=0, max_size=6)
+    corpus = st.lists(doc, min_size=1, max_size=10)
+
+    @given(docs=corpus)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[
+            HealthCheck.too_slow,
+            HealthCheck.function_scoped_fixture,
+        ],
+    )
+    def run(docs):
+        texts = [" ".join(d) for d in docs]
+        import os
+        import shutil
+        import tempfile
+
+        work = tempfile.mkdtemp(prefix="sup-prop-")
+        try:
+            rows = [
+                (i, t, "en", "src", len(t)) for i, t in enumerate(texts)
+            ]
+            spark.createDataFrame(
+                rows, "doc_id long, text string, lang string, source string, n_chars long"
+            ).coalesce(1).write.parquet(os.path.join(work, "documents.parquet"))
+            want = _superset_brute_force(texts)
+            for bloom in (False, True):
+                got = sorted(
+                    (r.doc_id, r.n_tokens, r.n_exact_dups, r.n_superset_docs)
+                    for r in _superset_containment(
+                        spark, work, force_bloom=bloom
+                    ).collect()
+                )
+                assert got == want, (bloom, texts)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    run()
