@@ -249,3 +249,48 @@ COW_STREAM_UPSERT_ORACLE = """
     FROM final
     GROUP BY c_mktsegment
 """
+
+
+# --- CDF-driven incremental MV maintenance ------------------------------
+
+
+def mv_apply_cdf(
+    state: DataFrame,
+    feed: DataFrame,
+    group_col: str,
+    cents_col: str,
+) -> DataFrame:
+    """Incremental view maintenance driven by the COW change feed:
+    fold ``cowtable.changes(...)`` into a persisted (group → n_rows,
+    sum_cents) aggregate WITHOUT touching the base table. Each feed
+    row becomes a signed delta — insert/update_post add, delete/
+    update_pre subtract — so an update that MOVES a row between
+    groups maintains both groups correctly (the pre row debits the
+    old group, the post row credits the new one). Cost scales with
+    the change feed, not the table; groups with zero rows after the
+    fold are dropped (exactly what recompute would produce).
+    """
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    delta = (
+        feed.select(
+            F.col(group_col),
+            sign.alias("sgn"),
+            F.round(F.col(cents_col) * 100).cast("long").alias("cents"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("sgn").alias("n_rows"),
+            F.sum(F.col("sgn") * F.col("cents")).alias("sum_cents"),
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )

@@ -390,3 +390,48 @@ def test_append_evolves_schema_additively(spark, sf_dir, root):
         assert tier == ("GOLD" if k % 2 == 1 else None)
     v1 = cowtable.read_version(spark, root, version=1)
     assert "loyalty_tier" not in v1.columns
+
+
+def test_mv_apply_cdf_equals_recompute(spark, sf_dir, root):
+    """Folding the change feed into the persisted per-segment MV must
+    equal recomputing the MV from the new snapshot — including
+    updates that MOVE rows between segments."""
+    from global_superstore_data_warehouse_spark.plans.lakehouse import (
+        mv_apply_cdf,
+    )
+
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=8)
+
+    def mv(snapshot):
+        return (
+            snapshot.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                ).alias("sum_cents"),
+            )
+        )
+
+    state_v1 = mv(cowtable.read_version(spark, root, 1))
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    source = (
+        df.filter(F.col("c_custkey") % 5 == 0)
+        .withColumn("c_mktsegment", F.lit("MOVED"))  # group-moving update
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 7.0, 2))
+        .unionByName(
+            spark.createDataFrame(
+                [(hi + 1, "cdf customer", 42.0, "BUILDING")],
+                "c_custkey long, c_name string, c_acctbal double, c_mktsegment string",
+            )
+        )
+    )
+    cowtable.merge_scd1(
+        spark, root, source,
+        keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    feed = cowtable.changes(spark, root, 1, 2)
+    got = mv_apply_cdf(state_v1, feed, "c_mktsegment", "c_acctbal")
+    want = mv(cowtable.read_version(spark, root, 2))
+    assert _norm(got) == _norm(want)
