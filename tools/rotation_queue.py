@@ -1,0 +1,54 @@
+"""Rotation hygiene: which registered queries have never received a
+driver CORRECTNESS row, and which window slots are safe to rotate out.
+
+Usage: python tools/rotation_queue.py
+
+Reads every CORRECTNESS_r*.json in the repo root, unions the query
+names that ever appeared (any status), and diffs against the live
+registry. Prints:
+  - the current 50-query driver window, split into has-row / no-row;
+  - the full never-checked backlog outside the window (the rotation
+    queue queries.py's header comment tracks by hand);
+  - window entries that are already hash-green in some past round
+    (rotation-out candidates once their shape is covered).
+"""
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from global_superstore_data_warehouse_spark import registry
+
+    names = list(registry.queries())
+    window = names[:50]
+    seen: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        with open(path) as f:
+            doc = json.load(f)
+        rows = doc.get("queries", doc) if isinstance(doc, dict) else {}
+        for q in rows:
+            seen[q] = rnd  # later rounds overwrite: latest row wins
+    in_window_no_row = [q for q in window if q not in seen]
+    in_window_with_row = [q for q in window if q in seen]
+    backlog = [q for q in names[50:] if q not in seen]
+    print(f"registered: {len(names)}  window: {len(window)}")
+    print(f"\nwindow entries with a driver row ({len(in_window_with_row)}):")
+    for q in in_window_with_row:
+        print(f"  {q}  [{seen[q]}]")
+    print(f"\nwindow entries awaiting their first row ({len(in_window_no_row)}):")
+    for q in in_window_no_row:
+        print(f"  {q}")
+    print(f"\nnever-checked backlog outside the window ({len(backlog)}):")
+    for q in backlog:
+        print(f"  {q}")
+
+
+if __name__ == "__main__":
+    main()
