@@ -198,6 +198,8 @@ EXTRA = [
     "mutual_information",
     # streamed COW ingestion lifecycle (3 availableNow drains)
     "cow_stream_upsert",
+    # CCNet per-language perplexity thirds (corpus-LM rank window)
+    "ccnet_perplexity_buckets",
 ]
 
 ROUNDS = 3

@@ -2518,3 +2518,125 @@ def _bpe_compression_oracle() -> str:
 
 
 BPE_VOCAB_COMPRESSION_ORACLE = _bpe_compression_oracle()
+
+
+# --- CCNet-style perplexity bucketing ----------------------------------
+
+CCNET_BUCKETS = ["head", "middle", "tail"]
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet shard split (Wenzek et al. 2020): within each
+    language, rank documents by LM score and cut the ranking into
+    thirds — head (closest to the reference distribution), middle,
+    tail (likeliest boilerplate/spam; most pipelines keep head+middle
+    and sample the tail). The LM here is the corpus's own unigram
+    model (the ``unigram_logprob_scores`` gate); the output is the
+    per-(lang, bucket) census a mixture planner consumes.
+
+    Engine-exact discipline: per-token log-probs are quantized to
+    integer MICRO units and summed per doc (exact integers — no
+    float-avg order exposure), docs rank on the exact rational
+    score_micro/n_tokens (identical doubles in both engines; ties on
+    doc_id), and the bucket is pure integer arithmetic
+    ``(3 * (rank - 1)) // n_lang``. Bucket-level means derive from
+    integer sums at the very end.
+
+    Scale shape: one corpus scan feeds the vocab (broadcast back),
+    per-doc scores are one corpus-sized shuffle, the rank window is
+    per-language over DOC-sized rows, and the final census is
+    languages x 3.
+    """
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(T.tokens("text")).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    contrib = F.round(
+        F.log(F.col("cnt") / F.col("total")) * 1000000.0
+    ).cast("long")
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(contrib).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(F.col("score_micro") / F.col("n_tokens")), F.asc("doc_id")
+    )
+    nl = Window.partitionBy("lang")
+    # exact integer floor division in BOTH engines: DuckDB's
+    # CAST(double AS INT) rounds while Spark's truncates, so the
+    # bucket edge would disagree — (a - a % b) / b sidesteps floats
+    a = (F.row_number().over(w) - 1) * 3
+    b = F.count(F.lit(1)).over(nl)
+    bucketed = per_doc.withColumn(
+        "bucket_i", ((a - a % b) / b).cast("int")
+    )
+    bucket_name = F.element_at(
+        F.array(*[F.lit(b) for b in CCNET_BUCKETS]), F.col("bucket_i") + 1
+    )
+    return (
+        bucketed.groupBy("lang", F.col("bucket_i"), bucket_name.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("score_micro") / F.sum("n_tokens") / 1000000.0, 6
+            ).alias("avg_token_logprob"),
+        )
+        .select(
+            "lang",
+            F.col("bucket_i").cast("int").alias("bucket_i"),
+            "bucket",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+            "avg_token_logprob",
+        )
+    )
+
+
+CCNET_PERPLEXITY_BUCKETS_ORACLE = """
+    WITH tok AS (
+        SELECT d.doc_id, d.lang, t.w
+        FROM documents d,
+             LATERAL (SELECT unnest(string_split_regex(trim(d.text), '\\s+'))
+                      AS w) t
+        WHERE t.w <> ''
+    ), vocab AS (
+        SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w
+    ), total AS (
+        SELECT SUM(cnt) AS total FROM vocab
+    ), per_doc AS (
+        SELECT tok.doc_id, tok.lang,
+               COUNT(*) AS n_tokens,
+               SUM(CAST(ROUND(ln(v.cnt / t.total) * 1000000.0) AS BIGINT))
+                   AS score_micro
+        FROM tok JOIN vocab v USING (w) CROSS JOIN total t
+        GROUP BY tok.doc_id, tok.lang
+    ), ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY score_micro / n_tokens DESC, doc_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM per_doc
+    ), bucketed AS (
+        SELECT *, CAST(((rk - 1) * 3) // n_lang AS INT) AS bucket_i
+        FROM ranked
+    )
+    SELECT lang,
+           CAST(bucket_i AS INTEGER) AS bucket_i,
+           (['head', 'middle', 'tail'])[bucket_i + 1] AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(score_micro) / SUM(n_tokens) / 1000000.0, 6)
+               AS avg_token_logprob
+    FROM bucketed
+    GROUP BY lang, bucket_i
+"""

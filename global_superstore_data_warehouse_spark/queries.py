@@ -875,6 +875,14 @@ register(
     lakehouse.cow_stream_upsert,
     lakehouse.COW_STREAM_UPSERT_ORACLE,
 )
+# NEW round 7: CCNet-style per-language perplexity thirds (head/
+# middle/tail under the corpus's own unigram LM; integer micro-score
+# ranking, exact integer bucket edges). Round-8 queue.
+register(
+    "ccnet_perplexity_buckets",
+    textops.ccnet_perplexity_buckets,
+    textops.CCNET_PERPLEXITY_BUCKETS_ORACLE,
+)
 # gaps-and-islands over the order calendar (date - row_number key)
 register("order_day_islands", windows.order_day_islands, windows.ORDER_DAY_ISLANDS_ORACLE)
 # adoption curve: first-seen aggregate + cumulative window

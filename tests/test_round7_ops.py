@@ -635,3 +635,29 @@ def test_superset_containment_property(spark, tmp_path):
             shutil.rmtree(work, ignore_errors=True)
 
     run()
+
+
+def test_ccnet_perplexity_buckets_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "ccnet_perplexity_buckets", sf_dir)
+
+
+def test_ccnet_buckets_invariants(spark, sf_dir):
+    """Per language: buckets partition the doc set into near-thirds
+    (sizes differ by at most 1 when n >= 3), head's average token
+    log-prob is >= tail's, and bucket names map the index."""
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = ccnet_perplexity_buckets(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert ["head", "middle", "tail"][r.bucket_i] == r.bucket
+    for lang, bs in by_lang.items():
+        bs.sort(key=lambda r: r.bucket_i)
+        n = sum(r.n_docs for r in bs)
+        if n >= 3:
+            sizes = [r.n_docs for r in bs]
+            assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+            assert bs[0].avg_token_logprob >= bs[-1].avg_token_logprob
