@@ -7,7 +7,7 @@
 # superset_containment, ann_ivf_pq, bitext_margin_mining,
 # k_anonymity_audit, compaction_plan, temporal_split_audit,
 # bm25_topk, measure_correlations, ab_test_report,
-# mutual_information — then
+# mutual_information, ccnet_perplexity_buckets — then
 # daily_revenue_anomalies, event_trigrams, order_day_islands,
 # cumulative_new_users, events_session_window, events_value_outliers,
 # weighted_sample_topk, revenue_cohorts, winsorized_segment_balances,
