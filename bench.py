@@ -1,7 +1,12 @@
 """Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {...}, "extra_queries": {...}, "sf": ...}.
+ONE COMPACT JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {<headline only>}, "extras": {summary}, "canary": {...},
+"sf": ...}. The full per-extra-query timings land in
+``BENCH_DETAIL.json`` next to this file — the stdout line is kept
+under ~1800 chars because the driver parses it out of a ~2000-char
+stdout tail (round 7's full line overflowed that and was recorded
+unparsed).
 
 Each query is executed with a `noop` sink write so the full plan runs
 JVM-side (scan → joins → aggregation) without driver materialization.
@@ -319,26 +324,64 @@ def main() -> None:
     except OSError:
         load1 = -1.0
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "extra_queries": extra_timings,
-                "extra_passes": extra_passes,
-                "canary": {
-                    "cpu_s": round(min(cpu_canaries), 3),
-                    "cpu_s_max": round(max(cpu_canaries), 3),
-                    "spark_probe_s": round(min(spark_canaries), 3),
-                    "spark_probe_s_max": round(max(spark_canaries), 3),
-                    "loadavg_1m": load1,
-                },
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
+    canary = {
+        "cpu_s": round(min(cpu_canaries), 3),
+        "cpu_s_max": round(max(cpu_canaries), 3),
+        "spark_probe_s": round(min(spark_canaries), 3),
+        "spark_probe_s_max": round(max(spark_canaries), 3),
+        "loadavg_1m": load1,
+    }
+    # FULL detail (every extra timing + pass counts) goes to a side
+    # file; the stdout contract line stays COMPACT. Round 7 lesson:
+    # the driver records only a ~2000-char tail of stdout and parses
+    # the JSON line out of it — with ~75 extra queries the one-line
+    # JSON outgrew that window and BENCH_r07.json landed with
+    # "parsed": null (rc=0, the line itself was valid). The graded
+    # headline number must never again ride on extras volume, so the
+    # final line carries: metric/value/unit, the 11 headline
+    # timings, the canary, sf, and only an extras SUMMARY
+    # (count + total + slowest 5) with a pointer to the detail file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extra_queries": extra_timings,
+        "extra_passes": extra_passes,
+        "canary": canary,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
+    slowest = dict(
+        sorted(extra_timings.items(), key=lambda kv: -kv[1])[:5]
+    )
+    compact = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "extras": {
+            "n": len(extra_timings),
+            "total": round(sum(extra_timings.values()), 2),
+            "slowest": slowest,
+            "detail": "BENCH_DETAIL.json",
+        },
+        "canary": canary,
+        "sf": _sf_from_dir(SF_DIR),
+    }
+    line = json.dumps(compact)
+    if len(line) > 1800:  # belt-and-braces: never outgrow the tail
+        compact.pop("extras", None)
+        line = json.dumps(compact)
+    print(line)
     spark.stop()
 
 

@@ -13,6 +13,7 @@ source buckets) is the one the log-level merge made.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -52,61 +53,70 @@ def cow_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo, hi = int(lo), int(hi)
     cut = lo + (hi - lo) // 5
 
-    root = tempfile.mkdtemp(prefix="cow-upsert-") + "/tbl"
-    cowtable.create(
-        spark, root, df, key="c_custkey", nbuckets=NBUCKETS, bounds=(lo, hi)
-    )
+    work = tempfile.mkdtemp(prefix="cow-upsert-")
+    root = work + "/tbl"
+    try:
+        cowtable.create(
+            spark, root, df, key="c_custkey", nbuckets=NBUCKETS, bounds=(lo, hi)
+        )
 
-    inserts = spark.range(1, N_INSERTS + 1).select(
-        (F.lit(hi) + F.col("id")).alias("c_custkey"),
-        F.concat(F.lit("new customer "), F.col("id")).alias("c_name"),
-        F.col("id").cast("double").alias("c_acctbal"),
-        F.lit("BUILDING").alias("c_mktsegment"),
-    )
-    source = (
-        df.filter(F.col("c_custkey") <= cut)
-        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
-        .unionByName(inserts)
-    )
-    report = cowtable.merge_scd1(
-        spark,
-        root,
-        source,
-        keys=["c_custkey"],
-        attrs=["c_name", "c_acctbal", "c_mktsegment"],
-    )
-    touched = report["touched_buckets"]
+        inserts = spark.range(1, N_INSERTS + 1).select(
+            (F.lit(hi) + F.col("id")).alias("c_custkey"),
+            F.concat(F.lit("new customer "), F.col("id")).alias("c_name"),
+            F.col("id").cast("double").alias("c_acctbal"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+        )
+        source = (
+            df.filter(F.col("c_custkey") <= cut)
+            .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+            .unionByName(inserts)
+        )
+        report = cowtable.merge_scd1(
+            spark,
+            root,
+            source,
+            keys=["c_custkey"],
+            attrs=["c_name", "c_acctbal", "c_mktsegment"],
+        )
+        touched = report["touched_buckets"]
 
-    meta = cowtable._read_meta(root)
-    snap = cowtable.read_version(spark, root)
-    return (
-        snap.withColumn(
-            "bucket", cowtable._bucket_col(F.col("c_custkey"), meta)
+        meta = cowtable._read_meta(root)
+        snap = cowtable.read_version(spark, root)
+        out = (
+            snap.withColumn(
+                "bucket", cowtable._bucket_col(F.col("c_custkey"), meta)
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (F.col("c_custkey") <= cut).cast("long")
+                ).alias("n_updated"),
+                F.sum((F.col("c_custkey") > hi).cast("long")).alias("n_inserted"),
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                ).alias("sum_acctbal_cents"),
+            )
+            .withColumn(
+                "rewritten",
+                F.col("bucket").isin([int(b) for b in touched]).cast("int"),
+            )
+            .select(
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_updated").cast("bigint").alias("n_updated"),
+                F.col("n_inserted").cast("bigint").alias("n_inserted"),
+                "sum_acctbal_cents",
+                "rewritten",
+            )
         )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                (F.col("c_custkey") <= cut).cast("long")
-            ).alias("n_updated"),
-            F.sum((F.col("c_custkey") > hi).cast("long")).alias("n_inserted"),
-            F.sum(
-                F.round(F.col("c_acctbal") * 100).cast("long")
-            ).alias("sum_acctbal_cents"),
-        )
-        .withColumn(
-            "rewritten",
-            F.col("bucket").isin([int(b) for b in touched]).cast("int"),
-        )
-        .select(
-            F.col("bucket").cast("int").alias("bucket"),
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            F.col("n_updated").cast("bigint").alias("n_updated"),
-            F.col("n_inserted").cast("bigint").alias("n_inserted"),
-            "sum_acctbal_cents",
-            "rewritten",
-        )
-    )
+        # Eager materialization of the NBUCKETS-row audit severs the
+        # lineage to the temp table so the finally can reclaim it —
+        # repeated bench/driver runs used to accumulate full customer
+        # copies in the temp dir (one per invocation, never removed).
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 # The oracle rebuilds the identical upsert + bucket audit from pure
@@ -200,32 +210,38 @@ def cow_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{work}/src"
     root = f"{work}/tbl"
     ckpt = f"{work}/ckpt"
-    for b in batches:  # one drain per arrival: apply order is pinned
-        b.coalesce(1).write.mode("append").parquet(src)
-        cow_upsert_stream(
-            spark,
-            src_dir=src,
-            root=root,
-            checkpoint=ckpt,
-            key="c_custkey",
-            keys=["c_custkey"],
-            attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    try:
+        for b in batches:  # one drain per arrival: apply order is pinned
+            b.coalesce(1).write.mode("append").parquet(src)
+            cow_upsert_stream(
+                spark,
+                src_dir=src,
+                root=root,
+                checkpoint=ckpt,
+                key="c_custkey",
+                keys=["c_custkey"],
+                attrs=["c_name", "c_acctbal", "c_mktsegment"],
+            )
+        snap = cowtable.read_version(spark, root)
+        out = (
+            snap.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                ).alias("sum_acctbal_cents"),
+            )
+            .select(
+                "c_mktsegment",
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                "sum_acctbal_cents",
+            )
         )
-    snap = cowtable.read_version(spark, root)
-    return (
-        snap.groupBy("c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(
-                F.round(F.col("c_acctbal") * 100).cast("long")
-            ).alias("sum_acctbal_cents"),
-        )
-        .select(
-            "c_mktsegment",
-            F.col("n_rows").cast("bigint").alias("n_rows"),
-            "sum_acctbal_cents",
-        )
-    )
+        # segments-sized result: eager-checkpoint, then reclaim the
+        # temp table/checkpoint tree (see cow_merge_upsert note)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 COW_STREAM_UPSERT_ORACLE = """

@@ -1,21 +1,18 @@
-# ROUND-8 ROTATION QUEUE (~56 registered entries still lack a
-# driver row; next up, novel shapes first — the round-7 additions
-# lead: cow_merge_upsert + cow_stream_upsert (the COW ACID-merge and
-# streamed-ledger lifecycles), layout_skipping_eval,
-# bpe_learn_merges, bpe_vocab_compression, ann_pq_adc,
-# multitouch_attribution, dsir_importance_weights,
-# superset_containment, ann_ivf_pq, bitext_margin_mining,
-# k_anonymity_audit, compaction_plan, temporal_split_audit,
-# bm25_topk, measure_correlations, ab_test_report,
-# mutual_information, ccnet_perplexity_buckets — then
-# daily_revenue_anomalies, event_trigrams, order_day_islands,
-# cumulative_new_users, events_session_window, events_value_outliers,
-# weighted_sample_topk, revenue_cohorts, winsorized_segment_balances,
-# secured_orders_slice, simhash_near_dup_pairs, boilerplate_strip,
+# ROUND-9 ROTATION QUEUE (28 registered entries still lack a driver
+# row after the round-8 rotation; tools/rotation_queue.py computes
+# the live list). Next up, novel shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
-# dedup_normalized_docs — then the retail/observability tail
-# (pareto_products, rfm_segments, join_skew_report, psi_event_drift,
-# corpus_report, ...). Rotate out r07-green shape-covered entries.
+# dedup_normalized_docs, dedup_clusters_smallstar,
+# domain_quota_sample_twophase, corpus_report, training_shards,
+# join_skew_report, psi_event_drift, embedding_standardize,
+# hard_negative_mining, lang_id_confusion, events_dedup_bursts,
+# bpe_pair_counts, doclen_histogram — then the retail/observability
+# tail (pareto_products, rfm_segments, zipf_slope_by_source,
+# token_entropy_by_source, order_cadence, churn_flags,
+# supplier_concentration, fulfillment_lead_time, quality_percentiles,
+# seasonal_index, lateness_profile, abc_migration). Rotate out
+# r08-green shape-covered entries via the ROUND8_WINDOW list at the
+# BOTTOM of this file (registry.promote makes rotation a list edit).
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
@@ -24,23 +21,17 @@ identically in the Spark plan and the oracle SQL — the driver's
 compare hashes values under sorted column names.
 
 REGISTRATION ORDER MATTERS: the driver records CORRECTNESS rows for
-the first 50 entries only. The window therefore holds each operator
-FAMILY's representative queries, rotating so that every registered
-query accumulates a hash-green driver row across rounds. NOTE: no
-CORRECTNESS_r06 was recorded by the driver, so round 7 KEEPS the
-fourteen round-6 rotation targets in-window (they still lack rows)
-and rotates FOURTEEN MORE never-driver-checked shapes IN
-(countmin_heavy_hitters, join_size_estimate, expectations_report,
-audio_decode_stats, daily_users_kmv, simhash_recall_eval,
-quantile_sketch_rollup, ann_int8_rerank, segment_revenue_trend,
-profile_columns, fk_discovery, partition_advisor,
-temperature_mixture_sample, leakage_safe_splits) for fourteen r05
-hash-green entries whose plan shapes stay covered in-window — see
-the "Rotated OUT round 7" block past the window. The window is now
-22 repeat-green + 28 first-timers, every one locally verified at
-sf0.01 via tools/check_some.py before rotation. Earlier rotations
-(rounds 3-6) are recorded in git history. Everything past the
-window keeps identical DuckDB-oracle parity coverage in pytest.
+the first 50 entries only. Since round 8 the window is defined
+EXPLICITLY by the ``ROUND8_WINDOW`` list at the bottom of this file
+(``registry.promote`` reorders the registry so the list comes
+first) — rotating is one list edit, not a reshuffle of register()
+blocks. Round-8 composition: 20 repeat-green family representatives
++ 30 first-timers (all 19 remaining round-7 additions + 11 backlog
+novel shapes), every first-timer locally verified at sf0.01 via
+tools/check_some.py before rotation. Earlier rotations (rounds 3-7)
+are recorded in git history. Everything outside the window keeps
+identical DuckDB-oracle parity coverage in pytest
+(tests/conftest.py::assert_matches_oracle).
 """
 
 from __future__ import annotations
@@ -70,6 +61,7 @@ from global_superstore_data_warehouse_spark.plans import (
     windows,
 )
 from global_superstore_data_warehouse_spark import security
+from global_superstore_data_warehouse_spark import registry
 from global_superstore_data_warehouse_spark.registry import register
 
 # ======================================================================
@@ -939,3 +931,79 @@ register(
 # near-dup leakage audit across content-fingerprint splits (LSH
 # candidates x split assignment; the (train,test) row is the eval
 # go/no-go)
+
+
+# ======================================================================
+# DRIVER CORRECTNESS WINDOW — round 8 rotation
+# ======================================================================
+# The driver records CORRECTNESS rows for the FIRST 50 registry
+# entries only. ``registry.promote`` reorders the registry so this
+# list IS the window — rotations are now one list edit (plus the pin
+# in tests/test_driver_contract.py), not a re-shuffle of register()
+# blocks. Composition this round: 20 repeat-green family
+# representatives (flagship views, warehouse/SCD/CDC/IVM core, the
+# dedup/similarity/curation/graph heads) + 30 FIRST-TIMERS — all 19
+# remaining round-7 additions and 11 more never-driver-checked novel
+# shapes from the backlog (58 entries lacked a row entering round 8;
+# tools/rotation_queue.py tracks the burn-down). Every first-timer
+# was locally verified at sf0.01 via tools/check_some.py before
+# rotation. Rotated out: 30 r07-hash-green entries whose shapes stay
+# covered in-window (and whose DuckDB-oracle parity every pytest run
+# re-proves via tests/conftest.py::assert_matches_oracle).
+ROUND8_WINDOW = [
+    # -- repeat-green representatives (20) --
+    "yearly_sales_profit",
+    "sales_employees_regions",
+    "seasonality_segment",
+    "surrogate_keys_customers",
+    "conform_two_sources",
+    "scd2_two_load_lifecycle",
+    "fact_orders",
+    "cdc_apply_orders",
+    "incremental_mv_refresh",
+    "secured_customers_analyst",
+    "minhash_lsh_candidates",
+    "dedup_clusters",
+    "jaccard_prefix_pairs",
+    "fuzzy_match_fastss",
+    "sales_cube",
+    "events_in_maintenance_windows",
+    "asof_click_attribution",
+    "curation_pipeline",
+    "decontaminate_bloom",
+    "part_pagerank",
+    # -- first-timers: round-7 additions (19) --
+    "cow_merge_upsert",
+    "cow_stream_upsert",
+    "layout_skipping_eval",
+    "bpe_learn_merges",
+    "bpe_vocab_compression",
+    "ann_pq_adc",
+    "multitouch_attribution",
+    "dsir_importance_weights",
+    "superset_containment",
+    "ann_ivf_pq",
+    "bitext_margin_mining",
+    "k_anonymity_audit",
+    "compaction_plan",
+    "temporal_split_audit",
+    "bm25_topk",
+    "measure_correlations",
+    "ab_test_report",
+    "mutual_information",
+    "ccnet_perplexity_buckets",
+    # -- first-timers: backlog novel shapes (11) --
+    "daily_revenue_anomalies",
+    "event_trigrams",
+    "order_day_islands",
+    "cumulative_new_users",
+    "events_session_window",
+    "events_value_outliers",
+    "weighted_sample_topk",
+    "revenue_cohorts",
+    "winsorized_segment_balances",
+    "secured_orders_slice",
+    "simhash_near_dup_pairs",
+]
+
+registry.promote(ROUND8_WINDOW)

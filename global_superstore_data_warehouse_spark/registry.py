@@ -8,7 +8,7 @@ then records a weaker rows-only check).
 
 from __future__ import annotations
 
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +29,23 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     if name in _REGISTRY:
         raise ValueError(f"duplicate query registration: {name}")
     _REGISTRY[name] = Entry(fn, oracle)
+
+
+def promote(window: "Sequence[str]") -> None:
+    """Reorder the registry so ``window`` comes FIRST, in the given
+    order — the driver records CORRECTNESS rows for the first 50
+    entries only, so this list IS the per-round rotation. Entries not
+    named keep their existing relative order after the window.
+    Rotations are now a single-list edit at the bottom of
+    ``queries.py`` instead of moving register() blocks around."""
+    missing = [n for n in window if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"promote: unregistered names {missing}")
+    head = {n: _REGISTRY[n] for n in window}
+    tail = {n: e for n, e in _REGISTRY.items() if n not in head}
+    _REGISTRY.clear()
+    _REGISTRY.update(head)
+    _REGISTRY.update(tail)
 
 
 def queries() -> dict[str, QueryFn]:

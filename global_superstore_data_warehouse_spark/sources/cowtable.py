@@ -144,9 +144,14 @@ def _write_bucketed(
     bucket's rows land in one task via the pre-repartition on the
     bucket column, so exactly one file per bucket); the files are
     then renamed into data/ under deterministic names and their
-    footer stats harvested. Rename, not copy — same filesystem.
+    footer stats harvested. The staging dir lives UNDER THE TABLE
+    ROOT (``<root>/_stage-v{N}-*``), which GUARANTEES rename() stays
+    on one filesystem — staging in the system temp dir broke with
+    EXDEV whenever /tmp was a different mount (tmpfs) than the table.
+    A belt-and-braces shutil.move fallback covers any exotic layout
+    (e.g. a bind-mounted data/ subdir).
     """
-    staging = tempfile.mkdtemp(prefix=f"cow-stage-v{version}-")
+    staging = tempfile.mkdtemp(dir=root, prefix=f"_stage-v{version}-")
     try:
         (
             df.withColumn("_bucket", _bucket_col(F.col(key), meta))
@@ -171,7 +176,10 @@ def _write_bucketed(
                 name = f"v{version}-b{bucket:05d}-{i}.parquet"
                 src = os.path.join(staging, entry, part)
                 dst = os.path.join(data_dir, name)
-                os.rename(src, dst)
+                try:
+                    os.rename(src, dst)
+                except OSError:  # EXDEV: cross-filesystem layout
+                    shutil.move(src, dst)
                 rows, kmin, kmax = _file_stats(dst, key)
                 adds.append(
                     {
@@ -394,10 +402,26 @@ def changes(
     if not olds and not news:
         empty = read_version(spark, root, v_to).limit(0)
         return empty.withColumn("_change_type", F.lit(""))
-    any_file = os.path.join(root, next(iter(new_files or old_files)))
-    schema_df = spark.read.parquet(any_file).limit(0)
-    old = spark.read.parquet(*olds) if olds else schema_df
-    new = spark.read.parquet(*news) if news else schema_df
+    # mergeSchema on BOTH sides: a CDF spanning an additive-schema
+    # append (which read_version supports) must not throw on the old
+    # side's missing column — each side unions its own files' schemas,
+    # then the two sides are aligned unionByName-style, null-filling
+    # columns the other side doesn't have yet (a column added between
+    # v_from and v_to reads as NULL -> non-NULL, i.e. an update).
+    rd = spark.read.option("mergeSchema", "true")
+    old = rd.parquet(*olds) if olds else None
+    new = rd.parquet(*news) if news else None
+    if old is None:
+        old = new.limit(0)
+    if new is None:
+        new = old.limit(0)
+    for c in new.columns:
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None).cast(new.schema[c].dataType))
+    for c in old.columns:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None).cast(old.schema[c].dataType))
+    new = new.select(*old.columns)  # stable shared column order
     attrs = [c for c in new.columns if c != key]
     o = old.alias("o")
     n = new.alias("n")
@@ -429,26 +453,41 @@ def changes(
     return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
 
 
-def vacuum(root: str, retain_versions: int = 1) -> dict:
+def vacuum(
+    root: str, retain_versions: int = 1, min_age_seconds: float = 600.0
+) -> dict:
     """Garbage-collect data files no snapshot in the retention window
     can reference: keep every file live in any of the last
     ``retain_versions`` versions, delete the rest (files removed by
     old commits, and orphans staged by crashed writers that never
     committed). Time travel to vacuumed versions stops working —
     exactly Delta's VACUUM contract. Returns {files_deleted,
-    files_kept, bytes_deleted}."""
+    files_kept, bytes_deleted}.
+
+    ``min_age_seconds`` is the miniature of Delta's retention-hours
+    contract: a writer renames its new files into data/ BEFORE its
+    commit is linked, so to a concurrent vacuum an about-to-be-
+    committed file is indistinguishable from an orphan. Skipping
+    files younger than the age floor keeps vacuum safe against any
+    in-flight writer whose stage→commit window is shorter than it
+    (10 min dwarfs the window by orders of magnitude). Pass 0 only
+    when no concurrent writer can exist (single-process admin op —
+    the stance the tests use to exercise deletion determinism)."""
+    import time as _time
+
     top = current_version(root)
     keep: set[str] = set()
     for v in range(max(1, top - retain_versions + 1), top + 1):
         keep |= {e["file"] for e in live_files(root, v)}
     data_dir = os.path.join(root, DATA_DIR)
     deleted = kept = freed = 0
+    now = _time.time()
     for name in sorted(os.listdir(data_dir)):
         rel = f"{DATA_DIR}/{name}"
-        if rel in keep:
+        path = os.path.join(data_dir, name)
+        if rel in keep or now - os.stat(path).st_mtime < min_age_seconds:
             kept += 1
             continue
-        path = os.path.join(data_dir, name)
         freed += os.stat(path).st_size
         os.unlink(path)
         deleted += 1

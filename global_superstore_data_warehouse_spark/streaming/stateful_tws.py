@@ -99,6 +99,17 @@ class SessionProcessor(StatefulProcessor):
             runs = _split_sessions(secs, vals)
         *closed, open_run = runs
         self._open.update(tuple(open_run))
+        # Re-registering every batch would LEAK the previous batches'
+        # timers (registerTimer adds, it does not replace the way
+        # GroupState.setTimeoutTimestamp does) — and a stale timer
+        # firing after later events extended the session would flush
+        # the still-open tail early, splitting sessions the
+        # applyInPandasWithState twin keeps whole. Delete the old
+        # timers before arming the new one; handleExpiredTimer also
+        # re-checks expiry against state so a racing stale timer is a
+        # no-op rather than an early flush.
+        for ts in list(self._handle.listTimers()):
+            self._handle.deleteTimer(ts)
         self._handle.registerTimer(
             timerValues.getCurrentWatermarkInMs()
             + (SESSION_GAP_SECONDS + 1) * 1000
@@ -112,6 +123,16 @@ class SessionProcessor(StatefulProcessor):
         (user_id,) = key
         if self._open.exists():
             run = tuple(self._open.get())
+            # Guard against stale timers: only flush when the session
+            # has ACTUALLY gone idle — watermark past last + gap. A
+            # timer armed before later events extended the session
+            # must not emit the open tail early.
+            last = run[1]
+            if (
+                timerValues.getCurrentWatermarkInMs()
+                < (last + SESSION_GAP_SECONDS) * 1000
+            ):
+                return
             self._open.clear()
             yield self._emit(user_id, [run])
 

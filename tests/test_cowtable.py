@@ -282,7 +282,16 @@ def test_vacuum_deletes_unreachable_and_orphans(spark, sf_dir, root):
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
     snap = _norm(cowtable.read_version(spark, root))
-    report = cowtable.vacuum(root, retain_versions=1)
+    # Default vacuum honors the min-age floor (Delta's retention-hours
+    # miniature): every file here is seconds old, so nothing may be
+    # deleted — this is what makes vacuum safe against an in-flight
+    # writer whose files land in data/ before its commit links.
+    aged = cowtable.vacuum(root, retain_versions=1)
+    assert aged["files_deleted"] == 0
+    assert os.path.exists(orphan)
+    # min_age_seconds=0 = the single-process admin stance: delete
+    # everything unreachable, deterministically.
+    report = cowtable.vacuum(root, retain_versions=1, min_age_seconds=0)
     assert report["files_deleted"] > 0
     assert report["bytes_deleted"] > 0
     assert not os.path.exists(orphan)
@@ -435,3 +444,28 @@ def test_mv_apply_cdf_equals_recompute(spark, sf_dir, root):
     got = mv_apply_cdf(state_v1, feed, "c_mktsegment", "c_acctbal")
     want = mv(cowtable.read_version(spark, root, 2))
     assert _norm(got) == _norm(want)
+
+
+def test_changes_cdf_spans_schema_evolution(spark, sf_dir, root):
+    """A change feed spanning an additive-schema append must read the
+    old side with mergeSchema semantics (null-filled new column), not
+    throw — and report the appended rows as inserts whose new column
+    is populated. Pre-fix this raised on the old files' missing
+    column, making schema evolution and CDF (both supported alone)
+    inconsistent in combination."""
+    df = _customers(spark, sf_dir)
+    half1 = df.filter(F.col("c_custkey") % 2 == 0)
+    half2 = df.filter(F.col("c_custkey") % 2 == 1).withColumn(
+        "loyalty_tier", F.lit("GOLD")
+    )
+    cowtable.create(spark, root, half1, key="c_custkey", nbuckets=4)
+    cowtable.append(spark, root, half2)
+    feed = cowtable.changes(spark, root, 1, 2)
+    assert "loyalty_tier" in feed.columns
+    rows = feed.collect()
+    # appends touch every bucket, so the diff covers the whole table:
+    # old rows re-diff as unchanged (absent), new rows are inserts
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert {r.c_custkey % 2 for r in rows} == {1}
+    assert all(r.loyalty_tier == "GOLD" for r in rows)
+    assert len(rows) == half2.count()

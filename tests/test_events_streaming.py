@@ -747,3 +747,122 @@ def test_tws_sessionize_equals_applyinpandas_twin(spark, sf_dir, tmp_path):
     assert non_final <= got_tws <= all_sessions
     assert non_final <= got_aip <= all_sessions
     assert got_tws == got_aip
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    """Timer-faithful stand-in for StatefulProcessorHandle:
+    registerTimer ADDS (it does not replace), matching the real
+    transformWithState contract the advisor flagged."""
+
+    def __init__(self):
+        self.timers: list[int] = []
+        self._state = _FakeValueState()
+
+    def getValueState(self, name, schema):
+        return self._state
+
+    def registerTimer(self, ts):
+        self.timers.append(ts)
+
+    def deleteTimer(self, ts):
+        self.timers.remove(ts)
+
+    def listTimers(self):
+        return iter(list(self.timers))
+
+
+class _FakeTimerValues:
+    def __init__(self, watermark_ms):
+        self._wm = watermark_ms
+
+    def getCurrentWatermarkInMs(self):
+        return self._wm
+
+
+def test_tws_processor_timer_semantics_unit():
+    """Pure-Python drive of SessionProcessor (no protobuf needed):
+    (1) re-registration must not accumulate timers across batches,
+    (2) a stale timer firing after later events extended the session
+    must NOT flush the still-open tail early — only a timer whose
+    watermark has truly passed last + gap may emit. This is the
+    unit-level pin for the semantics the protobuf-gated streaming
+    equality test cannot check in this sandbox."""
+    import pandas as pd
+
+    from global_superstore_data_warehouse_spark.streaming.stateful import (
+        SESSION_GAP_SECONDS,
+    )
+    from global_superstore_data_warehouse_spark.streaming.stateful_tws import (
+        SessionProcessor,
+    )
+
+    proc = SessionProcessor()
+    handle = _FakeHandle()
+    proc.init(handle)
+
+    def feed(secs, vals, wm_ms):
+        batch = pd.DataFrame(
+            {
+                "sec": secs,
+                "event_id": range(len(secs)),
+                "value": vals,
+            }
+        )
+        return list(
+            proc.handleInputRows(
+                (7,), iter([batch]), _FakeTimerValues(wm_ms)
+            )
+        )
+
+    # batch 1: one open session (0..10); a timer is armed
+    out1 = feed([0, 10], [1.0, 2.0], wm_ms=0)
+    assert out1 == []
+    assert len(handle.timers) == 1
+    stale_timer = handle.timers[0]
+
+    # batch 2: events within the gap extend the SAME session; the
+    # old timer must be deleted, not accumulated
+    out2 = feed([100, 110], [3.0, 4.0], wm_ms=50_000)
+    assert out2 == []
+    assert len(handle.timers) == 1
+    assert handle.timers[0] != stale_timer
+    assert handle._state.get() == (0, 110, 4, 10.0)
+
+    # stale-timer race: even if the batch-1 timer somehow fired now
+    # (watermark 50s < last+gap = 710s), the open session must NOT
+    # be flushed
+    fired = list(
+        proc.handleExpiredTimer((7,), _FakeTimerValues(50_000), None)
+    )
+    assert fired == []
+    assert handle._state.exists()
+
+    # a genuinely expired timer (watermark past last + gap) flushes
+    wm = (110 + SESSION_GAP_SECONDS) * 1000
+    fired = list(proc.handleExpiredTimer((7,), _FakeTimerValues(wm), None))
+    assert len(fired) == 1
+    row = fired[0].iloc[0]
+    assert (
+        row["session_start"],
+        row["session_end"],
+        row["n_events"],
+        row["sum_value"],
+    ) == (0, 110, 4, 10.0)
+    assert not handle._state.exists()
