@@ -205,6 +205,20 @@ EXTRA = [
     "cow_stream_upsert",
     # CCNet per-language perplexity thirds (corpus-LM rank window)
     "ccnet_perplexity_buckets",
+    # round-8 additions: UniMax waterfilling budgets (two L-row
+    # windows over one corpus aggregate), the driver-gated
+    # stream-stream interval join (one availableNow drain included),
+    # graded NDCG/MRR ranking eval (three ANN searches), and B-cubed
+    # agreement between the simhash and minhash clusterings (two
+    # full dedup passes + connected components)
+    "unimax_language_budgets",
+    "stream_interval_join_attribution",
+    "retrieval_ndcg_eval",
+    "dedup_bcubed_agreement",
+    # stream-static broadcast enrichment + streamed exactly-once
+    # dedup over a duplicated feed (one drain + one staging write)
+    "stream_static_enrichment",
+    "stream_dedup_exactly_once",
 ]
 
 ROUNDS = 3

@@ -579,6 +579,115 @@ ANN_RECALL_ORACLE = f"""
 """
 
 
+# --- graded ranking quality: NDCG@k + MRR of the ANN indexes ----------
+
+# Position discounts 1/log2(p+1) frozen as INTEGER micro-units at
+# authoring time, identical literals in the Spark plan and the oracle
+# — the DCG sum is then exact integer arithmetic (engine-order-proof),
+# with ONE final division by the (constant) ideal DCG. rel(gold rank
+# r) = TOP_K - r + 1, so IDCG = sum_p (TOP_K-p+1) * DISC[p].
+NDCG_DISC_MICRO = (1_000_000, 630_930, 500_000)  # p = 1..TOP_K
+NDCG_IDCG_MICRO = sum(
+    (TOP_K - p + 1) * NDCG_DISC_MICRO[p - 1] for p in range(1, TOP_K + 1)
+)
+
+
+def retrieval_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded ranking quality of BOTH approximate indexes vs the
+    exact baseline, per query: NDCG@k (did the ANN list put the MOST
+    similar neighbors FIRST?) and MRR (how deep is the first true
+    neighbor?). Recall@k (``ann_recall``) treats the top-k as a set;
+    NDCG is the metric that separates an index that returns the
+    right set in the wrong order from one that nails the ranking —
+    the standard offline gate for retrieval-augmented pipelines.
+
+    rel of an ANN hit = TOP_K - exact_rank + 1 (graded by the exact
+    ranking), discounted by the frozen 1/log2(p+1) micro-table at
+    the ANN position p; misses contribute 0. MRR is reported in
+    exact micro-units (1e6 DIV first-hit position; 0 = no hit in
+    the top-k). All sums are integer; the single float division per
+    metric happens once, then ROUND 6 — no accumulation-order
+    exposure.
+
+    Plan shape: three queries*k-sized frames, broadcast-sized joins
+    — the cost is the underlying searches, as with ``ann_recall``.
+    """
+    disc = F.when(F.col("rank") == 1, F.lit(NDCG_DISC_MICRO[0]))
+    for p in range(2, TOP_K + 1):
+        disc = disc.when(F.col("rank") == p, F.lit(NDCG_DISC_MICRO[p - 1]))
+    exact = cosine_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(TOP_K) - F.col("rank") + 1).cast("long").alias("rel"),
+    )
+
+    def metrics(approx: DataFrame, tag: str) -> DataFrame:
+        a = approx.select(
+            "query_id", "neighbor_id", disc.cast("long").alias("disc"), "rank"
+        )
+        scored = a.join(exact, ["query_id", "neighbor_id"], "left")
+        return scored.groupBy("query_id").agg(
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("rel"), F.lit(0)) * F.col("disc")
+                ) / F.lit(float(NDCG_IDCG_MICRO)),
+                6,
+            ).alias(f"{tag}_ndcg"),
+            F.coalesce(
+                F.expr(
+                    "1000000 div min(CASE WHEN rel IS NOT NULL THEN rank END)"
+                ),
+                F.lit(0),
+            ).cast("long").alias(f"{tag}_mrr_micro"),
+        )
+
+    lsh = metrics(ann_lsh_topk(spark, sf_dir), "lsh")
+    ivf = metrics(ann_ivf_topk(spark, sf_dir), "ivf")
+    return lsh.join(ivf, "query_id").select(
+        "query_id", "lsh_ndcg", "lsh_mrr_micro", "ivf_ndcg", "ivf_mrr_micro"
+    )
+
+
+RETRIEVAL_NDCG_EVAL_ORACLE = f"""
+    WITH exact AS (
+        SELECT query_id, neighbor_id,
+               CAST({TOP_K} - rank + 1 AS BIGINT) AS rel
+        FROM ({COSINE_TOPK_ORACLE})
+    ), lsh AS (
+        SELECT query_id, neighbor_id, rank FROM ({ANN_LSH_TOPK_ORACLE})
+    ), ivf AS (
+        SELECT query_id, neighbor_id, rank FROM ({ANN_IVF_TOPK_ORACLE})
+    ), disc(p, d) AS (
+        VALUES (1, {NDCG_DISC_MICRO[0]}), (2, {NDCG_DISC_MICRO[1]}),
+               (3, {NDCG_DISC_MICRO[2]})
+    ), lm AS (
+        SELECT l.query_id,
+               ROUND(SUM(COALESCE(e.rel, 0) * dc.d)
+                     / {float(NDCG_IDCG_MICRO)}, 6) AS lsh_ndcg,
+               CAST(COALESCE(1000000 // MIN(CASE WHEN e.rel IS NOT NULL
+                    THEN l.rank END), 0) AS BIGINT) AS lsh_mrr_micro
+        FROM lsh l
+        JOIN disc dc ON dc.p = l.rank
+        LEFT JOIN exact e USING (query_id, neighbor_id)
+        GROUP BY l.query_id
+    ), im AS (
+        SELECT i.query_id,
+               ROUND(SUM(COALESCE(e.rel, 0) * dc.d)
+                     / {float(NDCG_IDCG_MICRO)}, 6) AS ivf_ndcg,
+               CAST(COALESCE(1000000 // MIN(CASE WHEN e.rel IS NOT NULL
+                    THEN i.rank END), 0) AS BIGINT) AS ivf_mrr_micro
+        FROM ivf i
+        JOIN disc dc ON dc.p = i.rank
+        LEFT JOIN exact e USING (query_id, neighbor_id)
+        GROUP BY i.query_id
+    )
+    SELECT query_id, lm.lsh_ndcg, lm.lsh_mrr_micro,
+           im.ivf_ndcg, im.ivf_mrr_micro
+    FROM lm JOIN im USING (query_id)
+"""
+
+
+
 # --- per-dimension feature standardization ----------------------------
 
 def embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:

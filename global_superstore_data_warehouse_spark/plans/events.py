@@ -1685,3 +1685,270 @@ AB_TEST_REPORT_ORACLE = f"""
                 THEN 1 ELSE 0 END AS INTEGER) AS significant
     FROM row_
 """
+
+
+# --- stream-stream interval join, driver-oracle-proven ----------------
+
+JOIN_HORIZON_MINUTES = 30
+
+
+def stream_interval_join_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The stream-STREAM interval join
+    (``streaming/events.py::click_purchase_join_stream``) executed
+    end-to-end under the driver's oracle gate: the events source is
+    read as a STREAM, clicks and purchases (two watermarked streaming
+    sides) interval-join on (user, purchase within 30 min after
+    click), the joined rows drain through one availableNow pass into
+    a memory sink, and the result folds to a per-purchase audit —
+    click count, seconds from first/last click to the purchase — that
+    the oracle reproduces with a plain batch SQL join. A hash match
+    proves the streaming join (state buffering + watermark eviction
+    machinery included) emitted EXACTLY the batch-semantics row set,
+    the equivalence Structured Streaming promises for inner
+    stream-stream joins.
+
+    Scale shape: both streams partition by user_id; state holds only
+    rows younger than watermark + horizon (the join's time bound
+    makes eviction provable — the unbounded-state failure mode is the
+    reason this operator family usually DOESN'T run at 100 TB/day).
+    Purchases with no click in the horizon do not appear (inner
+    join) — the left-outer variant would emit them with NULLs once
+    the watermark passes.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        click_purchase_join_stream,
+        read_events_stream,
+    )
+
+    ckpt = _tempfile.mkdtemp(prefix="stream-ivj-ckpt-")
+    try:
+        stream = click_purchase_join_stream(
+            read_events_stream(spark, sf_dir),
+            horizon_minutes=JOIN_HORIZON_MINUTES,
+        )
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("stream_ivj_attr")
+            .outputMode("append")
+            .option("checkpointLocation", f"{ckpt}/q")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        joined = spark.sql("SELECT * FROM stream_ivj_attr")
+        out = (
+            joined.groupBy("purchase_id")
+            .agg(
+                F.first("user_id").alias("user_id"),
+                F.count(F.lit(1)).alias("n_clicks"),
+                F.max(
+                    F.col("purchase_ts").cast("long")
+                    - F.col("click_ts").cast("long")
+                ).alias("first_click_lag_s"),
+                F.min(
+                    F.col("purchase_ts").cast("long")
+                    - F.col("click_ts").cast("long")
+                ).alias("last_click_lag_s"),
+            )
+            .select(
+                "purchase_id",
+                "user_id",
+                F.col("n_clicks").cast("bigint").alias("n_clicks"),
+                F.col("first_click_lag_s").cast("bigint").alias("first_click_lag_s"),
+                F.col("last_click_lag_s").cast("bigint").alias("last_click_lag_s"),
+            )
+        )
+        # result is purchase-with-clicks-sized; eager-checkpoint so
+        # the memory-sink view and checkpoint dir can be reclaimed
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
+
+
+STREAM_INTERVAL_JOIN_ATTRIBUTION_ORACLE = f"""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(MAX(FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(c.ts))) AS BIGINT)
+               AS first_click_lag_s,
+           CAST(MIN(FLOOR(EPOCH(p.ts)) - FLOOR(EPOCH(c.ts))) AS BIGINT)
+               AS last_click_lag_s
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {JOIN_HORIZON_MINUTES} MINUTE
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id
+"""
+
+
+# --- stream-static enrichment + streamed dedup, driver-oracle-proven --
+
+# Reference-data weights for the enrichment join: binary-exact doubles
+# (k/2) so value * weight is ONE correctly-rounded multiply in either
+# engine, plus the same weight in exact integer per-mille for the
+# hash-stable aggregate arithmetic.
+TYPE_WEIGHTS = {
+    "click": (0.5, 500),
+    "view": (1.0, 1000),
+    "signup": (1.5, 1500),
+    "purchase": (2.5, 2500),
+    "error": (2.0, 2000),
+}
+
+
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment
+    (``streaming/events.py::enrich_events_stream``) executed under
+    the driver's oracle gate: the events stream left-joins a
+    reference weight dimension per micro-batch (stateless broadcast
+    hash join — the shape reference lookups take at 100 TB/day),
+    drains availableNow, and folds to a per-type audit the oracle
+    rebuilds with CASE weights. Sums ride exact integer cents x
+    per-mille weights (no float accumulation); the float
+    ``weighted_value`` column the streaming operator computes is
+    pinned by its MAX (order-independent), proving the enriched
+    column itself flowed through the stream.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        enrich_events_stream,
+        read_events_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [(t, w, pm) for t, (w, pm) in sorted(TYPE_WEIGHTS.items())],
+        "event_type string, type_weight double, weight_permille int",
+    )
+    ckpt = _tempfile.mkdtemp(prefix="stream-enrich-ckpt-")
+    try:
+        q = (
+            enrich_events_stream(read_events_stream(spark, sf_dir), dim)
+            .writeStream.format("memory")
+            .queryName("stream_enrich")
+            .outputMode("append")
+            .option("checkpointLocation", f"{ckpt}/q")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.sql("SELECT * FROM stream_enrich")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("bigint")
+                .alias("sum_value_cents"),
+                F.first("weight_permille").cast("int").alias("weight_permille"),
+                F.max("weighted_value").alias("max_weighted_value"),
+            )
+            .withColumn(
+                "sum_weighted_micro10",
+                (F.col("sum_value_cents") * F.col("weight_permille")).cast(
+                    "bigint"
+                ),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _weight_case_sql(col: str, idx: int) -> str:
+    return (
+        "CASE " + " ".join(
+            f"WHEN {col} = '{t}' THEN {vals[idx]}"
+            for t, vals in sorted(TYPE_WEIGHTS.items())
+        ) + " END"
+    )
+
+
+STREAM_STATIC_ENRICHMENT_ORACLE = f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents,
+           CAST({_weight_case_sql('event_type', 1)} AS INTEGER)
+               AS weight_permille,
+           MAX(ROUND(value * {_weight_case_sql('event_type', 0)}, 6))
+               AS max_weighted_value,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                * {_weight_case_sql('event_type', 1)} AS BIGINT)
+               AS sum_weighted_micro10
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def stream_dedup_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streamed exactly-once repair
+    (``streaming/events.py::dedup_events_stream``,
+    ``dropDuplicatesWithinWatermark``) executed under the driver's
+    oracle gate: the events table is staged DUPLICATED (every event
+    delivered twice — the at-least-once source contract), streamed
+    through the watermark-scoped dedup, drained availableNow, and
+    folded to per-type counts/sums the oracle computes from the
+    ORIGINAL table. A hash match proves the operator dropped exactly
+    the redelivered copies. The duplicated feed is staged as one
+    file so the drain sees one micro-batch — cross-batch redelivery
+    beyond the watermark horizon is allowed to re-emit BY DESIGN
+    (that is the "within watermark" contract; the horizon is sized
+    to the source's redelivery window in production).
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from global_superstore_data_warehouse_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    work = _tempfile.mkdtemp(prefix="stream-dedup-")
+    try:
+        ev = load(spark, sf_dir, "events")
+        ev.unionAll(ev).coalesce(1).write.parquet(f"{work}/src")
+        q = (
+            dedup_events_stream(
+                read_events_stream(spark, f"{work}/src", "*.parquet")
+            )
+            .writeStream.format("memory")
+            .queryName("stream_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            spark.sql("SELECT * FROM stream_dedup")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long"))
+                .cast("bigint")
+                .alias("sum_value_cents"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+
+
+STREAM_DEDUP_EXACTLY_ONCE_ORACLE = """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_value_cents
+    FROM events
+    GROUP BY event_type
+"""

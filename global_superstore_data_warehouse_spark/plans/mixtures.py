@@ -492,3 +492,107 @@ DSIR_IMPORTANCE_WEIGHTS_ORACLE = f"""
     FROM doc_counts d JOIN model m USING (bucket)
     GROUP BY 1, 2, 3
 """
+
+
+# --- UniMax language budget allocation --------------------------------
+
+# Character budget as a fraction of the corpus (numerator/denominator
+# kept integer so B itself is an exact integer in both engines).
+UNIMAX_BUDGET_NUM = 1
+UNIMAX_BUDGET_DEN = 2
+MICRO = 1_000_000
+
+
+def unimax_language_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    and More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): distribute a total character budget B = total/2
+    across languages as EQUALLY as possible, never asking a language
+    for more characters than it has — the waterfilling allocation
+    ``alloc_l = min(n_l, W)`` with the waterline W chosen so the
+    allocations sum to B. Small languages are consumed whole
+    (epochs = 1 at cap); the surplus is split evenly among the
+    languages above the line. This is the sampling scheme that
+    replaced temperature mixing in mT5-class multilingual corpora.
+
+    Closed form instead of iteration: sort languages ascending by
+    size; language i is BELOW the waterline iff
+    ``n_i * (L - i + 1) <= B - P_{i-1}`` (P = running size prefix) —
+    an ALL-INTEGER comparison, so the below/above decision cannot
+    drift between engines. With k = the last below-line language,
+    ``W = (B - P_k) / (L - k)``, reported in exact integer
+    micro-chars via integer division. Two tiny whole-frame windows
+    over an L-row frame (L = #languages, single digits) after one
+    map-side-combined groupBy of the corpus — the corpus is scanned
+    once and never shuffled at row grain.
+    """
+    langs = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.sum("n_chars").alias("n_chars"))
+    )
+    w_ord = Window.orderBy("n_chars", "lang")
+    w_all = Window.partitionBy()
+    ranked = (
+        langs.withColumn("rnk", F.row_number().over(w_ord))
+        .withColumn("n_langs", F.count(F.lit(1)).over(w_all))
+        .withColumn("prefix", F.sum("n_chars").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("budget", F.expr(f"{UNIMAX_BUDGET_NUM} * sum(n_chars) over () div {UNIMAX_BUDGET_DEN}"))
+        .withColumn(
+            "below",
+            F.col("n_chars") * (F.col("n_langs") - F.col("rnk") + 1)
+            <= F.col("budget") - (F.col("prefix") - F.col("n_chars")),
+        )
+    )
+    k_cols = ranked.withColumn(
+        "k", F.max(F.when(F.col("below"), F.col("rnk")).otherwise(F.lit(0))).over(w_all)
+    ).withColumn(
+        "p_k",
+        F.max(F.when(F.col("below"), F.col("prefix")).otherwise(F.lit(0))).over(w_all),
+    )
+    alloc = F.when(
+        F.col("rnk") <= F.col("k"), F.col("n_chars") * MICRO
+    ).otherwise(
+        F.expr(f"(budget - p_k) * {MICRO} div (n_langs - k)")
+    )
+    return k_cols.select(
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("rnk").cast("int").alias("rnk"),
+        alloc.cast("bigint").alias("alloc_micro_chars"),
+        (F.col("rnk") <= F.col("k")).cast("int").alias("consumed_whole"),
+    )
+
+
+UNIMAX_LANGUAGE_BUDGETS_ORACLE = f"""
+    WITH langs AS (
+        SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang
+    ), ranked AS (
+        SELECT lang, n_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, lang) AS rnk,
+               COUNT(*) OVER () AS n_langs,
+               SUM(n_chars) OVER (ORDER BY n_chars, lang
+                   ROWS UNBOUNDED PRECEDING) AS prefix,
+               ({UNIMAX_BUDGET_NUM} * SUM(n_chars) OVER ())
+                   // {UNIMAX_BUDGET_DEN} AS budget
+        FROM langs
+    ), flagged AS (
+        SELECT *,
+               (n_chars * (n_langs - rnk + 1)
+                   <= budget - (prefix - n_chars)) AS below
+        FROM ranked
+    ), kk AS (
+        SELECT *,
+               MAX(CASE WHEN below THEN rnk ELSE 0 END) OVER () AS k,
+               MAX(CASE WHEN below THEN prefix ELSE 0 END) OVER () AS p_k
+        FROM flagged
+    )
+    SELECT lang, n_chars, CAST(rnk AS INTEGER) AS rnk,
+           CAST(CASE WHEN rnk <= k THEN n_chars * {MICRO}
+                ELSE ((budget - p_k) * {MICRO}) // (n_langs - k)
+           END AS BIGINT) AS alloc_micro_chars,
+           CAST(CASE WHEN rnk <= k THEN 1 ELSE 0 END AS INTEGER)
+               AS consumed_whole
+    FROM kk
+"""

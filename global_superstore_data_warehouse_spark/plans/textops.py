@@ -2640,3 +2640,125 @@ CCNET_PERPLEXITY_BUCKETS_ORACLE = """
     FROM bucketed
     GROUP BY lang, bucket_i
 """
+
+
+# --- B-cubed agreement between the two near-dup clusterings -----------
+
+
+def dedup_bcubed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-cubed precision/recall of the SIMHASH clustering against the
+    MinHash+Jaccard-verified clustering — the standard extrinsic
+    cluster-quality metric (Bagga & Baldwin), answering the
+    operational question "if we switched dedup families, how many
+    keep/drop decisions would change?". Per document d:
+    precision(d) = |C(d) ∩ G(d)| / |C(d)|, recall(d) =
+    |C(d) ∩ G(d)| / |G(d)| where C = the doc's simhash component and
+    G = its minhash component; the report is the corpus roll-up.
+
+    Integer-exactness: per-doc ratios are computed as
+    ``(1e6 * n_cg) DIV n_c`` — exact integer division in both
+    engines — and SUMMED as integers; the two final averages divide
+    once and ROUND 6. No float accumulation order exposure.
+
+    Plan shape: both pair generators are the banded equi-joins
+    already proven at recall 1.0; components come from the generic
+    alternating-star operator (per-round single shuffles); the
+    B-cubed arithmetic itself is three group-sized groupBys joined
+    back on cluster keys — every frame after the pair stage is
+    cluster-count-sized. At 100 TB this audit costs the two dedup
+    passes it compares, which an engineering team runs anyway when
+    evaluating a cheaper dedup family.
+    """
+    from global_superstore_data_warehouse_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def clusters(pairs: DataFrame, a: str, b: str, out: str) -> DataFrame:
+        comp = connected_components(pairs, src=a, dst=b).select(
+            F.col("node").alias("doc_id"), F.col("component").alias(out)
+        )
+        singles = docs.join(comp, "doc_id", "left_anti").withColumn(
+            out, F.col("doc_id")
+        )
+        return comp.unionByName(singles)
+
+    sh = clusters(
+        simhash_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b", "c_sh"
+    )
+    # dedup_clusters already IS a full assignment (components +
+    # singletons); reuse it directly as the reference side
+    mh = dedup_clusters(spark, sf_dir).select(
+        "doc_id", F.col("cluster_id").alias("c_mh")
+    )
+
+    both = sh.join(mh, "doc_id")
+    n_cg = both.groupBy("c_sh", "c_mh").agg(
+        F.count(F.lit(1)).alias("n_cg")
+    )
+    n_c = both.groupBy("c_sh").agg(F.count(F.lit(1)).alias("n_c"))
+    n_g = both.groupBy("c_mh").agg(F.count(F.lit(1)).alias("n_g"))
+    per_doc = (
+        both.join(n_cg, ["c_sh", "c_mh"])
+        .join(n_c, "c_sh")
+        .join(n_g, "c_mh")
+        .select(
+            F.expr("1000000 * n_cg div n_c").alias("p_micro"),
+            F.expr("1000000 * n_cg div n_g").alias("r_micro"),
+        )
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("p_micro").cast("bigint").alias("sum_precision_micro"),
+        F.sum("r_micro").cast("bigint").alias("sum_recall_micro"),
+        F.round(F.sum("p_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 6).alias(
+            "bcubed_precision"
+        ),
+        F.round(F.sum("r_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 6).alias(
+            "bcubed_recall"
+        ),
+    )
+
+
+DEDUP_BCUBED_AGREEMENT_ORACLE = f"""
+    WITH sh_pairs AS (
+        SELECT doc_a, doc_b FROM ({SIMHASH_NEAR_DUP_PAIRS_ORACLE})
+    ), sh_sym AS (
+        SELECT doc_a AS s, doc_b AS d FROM sh_pairs
+        UNION ALL SELECT doc_b, doc_a FROM sh_pairs
+    ), sh_reach AS (
+        WITH RECURSIVE r(n, m) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT sh_sym.d, r.m FROM r JOIN sh_sym ON sh_sym.s = r.n
+        )
+        SELECT n AS doc_id, MIN(m) AS c_sh FROM r GROUP BY n
+    ), mh AS (
+        SELECT doc_id, cluster_id AS c_mh FROM ({DEDUP_CLUSTERS_ORACLE})
+    ), both_c AS (
+        SELECT s.doc_id, s.c_sh, m.c_mh
+        FROM sh_reach s JOIN mh m USING (doc_id)
+    ), cg AS (
+        SELECT c_sh, c_mh, COUNT(*) AS n_cg FROM both_c GROUP BY c_sh, c_mh
+    ), cc AS (
+        SELECT c_sh, COUNT(*) AS n_c FROM both_c GROUP BY c_sh
+    ), gg AS (
+        SELECT c_mh, COUNT(*) AS n_g FROM both_c GROUP BY c_mh
+    ), per_doc AS (
+        SELECT (1000000 * cg.n_cg) // cc.n_c AS p_micro,
+               (1000000 * cg.n_cg) // gg.n_g AS r_micro
+        FROM both_c b
+        JOIN cg USING (c_sh, c_mh)
+        JOIN cc USING (c_sh)
+        JOIN gg USING (c_mh)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p_micro) AS BIGINT) AS sum_precision_micro,
+           CAST(SUM(r_micro) AS BIGINT) AS sum_recall_micro,
+           ROUND(SUM(p_micro) / (1000000.0 * COUNT(*)), 6)
+               AS bcubed_precision,
+           ROUND(SUM(r_micro) / (1000000.0 * COUNT(*)), 6)
+               AS bcubed_recall
+    FROM per_doc
+"""

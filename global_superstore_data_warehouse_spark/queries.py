@@ -1,6 +1,10 @@
-# ROUND-9 ROTATION QUEUE (28 registered entries still lack a driver
-# row after the round-8 rotation; tools/rotation_queue.py computes
-# the live list). Next up, novel shapes first: boilerplate_strip,
+# ROUND-9 ROTATION QUEUE (28 + the round-8 additions below lack a
+# driver row after the round-8 rotation; tools/rotation_queue.py
+# computes the live list). Round-8 additions lead:
+# unimax_language_budgets, stream_interval_join_attribution,
+# retrieval_ndcg_eval, dedup_bcubed_agreement,
+# stream_static_enrichment, stream_dedup_exactly_once — then novel
+# backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
 # domain_quota_sample_twophase, corpus_report, training_shards,
@@ -326,6 +330,51 @@ register(
 )
 # leakage-safe fingerprint-level train/val/test splits
 register("leakage_safe_splits", mixtures.leakage_safe_splits, mixtures.LEAKAGE_SAFE_SPLITS_ORACLE)
+
+# --- Round-8 additions (never driver-checked yet; round-9 rotation
+# queue) ---
+# UniMax waterfilling language-budget allocation: all-integer
+# below/above-waterline decision + exact integer-division waterline
+register(
+    "unimax_language_budgets",
+    mixtures.unimax_language_budgets,
+    mixtures.UNIMAX_LANGUAGE_BUDGETS_ORACLE,
+)
+# stream-STREAM interval join drained availableNow and hash-proven
+# equal to the batch join (the inner-join equivalence Structured
+# Streaming promises)
+register(
+    "stream_interval_join_attribution",
+    events.stream_interval_join_attribution,
+    events.STREAM_INTERVAL_JOIN_ATTRIBUTION_ORACLE,
+)
+# NDCG@k + MRR of both ANN indexes vs exact: integer micro-unit DCG
+# with a frozen discount table, one final division per metric
+register(
+    "retrieval_ndcg_eval",
+    embeddings.retrieval_ndcg_eval,
+    embeddings.RETRIEVAL_NDCG_EVAL_ORACLE,
+)
+# B-cubed precision/recall of the simhash clustering vs the
+# MinHash+Jaccard reference — integer micro-unit per-doc ratios
+register(
+    "dedup_bcubed_agreement",
+    textops.dedup_bcubed_agreement,
+    textops.DEDUP_BCUBED_AGREEMENT_ORACLE,
+)
+# stream-STATIC broadcast enrichment + the streamed exactly-once
+# dedup (dropDuplicatesWithinWatermark over a duplicated feed), both
+# drained availableNow under the oracle gate
+register(
+    "stream_static_enrichment",
+    events.stream_static_enrichment,
+    events.STREAM_STATIC_ENRICHMENT_ORACLE,
+)
+register(
+    "stream_dedup_exactly_once",
+    events.stream_dedup_exactly_once,
+    events.STREAM_DEDUP_EXACTLY_ONCE_ORACLE,
+)
 
 # ======================================================================
 # Past the driver window (entries 51+) — every entry below keeps

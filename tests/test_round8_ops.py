@@ -1,0 +1,146 @@
+"""Round-8 operator tests: UniMax language-budget waterfilling, the
+driver-gated stream-stream interval join, graded ranking quality
+(NDCG/MRR) of the ANN indexes, and B-cubed agreement between the two
+near-dup clustering families."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import assert_matches_oracle
+
+
+def test_unimax_language_budgets_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "unimax_language_budgets", sf_dir)
+
+
+def test_unimax_waterfilling_invariants(spark, sf_dir):
+    """The allocation must (a) never exceed a language's size, (b)
+    consume below-line languages whole, (c) give every above-line
+    language the SAME waterline share, and (d) sum to the budget up
+    to integer-division remainder (< n_langs micro-chars)."""
+    from global_superstore_data_warehouse_spark.plans.mixtures import (
+        MICRO,
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        unimax_language_budgets,
+    )
+    from global_superstore_data_warehouse_spark.catalog import load
+
+    rows = unimax_language_budgets(spark, sf_dir).collect()
+    total_chars = (
+        load(spark, sf_dir, "documents").agg(F.sum("n_chars")).first()[0]
+    )
+    budget_micro = (total_chars * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN) * MICRO
+    above = {r.alloc_micro_chars for r in rows if not r.consumed_whole}
+    for r in rows:
+        assert r.alloc_micro_chars <= r.n_chars * MICRO
+        if r.consumed_whole:
+            assert r.alloc_micro_chars == r.n_chars * MICRO
+    assert len(above) <= 1  # one shared waterline
+    got = sum(r.alloc_micro_chars for r in rows)
+    slack = len(rows)  # one DIV truncation per above-line language
+    assert budget_micro - slack * MICRO <= got <= budget_micro
+
+
+def test_stream_interval_join_attribution_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(
+        spark, duck, "stream_interval_join_attribution", sf_dir
+    )
+
+
+def test_stream_interval_join_lags_inside_horizon(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.events import (
+        JOIN_HORIZON_MINUTES,
+        stream_interval_join_attribution,
+    )
+
+    rows = stream_interval_join_attribution(spark, sf_dir).collect()
+    assert rows  # the sf0.001 fixture has click->purchase chains
+    for r in rows:
+        assert r.n_clicks >= 1
+        assert 0 <= r.last_click_lag_s <= r.first_click_lag_s
+        assert r.first_click_lag_s <= JOIN_HORIZON_MINUTES * 60
+
+
+def test_retrieval_ndcg_eval_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "retrieval_ndcg_eval", sf_dir)
+
+
+def test_ndcg_bounds_and_consistency_with_recall(spark, sf_dir):
+    """NDCG and MRR live in [0, 1]; a query with ivf_recall == 1 and
+    a perfectly ordered list has ndcg == 1; zero recall forces both
+    metrics to 0."""
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        ann_recall,
+        retrieval_ndcg_eval,
+    )
+
+    ndcg = {r.query_id: r for r in retrieval_ndcg_eval(spark, sf_dir).collect()}
+    rec = {r.query_id: r for r in ann_recall(spark, sf_dir).collect()}
+    assert set(ndcg) == set(rec)
+    for qid, r in ndcg.items():
+        for m in ("lsh_ndcg", "ivf_ndcg"):
+            assert 0.0 <= getattr(r, m) <= 1.0
+        for m in ("lsh_mrr_micro", "ivf_mrr_micro"):
+            assert 0 <= getattr(r, m) <= 1_000_000
+        if rec[qid].ivf_hits == 0:
+            assert r.ivf_ndcg == 0.0 and r.ivf_mrr_micro == 0
+        if rec[qid].lsh_hits == 0:
+            assert r.lsh_ndcg == 0.0 and r.lsh_mrr_micro == 0
+        # a hit anywhere implies nonzero ndcg and mrr
+        if rec[qid].ivf_hits > 0:
+            assert r.ivf_ndcg > 0.0 and r.ivf_mrr_micro > 0
+
+
+def test_dedup_bcubed_agreement_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "dedup_bcubed_agreement", sf_dir)
+
+
+def test_bcubed_bounds_and_self_agreement(spark, sf_dir):
+    """Corpus roll-up bounds: both metrics in (0, 1]; micro sums are
+    bounded by 1e6 * n_docs; and B-cubed of a clustering against
+    ITSELF is exactly 1.0 (metric sanity, computed inline with the
+    same integer-division arithmetic)."""
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        dedup_bcubed_agreement,
+        dedup_clusters,
+    )
+
+    row = dedup_bcubed_agreement(spark, sf_dir).first()
+    assert 0 < row.bcubed_precision <= 1.0
+    assert 0 < row.bcubed_recall <= 1.0
+    assert row.sum_precision_micro <= 1_000_000 * row.n_docs
+    assert row.sum_recall_micro <= 1_000_000 * row.n_docs
+
+    mh = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    both = mh.select("doc_id", F.col("cluster_id").alias("c")).join(
+        mh.select("doc_id", F.col("cluster_id").alias("g")), "doc_id"
+    )
+    sizes = both.groupBy("c", "g").agg(F.count(F.lit(1)).alias("n"))
+    per = both.join(sizes, ["c", "g"]).select(
+        F.expr("1000000 * n div n").alias("p")
+    )
+    n, s = per.agg(F.count(F.lit(1)), F.sum("p")).first()
+    assert s == 1_000_000 * n  # self-agreement is exactly 1.0
+
+
+def test_stream_static_enrichment_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "stream_static_enrichment", sf_dir)
+
+
+def test_stream_dedup_exactly_once_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "stream_dedup_exactly_once", sf_dir)
+
+
+def test_stream_dedup_drops_exactly_the_redelivered_copies(spark, sf_dir):
+    """The duplicated feed carries 2x every event; the deduped drain
+    must hold exactly the original row count (n_events sums to the
+    batch table's count, not twice it)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        stream_dedup_exactly_once,
+    )
+
+    got = sum(
+        r.n_events for r in stream_dedup_exactly_once(spark, sf_dir).collect()
+    )
+    assert got == load(spark, sf_dir, "events").count()
