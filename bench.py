@@ -219,6 +219,13 @@ EXTRA = [
     # dedup over a duplicated feed (one drain + one staging write)
     "stream_static_enrichment",
     "stream_dedup_exactly_once",
+    # exact P50/P95/P99 by histogram-refinement selection (the
+    # refinement loop engages at sf0.1: 600k rows > the 100k narrow
+    # threshold, so the timing includes real multi-pass narrowing)
+    "exact_percentile_twopass",
+    # embedding-space split-leakage audit (the semantic dedup pass
+    # plus two split-label joins and a 3-row roll-up)
+    "split_semantic_leakage",
 ]
 
 ROUNDS = 3

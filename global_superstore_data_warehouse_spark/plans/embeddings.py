@@ -886,6 +886,68 @@ def _semantic_dedup_oracle() -> str:
 SEMANTIC_DEDUP_ORACLE = _semantic_dedup_oracle()
 
 
+def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-cluster semantic near-dup PAIRS (vec_a < vec_b,
+    cosine >= SEMDEDUP_THRESHOLD) — the pair-level intermediate of
+    ``semantic_dedup``, exposed for composition (the split-leakage
+    audit consumes it). Same scale shape: quantizer assignment is a
+    broadcast projection, the self-join is confined to a cluster."""
+    emb = load(spark, sf_dir, "embeddings")
+    cent_row = _unit_centroid_row(emb)
+    n_part = spark.sparkContext.defaultParallelism
+    corpus = (
+        emb.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", "embedding", _best_list().alias("list_id"))
+        .repartition(n_part, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+    a, b = corpus.alias("a"), corpus.alias("b")
+    sim = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.list_id") == F.col("b.list_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= SEMDEDUP_THRESHOLD)
+    )
+
+
+def _semantic_pairs_oracle() -> str:
+    nsim = (
+        f"list_aggregate(list_transform(range(1, {DIMS + 1}), "
+        f"i -> CAST(e.embedding[i] AS DOUBLE) * "
+        f"(CAST(c.embedding[i] AS DOUBLE) / c.nrm)), 'sum')"
+    )
+    paircos = S.cosine_sql("a.embedding", "b.embedding", DIMS)
+    return f"""
+    WITH cents AS (
+        SELECT vec_id AS list_id, embedding,
+               {S.norm_sql('embedding', DIMS)} AS nrm
+        FROM embeddings WHERE vec_id < {NUM_LISTS}
+    ), assigned AS (
+        SELECT e.vec_id, e.embedding, CAST(c.list_id AS INTEGER) AS list_id
+        FROM embeddings e CROSS JOIN cents c
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY {nsim} DESC, c.list_id ASC) = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({paircos}, 6) AS cosine_sim
+    FROM assigned a JOIN assigned b
+      ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+    WHERE ROUND({paircos}, 6) >= {SEMDEDUP_THRESHOLD}
+    """
+
+
+SEMANTIC_NEAR_DUP_PAIRS_ORACLE = _semantic_pairs_oracle()
+
+
+
 # --- cluster-balanced diversity sampling ------------------------------
 
 CLUSTER_SAMPLE_QUOTA = 40

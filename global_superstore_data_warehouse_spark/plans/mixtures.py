@@ -596,3 +596,99 @@ UNIMAX_LANGUAGE_BUDGETS_ORACLE = f"""
                AS consumed_whole
     FROM kk
 """
+
+
+# --- semantic (embedding-level) split-leakage audit -------------------
+
+
+def split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SEMANTIC twin of ``split_near_dup_leakage``: near-duplicate
+    pairs in EMBEDDING space (within-cluster cosine >=
+    SemDeDup threshold) crossed with the content-fingerprint split
+    assignment. Fingerprint-level splitting guarantees exact and
+    lexical near-copies share a split — but two documents can be
+    semantically near-identical with different fingerprints
+    (paraphrases, translations), and THOSE pairs crossing the
+    train/eval boundary are the leakage this audit surfaces; it is
+    the embedding-side go/no-go an eval pipeline runs next to the
+    lexical one. One row per unordered split pair that leaks:
+    alphabetical (split_a, split_b), pair count, distinct docs per
+    side.
+
+    Plan shape: the pair generator is cluster-confined (never a
+    corpus cross join); split labels are a pure projection joined on
+    the doc-id-sized pair frame; the roll-up is a <=3-row aggregate.
+    The audit's cost IS the semantic dedup pass, which the pipeline
+    already runs.
+    """
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        semantic_near_dup_pairs,
+    )
+
+    splits = leakage_safe_splits(spark, sf_dir).select(
+        F.col("doc_id"), F.col("split")
+    )
+    pairs = semantic_near_dup_pairs(spark, sf_dir)
+    labeled = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("vec_a"), F.col("split").alias("sa")
+            ),
+            "vec_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("vec_b"), F.col("split").alias("sb")
+            ),
+            "vec_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return (
+        labeled.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+            F.when(F.col("sa") < F.col("sb"), F.col("vec_a"))
+            .otherwise(F.col("vec_b"))
+            .alias("doc_a"),
+            F.when(F.col("sa") < F.col("sb"), F.col("vec_b"))
+            .otherwise(F.col("vec_a"))
+            .alias("doc_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.countDistinct("doc_a").cast("bigint").alias("n_docs_a"),
+            F.countDistinct("doc_b").cast("bigint").alias("n_docs_b"),
+        )
+    )
+
+
+from global_superstore_data_warehouse_spark.plans.embeddings import (  # noqa: E402
+    SEMANTIC_NEAR_DUP_PAIRS_ORACLE as _SEM_PAIRS_ORACLE,
+)
+
+SPLIT_SEMANTIC_LEAKAGE_ORACLE = f"""
+    WITH pairs AS (
+        {_SEM_PAIRS_ORACLE}
+    ), splits AS (
+        {LEAKAGE_SAFE_SPLITS_ORACLE}
+    ), labeled AS (
+        SELECT p.vec_a, p.vec_b, sa.split AS sa, sb.split AS sb
+        FROM pairs p
+        JOIN splits sa ON sa.doc_id = p.vec_a
+        JOIN splits sb ON sb.doc_id = p.vec_b
+        WHERE sa.split <> sb.split
+    ), canon AS (
+        SELECT LEAST(sa, sb) AS split_a, GREATEST(sa, sb) AS split_b,
+               CASE WHEN sa < sb THEN vec_a ELSE vec_b END AS doc_a,
+               CASE WHEN sa < sb THEN vec_b ELSE vec_a END AS doc_b
+        FROM labeled
+    )
+    SELECT split_a, split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT doc_a) AS BIGINT) AS n_docs_a,
+           CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_b
+    FROM canon
+    GROUP BY split_a, split_b
+"""

@@ -3,7 +3,8 @@
 # computes the live list). Round-8 additions lead:
 # unimax_language_budgets, stream_interval_join_attribution,
 # retrieval_ndcg_eval, dedup_bcubed_agreement,
-# stream_static_enrichment, stream_dedup_exactly_once — then novel
+# stream_static_enrichment, stream_dedup_exactly_once,
+# exact_percentile_twopass, split_semantic_leakage — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -374,6 +375,20 @@ register(
     "stream_dedup_exactly_once",
     events.stream_dedup_exactly_once,
     events.STREAM_DEDUP_EXACTLY_ONCE_ORACLE,
+)
+# exact P50/P95/P99 by iterative histogram refinement — selection in
+# O(passes) scans, no total sort, no approximation
+register(
+    "exact_percentile_twopass",
+    stats.exact_percentile_twopass,
+    stats.EXACT_PERCENTILE_TWOPASS_ORACLE,
+)
+# embedding-space leakage audit: semantic near-dup pairs crossing
+# the content-fingerprint splits (what the lexical audit misses)
+register(
+    "split_semantic_leakage",
+    mixtures.split_semantic_leakage,
+    mixtures.SPLIT_SEMANTIC_LEAKAGE_ORACLE,
 )
 
 # ======================================================================

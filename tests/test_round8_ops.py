@@ -144,3 +144,62 @@ def test_stream_dedup_drops_exactly_the_redelivered_copies(spark, sf_dir):
         r.n_events for r in stream_dedup_exactly_once(spark, sf_dir).collect()
     )
     assert got == load(spark, sf_dir, "events").count()
+
+
+def test_exact_percentile_twopass_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "exact_percentile_twopass", sf_dir)
+
+
+def test_exact_percentile_equals_sort_based_exact(spark, sf_dir):
+    """The histogram-refinement selection must equal the sort-based
+    kth smallest for every target — and the narrowing loop must hold
+    scalars only (asserted indirectly: result equality even when the
+    final slice is the whole table at fixture scale)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.stats import (
+        exact_percentile_twopass,
+    )
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    n = li.count()
+    ranked = li.select(
+        F.col("l_extendedprice").alias("v"),
+        F.row_number().over(Window.orderBy("l_extendedprice")).alias("r"),
+    )
+    for row in exact_percentile_twopass(spark, sf_dir).collect():
+        want_k = 1 + (n - 1) * row.permille // 1000
+        assert row.k == want_k
+        want_v = ranked.filter(F.col("r") == want_k).first().v
+        assert row.value == want_v
+
+
+def test_split_semantic_leakage_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "split_semantic_leakage", sf_dir)
+
+
+def test_semantic_leakage_pairs_cross_splits_only(spark, sf_dir):
+    """Every reported pair must cross a split boundary, and the pair
+    universe must be exactly the cross-split subset of the semantic
+    near-dup pairs."""
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        semantic_near_dup_pairs,
+    )
+    from global_superstore_data_warehouse_spark.plans.mixtures import (
+        leakage_safe_splits,
+        split_semantic_leakage,
+    )
+
+    splits = {
+        r.doc_id: r.split
+        for r in leakage_safe_splits(spark, sf_dir).collect()
+    }
+    pairs = semantic_near_dup_pairs(spark, sf_dir).collect()
+    want = sum(
+        1 for p in pairs if splits[p.vec_a] != splits[p.vec_b]
+    )
+    got_rows = split_semantic_leakage(spark, sf_dir).collect()
+    assert sum(r.n_pairs for r in got_rows) == want
+    for r in got_rows:
+        assert r.split_a < r.split_b  # canonical unordered pair
+        assert r.n_docs_a <= r.n_pairs and r.n_docs_b <= r.n_pairs
