@@ -14,7 +14,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Spark PYTHON WORKERS (the mapInPandas/applyInPandas plans) re-import
+# the package in a fresh interpreter; when the driver process was
+# launched from outside the repo they need PYTHONPATH to find it.
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 from global_superstore_data_warehouse_spark import registry
 

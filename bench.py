@@ -56,7 +56,16 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_ROOT)
+# Spark PYTHON WORKERS (mapInPandas/applyInPandas plans) re-import the
+# package in a fresh interpreter whose sys.path comes from PYTHONPATH +
+# cwd — when the bench is launched from outside the repo, the workers
+# would otherwise die with ModuleNotFoundError. Export before the
+# session is built so local-mode workers inherit it.
+os.environ["PYTHONPATH"] = (
+    _REPO_ROOT + os.pathsep + os.environ.get("PYTHONPATH", "")
+).rstrip(os.pathsep)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -226,6 +235,15 @@ EXTRA = [
     # embedding-space split-leakage audit (the semantic dedup pass
     # plus two split-label joins and a 3-row roll-up)
     "split_semantic_leakage",
+    # consistent-hash ring rebalance audit (two array-literal
+    # successor projections + one n_workers-row groupBy)
+    "consistent_shard_rebalance",
+    # exact two-sample KS drift (one pre-agg + one cumulative window)
+    "ks_drift_statistic",
+    # exact chi-squared categorical drift (one ~5-row pre-agg)
+    "chisq_category_drift",
+    # KMV theta-sketch audience overlap (salted k-min + tiny pair join)
+    "kmv_audience_overlap",
 ]
 
 ROUNDS = 3

@@ -1952,3 +1952,193 @@ STREAM_DEDUP_EXACTLY_ONCE_ORACLE = """
     FROM events
     GROUP BY event_type
 """
+
+
+# --- KMV audience overlap (theta-sketch-style set intersection) --------
+
+KMV_OVERLAP_K = 32
+_KMV_SALTS = 16
+
+
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-day PURCHASER-audience overlap estimated from
+    K-MINIMUM-VALUES sketches — the set-OPERATION side of the KMV
+    family (``daily_users_kmv`` estimates cardinality of ONE set;
+    this estimates Jaccard/intersection of TWO sets from their
+    sketches alone, the theta-sketch trick behind every "audience
+    overlap" product query). For each day pair (d, d+1): exact
+    |A|, |B|, |A∩B| and Jaccard, next to the estimate computed ONLY
+    from the two k-min sketches — take the k smallest of the sketch
+    UNION, count how many of those appear in BOTH sketches, divide.
+    Deterministic md5 hashing makes the "approximate" estimator
+    hash-checkable against the DuckDB oracle; the abs-error column
+    is the audit (expected ~1/sqrt(k); pinned in pytest).
+
+    Scale shape: the sketch build is the TWO-LEVEL k-min — partial
+    per (day, salt=h%16) keep-k-smallest (map-side combined,
+    bounded k longs per salt), then per day merge = sort+slice of
+    ≤16k longs. Identical result to a global per-day rank (the k
+    global minima survive salting: each salt keeps ITS k smallest ⊇
+    its share of the global k), without the single-reducer-per-day
+    hot spot a rank window has at 100 TB. The pair join and all
+    array work ride rows of ~k longs; the exact-intersection audit
+    is one user-keyed self-join (drop it in production and the whole
+    plan never touches a row wider than the sketch).
+    """
+    ev = load(spark, sf_dir, "events")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("kmv|"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    du = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .select(F.to_date("ts").alias("day"), "user_id", h.alias("h"))
+        .distinct()
+    )
+    partial = du.groupBy("day", F.pmod("h", F.lit(_KMV_SALTS)).alias("salt")).agg(
+        F.slice(F.array_sort(F.collect_set("h")), 1, KMV_OVERLAP_K).alias("arr"),
+        F.count(F.lit(1)).alias("n_part"),
+    )
+    days = partial.groupBy("day").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("arr"))), 1, KMV_OVERLAP_K
+        ).alias("sk"),
+        F.sum("n_part").alias("n"),
+    )
+    a = days.select(
+        F.col("day").alias("day_a"),
+        F.col("sk").alias("sk_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = days.select(
+        F.col("day").alias("day_b"),
+        F.col("sk").alias("sk_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.date_add(F.col("day_a"), 1) == F.col("day_b")
+    )
+    uni = F.slice(
+        F.array_sort(F.array_union("sk_a", "sk_b")), 1, KMV_OVERLAP_K
+    )
+    inter = (
+        du.alias("x")
+        .join(
+            du.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.date_add(F.col("x.day"), 1) == F.col("y.day")),
+        )
+        .groupBy(F.col("x.day").alias("day_a"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    est = pairs.withColumn("uni", uni).select(
+        "day_a",
+        "day_b",
+        "n_a",
+        "n_b",
+        F.size("uni").alias("k_eff"),
+        # hashes are distinct within every sketch, so array_intersect
+        # is exact set intersection: union-top-k ∩ sk_a ∩ sk_b
+        F.size(
+            F.array_intersect(F.array_intersect("sk_a", "sk_b"), F.col("uni"))
+        ).alias("nx"),
+    )
+    return (
+        est.join(inter, "day_a", "left")
+        .select(
+            F.date_format("day_a", "yyyy-MM-dd").alias("day_a"),
+            F.date_format("day_b", "yyyy-MM-dd").alias("day_b"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.coalesce(F.col("n_inter"), F.lit(0)).cast("bigint").alias("n_inter"),
+            "k_eff",
+            "nx",
+        )
+        .withColumn(
+            "exact_jaccard",
+            F.round(
+                F.col("n_inter")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .withColumn(
+            "kmv_jaccard", F.round(F.col("nx") * 1.0 / F.col("k_eff"), 6)
+        )
+        .withColumn(
+            "abs_err",
+            F.round(F.abs(F.col("kmv_jaccard") - F.col("exact_jaccard")), 6),
+        )
+        .drop("k_eff", "nx")
+    )
+
+
+KMV_AUDIENCE_OVERLAP_ORACLE = f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id,
+               ('0x' || substr(md5('kmv|' || user_id), 1, 15))::BIGINT AS h
+        FROM events
+        WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ), sk AS (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM du
+    ), sks AS (
+        SELECT day, h FROM sk WHERE rn <= {KMV_OVERLAP_K}
+    ), days AS (
+        SELECT day, COUNT(*) AS n FROM du GROUP BY day
+    ), pairs AS (
+        SELECT a.day AS day_a, b.day AS day_b, a.n AS n_a, b.n AS n_b
+        FROM days a JOIN days b ON b.day = a.day + 1
+    ), uni0 AS (
+        SELECT p.day_a, s.h FROM pairs p JOIN sks s ON s.day = p.day_a
+        UNION
+        SELECT p.day_a, s.h FROM pairs p JOIN sks s ON s.day = p.day_b
+    ), uni AS (
+        SELECT day_a, h,
+               ROW_NUMBER() OVER (PARTITION BY day_a ORDER BY h) AS rn
+        FROM uni0
+    ), x AS (
+        SELECT u.day_a,
+               COUNT(*) AS k_eff,
+               SUM(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL
+                   THEN 1 ELSE 0 END) AS nx
+        FROM uni u
+        JOIN pairs p ON p.day_a = u.day_a
+        LEFT JOIN sks sa ON sa.day = u.day_a AND sa.h = u.h
+        LEFT JOIN sks sb ON sb.day = p.day_b AND sb.h = u.h
+        WHERE u.rn <= {KMV_OVERLAP_K}
+        GROUP BY u.day_a
+    ), inter AS (
+        SELECT a.day AS day_a, COUNT(*) AS n_inter
+        FROM du a JOIN du b
+          ON b.user_id = a.user_id AND b.day = a.day + 1
+        GROUP BY a.day
+    )
+    SELECT strftime(p.day_a, '%Y-%m-%d') AS day_a,
+           strftime(p.day_b, '%Y-%m-%d') AS day_b,
+           CAST(p.n_a AS BIGINT) AS n_a,
+           CAST(p.n_b AS BIGINT) AS n_b,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+           ROUND(COALESCE(i.n_inter, 0) * 1.0
+                 / (p.n_a + p.n_b - COALESCE(i.n_inter, 0)), 6)
+               AS exact_jaccard,
+           ROUND(x.nx * 1.0 / x.k_eff, 6) AS kmv_jaccard,
+           ROUND(ABS(ROUND(x.nx * 1.0 / x.k_eff, 6)
+                     - ROUND(COALESCE(i.n_inter, 0) * 1.0
+                             / (p.n_a + p.n_b - COALESCE(i.n_inter, 0)), 6)),
+                 6) AS abs_err
+    FROM pairs p
+    JOIN x ON x.day_a = p.day_a
+    LEFT JOIN inter i ON i.day_a = p.day_a
+"""

@@ -692,3 +692,134 @@ SPLIT_SEMANTIC_LEAKAGE_ORACLE = f"""
     FROM canon
     GROUP BY split_a, split_b
 """
+
+
+# --- consistent-hash ring sharding + rebalance audit ------------------
+
+RING_WORKERS = 8
+RING_VNODES = 8  # virtual nodes per worker (variance smoothing)
+
+
+def _ring_points(n_workers: int) -> list[tuple[int, str]]:
+    """The ring as (point, worker) literals, computed at PLAN-BUILD
+    time with hashlib so the Spark plan and the DuckDB oracle embed
+    the IDENTICAL constants (no engine hash in the ring itself)."""
+    import hashlib
+
+    pts = []
+    for w in range(n_workers):
+        for v in range(RING_VNODES):
+            h = hashlib.md5(f"ring:w{w}:{v}".encode()).hexdigest()
+            pts.append((int(h[:8], 16), f"w{w}"))
+    return sorted(pts)
+
+
+def _ring_worker_of(pos: Column, pts: list[tuple[int, str]]) -> Column:
+    """First ring point clockwise >= pos (wrap to the ring minimum) —
+    as a pure array-literal projection: no join, no shuffle, the ring
+    rides whole-stage codegen as ~n_workers*VNODES struct literals."""
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("point"),
+                F.lit(w).alias("worker"),
+            )
+            for p, w in pts
+        ]
+    )
+    cand = F.filter(arr, lambda x: x.getField("point") >= pos)
+    wrap = F.lit(pts[0][1])  # pts sorted: [0] is the ring minimum
+    return F.when(
+        F.size(cand) > 0, F.array_min(cand).getField("worker")
+    ).otherwise(wrap)
+
+
+def _ring_sql(pts: list[tuple[int, str]]) -> str:
+    return ", ".join(f"({p}, '{w}')" for p, w in pts)
+
+
+_DOC_POS_SQL = (
+    "CAST(('0x' || substr(md5('doc:' || CAST(doc_id AS VARCHAR)), 1, 8))"
+    " AS BIGINT)"
+)
+
+
+def consistent_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring sharding (Karger et al.; the memcached /
+    Dynamo placement scheme) with the audit that justifies it: assign
+    every document to a worker on an md5 ring (RING_VNODES virtual
+    nodes per worker), then RE-assign on a ring with ONE MORE worker
+    and report, per original worker, how many documents moved.
+    Modulo sharding (``training_shards``) reshuffles ~n/(n+1) of all
+    keys when a worker joins; the ring moves only the arcs the new
+    worker claims — expected 1/(n+1) of the corpus, and ONLY to the
+    new worker (a moved doc's new owner is always w{RING_WORKERS}).
+    That invariant is pytest-pinned; this report is the go/no-go a
+    resharding operation reads before touching 100 TB.
+
+    Plan shape: both assignments are PURE PROJECTIONS over an
+    embedded sorted ring literal (successor lookup = filter +
+    array_min over ~(n+1)*VNODES structs, in codegen); the roll-up
+    is one partial-aggregated groupBy to n_workers rows. Zero joins,
+    zero row-scale shuffles, exactly one corpus scan.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    )
+    before = _ring_worker_of(pos, _ring_points(RING_WORKERS))
+    after = _ring_worker_of(pos, _ring_points(RING_WORKERS + 1))
+    return (
+        docs.select(
+            before.alias("worker"),
+            (before != after).cast("int").alias("moved"),
+        )
+        .groupBy("worker")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("moved").cast("bigint").alias("n_moved"),
+        )
+    )
+
+
+CONSISTENT_SHARD_REBALANCE_ORACLE = f"""
+    WITH ring_a(point, worker) AS (
+        VALUES {_ring_sql(_ring_points(RING_WORKERS))}
+    ), ring_b(point, worker) AS (
+        VALUES {_ring_sql(_ring_points(RING_WORKERS + 1))}
+    ), d AS (
+        SELECT doc_id, {_DOC_POS_SQL} AS pos FROM documents
+    ), a AS (
+        SELECT d.doc_id,
+               COALESCE(
+                   (SELECT r.worker FROM ring_a r WHERE r.point >= d.pos
+                    ORDER BY r.point LIMIT 1),
+                   (SELECT r.worker FROM ring_a r
+                    ORDER BY r.point LIMIT 1)
+               ) AS worker
+        FROM d
+    ), b AS (
+        SELECT d.doc_id,
+               COALESCE(
+                   (SELECT r.worker FROM ring_b r WHERE r.point >= d.pos
+                    ORDER BY r.point LIMIT 1),
+                   (SELECT r.worker FROM ring_b r
+                    ORDER BY r.point LIMIT 1)
+               ) AS worker
+        FROM d
+    )
+    SELECT a.worker,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a.worker <> b.worker THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved
+    FROM a JOIN b USING (doc_id)
+    GROUP BY a.worker
+"""

@@ -1343,3 +1343,239 @@ COMPACTION_PLAN_ORACLE = f"""
     FROM binned
     GROUP BY part_year, bin_id
 """
+
+
+# --- exact two-sample Kolmogorov-Smirnov drift statistic --------------
+
+KS_YEAR_A = 1995
+KS_YEAR_B = 1996
+
+
+def ks_drift_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT two-sample Kolmogorov-Smirnov statistic between the
+    order-total distributions of two adjacent years — the
+    distribution-drift test PSI can't express (PSI needs binning and
+    misses within-bin shape changes; KS is binning-free: the max
+    vertical gap between the two empirical CDFs). One output row:
+    sample sizes, the integer numerator of the sup-gap, and the
+    statistic.
+
+    Integer-exactness: at every distinct observed value v the gap is
+    |c1/n1 - c2/n2|; cross-multiplying gives |c1*n2 - c2*n1| over the
+    CONSTANT denominator n1*n2, so the running maximum is computed
+    entirely in BIGINT — the one division happens once on the final
+    row, then ROUND 6. (Magnitudes: c <= n ~ 1e7 even at sf 100, so
+    the products sit far under 2^63.)
+
+    Plan shape: one groupBy(value) pre-aggregation (distinct values
+    carry (n_a, n_b) counts), one cumulative-sum window over value
+    order, one max. The running sum is a GLOBAL window — fine to the
+    distinct-value cardinality of a measure column; at true 100 TB
+    the same two-pass range-partition + per-partition-offset trick as
+    ``operators/keys.py::surrogate_keys_distributed`` replaces it
+    shape-for-shape (partition by value range, cumulate within,
+    offset by the per-partition totals' prefix sum).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), F.col("o_totalprice").alias("v")
+    )
+    flagged = o.filter(F.col("y").isin(KS_YEAR_A, KS_YEAR_B)).select(
+        "v",
+        (F.col("y") == KS_YEAR_A).cast("long").alias("in_a"),
+        (F.col("y") == KS_YEAR_B).cast("long").alias("in_b"),
+    )
+    per_v = flagged.groupBy("v").agg(
+        F.sum("in_a").alias("na"), F.sum("in_b").alias("nb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("na").over(w).alias("c1"), F.sum("nb").over(w).alias("c2")
+    )
+    totals = flagged.agg(
+        F.sum("in_a").alias("n1"), F.sum("in_b").alias("n2")
+    )
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .select(
+            F.abs(
+                F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+            ).alias("gap_num"),
+            "n1",
+            "n2",
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("gap_num").alias("d_num"))
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("d_num").cast("bigint").alias("d_num"),
+            F.round(
+                F.col("d_num") / (F.col("n1") * F.col("n2")).cast("double"), 6
+            ).alias("ks_stat"),
+        )
+    )
+
+
+KS_DRIFT_STATISTIC_ORACLE = f"""
+    WITH flagged AS (
+        SELECT o_totalprice AS v,
+               CASE WHEN EXTRACT(year FROM o_orderdate) = {KS_YEAR_A}
+                    THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN EXTRACT(year FROM o_orderdate) = {KS_YEAR_B}
+                    THEN 1 ELSE 0 END AS in_b
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN ({KS_YEAR_A}, {KS_YEAR_B})
+    ), per_v AS (
+        SELECT v, SUM(in_a) AS na, SUM(in_b) AS nb
+        FROM flagged GROUP BY v
+    ), cum AS (
+        SELECT SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c1,
+               SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS c2
+        FROM per_v
+    ), totals AS (
+        SELECT SUM(in_a) AS n1, SUM(in_b) AS n2 FROM flagged
+    )
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(MAX(ABS(c.c1 * t.n2 - c.c2 * t.n1)) AS BIGINT) AS d_num,
+           ROUND(MAX(ABS(c.c1 * t.n2 - c.c2 * t.n1))
+                 / CAST(t.n1 * t.n2 AS DOUBLE), 6) AS ks_stat
+    FROM cum c CROSS JOIN totals t
+    GROUP BY t.n1, t.n2
+"""
+
+
+# --- exact chi-squared categorical drift + Cramér's V ------------------
+
+
+def chisq_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT chi-squared independence test between two adjacent
+    years' order-PRIORITY distributions — the categorical twin of
+    ``ks_drift_statistic`` (KS needs an ordered measure; priorities
+    are nominal). One output row: per-year sample sizes, cell count,
+    the chi-squared statistic in exact integer micro-units, the
+    rounded statistic, and Cramér's V (the [0,1]-normalized effect
+    size a drift monitor actually thresholds on — chi² itself grows
+    with N, so at 100 TB every innocuous wobble is "significant").
+
+    Integer-exactness: with expected count e = r*c/N the cell term is
+    (o - e)²/e = (o*N - r*c)² / (N*r*c) — an integer numerator over
+    an integer denominator. Each term is floored to 1e-6 micro-units
+    via the (x - x%d)/d idiom (identical truncation semantics in
+    Spark DECIMAL(38) and DuckDB HUGEINT; CAST-to-int ROUNDS in
+    DuckDB but TRUNCATES in Spark, so never cast the quotient), and
+    the micro-terms SUM as exact integers — no float summation-order
+    drift. Magnitudes: (o*N)² ≤ N⁴ ≈ 8e21 at sf0.1, ×1e6 ≈ 8e27,
+    far inside DECIMAL(38)/HUGEINT. The two final roundings (χ² and
+    V = sqrt(χ²/N), both ROUND 6) are single operations on one row.
+
+    Plan shape: one groupBy(priority) pre-aggregation over the
+    two-year slice (map-side combined to ~5 rows), broadcast totals,
+    one global sum. One corpus scan, key-cardinality shuffle only.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    flagged = o.filter(F.col("y").isin(KS_YEAR_A, KS_YEAR_B)).select(
+        "prio",
+        (F.col("y") == KS_YEAR_A).cast("long").alias("in_a"),
+        (F.col("y") == KS_YEAR_B).cast("long").alias("in_b"),
+    )
+    dec = "decimal(38,0)"
+    cells = flagged.groupBy("prio").agg(
+        F.sum("in_a").cast(dec).alias("na"),
+        F.sum("in_b").cast(dec).alias("nb"),
+    )
+    totals = flagged.agg(
+        F.sum("in_a").cast(dec).alias("n1"),
+        F.sum("in_b").cast(dec).alias("n2"),
+    )
+    with_tot = cells.crossJoin(F.broadcast(totals)).select(
+        "prio",
+        "na",
+        "nb",
+        "n1",
+        "n2",
+        (F.col("n1") + F.col("n2")).alias("n"),
+        (F.col("na") + F.col("nb")).alias("r"),
+    )
+
+    def term_micro(obs, col_total):
+        num = (F.col(obs) * F.col("n") - F.col("r") * F.col(col_total))
+        t = (num * num * F.lit(1000000).cast(dec)).cast(dec)
+        d = (F.col("n") * F.col("r") * F.col(col_total)).cast(dec)
+        return ((t - t % d) / d).cast(dec)
+
+    per_cell = with_tot.select(
+        "n1",
+        "n2",
+        (term_micro("na", "n1") + term_micro("nb", "n2")).alias("cell_micro"),
+    )
+    return (
+        per_cell.groupBy("n1", "n2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("cell_micro").alias("chi2_micro_d"),
+        )
+        .select(
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "n_cells",
+            F.col("chi2_micro_d").cast("bigint").alias("chi2_micro"),
+            F.round(F.col("chi2_micro_d").cast("double") / 1e6, 6).alias(
+                "chi2"
+            ),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_micro_d").cast("double")
+                    / 1e6
+                    / (F.col("n1") + F.col("n2")).cast("double")
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
+
+
+CHISQ_CATEGORY_DRIFT_ORACLE = f"""
+    WITH flagged AS (
+        SELECT o_orderpriority AS prio,
+               CASE WHEN EXTRACT(year FROM o_orderdate) = {KS_YEAR_A}
+                    THEN 1 ELSE 0 END AS in_a,
+               CASE WHEN EXTRACT(year FROM o_orderdate) = {KS_YEAR_B}
+                    THEN 1 ELSE 0 END AS in_b
+        FROM orders
+        WHERE EXTRACT(year FROM o_orderdate) IN ({KS_YEAR_A}, {KS_YEAR_B})
+    ), cells AS (
+        SELECT prio,
+               CAST(SUM(in_a) AS HUGEINT) AS na,
+               CAST(SUM(in_b) AS HUGEINT) AS nb
+        FROM flagged GROUP BY prio
+    ), totals AS (
+        SELECT CAST(SUM(in_a) AS HUGEINT) AS n1,
+               CAST(SUM(in_b) AS HUGEINT) AS n2
+        FROM flagged
+    ), with_tot AS (
+        SELECT c.*, t.n1, t.n2, t.n1 + t.n2 AS n, c.na + c.nb AS r
+        FROM cells c CROSS JOIN totals t
+    ), per_cell AS (
+        SELECT n1, n2,
+               (((na * n - r * n1) * (na * n - r * n1) * 1000000)
+                - ((na * n - r * n1) * (na * n - r * n1) * 1000000)
+                  % (n * r * n1)) / (n * r * n1)
+             + (((nb * n - r * n2) * (nb * n - r * n2) * 1000000)
+                - ((nb * n - r * n2) * (nb * n - r * n2) * 1000000)
+                  % (n * r * n2)) / (n * r * n2) AS cell_micro
+        FROM with_tot
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1,
+           CAST(n2 AS BIGINT) AS n2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(cell_micro) AS BIGINT) AS chi2_micro,
+           ROUND(CAST(SUM(cell_micro) AS DOUBLE) / 1e6, 6) AS chi2,
+           ROUND(SQRT(CAST(SUM(cell_micro) AS DOUBLE) / 1e6
+                      / CAST(n1 + n2 AS DOUBLE)), 6) AS cramers_v
+    FROM per_cell
+    GROUP BY n1, n2
+"""

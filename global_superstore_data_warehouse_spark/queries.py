@@ -4,7 +4,9 @@
 # unimax_language_budgets, stream_interval_join_attribution,
 # retrieval_ndcg_eval, dedup_bcubed_agreement,
 # stream_static_enrichment, stream_dedup_exactly_once,
-# exact_percentile_twopass, split_semantic_leakage — then novel
+# exact_percentile_twopass, split_semantic_leakage,
+# consistent_shard_rebalance, ks_drift_statistic,
+# chisq_category_drift, kmv_audience_overlap — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -389,6 +391,34 @@ register(
     "split_semantic_leakage",
     mixtures.split_semantic_leakage,
     mixtures.SPLIT_SEMANTIC_LEAKAGE_ORACLE,
+)
+# consistent-hash ring placement + rebalance audit: adding a worker
+# moves only ~1/(n+1) of docs, all to the new worker (pytest-pinned)
+register(
+    "consistent_shard_rebalance",
+    mixtures.consistent_shard_rebalance,
+    mixtures.CONSISTENT_SHARD_REBALANCE_ORACLE,
+)
+# exact two-sample KS statistic: binning-free drift, integer
+# cross-multiplied sup-gap, one final division
+register(
+    "ks_drift_statistic",
+    observability.ks_drift_statistic,
+    observability.KS_DRIFT_STATISTIC_ORACLE,
+)
+# exact chi-squared + Cramér's V: categorical drift (nominal columns
+# KS can't order), micro-unit integer cell terms
+register(
+    "chisq_category_drift",
+    observability.chisq_category_drift,
+    observability.CHISQ_CATEGORY_DRIFT_ORACLE,
+)
+# KMV theta-sketch set intersection: audience overlap from sketches
+# alone, exact-vs-estimate self-audit per adjacent-day pair
+register(
+    "kmv_audience_overlap",
+    events.kmv_audience_overlap,
+    events.KMV_AUDIENCE_OVERLAP_ORACLE,
 )
 
 # ======================================================================

@@ -203,3 +203,168 @@ def test_semantic_leakage_pairs_cross_splits_only(spark, sf_dir):
     for r in got_rows:
         assert r.split_a < r.split_b  # canonical unordered pair
         assert r.n_docs_a <= r.n_pairs and r.n_docs_b <= r.n_pairs
+
+
+def test_consistent_shard_rebalance_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "consistent_shard_rebalance", sf_dir)
+
+
+def test_ring_rebalance_moves_only_to_the_new_worker(spark, sf_dir):
+    """The consistent-hashing contract: growing the ring by one
+    worker moves a SMALL fraction of docs (vs ~n/(n+1) under modulo
+    sharding), and every moved doc's new owner is the new worker."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.mixtures import (
+        RING_WORKERS,
+        _ring_points,
+        _ring_worker_of,
+        consistent_shard_rebalance,
+    )
+
+    rows = consistent_shard_rebalance(spark, sf_dir).collect()
+    n_docs = sum(r.n_docs for r in rows)
+    n_moved = sum(r.n_moved for r in rows)
+    # expected 1/(n+1) ~ 11%; allow generous slack for a small corpus
+    assert 0 < n_moved < 0.35 * n_docs
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("doc:"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+    )
+    before = _ring_worker_of(pos, _ring_points(RING_WORKERS))
+    after = _ring_worker_of(pos, _ring_points(RING_WORKERS + 1))
+    moved_to = (
+        docs.select(after.alias("to"))
+        .where(before != after)
+        .distinct()
+        .collect()
+    )
+    assert {r.to for r in moved_to} == {f"w{RING_WORKERS}"}
+
+
+def test_ks_drift_statistic_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "ks_drift_statistic", sf_dir)
+
+
+def test_ks_statistic_matches_scipy_style_brute_force(spark, sf_dir):
+    """The windowed integer formulation must equal a brute-force
+    two-sample KS computed in Python over the collected samples."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        KS_YEAR_A,
+        KS_YEAR_B,
+        ks_drift_statistic,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_totalprice"
+    )
+    a = sorted(r.o_totalprice for r in o.filter(F.col("y") == KS_YEAR_A).collect())
+    b = sorted(r.o_totalprice for r in o.filter(F.col("y") == KS_YEAR_B).collect())
+    n1, n2 = len(a), len(b)
+    support = sorted(set(a) | set(b))
+    import bisect
+
+    d_num = max(
+        abs(bisect.bisect_right(a, v) * n2 - bisect.bisect_right(b, v) * n1)
+        for v in support
+    )
+    row = ks_drift_statistic(spark, sf_dir).first()
+    assert (row.n1, row.n2, row.d_num) == (n1, n2, d_num)
+    assert row.ks_stat == round(d_num / (n1 * n2), 6)
+
+
+def test_chisq_category_drift_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "chisq_category_drift", sf_dir)
+
+
+def test_chisq_matches_integer_brute_force(spark, sf_dir):
+    """chi2_micro must equal the pure-Python integer formulation
+    (floor of each cell's (o*N - r*c)^2 * 1e6 / (N*r*c), summed)."""
+    from collections import Counter
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        KS_YEAR_A,
+        KS_YEAR_B,
+        chisq_category_drift,
+    )
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("y"), "o_orderpriority"
+    )
+    rows = o.filter(F.col("y").isin(KS_YEAR_A, KS_YEAR_B)).collect()
+    na = Counter(r.o_orderpriority for r in rows if r.y == KS_YEAR_A)
+    nb = Counter(r.o_orderpriority for r in rows if r.y == KS_YEAR_B)
+    n1, n2 = sum(na.values()), sum(nb.values())
+    n = n1 + n2
+    micro = 0
+    for prio in set(na) | set(nb):
+        r_tot = na[prio] + nb[prio]
+        for obs, col in ((na[prio], n1), (nb[prio], n2)):
+            num = (obs * n - r_tot * col) ** 2 * 1_000_000
+            micro += num // (n * r_tot * col)
+    got = chisq_category_drift(spark, sf_dir).first()
+    assert (got.n1, got.n2) == (n1, n2)
+    assert got.chi2_micro == micro
+    assert got.chi2 == round(micro / 1e6, 6)
+    assert 0.0 <= got.cramers_v <= 1.0
+
+
+def test_kmv_audience_overlap_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "kmv_audience_overlap", sf_dir)
+
+
+def test_kmv_overlap_estimator_properties(spark, sf_dir):
+    """The sketch estimate must equal a pure-Python KMV computed from
+    the same md5 hashes, and the exact columns must be truly exact."""
+    import hashlib
+    from collections import defaultdict
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        KMV_OVERLAP_K,
+        kmv_audience_overlap,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    rows = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & F.col("user_id").isNotNull()
+        )
+        .select(F.to_date("ts").cast("string").alias("day"), "user_id")
+        .distinct()
+        .collect()
+    )
+    audiences = defaultdict(set)
+    for r in rows:
+        audiences[r.day].add(r.user_id)
+
+    def kmin(users):
+        hs = sorted(
+            int(hashlib.md5(f"kmv|{u}".encode()).hexdigest()[:15], 16)
+            for u in users
+        )
+        return hs[:KMV_OVERLAP_K]
+
+    got = {r.day_a: r for r in kmv_audience_overlap(spark, sf_dir).collect()}
+    assert got  # at least one adjacent-day pair exists
+    import datetime
+
+    for day_a, r in got.items():
+        d = datetime.date.fromisoformat(day_a)
+        day_b = (d + datetime.timedelta(days=1)).isoformat()
+        a, b = audiences[day_a], audiences[day_b]
+        assert (r.n_a, r.n_b, r.n_inter) == (len(a), len(b), len(a & b))
+        assert r.exact_jaccard == round(len(a & b) / len(a | b), 6)
+        ska, skb = kmin(a), kmin(b)
+        uni = sorted(set(ska) | set(skb))[:KMV_OVERLAP_K]
+        nx = sum(1 for h in uni if h in set(ska) and h in set(skb))
+        assert r.kmv_jaccard == round(nx / len(uni), 6)
+        assert r.abs_err == round(abs(r.kmv_jaccard - r.exact_jaccard), 6)
