@@ -820,14 +820,24 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cent_row = _unit_centroid_row(emb)
     n_part = spark.sparkContext.defaultParallelism
+    # per-vector norms precomputed once — see semantic_near_dup_pairs
     corpus = (
         emb.crossJoin(F.broadcast(cent_row))
-        .select("vec_id", "embedding", _best_list().alias("list_id"))
+        .select(
+            "vec_id",
+            "embedding",
+            _best_list().alias("list_id"),
+            S.norm(F.col("embedding")).alias("nrm"),
+        )
         .repartition(n_part, "vec_id")
         .localCheckpoint(eager=True)
     )
     a, b = corpus.alias("a"), corpus.alias("b")
-    sim = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    sim = F.round(
+        S.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     dups = (
         a.join(
             b,
@@ -895,14 +905,27 @@ def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     cent_row = _unit_centroid_row(emb)
     n_part = spark.sparkContext.defaultParallelism
+    # norms are precomputed ONCE per vector (corpus-scale) instead of
+    # re-folded per PAIR — dot/(na*nb) with stored sqrt values is
+    # bit-identical to the inline cosine (same IEEE ops, same order),
+    # but the pair stage folds one array walk instead of three
     corpus = (
         emb.crossJoin(F.broadcast(cent_row))
-        .select("vec_id", "embedding", _best_list().alias("list_id"))
+        .select(
+            "vec_id",
+            "embedding",
+            _best_list().alias("list_id"),
+            S.norm(F.col("embedding")).alias("nrm"),
+        )
         .repartition(n_part, "vec_id")
         .localCheckpoint(eager=True)
     )
     a, b = corpus.alias("a"), corpus.alias("b")
-    sim = F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    sim = F.round(
+        S.dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     return (
         a.join(
             b,

@@ -625,8 +625,12 @@ def split_semantic_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_near_dup_pairs,
     )
 
-    splits = leakage_safe_splits(spark, sf_dir).select(
-        F.col("doc_id"), F.col("split")
+    # checkpointed: the label frame joins BOTH pair endpoints, and
+    # without the cut the full fingerprint lineage executes twice
+    splits = (
+        leakage_safe_splits(spark, sf_dir)
+        .select(F.col("doc_id"), F.col("split"))
+        .localCheckpoint(eager=True)
     )
     pairs = semantic_near_dup_pairs(spark, sf_dir)
     labeled = (

@@ -2657,17 +2657,20 @@ def dedup_bcubed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer-exactness: per-doc ratios are computed as
     ``(1e6 * n_cg) DIV n_c`` — exact integer division in both
-    engines — and SUMMED as integers; the two final averages divide
-    once and ROUND 6. No float accumulation order exposure.
+    engines — and SUMMED as integers (all docs in one (C,G) cell
+    share one ratio, so the doc sum is the cell value WEIGHTED by
+    n_cg); the two final averages divide once and ROUND 6. No float
+    accumulation order exposure.
 
     Plan shape: both pair generators are the banded equi-joins
     already proven at recall 1.0; components come from the generic
-    alternating-star operator (per-round single shuffles); the
-    B-cubed arithmetic itself is three group-sized groupBys joined
-    back on cluster keys — every frame after the pair stage is
-    cluster-count-sized. At 100 TB this audit costs the two dedup
-    passes it compares, which an engineering team runs anyway when
-    evaluating a cheaper dedup family.
+    alternating-star operator (per-round single shuffles); ONE
+    doc-scale groupBy collapses both assignments into the (C,G)
+    contingency cells (checkpointed — the plan fans out over it
+    three ways and must not re-run the dedup passes), and every
+    frame after that is cell-count-sized. At 100 TB this audit costs
+    the two dedup passes it compares, which an engineering team runs
+    anyway when evaluating a cheaper dedup family.
     """
     from global_superstore_data_warehouse_spark.operators.graph import (
         connected_components,
@@ -2693,29 +2696,40 @@ def dedup_bcubed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("cluster_id").alias("c_mh")
     )
 
-    both = sh.join(mh, "doc_id")
-    n_cg = both.groupBy("c_sh", "c_mh").agg(
-        F.count(F.lit(1)).alias("n_cg")
+    # One doc-scale groupBy collapses BOTH dedup passes into the
+    # (c, g) contingency cells; everything after is cell-scale. The
+    # cells frame is checkpointed because the plan fans out over it
+    # THREE ways (row totals, column totals, the weighted sum) — the
+    # fan-out must not re-execute the two upstream dedup passes. The
+    # per-doc sums are recovered exactly by weighting each cell by
+    # its population: sum_docs p_micro = sum_cells n_cg * (1e6*n_cg
+    # div n_c) — the doc-scale join-back this replaces recomputed
+    # identical per-doc values n_cg times.
+    cells = (
+        sh.join(mh, "doc_id")
+        .groupBy("c_sh", "c_mh")
+        .agg(F.count(F.lit(1)).alias("n_cg"))
+        .localCheckpoint(eager=True)
     )
-    n_c = both.groupBy("c_sh").agg(F.count(F.lit(1)).alias("n_c"))
-    n_g = both.groupBy("c_mh").agg(F.count(F.lit(1)).alias("n_g"))
-    per_doc = (
-        both.join(n_cg, ["c_sh", "c_mh"])
-        .join(n_c, "c_sh")
+    n_c = cells.groupBy("c_sh").agg(F.sum("n_cg").alias("n_c"))
+    n_g = cells.groupBy("c_mh").agg(F.sum("n_cg").alias("n_g"))
+    per_cell = (
+        cells.join(n_c, "c_sh")
         .join(n_g, "c_mh")
         .select(
-            F.expr("1000000 * n_cg div n_c").alias("p_micro"),
-            F.expr("1000000 * n_cg div n_g").alias("r_micro"),
+            "n_cg",
+            F.expr("n_cg * (1000000 * n_cg div n_c)").alias("p_micro"),
+            F.expr("n_cg * (1000000 * n_cg div n_g)").alias("r_micro"),
         )
     )
-    return per_doc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    return per_cell.agg(
+        F.sum("n_cg").cast("bigint").alias("n_docs"),
         F.sum("p_micro").cast("bigint").alias("sum_precision_micro"),
         F.sum("r_micro").cast("bigint").alias("sum_recall_micro"),
-        F.round(F.sum("p_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 6).alias(
+        F.round(F.sum("p_micro") / (F.lit(1000000.0) * F.sum("n_cg")), 6).alias(
             "bcubed_precision"
         ),
-        F.round(F.sum("r_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 6).alias(
+        F.round(F.sum("r_micro") / (F.lit(1000000.0) * F.sum("n_cg")), 6).alias(
             "bcubed_recall"
         ),
     )
