@@ -244,6 +244,10 @@ EXTRA = [
     "chisq_category_drift",
     # KMV theta-sketch audience overlap (salted k-min + tiny pair join)
     "kmv_audience_overlap",
+    # two-pass sorted-neighborhood ER blocking (rank + window join)
+    "sorted_neighborhood_pairs",
+    # greedy k-center coreset (K scans, scalar-only collects)
+    "kcenter_coreset",
 ]
 
 ROUNDS = 3

@@ -198,3 +198,28 @@ def int_dot_sql(a: str, b: str, dims: int) -> str:
         f"list_aggregate(list_transform(range(1, {dims + 1}), "
         f"i -> CAST({a}[i] AS BIGINT) * CAST({b}[i] AS BIGINT)), 'sum')"
     )
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, same sequential-fold discipline as
+    ``dot`` (element order i=1..n, (x-y)*(x-y) — not pow — so the
+    DuckDB twin reproduces bit-identical doubles)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def sqdist_sql(a: str, b: str, dims: int) -> str:
+    """Oracle-side squared euclidean distance, identical fold."""
+    return (
+        f"list_aggregate(list_transform(range(1, {dims + 1}), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')"
+    )

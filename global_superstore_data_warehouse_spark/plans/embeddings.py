@@ -1738,3 +1738,115 @@ BITEXT_MARGIN_MINING_ORACLE = f"""
     QUALIFY ROW_NUMBER() OVER (PARTITION BY x_id
             ORDER BY score DESC, y_id ASC) = 1
 """
+
+
+# --- greedy k-center coreset (farthest-point traversal) ----------------
+
+KCENTER_K = 8
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy K-CENTER coreset selection (Gonzalez 1985 farthest-point
+    traversal): seed with the smallest vec_id, then K-1 times pick
+    the vector FARTHEST from the chosen set (max over corpus of min
+    squared distance to any center, ties to the smaller vec_id). The
+    classic 2-approximation to the k-center cover, and the diversity
+    counterweight to ``cluster_balanced_sample`` (quota sampling
+    keeps cluster PROPORTIONS; k-center maximizes SPREAD — the
+    "select the most different examples" primitive for active
+    learning / eval-set construction). One row per selected center:
+    selection round, vec_id, and the covering radius at selection
+    (sqrt of the max-min squared distance — monotonically
+    non-increasing; the round-K radius is the standard stopping
+    diagnostic).
+
+    Determinism/exactness: squared distances fold sequentially in
+    double (same element order in both engines → bit-identical
+    doubles), the argmax is (mind DESC, vec_id ASC) — no float
+    tolerance needed; only the REPORTED radius is rounded.
+
+    Scale shape: K-1 rounds, each ONE corpus scan computing
+    least(mind, sqdist(embedding, literal_center)) — the new center
+    rides into the plan as a 64-double literal (no join, no
+    broadcast exchange), the argmax is a 1-row sort-limit collect
+    (scalar-only driver data, graph-trio discipline), and the
+    running min-distance column is checkpointed per round so lineage
+    stays flat. At 100 TB: K scans, zero shuffles beyond the top-1
+    reductions.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
+
+    first = corpus.orderBy("vec_id").first()
+    centers = [(1, first.vec_id, None)]
+
+    def center_lit(vec):
+        return F.array(*[F.lit(float(x)) for x in vec])
+
+    mind = corpus.withColumn(
+        "mind", S.sqdist(F.col("embedding"), center_lit(first.embedding))
+    ).localCheckpoint(eager=True)
+    for rnd in range(2, KCENTER_K + 1):
+        nxt = (
+            mind.orderBy(F.col("mind").desc(), F.col("vec_id").asc())
+            .select("vec_id", "embedding", "mind")
+            .first()
+        )
+        centers.append((rnd, nxt.vec_id, float(nxt.mind)))
+        if rnd < KCENTER_K:
+            mind = mind.withColumn(
+                "mind",
+                F.least(
+                    F.col("mind"),
+                    S.sqdist(F.col("embedding"), center_lit(nxt.embedding)),
+                ),
+            ).localCheckpoint(eager=True)
+    rows = [
+        (
+            r,
+            int(v),
+            None if d is None else round(d**0.5, 6),
+        )
+        for r, v, d in centers
+    ]
+    return spark.createDataFrame(
+        rows, "sel_round int, vec_id bigint, radius double"
+    )
+
+
+def _kcenter_oracle() -> str:
+    d_to = lambda c: S.sqdist_sql("m.embedding", f"{c}.embedding", DIMS)
+    sql = f"""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), c1 AS (
+        SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1
+    ), m1 AS (
+        SELECT m.vec_id, m.embedding,
+               {S.sqdist_sql('m.embedding', 'c.embedding', DIMS)} AS mind
+        FROM e m CROSS JOIN c1 c
+    )"""
+    for i in range(2, KCENTER_K + 1):
+        sql += f""", c{i} AS (
+        SELECT vec_id, embedding, mind FROM m{i - 1}
+        ORDER BY mind DESC, vec_id ASC LIMIT 1
+    )"""
+        if i < KCENTER_K:
+            sql += f""", m{i} AS (
+        SELECT m.vec_id, m.embedding,
+               LEAST(m.mind, {d_to('c')}) AS mind
+        FROM m{i - 1} m CROSS JOIN c{i} c
+    )"""
+    selects = [
+        "SELECT 1 AS sel_round, CAST(vec_id AS BIGINT) AS vec_id, "
+        "CAST(NULL AS DOUBLE) AS radius FROM c1"
+    ]
+    for i in range(2, KCENTER_K + 1):
+        selects.append(
+            f"SELECT {i} AS sel_round, CAST(vec_id AS BIGINT) AS vec_id, "
+            f"ROUND(SQRT(mind), 6) AS radius FROM c{i}"
+        )
+    return sql + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+KCENTER_CORESET_ORACLE = _kcenter_oracle()

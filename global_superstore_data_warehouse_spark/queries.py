@@ -6,7 +6,8 @@
 # stream_static_enrichment, stream_dedup_exactly_once,
 # exact_percentile_twopass, split_semantic_leakage,
 # consistent_shard_rebalance, ks_drift_statistic,
-# chisq_category_drift, kmv_audience_overlap — then novel
+# chisq_category_drift, kmv_audience_overlap,
+# sorted_neighborhood_pairs, kcenter_coreset — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -419,6 +420,20 @@ register(
     "kmv_audience_overlap",
     events.kmv_audience_overlap,
     events.KMV_AUDIENCE_OVERLAP_ORACLE,
+)
+# multi-pass sorted-neighborhood ER blocking: skew-independent
+# n*(W-1) candidates, distributed rank via add_surrogate_key_auto
+register(
+    "sorted_neighborhood_pairs",
+    cleansing.sorted_neighborhood_pairs,
+    cleansing.SORTED_NEIGHBORHOOD_PAIRS_ORACLE,
+)
+# greedy k-center coreset: farthest-point diversity selection, K
+# scans + scalar-only collects, argmax deterministic via (dist, id)
+register(
+    "kcenter_coreset",
+    embeddings.kcenter_coreset,
+    embeddings.KCENTER_CORESET_ORACLE,
 )
 
 # ======================================================================

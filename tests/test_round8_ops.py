@@ -368,3 +368,91 @@ def test_kmv_overlap_estimator_properties(spark, sf_dir):
         nx = sum(1 for h in uni if h in set(ska) and h in set(skb))
         assert r.kmv_jaccard == round(nx / len(uni), 6)
         assert r.abs_err == round(abs(r.kmv_jaccard - r.exact_jaccard), 6)
+
+
+def test_sorted_neighborhood_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "sorted_neighborhood_pairs", sf_dir)
+
+
+def test_sorted_neighborhood_recall_vs_quadratic(spark, sf_dir):
+    """Window recall audit: every SNM pair must be a true pair (the
+    verify guarantees precision 1.0), and on the small fixture the
+    two-pass window should recover the bulk of the full quadratic
+    verify's pairs (both sort orders put single-edit neighbors
+    within the window for this name distribution)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.cleansing import (
+        SNM_MAX_DIST,
+        sorted_neighborhood_pairs,
+    )
+
+    got = {
+        (r.id_a, r.id_b): r.edit_distance
+        for r in sorted_neighborhood_pairs(spark, sf_dir).collect()
+    }
+    cust = load(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("na"))
+    b = cust.select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("nb"))
+    full = {
+        (r.id_a, r.id_b): r.d
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.levenshtein("na", "nb").alias("d"))
+        .filter(F.col("d") <= SNM_MAX_DIST)
+        .collect()
+    }
+    assert set(got) <= set(full)  # precision 1.0
+    for k, v in got.items():
+        assert full[k] == v  # identical verified distances
+    # SNM is deliberately lossy: candidates are linear in n, so
+    # multi-digit edits that land outside both sort windows are
+    # missed (FastSS is the recall-1.0 family member). Pin a floor
+    # so a broken pass (empty candidates) can't silently pass.
+    assert len(got) >= 0.15 * len(full)
+
+
+def test_kcenter_coreset_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "kcenter_coreset", sf_dir)
+
+
+def test_kcenter_matches_python_greedy(spark, sf_dir):
+    """The distributed traversal must equal a brute-force greedy
+    k-center run in Python over the collected vectors."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        KCENTER_K,
+        kcenter_coreset,
+    )
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    first = min(vecs)
+    chosen = [(1, first, None)]
+    mind = {v: sq(vecs[v], vecs[first]) for v in vecs}
+    for rnd in range(2, KCENTER_K + 1):
+        nxt = max(vecs, key=lambda v: (mind[v], -v))
+        chosen.append((rnd, nxt, round(mind[nxt] ** 0.5, 6)))
+        for v in vecs:
+            d = sq(vecs[v], vecs[nxt])
+            if d < mind[v]:
+                mind[v] = d
+    got = [
+        (r.sel_round, r.vec_id, r.radius)
+        for r in kcenter_coreset(spark, sf_dir)
+        .orderBy("sel_round")
+        .collect()
+    ]
+    assert got == chosen
+    # covering radius is monotonically non-increasing
+    radii = [r for _, _, r in got if r is not None]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
