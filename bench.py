@@ -248,6 +248,10 @@ EXTRA = [
     "sorted_neighborhood_pairs",
     # greedy k-center coreset (K scans, scalar-only collects)
     "kcenter_coreset",
+    # Kaplan-Meier survival (one corpus groupBy + tiny fold)
+    "kaplan_meier_churn",
+    # TPC-H Q17 decorrelation shape (pre-agg + join-back)
+    "tpch_avg_yearly",
 ]
 
 ROUNDS = 3

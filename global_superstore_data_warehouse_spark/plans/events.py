@@ -2142,3 +2142,135 @@ KMV_AUDIENCE_OVERLAP_ORACLE = f"""
     JOIN x ON x.day_a = p.day_a
     LEFT JOIN inter i ON i.day_a = p.day_a
 """
+
+
+# --- Kaplan-Meier survival curve (right-censored churn) ----------------
+
+
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival estimate of user lifetime (days between
+    a user's first and last event), with RIGHT-CENSORING done
+    properly: users still active on the corpus' final day are
+    censored — they leave the risk set at their observed lifetime
+    without counting as churn, which naive "retention curve"
+    divisions get wrong. One row per distinct churn time t:
+    at-risk count n_t, churn count d_t, and the product-limit
+    survival S(t) = prod_{t_i <= t} (1 - d_i/n_i).
+
+    Integer-exactness: S is carried in 1e6 micro-units through the
+    recursion S_i = floor(S_{i-1} * (n_i - d_i) / n_i) — the product
+    stays <= 1e6 * n (far under 2^63), the floor uses the
+    (x - x%n)/n idiom, and both engines run the IDENTICAL integer
+    recursion (Spark: one array fold; DuckDB: a recursive CTE), so
+    a multiplicative chain of ~dozens of ratios is hash-stable with
+    no float accumulation anywhere.
+
+    Plan shape: one scan → per-user (first, last) groupBy; the
+    lifetime histogram is a <= max-lifetime-sized frame (bounded by
+    the calendar, NOT the user count); the risk counts come from one
+    cumulative window over that tiny frame, and the recursion folds
+    over the churn-time array (one row per distinct death time) in
+    a single projection. At 100 TB the only corpus-scale stage is
+    the first groupBy.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    )
+    mx = u.agg(F.max("ld").alias("m"))
+    lt = u.crossJoin(F.broadcast(mx)).select(
+        F.datediff("ld", "fd").alias("t"),
+        (F.col("ld") < F.col("m")).cast("long").alias("churned"),
+    )
+    per_t = lt.groupBy("t").agg(
+        F.sum("churned").alias("d"), F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    total = per_t.agg(F.sum("c").alias("tot"))
+    risked = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn("n", F.col("tot") - (F.sum("c").over(w_cum) - F.col("c")))
+        .filter(F.col("d") > 0)
+        .select("t", "n", "d")
+    )
+    arr = risked.agg(
+        F.array_sort(F.collect_list(F.struct("t", "n", "d"))).alias("arr")
+    )
+    out_t = "array<struct<t:int,n:bigint,d:bigint,s:bigint>>"
+
+    def step(acc, x):
+        prod = acc["s"] * (x["n"] - x["d"])
+        new_s = ((prod - prod % x["n"]) / x["n"]).cast("long")
+        return F.struct(
+            new_s.alias("s"),
+            F.concat(
+                acc["out"],
+                F.array(
+                    F.struct(
+                        x["t"].alias("t"),
+                        x["n"].alias("n"),
+                        x["d"].alias("d"),
+                        new_s.alias("s"),
+                    )
+                ),
+            ).alias("out"),
+        )
+
+    folded = arr.select(
+        F.aggregate(
+            "arr",
+            F.struct(
+                F.lit(1000000).cast("long").alias("s"),
+                F.array().cast(out_t).alias("out"),
+            ),
+            step,
+            lambda acc: acc["out"],
+        ).alias("km")
+    )
+    return folded.select(F.explode("km").alias("x")).select(
+        F.col("x.t").alias("lifetime_days"),
+        F.col("x.n").alias("at_risk"),
+        F.col("x.d").alias("churned"),
+        F.col("x.s").alias("survival_micro"),
+        F.round(F.col("x.s") / 1e6, 6).alias("survival"),
+    )
+
+
+KAPLAN_MEIER_CHURN_ORACLE = """
+    WITH RECURSIVE u AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS fd,
+               MAX(CAST(ts AS DATE)) AS ld
+        FROM events WHERE user_id IS NOT NULL
+        GROUP BY user_id
+    ), mx AS (
+        SELECT MAX(ld) AS m FROM u
+    ), lt AS (
+        SELECT CAST(ld - fd AS INTEGER) AS t,
+               CASE WHEN ld < (SELECT m FROM mx) THEN 1 ELSE 0 END
+                   AS churned
+        FROM u
+    ), per_t AS (
+        SELECT t, SUM(churned) AS d, COUNT(*) AS c FROM lt GROUP BY t
+    ), risked AS (
+        SELECT t, d, c,
+               (SELECT SUM(c) FROM per_t)
+               - (SUM(c) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) - c)
+                   AS n
+        FROM per_t
+    ), deaths AS (
+        SELECT t, n, d, ROW_NUMBER() OVER (ORDER BY t) AS i
+        FROM risked WHERE d > 0
+    ), km AS (
+        SELECT 0 AS i, CAST(1000000 AS BIGINT) AS s
+        UNION ALL
+        SELECT d.i,
+               (km.s * (d.n - d.d) - (km.s * (d.n - d.d)) % d.n) // d.n
+        FROM km JOIN deaths d ON d.i = km.i + 1
+    )
+    SELECT d.t AS lifetime_days,
+           CAST(d.n AS BIGINT) AS at_risk,
+           CAST(d.d AS BIGINT) AS churned,
+           CAST(k.s AS BIGINT) AS survival_micro,
+           ROUND(k.s / 1e6, 6) AS survival
+    FROM deaths d JOIN km k ON k.i = d.i
+"""

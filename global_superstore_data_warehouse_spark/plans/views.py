@@ -358,3 +358,116 @@ def present_yearly_sales(acc: DataFrame) -> DataFrame:
         F.round("sum_profit", 2).alias("total_profit"),
         F.col("sum_qty").cast("long").alias("total_quantity"),
     ).orderBy("order_year", "market")
+
+
+# --- TPC-H decorrelation shapes (Q17 / Q13) ----------------------------
+
+AVG_YEARLY_SIZE_CAP = 10  # part-size slice (Q17's brand+container analogue)
+
+
+def tpch_avg_yearly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — "small-quantity-order revenue": lineitems
+    whose quantity is below 20% of the PER-PART average, summed per
+    brand and divided by 7 (the "average yearly" convention). The
+    interesting part is the DECORRELATION: the textbook form is a
+    correlated scalar subquery per lineitem (the oracle keeps that
+    form verbatim); the Spark plan rewrites it as one per-part
+    pre-aggregation joined back — the rewrite every optimizer wants,
+    made explicit.
+
+    Exactness: quantities are integral doubles, so per-part sums are
+    EXACT regardless of order; the 20%-of-avg threshold is compared
+    as ``5 * q * cnt < sum_q`` in BIGINT — no float division, no
+    boundary ulp, identical decisions in both engines.
+
+    Plan shape: the selected-part slice broadcasts into lineitem
+    (semi-style prune BEFORE the stats pass, so both the stats
+    groupBy and the join-back run on the pruned slice), per-part
+    stats join back partkey-to-partkey (shuffle on the same key →
+    AQE-coalesced), final agg is brand-sized.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    sel = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= AVG_YEARLY_SIZE_CAP)
+        .select("p_partkey", "p_brand")
+    )
+    pruned = li.join(
+        F.broadcast(sel), li.l_partkey == sel.p_partkey
+    ).select("l_partkey", "p_brand", "l_quantity", "l_extendedprice")
+    stats = pruned.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum("l_quantity").cast("long").alias("sum_q"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        pruned.join(stats, pruned.l_partkey == stats.s_partkey)
+        .filter(
+            F.lit(5) * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.col("sum_q")
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_below"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+TPCH_AVG_YEARLY_ORACLE = f"""
+    SELECT p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_below,
+           ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= {AVG_YEARLY_SIZE_CAP}
+      AND 5 * CAST(l.l_quantity AS BIGINT)
+            * (SELECT COUNT(*) FROM lineitem l2
+               WHERE l2.l_partkey = l.l_partkey)
+          < (SELECT CAST(SUM(l2.l_quantity) AS BIGINT) FROM lineitem l2
+             WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY p.p_brand
+"""
+
+
+def tpch_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution by order count,
+    INCLUDING the zero bucket (the part a naive inner-join GROUP BY
+    silently drops): left join customers to their non-urgent orders,
+    count per customer (0 when none), then histogram the counts.
+    Two-level aggregation over one outer join; the zero bucket is
+    the left join's raison d'être.
+
+    Plan shape: join shuffles on custkey; both groupBys partial-
+    aggregate (first to customer cardinality, then to the tiny
+    distinct-count histogram). At 100 TB the orders side is pruned
+    to one column + filter before the shuffle.
+    """
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey")
+    )
+    per_c = cust.join(o, cust.c_custkey == o.o_custkey, "left").groupBy(
+        "c_custkey"
+    ).agg(F.count("o_custkey").alias("c_count"))
+    return per_c.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    ).select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+
+
+TPCH_CUSTDIST_ORACLE = """
+    WITH per_c AS (
+        SELECT c.c_custkey, COUNT(o.o_custkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_c
+    GROUP BY c_count
+"""

@@ -7,7 +7,8 @@
 # exact_percentile_twopass, split_semantic_leakage,
 # consistent_shard_rebalance, ks_drift_statistic,
 # chisq_category_drift, kmv_audience_overlap,
-# sorted_neighborhood_pairs, kcenter_coreset — then novel
+# sorted_neighborhood_pairs, kcenter_coreset, kaplan_meier_churn,
+# tpch_avg_yearly, tpch_custdist — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -435,6 +436,20 @@ register(
     embeddings.kcenter_coreset,
     embeddings.KCENTER_CORESET_ORACLE,
 )
+# Kaplan-Meier survival: right-censored churn, exact integer
+# product-limit recursion (array fold == recursive CTE)
+register(
+    "kaplan_meier_churn",
+    events.kaplan_meier_churn,
+    events.KAPLAN_MEIER_CHURN_ORACLE,
+)
+# TPC-H Q17 shape: correlated scalar subquery decorrelated into a
+# pre-agg + join-back; BIGINT threshold (5*q*cnt < sum_q)
+register(
+    "tpch_avg_yearly", views.tpch_avg_yearly, views.TPCH_AVG_YEARLY_ORACLE
+)
+# TPC-H Q13 shape: count-of-counts with the zero bucket via left join
+register("tpch_custdist", views.tpch_custdist, views.TPCH_CUSTDIST_ORACLE)
 
 # ======================================================================
 # Past the driver window (entries 51+) — every entry below keeps

@@ -456,3 +456,66 @@ def test_kcenter_matches_python_greedy(spark, sf_dir):
     # covering radius is monotonically non-increasing
     radii = [r for _, _, r in got if r is not None]
     assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_kaplan_meier_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "kaplan_meier_churn", sf_dir)
+
+
+def test_kaplan_meier_matches_python_product_limit(spark, sf_dir):
+    """The integer fold must equal a Python product-limit run with
+    identical censoring, risk sets, and flooring."""
+    from collections import Counter
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.events import (
+        kaplan_meier_churn,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    rows = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("fd"), F.max(F.to_date("ts")).alias("ld")
+    ).collect()
+    mx = max(r.ld for r in rows)
+    lifetimes = [((r.ld - r.fd).days, r.ld < mx) for r in rows]
+    deaths = Counter(t for t, ch in lifetimes if ch)
+    everyone = Counter(t for t, _ in lifetimes)
+    expected = {}
+    s = 1_000_000
+    remaining = len(lifetimes)
+    for t in sorted(everyone):
+        n = remaining
+        if deaths.get(t):
+            d = deaths[t]
+            s = s * (n - d) // n
+            expected[t] = (n, d, s)
+        remaining -= everyone[t]
+    got = {
+        r.lifetime_days: (r.at_risk, r.churned, r.survival_micro)
+        for r in kaplan_meier_churn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # survival is non-increasing in t
+    micros = [got[t][2] for t in sorted(got)]
+    assert all(a >= b for a, b in zip(micros, micros[1:]))
+
+
+def test_tpch_avg_yearly_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "tpch_avg_yearly", sf_dir)
+
+
+def test_tpch_custdist_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "tpch_custdist", sf_dir)
+
+
+def test_tpch_custdist_accounts_every_customer(spark, sf_dir):
+    """The zero bucket must exist (or every customer ordered) and the
+    histogram must sum to the customer count."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.views import (
+        tpch_custdist,
+    )
+
+    rows = tpch_custdist(spark, sf_dir).collect()
+    n_cust = load(spark, sf_dir, "customer").count()
+    assert sum(r.custdist for r in rows) == n_cust
