@@ -252,6 +252,10 @@ EXTRA = [
     "kaplan_meier_churn",
     # TPC-H Q17 decorrelation shape (pre-agg + join-back)
     "tpch_avg_yearly",
+    # per-node clustering coefficients (oriented triangle corners)
+    "clustering_coefficients",
+    # RRF fusion of the two ANN indexes (integer rank scoring)
+    "rank_fusion_rrf",
 ]
 
 ROUNDS = 3

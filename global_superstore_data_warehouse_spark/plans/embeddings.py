@@ -1850,3 +1850,105 @@ def _kcenter_oracle() -> str:
 
 
 KCENTER_CORESET_ORACLE = _kcenter_oracle()
+
+
+# --- reciprocal-rank fusion of the two ANN indexes ----------------------
+
+RRF_K = 60  # the standard Cormack et al. damping constant
+RRF_TOP = 5
+
+
+def rank_fusion_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL-RANK FUSION (Cormack, Clarke & Buettcher 2009) of
+    the LSH and IVF approximate indexes — the standard "combine two
+    retrievers without score calibration" operator (RAG hybrid
+    search fuses BM25 + dense exactly this way): each system
+    contributes 1/(k + rank) per hit, summed per (query, neighbor),
+    and the fused ranking orders by that sum. Rank-based, so the two
+    systems' incomparable cosine scales never meet.
+
+    Integer-exactness: the contribution is carried as
+    ``1e9 DIV (k + rank)`` — exact integer division, summed as
+    BIGINT; ties in the fused score break on neighbor_id. No float
+    appears anywhere in the scoring.
+
+    Plan shape: both index outputs are queries x k rows; the fusion
+    is one union + one tiny groupBy + one per-query rank window over
+    <= 2k candidates. At 100 TB the cost is the two index probes —
+    fusion itself never touches corpus-scale data.
+    """
+    contrib = F.expr(f"1000000000 div ({RRF_K} + rank)")
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        contrib.alias("score"),
+        F.lit(1).alias("in_lsh"),
+        F.lit(0).alias("in_ivf"),
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        contrib.alias("score"),
+        F.lit(0).alias("in_lsh"),
+        F.lit(1).alias("in_ivf"),
+    )
+    fused = (
+        lsh.unionByName(ivf)
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum("score").cast("bigint").alias("rrf_micro"),
+            F.max("in_lsh").cast("int").alias("in_lsh"),
+            F.max("in_ivf").cast("int").alias("in_ivf"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= RRF_TOP)
+        .select(
+            "query_id",
+            "fused_rank",
+            "neighbor_id",
+            "rrf_micro",
+            "in_lsh",
+            "in_ivf",
+        )
+    )
+
+
+RANK_FUSION_RRF_ORACLE = f"""
+    WITH lsh AS (
+        SELECT query_id, neighbor_id, rank FROM ({ANN_LSH_TOPK_ORACLE})
+    ), ivf AS (
+        SELECT query_id, neighbor_id, rank FROM ({ANN_IVF_TOPK_ORACLE})
+    ), contrib AS (
+        SELECT query_id, neighbor_id,
+               1000000000 // ({RRF_K} + rank) AS score,
+               1 AS in_lsh, 0 AS in_ivf
+        FROM lsh
+        UNION ALL
+        SELECT query_id, neighbor_id,
+               1000000000 // ({RRF_K} + rank) AS score,
+               0 AS in_lsh, 1 AS in_ivf
+        FROM ivf
+    ), fused AS (
+        SELECT query_id, neighbor_id,
+               CAST(SUM(score) AS BIGINT) AS rrf_micro,
+               CAST(MAX(in_lsh) AS INTEGER) AS in_lsh,
+               CAST(MAX(in_ivf) AS INTEGER) AS in_ivf
+        FROM contrib
+        GROUP BY query_id, neighbor_id
+    )
+    SELECT query_id, fused_rank, neighbor_id, rrf_micro, in_lsh, in_ivf
+    FROM (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY rrf_micro DESC, neighbor_id ASC
+               ) AS INTEGER) AS fused_rank
+        FROM fused
+    )
+    WHERE fused_rank <= {RRF_TOP}
+"""

@@ -152,31 +152,15 @@ PART_PAGERANK_ORACLE = _pagerank_oracle()
 # --- triangle counting (degree-ordered orientation) -------------------
 
 
-def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle census of the part co-purchase graph: node and
-    edge counts, wedge count, triangle count, and the global
-    clustering coefficient 3T / wedges — the one-row graph-shape
-    fingerprint (how cliquish is co-purchasing).
-
-    Scale shape — the degree-ordered orientation classic (the
-    MapReduce triangle-counting standard): orient every undirected
-    edge from its lower (degree, id) endpoint to the higher, making
-    the graph a DAG whose max out-degree is O(sqrt(m)); wedges are
-    pairs of out-edges of a common source (bounded by sum of
-    out-degree^2, the oriented bound, NOT the raw degree^2 sum a
-    hub would explode); each triangle is counted exactly once, when
-    the wedge (v, w) closes with the oriented edge v->w. Edges are
-    checkpointed narrow longs; three hash joins total, no window,
-    no driver-side state.
-
-    The (degree, id) total order is compared LEXICOGRAPHICALLY as
-    two columns (identically in the DuckDB oracle) — never encoded
-    into one arithmetic key, which would silently stop being a total
-    order once node ids outgrow the base. The degree keying table is
-    node-sized and rides a size-gated broadcast (maybe_broadcast):
-    at billions of nodes the hint drops itself and the same plan
-    runs as shuffle joins.
-    """
+def _oriented_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared degree-ordered orientation of the part co-purchase
+    graph: returns (deg, eo) — the per-node degree table and the
+    oriented edge list (src -> dst in the lexicographic (deg, id)
+    total order, with deg_dst carried for wedge ordering). Both
+    checkpointed. Used by the global triangle census and the
+    per-node clustering-coefficient plan."""
     li = load(spark, sf_dir, "lineitem")
     basket = li.select("l_orderkey", "l_partkey").distinct()
     a, b = basket.alias("a"), basket.alias("b")
@@ -215,7 +199,35 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
     ).localCheckpoint(eager=True)
+    return deg, eo
 
+
+def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle census of the part co-purchase graph: node and
+    edge counts, wedge count, triangle count, and the global
+    clustering coefficient 3T / wedges — the one-row graph-shape
+    fingerprint (how cliquish is co-purchasing).
+
+    Scale shape — the degree-ordered orientation classic (the
+    MapReduce triangle-counting standard): orient every undirected
+    edge from its lower (degree, id) endpoint to the higher, making
+    the graph a DAG whose max out-degree is O(sqrt(m)); wedges are
+    pairs of out-edges of a common source (bounded by sum of
+    out-degree^2, the oriented bound, NOT the raw degree^2 sum a
+    hub would explode); each triangle is counted exactly once, when
+    the wedge (v, w) closes with the oriented edge v->w. Edges are
+    checkpointed narrow longs; three hash joins total, no window,
+    no driver-side state.
+
+    The (degree, id) total order is compared LEXICOGRAPHICALLY as
+    two columns (identically in the DuckDB oracle) — never encoded
+    into one arithmetic key, which would silently stop being a total
+    order once node ids outgrow the base. The degree keying table is
+    node-sized and rides a size-gated broadcast (maybe_broadcast):
+    at billions of nodes the hint drops itself and the same plan
+    runs as shuffle joins.
+    """
+    deg, eo = _oriented_copurchase(spark, sf_dir)
     w1, w2 = eo.alias("w1"), eo.alias("w2")
     # each unordered out-edge pair once: strict (deg, id) order on dst
     wedges = w1.join(
@@ -392,3 +404,116 @@ def _bfs_oracle() -> str:
 
 
 COPURCHASE_BFS_LAYERS_ORACLE = _bfs_oracle()
+
+
+# --- per-node local clustering coefficients -----------------------------
+
+
+def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-NODE local clustering coefficients of the part co-purchase
+    graph — the node-level drill-down of ``copurchase_triangles``'
+    one-row global census: for every part with degree >= 2,
+    lcc(v) = triangles_through_v / (deg_v choose 2), the "how
+    clique-like is this node's neighborhood" feature used in fraud
+    scoring, community seeding, and graph-feature engineering.
+
+    Triangle attribution rides the SAME degree-ordered orientation
+    (shared ``_oriented_copurchase`` helper): each triangle closes
+    exactly once as (wedge source s, endpoints x, y), and crediting
+    all THREE corners of each closed wedge gives every node its
+    exact triangle count — no per-node neighborhood intersection,
+    no re-enumeration. Zero-triangle nodes surface via a left join
+    (lcc = 0), not a filter drop.
+
+    Scale shape: identical join structure to the census (three hash
+    joins bounded by the oriented out-degree O(sqrt(m))), plus one
+    explode(3) on the TRIANGLE frame (triangles, not edges) and a
+    node-sized groupBy + join. Exactness: lcc = 2T/(d*(d-1)) with
+    integer T and d — both engines divide the same small integers.
+    """
+    deg, eo = _oriented_copurchase(spark, sf_dir)
+    w1, w2 = eo.alias("w1"), eo.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (
+            (F.col("w1.deg_dst") < F.col("w2.deg_dst"))
+            | (
+                (F.col("w1.deg_dst") == F.col("w2.deg_dst"))
+                & (F.col("w1.dst") < F.col("w2.dst"))
+            )
+        ),
+    ).select(
+        F.col("w1.src").alias("s"),
+        F.col("w1.dst").alias("x"),
+        F.col("w2.dst").alias("y"),
+    )
+    closing = eo.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    tri_corners = (
+        wedges.join(closing, ["x", "y"])
+        .select(F.explode(F.array("s", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri_corners, "node", "left")
+        .select(
+            F.col("node").alias("part"),
+            F.col("deg").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                6,
+            ).alias("lcc"),
+        )
+    )
+
+
+CLUSTERING_COEFFICIENTS_ORACLE = """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY node
+    ), keyed AS (
+        SELECT e.u, e.v, du.deg AS deg_u, dv.deg AS deg_v
+        FROM und e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ), eo AS (
+        SELECT CASE WHEN (deg_u, u) < (deg_v, v) THEN u ELSE v END AS src,
+               CASE WHEN (deg_u, u) < (deg_v, v) THEN v ELSE u END AS dst,
+               CASE WHEN (deg_u, u) < (deg_v, v) THEN deg_v ELSE deg_u END
+                   AS deg_dst
+        FROM keyed
+    ), tri AS (
+        SELECT w1.src AS s, w1.dst AS x, w2.dst AS y
+        FROM eo w1
+        JOIN eo w2 ON w1.src = w2.src
+                  AND (w1.deg_dst, w1.dst) < (w2.deg_dst, w2.dst)
+        JOIN eo c ON c.src = w1.dst AND c.dst = w2.dst
+    ), corners AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT s AS node FROM tri
+            UNION ALL SELECT x FROM tri
+            UNION ALL SELECT y FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS part,
+           CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_triangles,
+           ROUND(2.0 * COALESCE(c.n_tri, 0) / (d.deg * (d.deg - 1)), 6)
+               AS lcc
+    FROM deg d LEFT JOIN corners c ON c.node = d.node
+    WHERE d.deg >= 2
+"""

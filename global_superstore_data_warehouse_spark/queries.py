@@ -8,7 +8,8 @@
 # consistent_shard_rebalance, ks_drift_statistic,
 # chisq_category_drift, kmv_audience_overlap,
 # sorted_neighborhood_pairs, kcenter_coreset, kaplan_meier_churn,
-# tpch_avg_yearly, tpch_custdist — then novel
+# tpch_avg_yearly, tpch_custdist, clustering_coefficients,
+# rank_fusion_rrf — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -450,6 +451,20 @@ register(
 )
 # TPC-H Q13 shape: count-of-counts with the zero bucket via left join
 register("tpch_custdist", views.tpch_custdist, views.TPCH_CUSTDIST_ORACLE)
+# per-node local clustering coefficients: triangle corners credited
+# once via the shared degree-ordered orientation
+register(
+    "clustering_coefficients",
+    linkrank.clustering_coefficients,
+    linkrank.CLUSTERING_COEFFICIENTS_ORACLE,
+)
+# reciprocal-rank fusion of LSH+IVF: calibration-free hybrid
+# retrieval, integer 1e9 DIV (k+rank) scoring
+register(
+    "rank_fusion_rrf",
+    embeddings.rank_fusion_rrf,
+    embeddings.RANK_FUSION_RRF_ORACLE,
+)
 
 # ======================================================================
 # Past the driver window (entries 51+) — every entry below keeps

@@ -519,3 +519,55 @@ def test_tpch_custdist_accounts_every_customer(spark, sf_dir):
     rows = tpch_custdist(spark, sf_dir).collect()
     n_cust = load(spark, sf_dir, "customer").count()
     assert sum(r.custdist for r in rows) == n_cust
+
+
+def test_clustering_coefficients_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "clustering_coefficients", sf_dir)
+
+
+def test_clustering_coefficients_consistent_with_census(spark, sf_dir):
+    """Per-node triangle corners must sum to 3x the global census
+    count, and every lcc must lie in [0, 1]."""
+    from global_superstore_data_warehouse_spark.plans.linkrank import (
+        clustering_coefficients,
+        copurchase_triangles,
+    )
+
+    census = copurchase_triangles(spark, sf_dir).first()
+    rows = clustering_coefficients(spark, sf_dir).collect()
+    assert sum(r.n_triangles for r in rows) == 3 * census.n_triangles
+    assert all(0.0 <= r.lcc <= 1.0 for r in rows)
+
+
+def test_rank_fusion_rrf_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "rank_fusion_rrf", sf_dir)
+
+
+def test_rank_fusion_rrf_properties(spark, sf_dir):
+    """Both-system hits must outrank single-system hits of equal
+    per-system rank, and fused scores must equal the integer sum of
+    1e9 // (k + rank) contributions recomputed from the indexes."""
+    from collections import defaultdict
+
+    from global_superstore_data_warehouse_spark.plans.embeddings import (
+        RRF_K,
+        ann_ivf_topk,
+        ann_lsh_topk,
+        rank_fusion_rrf,
+    )
+
+    contribs = defaultdict(int)
+    systems = defaultdict(set)
+    for name, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        for r in fn(spark, sf_dir).select(
+            "query_id", "neighbor_id", "rank"
+        ).collect():
+            contribs[(r.query_id, r.neighbor_id)] += 1_000_000_000 // (
+                RRF_K + r.rank
+            )
+            systems[(r.query_id, r.neighbor_id)].add(name)
+    for r in rank_fusion_rrf(spark, sf_dir).collect():
+        key = (r.query_id, r.neighbor_id)
+        assert r.rrf_micro == contribs[key]
+        assert r.in_lsh == int("lsh" in systems[key])
+        assert r.in_ivf == int("ivf" in systems[key])
