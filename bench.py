@@ -256,6 +256,10 @@ EXTRA = [
     "clustering_coefficients",
     # RRF fusion of the two ANN indexes (integer rank scoring)
     "rank_fusion_rrf",
+    # Shapley channel attribution (one scan + constant-size algebra)
+    "shapley_channel_attribution",
+    # price/volume/mix bridge (one fact shuffle + tiny projection)
+    "price_volume_mix",
 ]
 
 ROUNDS = 3

@@ -471,3 +471,117 @@ TPCH_CUSTDIST_ORACLE = """
     FROM per_c
     GROUP BY c_count
 """
+
+
+# --- price/volume/mix revenue bridge ------------------------------------
+
+PVM_YEAR_A = 1995
+PVM_YEAR_B = 1996
+
+
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRICE/VOLUME/MIX revenue-bridge decomposition between two
+    adjacent years, per market segment — the standard FP&A "why did
+    revenue move" waterfall: with g = total-volume growth
+    (Q_b / Q_a over ALL segments),
+
+      volume effect  = rev_a * (g - 1)           (rode overall growth)
+      mix effect     = price_a * (qty_b - qty_a * g)  (share shift)
+      price effect   = (price_b - price_a) * qty_b    (rate change)
+
+    and the three effects sum EXACTLY to rev_b - rev_a per segment
+    (algebraic identity, pinned in pytest before output rounding).
+
+    Determinism: per-segment revenues enter the bridge ALREADY
+    rounded to cents (the repo's money contract, identical in both
+    engines), quantities are exact integer sums, and every effect is
+    a scalar double expression over those identical inputs — IEEE
+    arithmetic is correctly rounded, so both engines produce the
+    same doubles; outputs round once at 4 dp.
+
+    Plan shape: one lineitem ⋈ orders shuffle + broadcast segment
+    lookup → a segments x 2 aggregate; the bridge itself is a
+    segment-count-sized projection against a broadcast 1-row total.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("y")
+    )
+    seg = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(seg), orders.o_custkey == seg.c_custkey)
+        .filter(F.col("y").isin(PVM_YEAR_A, PVM_YEAR_B))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("y") == PVM_YEAR_A, SALES())), 2
+            ).alias("rev_a"),
+            F.round(
+                F.sum(F.when(F.col("y") == PVM_YEAR_B, SALES())), 2
+            ).alias("rev_b"),
+            F.sum(
+                F.when(F.col("y") == PVM_YEAR_A, F.col("l_quantity"))
+            ).cast("long").alias("qty_a"),
+            F.sum(
+                F.when(F.col("y") == PVM_YEAR_B, F.col("l_quantity"))
+            ).cast("long").alias("qty_b"),
+        )
+    )
+    totals = base.agg(
+        F.sum("qty_a").alias("tq_a"), F.sum("qty_b").alias("tq_b")
+    )
+    g = F.col("tq_b") / F.col("tq_a")
+    price_a = F.col("rev_a") / F.col("qty_a")
+    price_b = F.col("rev_b") / F.col("qty_b")
+    return (
+        base.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "rev_a",
+            "rev_b",
+            "qty_a",
+            "qty_b",
+            F.round(F.col("rev_a") * (g - 1), 4).alias("volume_effect"),
+            F.round(
+                price_a * (F.col("qty_b") - F.col("qty_a") * g), 4
+            ).alias("mix_effect"),
+            F.round((price_b - price_a) * F.col("qty_b"), 4).alias(
+                "price_effect"
+            ),
+            F.round(F.col("rev_b") - F.col("rev_a"), 2).alias("delta_rev"),
+        )
+    )
+
+
+PRICE_VOLUME_MIX_ORACLE = f"""
+    WITH base AS (
+        SELECT c.c_mktsegment,
+               ROUND(SUM(CASE WHEN year(o.o_orderdate) = {PVM_YEAR_A}
+                         THEN {SALES_SQL} END), 2) AS rev_a,
+               ROUND(SUM(CASE WHEN year(o.o_orderdate) = {PVM_YEAR_B}
+                         THEN {SALES_SQL} END), 2) AS rev_b,
+               CAST(SUM(CASE WHEN year(o.o_orderdate) = {PVM_YEAR_A}
+                        THEN l_quantity END) AS BIGINT) AS qty_a,
+               CAST(SUM(CASE WHEN year(o.o_orderdate) = {PVM_YEAR_B}
+                        THEN l_quantity END) AS BIGINT) AS qty_b
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE year(o.o_orderdate) IN ({PVM_YEAR_A}, {PVM_YEAR_B})
+        GROUP BY c.c_mktsegment
+    ), totals AS (
+        SELECT SUM(qty_a) AS tq_a, SUM(qty_b) AS tq_b FROM base
+    )
+    SELECT b.c_mktsegment AS segment,
+           b.rev_a, b.rev_b, b.qty_a, b.qty_b,
+           ROUND(b.rev_a * (t.tq_b * 1.0 / t.tq_a - 1), 4)
+               AS volume_effect,
+           ROUND((b.rev_a / b.qty_a)
+                 * (b.qty_b - b.qty_a * (t.tq_b * 1.0 / t.tq_a)), 4)
+               AS mix_effect,
+           ROUND((b.rev_b / b.qty_b - b.rev_a / b.qty_a) * b.qty_b, 4)
+               AS price_effect,
+           ROUND(b.rev_b - b.rev_a, 2) AS delta_rev
+    FROM base b CROSS JOIN totals t
+"""

@@ -9,7 +9,8 @@
 # chisq_category_drift, kmv_audience_overlap,
 # sorted_neighborhood_pairs, kcenter_coreset, kaplan_meier_churn,
 # tpch_avg_yearly, tpch_custdist, clustering_coefficients,
-# rank_fusion_rrf — then novel
+# rank_fusion_rrf, shapley_channel_attribution, price_volume_mix —
+# then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -464,6 +465,18 @@ register(
     "rank_fusion_rrf",
     embeddings.rank_fusion_rrf,
     embeddings.RANK_FUSION_RRF_ORACLE,
+)
+# Shapley channel attribution: exact sixth-weights x nano-unit
+# coalition conversion rates, one corpus scan
+register(
+    "shapley_channel_attribution",
+    curation.shapley_channel_attribution,
+    curation.SHAPLEY_CHANNEL_ATTRIBUTION_ORACLE,
+)
+# price/volume/mix revenue bridge: the FP&A waterfall, effects sum
+# exactly to the revenue delta per segment
+register(
+    "price_volume_mix", views.price_volume_mix, views.PRICE_VOLUME_MIX_ORACLE
 )
 
 # ======================================================================

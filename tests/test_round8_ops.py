@@ -571,3 +571,71 @@ def test_rank_fusion_rrf_properties(spark, sf_dir):
         assert r.rrf_micro == contribs[key]
         assert r.in_lsh == int("lsh" in systems[key])
         assert r.in_ivf == int("ivf" in systems[key])
+
+
+def test_shapley_attribution_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "shapley_channel_attribution", sf_dir)
+
+
+def test_shapley_matches_python_exact_computation(spark, sf_dir):
+    """phi must equal a from-scratch Python Shapley over the same
+    empirical coalition rates, with identical flooring."""
+    from collections import defaultdict
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.curation import (
+        SHAPLEY_CHANNELS,
+        shapley_channel_attribution,
+    )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    per_user = defaultdict(lambda: [0, 0, 0, 0])
+    for r in ev.select("user_id", "event_type").collect():
+        u = per_user[r.user_id]
+        if r.event_type in SHAPLEY_CHANNELS:
+            u[SHAPLEY_CHANNELS.index(r.event_type)] = 1
+        elif r.event_type == "purchase":
+            u[3] = 1
+    e = defaultdict(int)
+    p = defaultdict(int)
+    for c, v, s, conv in per_user.values():
+        m = c * 1 + v * 2 + s * 4
+        e[m] += 1
+        p[m] += conv
+    r_nano = {
+        m: (1_000_000_000 * p[m]) // e[m] if e[m] else 0 for m in range(8)
+    }
+    w6 = {0: 2, 1: 1, 2: 2}
+    expected = {}
+    for b, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << b
+        num = sum(
+            w6[bin(s).count("1")] * (r_nano[s | bit] - r_nano[s])
+            for s in range(8)
+            if not s & bit
+        )
+        expected[ch] = num
+    got = {
+        r.channel: r.phi_num
+        for r in shapley_channel_attribution(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_price_volume_mix_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "price_volume_mix", sf_dir)
+
+
+def test_pvm_effects_bridge_the_revenue_delta(spark, sf_dir):
+    """volume + mix + price must reconstruct rev_b - rev_a per
+    segment (identity holds pre-rounding; allow the output rounding
+    slack of 3 * 5e-5 + 5e-3)."""
+    from global_superstore_data_warehouse_spark.plans.views import (
+        price_volume_mix,
+    )
+
+    rows = price_volume_mix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        bridge = r.volume_effect + r.mix_effect + r.price_effect
+        assert abs(bridge - r.delta_rev) < 6e-3, r
