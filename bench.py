@@ -260,6 +260,10 @@ EXTRA = [
     "shapley_channel_attribution",
     # price/volume/mix bridge (one fact shuffle + tiny projection)
     "price_volume_mix",
+    # quantile normalization (two ranks + one equi-join)
+    "quantile_normalization",
+    # LOO target encoding (one scan + broadcast group stats)
+    "target_encoding_loo",
 ]
 
 ROUNDS = 3

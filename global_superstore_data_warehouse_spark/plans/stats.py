@@ -920,3 +920,184 @@ EXACT_PERCENTILE_TWOPASS_ORACLE = f"""
            r.v AS value
     FROM targets t JOIN ranked r ON r.r = t.k
 """
+
+
+# --- quantile normalization (rank matching to the pooled reference) ----
+
+
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION of each source's document-length
+    distribution onto the pooled corpus distribution — the
+    rank-matching transform (microarray-normalization classic, and
+    the score-calibration trick for making per-source quality
+    scores comparable before a global threshold): a doc at
+    within-source rank r of n_s maps to the pooled value at rank
+    ceil(r * N / n_s). After the transform every source has (up to
+    rank granularity) the SAME marginal distribution, so one global
+    cutoff treats sources fairly even when one source's scorer runs
+    hot.
+
+    Exactness: both ranks are integers, the target rank is the
+    integer ceil idiom (r*N + n_s - 1) DIV n_s — no float quantile
+    interpolation anywhere; ties order by (value, doc_id), a total
+    order both engines share.
+
+    Scale shape: the per-source rank is a window partitioned by
+    source (bounded partitions); the POOLED rank reuses
+    ``add_surrogate_key_auto`` — a global window at test scale, the
+    range-partition + offset path past 5M rows, so no single-reducer
+    sort at 100 TB; the final step is one equi-join on the target
+    rank.
+    """
+    from global_superstore_data_warehouse_spark.operators.keys import (
+        add_surrogate_key_auto,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w_r = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    w_n = Window.partitionBy("source")
+    s = d.withColumn("src_rank", F.row_number().over(w_r)).withColumn(
+        "n_s", F.count(F.lit(1)).over(w_n)
+    )
+    g = add_surrogate_key_auto(d, ["n_chars", "doc_id"], name="k").select(
+        F.col("k"), F.col("n_chars").alias("norm_chars")
+    )
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    with_target = s.crossJoin(F.broadcast(tot)).withColumn(
+        "target_rank",
+        F.expr("(src_rank * n + n_s - 1) div n_s").cast("long"),
+    )
+    return (
+        with_target.join(g, with_target.target_rank == g.k)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("src_rank").cast("bigint").alias("src_rank"),
+            "target_rank",
+            "norm_chars",
+        )
+    )
+
+
+QUANTILE_NORMALIZATION_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, source, n_chars FROM documents
+    ), s AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS src_rank,
+               COUNT(*) OVER (PARTITION BY source) AS n_s
+        FROM d
+    ), g AS (
+        SELECT n_chars AS norm_chars,
+               ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS k
+        FROM d
+    ), tot AS (
+        SELECT COUNT(*) AS n FROM d
+    )
+    SELECT s.doc_id, s.source, s.n_chars,
+           CAST(s.src_rank AS BIGINT) AS src_rank,
+           CAST((s.src_rank * t.n + s.n_s - 1) // s.n_s AS BIGINT)
+               AS target_rank,
+           g.norm_chars
+    FROM s CROSS JOIN tot t
+    JOIN g ON g.k = (s.src_rank * t.n + s.n_s - 1) // s.n_s
+"""
+
+
+# --- leave-one-out target encoding (leakage-safe, smoothed) ------------
+
+TE_SMOOTHING = 10  # pseudo-observations pulled toward the global prior
+
+
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding of the customer market segment
+    against the label "customer has placed an urgent-priority
+    order" — the categorical-feature encoder done the leakage-safe
+    way: each row's own label is SUBTRACTED from its group sum
+    before the rate is formed (plain mean encoding leaks the label
+    into the feature and inflates validation scores), and the rate
+    is smoothed toward the global prior with {TE_SMOOTHING}
+    pseudo-observations (Micci-Barreca 2001).
+
+    Exactness: enc_i = (sum_g - y_i + m * prior) / (n_g - 1 + m)
+    with prior = p/n is computed as ONE integer ratio by multiplying
+    through by n — ((sum_g - y_i)*n + m*p) over ((n_g - 1 + m)*n) —
+    floored to 1e6 micro-units via the same integer idiom both
+    engines share. No float division until the display column.
+
+    Plan shape: label build is one orders groupBy(custkey); the
+    group stats are a segment-sized aggregate broadcast back; the
+    global (p, n) is a broadcast 1-row frame. One fact scan, one
+    dimension join, zero windows.
+    """
+    labels = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max(
+                (F.col("o_orderpriority") == "1-URGENT").cast("long")
+            ).alias("y")
+        )
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = cust.join(
+        labels, cust.c_custkey == labels.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("y", F.lit(0)).alias("y"),
+    )
+    grp = rows.groupBy("c_mktsegment").agg(
+        F.sum("y").alias("sum_g"), F.count(F.lit(1)).alias("n_g")
+    )
+    tot = rows.agg(F.sum("y").alias("p"), F.count(F.lit(1)).alias("n"))
+    # magnitude note: 1e6 * sum_g * n tops out ~2e18 at sf10 — inside
+    # BIGINT; past that, swap n for a 1e6-floored prior (documented,
+    # same idiom) rather than widening to DECIMAL
+    m = TE_SMOOTHING
+    enc_micro = F.expr(
+        f"1000000 * ((sum_g - y) * n + {m} * p) "
+        f"div ((n_g - 1 + {m}) * n)"
+    )
+    return (
+        rows.join(F.broadcast(grp), "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_custkey",
+            F.col("c_mktsegment").alias("segment"),
+            F.col("y").cast("int").alias("y"),
+            enc_micro.cast("bigint").alias("enc_micro"),
+        )
+        .withColumn("enc", F.round(F.col("enc_micro") / 1e6, 6))
+    )
+
+
+TARGET_ENCODING_LOO_ORACLE = f"""
+    WITH labels AS (
+        SELECT o_custkey,
+               MAX(CASE WHEN o_orderpriority = '1-URGENT'
+                   THEN 1 ELSE 0 END) AS y
+        FROM orders GROUP BY o_custkey
+    ), rows_ AS (
+        SELECT c.c_custkey, c.c_mktsegment, COALESCE(l.y, 0) AS y
+        FROM customer c LEFT JOIN labels l ON l.o_custkey = c.c_custkey
+    ), grp AS (
+        SELECT c_mktsegment, SUM(y) AS sum_g, COUNT(*) AS n_g
+        FROM rows_ GROUP BY c_mktsegment
+    ), tot AS (
+        SELECT SUM(y) AS p, COUNT(*) AS n FROM rows_
+    )
+    SELECT r.c_custkey,
+           r.c_mktsegment AS segment,
+           CAST(r.y AS INTEGER) AS y,
+           CAST(1000000 * ((g.sum_g - r.y) * t.n + {TE_SMOOTHING} * t.p)
+                // ((g.n_g - 1 + {TE_SMOOTHING}) * t.n) AS BIGINT)
+               AS enc_micro,
+           ROUND((1000000 * ((g.sum_g - r.y) * t.n + {TE_SMOOTHING} * t.p)
+                // ((g.n_g - 1 + {TE_SMOOTHING}) * t.n)) / 1e6, 6) AS enc
+    FROM rows_ r
+    JOIN grp g ON g.c_mktsegment = r.c_mktsegment
+    CROSS JOIN tot t
+"""

@@ -9,8 +9,8 @@
 # chisq_category_drift, kmv_audience_overlap,
 # sorted_neighborhood_pairs, kcenter_coreset, kaplan_meier_churn,
 # tpch_avg_yearly, tpch_custdist, clustering_coefficients,
-# rank_fusion_rrf, shapley_channel_attribution, price_volume_mix —
-# then novel
+# rank_fusion_rrf, shapley_channel_attribution, price_volume_mix,
+# quantile_normalization, target_encoding_loo — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -477,6 +477,20 @@ register(
 # exactly to the revenue delta per segment
 register(
     "price_volume_mix", views.price_volume_mix, views.PRICE_VOLUME_MIX_ORACLE
+)
+# quantile normalization: integer rank-matching onto the pooled
+# distribution, no float quantile interpolation
+register(
+    "quantile_normalization",
+    stats.quantile_normalization,
+    stats.QUANTILE_NORMALIZATION_ORACLE,
+)
+# leakage-safe LOO target encoding: one integer ratio per row,
+# smoothed toward the global prior
+register(
+    "target_encoding_loo",
+    stats.target_encoding_loo,
+    stats.TARGET_ENCODING_LOO_ORACLE,
 )
 
 # ======================================================================

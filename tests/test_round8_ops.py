@@ -639,3 +639,67 @@ def test_pvm_effects_bridge_the_revenue_delta(spark, sf_dir):
     for r in rows:
         bridge = r.volume_effect + r.mix_effect + r.price_effect
         assert abs(bridge - r.delta_rev) < 6e-3, r
+
+
+def test_quantile_normalization_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "quantile_normalization", sf_dir)
+
+
+def test_quantile_normalization_equalizes_marginals(spark, sf_dir):
+    """Post-transform, every source's top rank must map to the
+    pooled maximum, and each source's normalized multiset must be a
+    subset of the pooled value multiset with monotone mapping."""
+    from collections import defaultdict
+
+    from global_superstore_data_warehouse_spark.plans.stats import (
+        quantile_normalization,
+    )
+
+    rows = quantile_normalization(spark, sf_dir).collect()
+    pooled_max = max(r.norm_chars for r in rows)
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r.source].append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.src_rank)
+        assert rs[-1].norm_chars == pooled_max  # rank n_s -> rank N
+        norm = [r.norm_chars for r in rs]
+        assert norm == sorted(norm)  # monotone in source rank
+
+
+def test_target_encoding_loo_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "target_encoding_loo", sf_dir)
+
+
+def test_target_encoding_loo_is_leakage_safe(spark, sf_dir):
+    """Two rows of the same segment with different labels must get
+    DIFFERENT encodings (the own-label subtraction is visible), and
+    each encoding must equal the exact Python rational."""
+    from collections import defaultdict
+
+    from global_superstore_data_warehouse_spark.plans.stats import (
+        TE_SMOOTHING,
+        target_encoding_loo,
+    )
+
+    rows = target_encoding_loo(spark, sf_dir).collect()
+    n = len(rows)
+    p = sum(r.y for r in rows)
+    grp = defaultdict(lambda: [0, 0])
+    for r in rows:
+        grp[r.segment][0] += r.y
+        grp[r.segment][1] += 1
+    m = TE_SMOOTHING
+    for r in rows:
+        sum_g, n_g = grp[r.segment]
+        exact = (1_000_000 * ((sum_g - r.y) * n + m * p)) // (
+            (n_g - 1 + m) * n
+        )
+        assert r.enc_micro == exact
+    # leakage-safety: per segment with mixed labels, y=1 rows encode
+    # strictly lower than y=0 rows (their own positive is removed)
+    for seg, (sum_g, n_g) in grp.items():
+        if 0 < sum_g < n_g:
+            enc1 = {r.enc_micro for r in rows if r.segment == seg and r.y == 1}
+            enc0 = {r.enc_micro for r in rows if r.segment == seg and r.y == 0}
+            assert max(enc1) < min(enc0)
