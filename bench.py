@@ -264,6 +264,8 @@ EXTRA = [
     "quantile_normalization",
     # LOO target encoding (one scan + broadcast group stats)
     "target_encoding_loo",
+    # Poisson bootstrap CI (explode(B) scan + B-row rank)
+    "bootstrap_revenue_ci",
 ]
 
 ROUNDS = 3

@@ -1101,3 +1101,155 @@ TARGET_ENCODING_LOO_ORACLE = f"""
     JOIN grp g ON g.c_mktsegment = r.c_mktsegment
     CROSS JOIN tot t
 """
+
+
+# --- deterministic Poisson bootstrap confidence interval ----------------
+
+BOOT_B = 200  # resamples
+# FROZEN Poisson(1) CDF thresholds in 48-bit hash units:
+# floor(P(X<=k) * 2^48) for k = 0..5 (weights cap at 6; the tail
+# probability beyond 6 is 6e-6 * 2^-48-quantized — identical
+# literals in plan and oracle, so both engines draw the same w)
+BOOT_POISSON_T48 = [
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+]
+
+
+def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval for the mean order total via
+    the POISSON BOOTSTRAP (Chamandy et al., the single-pass resampling
+    scheme built for distributed data: instead of drawing n rows with
+    replacement per resample — impossible without global coordination
+    — each row independently contributes Poisson(1) copies to each
+    resample; resample sizes concentrate tightly around n). B={B}
+    resamples in ONE scan: every order explodes into (resample,
+    weight) pairs with the weight drawn DETERMINISTICALLY — the
+    md5(order, b) 48-bit integer is cut by the frozen Poisson(1) CDF
+    thresholds above, pure integer comparisons, so the "randomness"
+    is engine-exact and the driver can hash-check a bootstrap.
+
+    Exactness: order totals enter as integer cents; each resample
+    mean is the integer ratio (1000 * sum_wx) DIV sum_w
+    (milli-cents — magnitudes <= 1e16 at sf1, inside BIGINT); the CI
+    endpoints are order statistics (ranks ceil(.025B), ceil(.975B))
+    of those B integers — no float enters until the display columns.
+
+    Plan shape: scan -> explode(B) -> groupBy(resample) partial-
+    aggregated to B rows -> one B-row rank window. The explode
+    multiplies the scan by B; production would bootstrap a measure
+    column slice (two narrow columns), which is exactly what this
+    plan reads.
+    """
+    b_col = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    o = load(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.col("o_orderkey"),
+    )
+    u48 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit("boot|"),
+                    F.col("o_orderkey").cast("string"),
+                    F.lit("|"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ths = F.array(*[F.lit(t).cast("long") for t in BOOT_POISSON_T48])
+    w = F.size(F.filter(ths, lambda t: F.col("u48") >= t))
+    res = (
+        o.select("cents", "o_orderkey", b_col)
+        .withColumn("u48", u48)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w").cast("long") * F.col("cents")).alias("sum_wx"),
+            F.sum("w").cast("long").alias("sum_w"),
+        )
+        .select(
+            "b", F.expr("1000 * sum_wx div sum_w").alias("mean_mc")
+        )
+    )
+    ranked = res.withColumn(
+        "r", F.row_number().over(Window.orderBy("mean_mc", "b"))
+    )
+    lo_r = -(-25 * BOOT_B // 1000)  # ceil(0.025 * B)
+    hi_r = -(-975 * BOOT_B // 1000)  # ceil(0.975 * B)
+    point = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.expr("1000 * sum(cents) div count(1)").alias("point_mc"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == lo_r, F.col("mean_mc"))).alias("lo_mc"),
+        F.max(F.when(F.col("r") == hi_r, F.col("mean_mc"))).alias("hi_mc"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_orders",
+        F.round(F.col("point_mc") / 1e5, 6).alias("mean_total"),
+        F.round(F.col("lo_mc") / 1e5, 6).alias("ci_lo"),
+        F.round(F.col("hi_mc") / 1e5, 6).alias("ci_hi"),
+        F.col("point_mc").cast("bigint").alias("point_mc"),
+        F.col("lo_mc").cast("bigint").alias("lo_mc"),
+        F.col("hi_mc").cast("bigint").alias("hi_mc"),
+    )
+
+
+bootstrap_revenue_ci.__doc__ = bootstrap_revenue_ci.__doc__.format(B=BOOT_B)
+
+_BOOT_W_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN u48 >= {t} THEN 1 ELSE 0 END" for t in BOOT_POISSON_T48
+    )
+    + ")"
+)
+
+BOOTSTRAP_REVENUE_CI_ORACLE = f"""
+    WITH o AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderkey
+        FROM orders
+    ), expl AS (
+        SELECT o.cents, o.o_orderkey, r.range AS b,
+               ('0x' || substr(md5('boot|' || o.o_orderkey || '|' ||
+                   CAST(r.range AS VARCHAR)), 1, 12))::BIGINT AS u48
+        FROM o CROSS JOIN range({BOOT_B}) r
+    ), res AS (
+        SELECT b, 1000 * SUM({_BOOT_W_SQL} * cents)
+                   // SUM({_BOOT_W_SQL}) AS mean_mc
+        FROM expl GROUP BY b
+    ), ranked AS (
+        SELECT mean_mc,
+               ROW_NUMBER() OVER (ORDER BY mean_mc, b) AS r
+        FROM res
+    ), ci AS (
+        SELECT MAX(CASE WHEN r = CAST(CEIL(0.025 * {BOOT_B}) AS INTEGER)
+                   THEN mean_mc END) AS lo_mc,
+               MAX(CASE WHEN r = CAST(CEIL(0.975 * {BOOT_B}) AS INTEGER)
+                   THEN mean_mc END) AS hi_mc
+        FROM ranked
+    ), point AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+               1000 * SUM(cents) // COUNT(*) AS point_mc
+        FROM o
+    )
+    SELECT p.n_orders,
+           ROUND(p.point_mc / 1e5, 6) AS mean_total,
+           ROUND(c.lo_mc / 1e5, 6) AS ci_lo,
+           ROUND(c.hi_mc / 1e5, 6) AS ci_hi,
+           CAST(p.point_mc AS BIGINT) AS point_mc,
+           CAST(c.lo_mc AS BIGINT) AS lo_mc,
+           CAST(c.hi_mc AS BIGINT) AS hi_mc
+    FROM point p CROSS JOIN ci c
+"""

@@ -10,7 +10,8 @@
 # sorted_neighborhood_pairs, kcenter_coreset, kaplan_meier_churn,
 # tpch_avg_yearly, tpch_custdist, clustering_coefficients,
 # rank_fusion_rrf, shapley_channel_attribution, price_volume_mix,
-# quantile_normalization, target_encoding_loo — then novel
+# quantile_normalization, target_encoding_loo,
+# bootstrap_revenue_ci — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -491,6 +492,13 @@ register(
     "target_encoding_loo",
     stats.target_encoding_loo,
     stats.TARGET_ENCODING_LOO_ORACLE,
+)
+# deterministic Poisson bootstrap: hash-checkable resampling, CI
+# endpoints as order statistics of integer milli-cent means
+register(
+    "bootstrap_revenue_ci",
+    stats.bootstrap_revenue_ci,
+    stats.BOOTSTRAP_REVENUE_CI_ORACLE,
 )
 
 # ======================================================================

@@ -703,3 +703,43 @@ def test_target_encoding_loo_is_leakage_safe(spark, sf_dir):
             enc1 = {r.enc_micro for r in rows if r.segment == seg and r.y == 1}
             enc0 = {r.enc_micro for r in rows if r.segment == seg and r.y == 0}
             assert max(enc1) < min(enc0)
+
+
+def test_bootstrap_revenue_ci_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "bootstrap_revenue_ci", sf_dir)
+
+
+def test_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
+    """lo <= point <= hi, the CI has positive width, and resample 0's
+    mean recomputed in Python (same md5 draws, same flooring) lands
+    inside [lo, hi] sanity-wise."""
+    import hashlib
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.stats import (
+        BOOT_POISSON_T48,
+        bootstrap_revenue_ci,
+    )
+
+    r = bootstrap_revenue_ci(spark, sf_dir).first()
+    assert r.lo_mc <= r.point_mc <= r.hi_mc
+    assert r.lo_mc < r.hi_mc
+    # recompute resample b=0 exactly
+    rows = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    sum_wx = sum_w = 0
+    for row in rows:
+        u48 = int(
+            hashlib.md5(f"boot|{row.o_orderkey}|0".encode()).hexdigest()[:12],
+            16,
+        )
+        w = sum(1 for t in BOOT_POISSON_T48 if u48 >= t)
+        cents = round(row.o_totalprice * 100)
+        sum_wx += w * cents
+        sum_w += w
+    mean_mc = 1000 * sum_wx // sum_w
+    # a single resample mean is a draw from the bootstrap
+    # distribution — it must sit within ~the CI's own width of it
+    width = r.hi_mc - r.lo_mc
+    assert r.lo_mc - width <= mean_mc <= r.hi_mc + width
