@@ -266,6 +266,8 @@ EXTRA = [
     "target_encoding_loo",
     # Poisson bootstrap CI (explode(B) scan + B-row rank)
     "bootstrap_revenue_ci",
+    # bounded-peel k-core (R node-set semi-join rounds)
+    "kcore_membership",
 ]
 
 ROUNDS = 3

@@ -2274,3 +2274,85 @@ KAPLAN_MEIER_CHURN_ORACLE = """
            ROUND(k.s / 1e6, 6) AS survival
     FROM deaths d JOIN km k ON k.i = d.i
 """
+
+
+# --- daily OHLC bars over purchase values -------------------------------
+
+
+def daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over purchase event values — the time-series
+    downsampling primitive (finance bars, metric rollups): per day,
+    the FIRST value (open), max (high), min (low), LAST value
+    (close), count, and the summed volume in exact cents. Open/close
+    are order statistics in EVENT order with a total (ts, event_id)
+    tie-break — ``first()``-style aggregates without the
+    nondeterminism Spark's first() has under re-partitioning.
+
+    Plan shape: two day-partitioned rank windows (bounded partitions)
+    + one groupBy(day); the windows and the aggregate share the
+    day-hash shuffle. Sum rides exact integer cents.
+    """
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            F.to_date("ts").alias("day"), "ts", "event_id", "value"
+        )
+    )
+    w_a = Window.partitionBy("day").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_d = Window.partitionBy("day").orderBy(F.desc("ts"), F.desc("event_id"))
+    flagged = ev.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return (
+        flagged.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias(
+                "open_v"
+            ),
+            F.round(F.max("value"), 4).alias("high_v"),
+            F.round(F.min("value"), 4).alias("low_v"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias(
+                "close_v"
+            ),
+            F.sum(F.round(F.col("value") * 100).cast("long"))
+            .cast("bigint")
+            .alias("volume_cents"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_trades",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "volume_cents",
+        )
+    )
+
+
+DAILY_OHLC_ORACLE = """
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, ts, event_id, value
+        FROM events
+        WHERE event_type = 'purchase' AND value IS NOT NULL
+    ), flagged AS (
+        SELECT day, value,
+               ROW_NUMBER() OVER (PARTITION BY day
+                   ORDER BY ts ASC, event_id ASC) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY day
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM ev
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_trades,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 4) AS open_v,
+           ROUND(MAX(value), 4) AS high_v,
+           ROUND(MIN(value), 4) AS low_v,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 4) AS close_v,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS volume_cents
+    FROM flagged
+    GROUP BY day
+"""

@@ -517,3 +517,95 @@ CLUSTERING_COEFFICIENTS_ORACLE = """
     FROM deg d LEFT JOIN corners c ON c.node = d.node
     WHERE d.deg >= 2
 """
+
+
+# --- k-core membership (bounded peeling) --------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{K}-CORE of the part co-purchase graph by BOUNDED PEELING:
+    {R} rounds of "drop every node whose degree within the surviving
+    subgraph is < {K}" — the classic dense-subgraph extractor
+    (community cores, spam rings, the ANN-graph degeneracy bound).
+    A FIXED round count keeps the plan a pure deterministic function
+    (same discipline as PageRank's fixed K and BFS's fixed hops) and
+    the oracle an unrolled CTE chain; convergence on THIS corpus —
+    one more peel changes nothing — is pytest-pinned, so the bounded
+    result IS the true k-core at every test SF. Output: surviving
+    parts with their within-core degree.
+
+    Scale shape: the edge list is checkpointed once; each round is
+    two node-set semi-joins (edges pruned to surviving endpoints) +
+    one groupBy(src) degree count + the >= k filter, all keyed on
+    node id — per-round cost shrinks with the surviving subgraph.
+    The active set is checkpointed per round so lineage stays flat.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    edges = _copurchase_edges(li).localCheckpoint(eager=True)
+    active = edges.select(F.col("src").alias("node")).distinct()
+    for _ in range(KCORE_ROUNDS):
+        pruned = edges.join(
+            active.select(F.col("node").alias("src")), "src", "left_semi"
+        ).join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
+        deg = pruned.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        active = (
+            deg.filter(F.col("d") >= KCORE_K)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    final = (
+        edges.join(
+            active.select(F.col("node").alias("src")), "src", "left_semi"
+        )
+        .join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_deg"))
+        .filter(F.col("core_deg") >= KCORE_K)
+    )
+    return final.select(
+        F.col("src").alias("part"),
+        F.col("core_deg").cast("bigint").alias("core_deg"),
+    )
+
+
+kcore_membership.__doc__ = kcore_membership.__doc__.format(
+    K=KCORE_K, R=KCORE_ROUNDS
+)
+
+
+def _kcore_oracle() -> str:
+    sql = """
+    WITH basket AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), a0 AS (
+        SELECT DISTINCT src AS node FROM edges
+    )"""
+    prev = "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        sql += f""", a{i} AS (
+        SELECT e.src AS node
+        FROM edges e
+        JOIN {prev} s ON s.node = e.src
+        JOIN {prev} t ON t.node = e.dst
+        GROUP BY e.src
+        HAVING COUNT(*) >= {KCORE_K}
+    )"""
+        prev = f"a{i}"
+    sql += f"""
+    SELECT e.src AS part, CAST(COUNT(*) AS BIGINT) AS core_deg
+    FROM edges e
+    JOIN {prev} s ON s.node = e.src
+    JOIN {prev} t ON t.node = e.dst
+    GROUP BY e.src
+    HAVING COUNT(*) >= {KCORE_K}"""
+    return sql
+
+
+KCORE_MEMBERSHIP_ORACLE = _kcore_oracle()

@@ -11,7 +11,7 @@
 # tpch_avg_yearly, tpch_custdist, clustering_coefficients,
 # rank_fusion_rrf, shapley_channel_attribution, price_volume_mix,
 # quantile_normalization, target_encoding_loo,
-# bootstrap_revenue_ci — then novel
+# bootstrap_revenue_ci, kcore_membership, daily_ohlc — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -500,6 +500,15 @@ register(
     stats.bootstrap_revenue_ci,
     stats.BOOTSTRAP_REVENUE_CI_ORACLE,
 )
+# bounded-peel k-core: fixed-round dense-subgraph extraction,
+# convergence pytest-pinned, unrolled-CTE oracle
+register(
+    "kcore_membership",
+    linkrank.kcore_membership,
+    linkrank.KCORE_MEMBERSHIP_ORACLE,
+)
+# daily OHLC bars: deterministic first/last via total-order ranks
+register("daily_ohlc", events.daily_ohlc, events.DAILY_OHLC_ORACLE)
 
 # ======================================================================
 # Past the driver window (entries 51+) — every entry below keeps

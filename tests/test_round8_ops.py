@@ -743,3 +743,57 @@ def test_bootstrap_ci_brackets_the_point_estimate(spark, sf_dir):
     # distribution — it must sit within ~the CI's own width of it
     width = r.hi_mc - r.lo_mc
     assert r.lo_mc - width <= mean_mc <= r.hi_mc + width
+
+
+def test_kcore_membership_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "kcore_membership", sf_dir)
+
+
+def test_kcore_bounded_peel_has_converged(spark, sf_dir):
+    """One more peel round must change nothing (the bounded result is
+    the true k-core on this corpus), and every member's within-core
+    degree must be >= k."""
+    from global_superstore_data_warehouse_spark.plans.linkrank import (
+        KCORE_K,
+        kcore_membership,
+    )
+
+    rows = kcore_membership(spark, sf_dir).collect()
+    members = {r.part for r in rows}
+    assert all(r.core_deg >= KCORE_K for r in rows)
+    # convergence: recompute degrees within the member set from the
+    # raw co-purchase pairs; no node may fall below k
+    from global_superstore_data_warehouse_spark.catalog import load
+    from collections import Counter
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = {}
+    for r in li.distinct().collect():
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    deg = Counter()
+    seen = set()
+    for parts in baskets.values():
+        ps = sorted(parts & members)
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                if (u, v) not in seen:
+                    seen.add((u, v))
+                    deg[u] += 1
+                    deg[v] += 1
+    assert members  # non-empty core at every test SF
+    assert all(deg[m] >= KCORE_K for m in members)
+    got = {r.part: r.core_deg for r in rows}
+    assert got == {m: deg[m] for m in members}
+
+
+def test_daily_ohlc_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "daily_ohlc", sf_dir)
+
+
+def test_daily_ohlc_invariants(spark, sf_dir):
+    from global_superstore_data_warehouse_spark.plans.events import daily_ohlc
+
+    for r in daily_ohlc(spark, sf_dir).collect():
+        assert r.low_v <= r.open_v <= r.high_v
+        assert r.low_v <= r.close_v <= r.high_v
+        assert r.n_trades >= 1
