@@ -268,6 +268,10 @@ EXTRA = [
     "bootstrap_revenue_ci",
     # bounded-peel k-core (R node-set semi-join rounds)
     "kcore_membership",
+    # per-segment Gini (segment-partitioned windows, one agg)
+    "revenue_gini",
+    # CUSUM changepoint (one pre-agg + day-count window + top-1)
+    "cusum_changepoint",
 ]
 
 ROUNDS = 3

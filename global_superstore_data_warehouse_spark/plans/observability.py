@@ -1579,3 +1579,86 @@ CHISQ_CATEGORY_DRIFT_ORACLE = f"""
     FROM per_cell
     GROUP BY n1, n2
 """
+
+
+# --- CUSUM changepoint over daily revenue -------------------------------
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGEPOINT detection over the daily order-revenue
+    series — the "when did the level shift" diagnostic that
+    complements the KS/chi²/PSI family's "did the distribution
+    move": the cumulative sum of deviations from the global mean
+    peaks (in absolute value) AT the changepoint (Page 1954; the
+    max-|CUSUM| estimator). One row: series length, total revenue,
+    the argmax day, the peak CUSUM value, and its share of the
+    total.
+
+    Integer-exactness: the mean is never formed — deviations are
+    cross-multiplied as n*x_t - T (all BIGINT; ~1e15 peak at
+    sf0.1), the running sum stays integer, and the argmax breaks
+    ties on the earlier day. The one division (share) happens on
+    the final row.
+
+    Plan shape: one corpus groupBy(day) pre-aggregation, a 1-row
+    broadcast total, one cumulative window over the DAY-COUNT-sized
+    series (thousands of rows — the same bounded-global-window
+    class as ks_drift_statistic, with the identical range-partition
+    swap-in documented there), one top-1.
+    """
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    tot = daily.agg(
+        F.sum("cents").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    dev = daily.crossJoin(F.broadcast(tot)).withColumn(
+        "s", F.sum(F.col("n") * F.col("cents") - F.col("t")).over(w)
+    )
+    ranked = dev.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.abs("s").desc(), F.col("day"))),
+    ).filter(F.col("r") == 1)
+    return ranked.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("t").cast("bigint").alias("total_cents"),
+        F.date_format("day", "yyyy-MM-dd").alias("changepoint_day"),
+        F.col("s").cast("bigint").alias("cusum_peak"),
+        F.round(
+            F.abs("s") / (F.col("n") * F.col("t")).cast("double"), 6
+        ).alias("peak_share"),
+    )
+
+
+CUSUM_CHANGEPOINT_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), tot AS (
+        SELECT CAST(SUM(cents) AS BIGINT) AS t,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM daily
+    ), dev AS (
+        SELECT d.day, t.n, t.t,
+               SUM(t.n * d.cents - t.t) OVER (
+                   ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS s
+        FROM daily d CROSS JOIN tot t
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY ABS(s) DESC, day ASC) AS r
+        FROM dev
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(t AS BIGINT) AS total_cents,
+           strftime(day, '%Y-%m-%d') AS changepoint_day,
+           CAST(s AS BIGINT) AS cusum_peak,
+           ROUND(ABS(s) / CAST(n * t AS DOUBLE), 6) AS peak_share
+    FROM ranked WHERE r = 1
+"""

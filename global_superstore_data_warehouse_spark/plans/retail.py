@@ -839,3 +839,114 @@ MARKET_BUDGET_ALLOCATION_ORACLE = f"""
                   THEN 1 ELSE 0 END AS alloc_cents
     FROM floored
 """
+
+
+# --- Gini coefficient of customer revenue --------------------------------
+
+
+def revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer revenue per market segment (plus
+    how many customers hold the top half of the segment's revenue) —
+    the inequality lens next to ``supplier_concentration``'s HHI:
+    HHI measures concentration among a part's FEW suppliers; Gini
+    measures it across a segment's MANY customers, the
+    "whale-dependence" number a revenue-risk review wants.
+
+    Exactness: with per-customer revenue in integer cents and rank i
+    ascending within the segment, G = (2*sum(i*x_i) - (n+1)*sum(x))
+    / (n*sum(x)) — every term BIGINT (sum(i*x) tops out ~5e17 at
+    sf0.1), ONE double division at the end, ROUND 6. top_half_n is
+    the count of suffix customers whose cumulative revenue first
+    reaches half the total — integer comparisons on 2*cum >= total.
+
+    Scale shape: one orders groupBy(custkey) + broadcast segment
+    lookup; ranks and cumulative sums are windows PARTITIONED BY
+    SEGMENT (bounded, parallel — never a global window); the final
+    aggregate is segment-sized.
+    """
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    seg = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    rows = per_cust.join(
+        F.broadcast(seg), per_cust.o_custkey == seg.c_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), "o_custkey", "cents")
+    w_rank = Window.partitionBy("segment").orderBy("cents", "o_custkey")
+    w_cum = Window.partitionBy("segment").orderBy(
+        F.desc("cents"), F.desc("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        rows.withColumn("i", F.row_number().over(w_rank))
+        .withColumn("cum_desc", F.sum("cents").over(w_cum))
+        .withColumn(
+            "seg_total", F.sum("cents").over(Window.partitionBy("segment"))
+        )
+    )
+    return (
+        ranked.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum(F.col("i") * F.col("cents")).cast("bigint").alias("s_ix"),
+            F.sum(
+                F.when(
+                    2 * (F.col("cum_desc") - F.col("cents"))
+                    < F.col("seg_total"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("top_half_n"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            "top_half_n",
+            F.round(
+                (
+                    2.0 * F.col("s_ix")
+                    - (F.col("n_customers") + 1) * F.col("total_cents")
+                )
+                / (F.col("n_customers") * F.col("total_cents")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+REVENUE_GINI_ORACLE = """
+    WITH per_cust AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_custkey
+    ), rows_ AS (
+        SELECT c.c_mktsegment AS segment, p.o_custkey, p.cents
+        FROM per_cust p JOIN customer c ON c.c_custkey = p.o_custkey
+    ), ranked AS (
+        SELECT segment, o_custkey, cents,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                   ORDER BY cents, o_custkey) AS i,
+               SUM(cents) OVER (PARTITION BY segment
+                   ORDER BY cents DESC, o_custkey DESC
+                   ROWS UNBOUNDED PRECEDING) AS cum_desc,
+               SUM(cents) OVER (PARTITION BY segment) AS seg_total
+        FROM rows_
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(SUM(CASE WHEN 2 * (cum_desc - cents) < seg_total
+                    THEN 1 ELSE 0 END) AS BIGINT) AS top_half_n,
+           ROUND((2.0 * SUM(i * cents)
+                  - (COUNT(*) + 1) * SUM(cents))
+                 / (COUNT(*) * SUM(cents)), 6) AS gini
+    FROM ranked
+    GROUP BY segment
+"""

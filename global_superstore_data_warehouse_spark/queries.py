@@ -11,7 +11,8 @@
 # tpch_avg_yearly, tpch_custdist, clustering_coefficients,
 # rank_fusion_rrf, shapley_channel_attribution, price_volume_mix,
 # quantile_normalization, target_encoding_loo,
-# bootstrap_revenue_ci, kcore_membership, daily_ohlc — then novel
+# bootstrap_revenue_ci, kcore_membership, daily_ohlc, revenue_gini,
+# cusum_changepoint — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -509,6 +510,15 @@ register(
 )
 # daily OHLC bars: deterministic first/last via total-order ranks
 register("daily_ohlc", events.daily_ohlc, events.DAILY_OHLC_ORACLE)
+# Gini of customer revenue per segment: all-BIGINT Lorenz terms,
+# one final division
+register("revenue_gini", retail.revenue_gini, retail.REVENUE_GINI_ORACLE)
+# CUSUM changepoint: cross-multiplied integer deviations, max-|S|
+register(
+    "cusum_changepoint",
+    observability.cusum_changepoint,
+    observability.CUSUM_CHANGEPOINT_ORACLE,
+)
 
 # ======================================================================
 # Past the driver window (entries 51+) — every entry below keeps

@@ -797,3 +797,83 @@ def test_daily_ohlc_invariants(spark, sf_dir):
         assert r.low_v <= r.open_v <= r.high_v
         assert r.low_v <= r.close_v <= r.high_v
         assert r.n_trades >= 1
+
+
+def test_revenue_gini_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "revenue_gini", sf_dir)
+
+
+def test_revenue_gini_matches_python_lorenz(spark, sf_dir):
+    """Gini per segment must equal the textbook rank formula computed
+    in Python, and sit in [0, 1)."""
+    from collections import defaultdict
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.retail import (
+        revenue_gini,
+    )
+
+    orders = load(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("c")
+    )
+    seg = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    per = defaultdict(list)
+    joined = orders.join(seg, orders.o_custkey == seg.c_custkey).collect()
+    for r in joined:
+        per[r.c_mktsegment].append((r.c, r.o_custkey))
+    got = {r.segment: r for r in revenue_gini(spark, sf_dir).collect()}
+    for s, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        tot = sum(c for c, _ in vals)
+        s_ix = sum((i + 1) * c for i, (c, _) in enumerate(vals))
+        gini = round((2.0 * s_ix - (n + 1) * tot) / (n * tot), 6)
+        assert got[s].n_customers == n
+        assert got[s].total_cents == tot
+        assert got[s].gini == gini
+        assert 0.0 <= got[s].gini < 1.0
+        # top-half property: k customers suffice to reach half the
+        # revenue, k-1 do not
+        desc = sorted(vals, reverse=True)
+        k = got[s].top_half_n
+        assert 2 * sum(c for c, _ in desc[:k]) >= tot
+        assert 2 * sum(c for c, _ in desc[: k - 1]) < tot
+
+
+def test_cusum_changepoint_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "cusum_changepoint", sf_dir)
+
+
+def test_cusum_peak_is_the_argmax(spark, sf_dir):
+    """The reported peak must equal the Python argmax of the integer
+    CUSUM walk (ties to the earliest day)."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.observability import (
+        cusum_changepoint,
+    )
+
+    daily = sorted(
+        (
+            (r.day, r.c)
+            for r in load(spark, sf_dir, "orders")
+            .groupBy(F.to_date("o_orderdate").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                    "c"
+                )
+            )
+            .collect()
+        )
+    )
+    n = len(daily)
+    t = sum(c for _, c in daily)
+    s = 0
+    best = None
+    for day, c in daily:
+        s += n * c - t
+        if best is None or abs(s) > abs(best[1]):
+            best = (day, s)
+    r = cusum_changepoint(spark, sf_dir).first()
+    assert (r.n_days, r.total_cents) == (n, t)
+    assert r.changepoint_day == best[0].isoformat()
+    assert r.cusum_peak == best[1]
