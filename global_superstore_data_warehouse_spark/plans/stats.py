@@ -1128,10 +1128,12 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     — each row independently contributes Poisson(1) copies to each
     resample; resample sizes concentrate tightly around n). B={B}
     resamples in ONE scan: every order explodes into (resample,
-    weight) pairs with the weight drawn DETERMINISTICALLY — the
-    md5(order, b) 48-bit integer is cut by the frozen Poisson(1) CDF
-    thresholds above, pure integer comparisons, so the "randomness"
-    is engine-exact and the driver can hash-check a bootstrap.
+    weight) pairs with the weight drawn DETERMINISTICALLY — each
+    md5(order, j) yields two independent 48-bit integers (hex 1-12
+    -> resample 2j, hex 13-24 -> resample 2j+1) cut by the frozen
+    Poisson(1) CDF thresholds above, pure integer comparisons, so
+    the "randomness" is engine-exact and the driver can hash-check
+    a bootstrap.
 
     Exactness: order totals enter as integer cents; each resample
     mean is the integer ratio (1000 * sum_wx) DIV sum_w
@@ -1145,33 +1147,56 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     column slice (two narrow columns), which is exactly what this
     plan reads.
     """
-    b_col = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    # COST DISCIPLINE (this plan multiplies the scan by B):
+    # 1) ONE md5 per (order, j) yields TWO independent 48-bit draws
+    #    (hex 1-12 -> resample 2j, hex 13-24 -> resample 2j+1) —
+    #    halving the hash count;
+    # 2) the Poisson cut is SIX inlined integer comparisons, NOT a
+    #    higher-order array filter — zip_with/filter lambdas run
+    #    interpreted and cost ~5x the whole md5 at 30M rows.
+    j_col = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 2 - 1))).alias("j")
     o = load(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderkey"),
     )
-    u48 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat(
-                    F.lit("boot|"),
-                    F.col("o_orderkey").cast("string"),
-                    F.lit("|"),
-                    F.col("b").cast("string"),
+    h = F.md5(
+        F.concat(
+            F.lit("boot|"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("j").cast("string"),
+        )
+    )
+
+    def u48(start: int):
+        return F.conv(F.substring("h", start, 12), 16, 10).cast("long")
+
+    def w_of(u):
+        out = F.lit(0)
+        for t in BOOT_POISSON_T48:
+            out = out + F.when(u >= F.lit(t), 1).otherwise(0)
+        return out
+
+    drawn = (
+        o.select("cents", "o_orderkey", j_col)
+        .withColumn("h", h)
+        .select(
+            "cents",
+            F.explode(
+                F.array(
+                    F.struct(
+                        (2 * F.col("j")).alias("b"), u48(1).alias("u")
+                    ),
+                    F.struct(
+                        (2 * F.col("j") + 1).alias("b"), u48(13).alias("u")
+                    ),
                 )
-            ),
-            1,
-            12,
-        ),
-        16,
-        10,
-    ).cast("long")
-    ths = F.array(*[F.lit(t).cast("long") for t in BOOT_POISSON_T48])
-    w = F.size(F.filter(ths, lambda t: F.col("u48") >= t))
+            ).alias("d"),
+        )
+        .select("cents", F.col("d.b").alias("b"), F.col("d.u").alias("u"))
+    )
     res = (
-        o.select("cents", "o_orderkey", b_col)
-        .withColumn("u48", u48)
-        .withColumn("w", w)
+        drawn.withColumn("w", w_of(F.col("u")))
         .groupBy("b")
         .agg(
             F.sum(F.col("w").cast("long") * F.col("cents")).alias("sum_wx"),
@@ -1210,7 +1235,7 @@ bootstrap_revenue_ci.__doc__ = bootstrap_revenue_ci.__doc__.format(B=BOOT_B)
 _BOOT_W_SQL = (
     "("
     + " + ".join(
-        f"CASE WHEN u48 >= {t} THEN 1 ELSE 0 END" for t in BOOT_POISSON_T48
+        f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in BOOT_POISSON_T48
     )
     + ")"
 )
@@ -1221,14 +1246,22 @@ BOOTSTRAP_REVENUE_CI_ORACLE = f"""
                o_orderkey
         FROM orders
     ), expl AS (
-        SELECT o.cents, o.o_orderkey, r.range AS b,
-               ('0x' || substr(md5('boot|' || o.o_orderkey || '|' ||
-                   CAST(r.range AS VARCHAR)), 1, 12))::BIGINT AS u48
-        FROM o CROSS JOIN range({BOOT_B}) r
+        SELECT o.cents, r.range AS j,
+               md5('boot|' || o.o_orderkey || '|' ||
+                   CAST(r.range AS VARCHAR)) AS h
+        FROM o CROSS JOIN range({BOOT_B // 2}) r
+    ), drawn AS (
+        SELECT cents, 2 * j AS b,
+               ('0x' || substr(h, 1, 12))::BIGINT AS u
+        FROM expl
+        UNION ALL
+        SELECT cents, 2 * j + 1 AS b,
+               ('0x' || substr(h, 13, 12))::BIGINT AS u
+        FROM expl
     ), res AS (
         SELECT b, 1000 * SUM({_BOOT_W_SQL} * cents)
                    // SUM({_BOOT_W_SQL}) AS mean_mc
-        FROM expl GROUP BY b
+        FROM drawn GROUP BY b
     ), ranked AS (
         SELECT mean_mc,
                ROW_NUMBER() OVER (ORDER BY mean_mc, b) AS r

@@ -267,3 +267,56 @@ def test_round6_sketch_and_ann_plans(spark, sf_dir):
     # one scan computes every row-local check: orders parquet is read
     # at most twice (agg pass + key-only anti-join), not per-check
     assert len(re.findall(r"orders\.parquet", plan)) <= 2
+
+
+def test_tpch_avg_yearly_broadcasts_the_part_slice(spark, sf_dir):
+    """The Q17 decorrelation contract: the selected-part slice must
+    reach lineitem as a broadcast (pruning BEFORE the stats pass),
+    and the stats join-back must be a hash join, never nested-loop."""
+    plan = _q(spark, sf_dir, "tpch_avg_yearly")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") >= 2  # lineitem + part only
+
+
+def test_consistent_shard_rebalance_is_scan_plus_tiny_agg(spark, sf_dir):
+    """Both ring assignments are pure projections: no join operator
+    of any kind may appear — one scan, one aggregate."""
+    plan = _q(spark, sf_dir, "consistent_shard_rebalance")
+    for op in ("Join", "CartesianProduct", "Window"):
+        assert op not in plan, op
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_kmv_overlap_has_no_per_day_rank_window(spark, sf_dir):
+    """The sketch build must be the salted two-level k-min — a rank
+    window partitioned by day alone would single-reduce each day at
+    100 TB."""
+    plan = _q(spark, sf_dir, "kmv_audience_overlap")
+    assert "row_number" not in plan.lower()
+    assert "BroadcastHashJoin" in plan  # the tiny day-pair join
+
+
+def test_sorted_neighborhood_joins_on_rank_equality(spark, sf_dir):
+    """The window realizes as explode + rank equi-join (hash join on
+    rn), never a range/nested-loop pair generator."""
+    plan = _q(spark, sf_dir, "sorted_neighborhood_pairs")
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan or "explode" in plan
+    bad_bnlj = [
+        line
+        for line in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in line and "Cross" not in line
+    ]
+    assert not bad_bnlj, bad_bnlj
+
+
+def test_bootstrap_ci_is_one_scan_partial_agg(spark, sf_dir):
+    """The Poisson bootstrap must partial-aggregate the exploded scan
+    map-side (HashAggregate before the exchange) and shuffle only B
+    groups; the CI rank window runs over B rows."""
+    plan = _q(spark, sf_dir, "bootstrap_revenue_ci")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # orders parquet is read for the bootstrap and the point estimate
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
