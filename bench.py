@@ -272,6 +272,8 @@ EXTRA = [
     "revenue_gini",
     # CUSUM changepoint (one pre-agg + day-count window + top-1)
     "cusum_changepoint",
+    # winnowing fingerprints (zero-shuffle explodes + min-struct agg)
+    "winnowing_matches",
 ]
 
 ROUNDS = 3

