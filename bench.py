@@ -47,6 +47,9 @@ the canary bodies — their whole value is being identical forever.
 ``extra_passes`` annotates how many timing passes each extra query
 got (the budget gate can reduce late-alphabet extras to min-of-1 on
 a contended host; a min-of-1 delta is noise, not a regression).
+Since round 9 the second pass runs slowest-first and the 10 slowest
+extras are EXEMPT from the budget gate — their round-over-round
+deltas are the graded ones, so they must always be min-of-2.
 """
 
 from __future__ import annotations
@@ -362,17 +365,30 @@ def main() -> None:
         # so a contended host degrades to min-of-1 instead of
         # overrunning the harness timeout
         batch = [(n, timings) for n in names]
-        if rnd == 0 or (
-            rnd == ROUNDS - 1 and time.perf_counter() - t_start < budget_s
-        ):
+        guaranteed: set[str] = set()
+        if rnd == 0:
             batch += [(n, extra_timings) for n in extra_names]
+        elif rnd == ROUNDS - 1:
+            # Second pass runs SLOWEST-FIRST (by first-pass timing),
+            # and the 10 slowest are exempt from the budget gate:
+            # their round-over-round deltas are the graded ones, so
+            # they must always be min-of-2 (round-8 lesson — a whole
+            # round of min-of-1 extras deltas was ungradeable noise).
+            ordered = sorted(
+                extra_names, key=lambda n: -extra_timings.get(n, 0.0)
+            )
+            guaranteed = set(ordered[:10])
+            batch += [(n, extra_timings) for n in ordered]
         for name, sink in batch:
-            # hard cap on EXTRA timings (1.4x the budget): on a badly
-            # contended host remaining extras are skipped so the
-            # graded headline JSON always lands inside the harness
-            # timeout — already-collected extra timings still report
+            # budget gate on EXTRA timings: on a badly contended host
+            # remaining extras are skipped so the graded headline JSON
+            # always lands inside the harness timeout — already-
+            # collected extra timings still report (the guaranteed
+            # slowest-10 second passes run regardless; they are
+            # bounded by one extras-tail's worth of work)
             if (
                 sink is extra_timings
+                and name not in guaranteed
                 and time.perf_counter() - t_start > budget_s * 1.4
             ):
                 continue
@@ -423,12 +439,16 @@ def main() -> None:
         "canary": canary,
         "sf": _sf_from_dir(SF_DIR),
     }
+    detail_ref: str | None = "BENCH_DETAIL.json"
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
             fh.write("\n")
     except OSError:
-        pass
+        # Never advertise a detail file this run didn't write: a
+        # stale BENCH_DETAIL.json from an earlier run would silently
+        # mismatch the headline the compact line reports.
+        detail_ref = None
     slowest = dict(
         sorted(extra_timings.items(), key=lambda kv: -kv[1])[:5]
     )
@@ -441,7 +461,7 @@ def main() -> None:
             "n": len(extra_timings),
             "total": round(sum(extra_timings.values()), 2),
             "slowest": slowest,
-            "detail": "BENCH_DETAIL.json",
+            "detail": detail_ref,
         },
         "canary": canary,
         "sf": _sf_from_dir(SF_DIR),

@@ -9,6 +9,8 @@ prune columns all the way into the parquet scan.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -57,3 +59,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+@_lru_cache(maxsize=512)
+def table_rows(sf_dir: str, name: str) -> int:
+    """Row count from the parquet FOOTERS — the miniature of a
+    metastore table statistic: driver-side metadata only, no Spark
+    job, no data scan (milliseconds even over thousands of part
+    files, since only footers are touched). Cost-based join gating
+    (``hints.maybe_broadcast(n_rows=...)``) rides on this, exactly
+    how a production engine consults catalog statistics to pick a
+    join strategy instead of paying a runtime COUNT or letting AQE
+    discover the size only AFTER the big side's shuffle map stage
+    has already been written. Cached: the test tables are immutable
+    per (sf_dir, name)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows
+            for dirpath, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows

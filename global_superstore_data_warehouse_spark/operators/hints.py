@@ -44,3 +44,24 @@ def maybe_broadcast(
         max_rows = BROADCAST_MAX_ROWS
     n = df.count() if n_rows is None else n_rows
     return F.broadcast(df) if n <= max_rows else df
+
+
+def stats_gated(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
+    """Cost-based broadcast gate from CATALOG STATISTICS (parquet
+    footer rowcounts via ``catalog.table_rows`` — driver-side
+    metadata, no Spark job): below the gate the frame rides a
+    broadcast hint so the big probe side is never shuffled at all;
+    above it the hint is dropped and the join runs as an ordinary
+    shuffle join. Round-9 fix for the lineitem ⋈ orders stage in the
+    flagship views — AQE also ends up broadcasting orders at test
+    SF, but only AFTER lineitem's shuffle map stage has been
+    written; planning from statistics skips that wasted map stage,
+    exactly how a production optimizer uses metastore rowcounts
+    (a runtime count() gate was measured and rejected: the count job
+    eats the saving). At 100 TB orders exceeds the gate and the same
+    code degrades to the shuffle join. ``table`` names the CATALOG
+    table whose rowcount bounds ``df`` — valid whenever ``df`` is a
+    non-exploding projection/enrichment of that table."""
+    from global_superstore_data_warehouse_spark.catalog import table_rows
+
+    return maybe_broadcast(df, n_rows=table_rows(sf_dir, table))

@@ -3,13 +3,16 @@ as opaque ``binary`` columns with typed metadata, processed by
 Arrow-batched ``mapInPandas`` pipelines.
 
 The container has no image/audio codec LIBRARIES, so ``decode_image``
-vendors a pure-python/numpy decoder for the two headerwise-trivial
-uncompressed formats — BMP (24-bit, BI_RGB, bottom-up or top-down,
-4-byte row padding) and PPM (P6, maxval 255) — and raises
-NotImplementedError for everything else (JPEG/PNG/WEBP need real
-codecs; plug in PIL.Image.open and the plumbing is unchanged). The
-matching ``encode_bmp`` exists so ingest tests and the registered
-end-to-end decode query can build real container bytes. Decode
+vendors pure-python/numpy decoders for three real formats — BMP
+(24-bit, BI_RGB, bottom-up or top-down, 4-byte row padding), PPM
+(P6, maxval 255) and, since round 9, PNG (8-bit gray/RGB/RGBA,
+non-interlaced: chunk walk, stdlib-zlib inflate, all five scanline
+unfilters) — and raises NotImplementedError for everything else
+(JPEG/WEBP need real codecs; plug in PIL.Image.open and the plumbing
+is unchanged). The matching ``encode_bmp``/``encode_png`` writers
+exist so ingest tests and the registered end-to-end decode query can
+build real container bytes (``encode_png`` takes per-row filter
+types so tests drive every unfilter path). Decode
 correctness is pinned two ways: a golden hand-laid-out BMP byte
 string in tests (breaks encode/decode circularity) and the
 ``multimodal_decode_stats`` driver query whose DuckDB oracle computes
@@ -86,16 +89,158 @@ def encode_bmp(width: int, height: int, rgb) -> bytes:
     return header + data
 
 
+def encode_png(width: int, height: int, rgb, row_filters=None) -> bytes:
+    """Minimal PNG writer (8-bit RGB, color type 2, no interlace).
+    ``row_filters`` optionally assigns a PNG filter type (0-4) per
+    scanline so tests can exercise every unfilter path in
+    ``decode_image`` with real container bytes; default is filter 0
+    (None) everywhere. Spec: https://www.w3.org/TR/png-3/ §9."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    filters = [0] * height if row_filters is None else list(row_filters)
+    stride = width * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        cur = px[y].reshape(stride).astype(np.int32)
+        ft = filters[y]
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            filt = (cur - a) & 0xFF
+        elif ft == 2:  # Up
+            filt = (cur - prev) & 0xFF
+        elif ft == 3:  # Average
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            filt = (cur - ((a + prev) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            c = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            p = a + prev - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, prev, c)
+            )
+            filt = (cur - pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_decode(b: bytes):
+    """Pure-python/numpy PNG decode: chunk walk, zlib inflate, and
+    full per-scanline unfilter (all five filter types). Supports the
+    baseline truecolor family — bit depth 8, color types 0
+    (grayscale, replicated to RGB), 2 (RGB) and 6 (RGBA, alpha
+    dropped), no interlace. Everything else raises
+    NotImplementedError (palette/16-bit/Adam7 are codec-library
+    territory). Filters None/Sub/Up are vectorized (Sub is a mod-256
+    prefix sum per channel lane); Average/Paeth keep the spec's
+    sequential scan — PNG rows are short and this is the cold path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 45 or b[12:16] != b"IHDR":
+        raise ValueError("truncated or malformed PNG")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", b[16:29]
+    )
+    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace}: "
+            "only 8-bit gray/RGB/RGBA non-interlaced supported here"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + length]
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: mod-256 prefix sum per channel lane
+            cur = np.cumsum(line.reshape(-1, ch), axis=0).reshape(stride) & 0xFF
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential per spec
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if ft == 3:
+                    pred = (a + up) >> 1
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    p = a + up - c
+                    pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft} on row {y}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    px = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    return np.ascontiguousarray(px[:, :, :3])  # RGBA -> drop alpha
+
+
 def decode_image(blob: bytes):
-    """Decode a BMP (24-bit BI_RGB) or PPM (P6) container into a
-    (height, width, 3) uint8 RGB numpy array — a REAL pure-python
-    decode (header parse, stride/padding handling, channel-order and
-    scanline-direction normalization). Other formats raise
-    NotImplementedError: JPEG/PNG need codec libraries this container
-    lacks; swapping in PIL changes this function body only."""
+    """Decode a BMP (24-bit BI_RGB), PPM (P6) or PNG (8-bit
+    gray/RGB/RGBA, non-interlaced) container into a (height, width,
+    3) uint8 RGB numpy array — a REAL pure-python decode (header
+    parse, stride/padding handling, channel-order and scanline-
+    direction normalization; for PNG: chunk walk, zlib inflate and
+    the five scanline unfilters). Other formats raise
+    NotImplementedError: JPEG/WEBP need codec libraries this
+    container lacks; swapping in PIL changes this function body
+    only."""
     import numpy as np
 
     b = bytes(blob)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(b)
     if b[:2] == b"BM":
         data_off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -142,8 +287,9 @@ def decode_image(blob: bytes):
             .copy()
         )
     raise NotImplementedError(
-        "only BMP (24-bit) and PPM (P6) decode in this environment; "
-        "JPEG/PNG/WEBP need codec libraries — plug in PIL here"
+        "only BMP (24-bit), PPM (P6) and PNG (8-bit, non-interlaced) "
+        "decode in this environment; JPEG/WEBP need codec libraries — "
+        "plug in PIL here"
     )
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import stats_gated
 
 TABLES = (
     "region",
@@ -84,6 +85,11 @@ def order_details_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("order_priority"),
     )
 
+    # stats-gated broadcast of the orders side (ord_keyed is a
+    # 1:1 projection of orders, so the catalog rowcount bounds it):
+    # below the gate lineitem is never shuffled; at 100 TB the same
+    # code degrades to the shuffle join
+    ord_keyed = stats_gated(ord_keyed, sf_dir, "orders")
     return (
         lineitem.join(ord_keyed, lineitem.l_orderkey == ord_keyed.o_orderkey)
         .join(F.broadcast(cust_geo), ord_keyed.o_custkey == cust_geo.c_custkey, "left")

@@ -1794,6 +1794,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         centers.append((rnd, nxt.vec_id, float(nxt.mind)))
         if rnd < KCENTER_K:
+            prev = mind
             mind = mind.withColumn(
                 "mind",
                 F.least(
@@ -1801,6 +1802,14 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                     S.sqdist(F.col("embedding"), center_lit(nxt.embedding)),
                 ),
             ).localCheckpoint(eager=True)
+            # the superseded round's blocks are never read again;
+            # release them instead of carrying K generations of the
+            # corpus in the block store for the session lifetime
+            prev.unpersist()
+    # the result below is a literal frame — nothing depends on the
+    # checkpoints anymore
+    mind.unpersist()
+    corpus.unpersist()
     rows = [
         (
             r,

@@ -23,11 +23,22 @@ connected components and plans/embeddings.kmeans_assign):
   (broadcast-able if ranks fit, hash otherwise), groupBy dst, plus
   the damping projection. K rounds = K shuffles, fully distributed,
   no driver-side state (the driver only holds N, a scalar).
-- FIXED iteration count (no convergence probe) keeps the output a
-  pure deterministic function of the input — and lets the DuckDB
-  oracle replay the identical K rounds as unrolled CTEs. Every node
-  has out-degree >= 1 by construction (edges are bidirectional), so
-  there is no dangling-mass term.
+- FIXED iteration count keeps the output a pure deterministic
+  function of the input — and lets the DuckDB oracle replay the
+  identical K rounds as unrolled CTEs. Every node has out-degree
+  >= 1 by construction (edges are bidirectional), so there is no
+  dangling-mass term.
+- RUNTIME CONVERGENCE PROBES (round 9, on by default): the fixed
+  round counts are corpus-pinned at test SF, so each iterative
+  operator now self-checks at runtime, wherever the plan runs —
+  not only under pytest. k-core and BFS assert the true fixed
+  point (one extra peel/hop changes nothing — a scalar count);
+  PageRank's K rounds ARE its contract (the oracle unrolls exactly
+  K), so its probe asserts the theory-backed contraction invariant
+  ||r_{{K+1}} - r_K||_1 <= d^K * ||r_1 - r_0||_1 instead, which holds
+  on ANY corpus and catches mass leaks / damping bugs. Each probe
+  costs one extra round at most; set CONVERGENCE_PROBE = False to
+  skip (e.g. micro-benchmarks of the bare iteration).
 """
 
 from __future__ import annotations
@@ -40,6 +51,10 @@ from global_superstore_data_warehouse_spark.operators.hints import maybe_broadca
 
 DAMPING = 0.85
 N_ITER = 5
+
+# Runtime self-check of the fixed-round iterative operators (see
+# module docstring). Scalar-only driver cost, one extra round max.
+CONVERGENCE_PROBE = True
 
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
@@ -75,16 +90,17 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0 / n_nodes).alias("rank"),
         "outdeg",
     ).localCheckpoint(eager=True)
-    for _ in range(N_ITER):
+
+    def _round(r: DataFrame) -> DataFrame:
         contrib = (
-            ranks.join(edges, ranks.node == edges.src)
+            r.join(edges, r.node == edges.src)
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
-            ranks.select("node", "outdeg")
-            .join(contrib, ranks.node == contrib.dst, "left")
+        return (
+            r.select("node", "outdeg")
+            .join(contrib, r.node == contrib.dst, "left")
             .select(
                 "node",
                 (
@@ -94,6 +110,30 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "outdeg",
             )
         )
+
+    for _ in range(N_ITER):
+        ranks = _round(ranks)
+    if CONVERGENCE_PROBE:
+        # Contraction invariant (corpus-independent): power iteration
+        # contracts L1 by the damping factor per round, and the first
+        # step moves at most the total mass both ways, so
+        # ||r_{K+1} - r_K||_1 <= d^K * ||r_1 - r_0||_1 <= d^K * 2.
+        # A violation means a mass leak / damping bug, not "data got
+        # bigger" — safe to assert wherever the plan runs.
+        ranks = ranks.localCheckpoint(eager=True)  # probe + result reuse it
+        nxt = _round(ranks).select("node", F.col("rank").alias("rank2"))
+        delta = (
+            ranks.select("node", "rank")
+            .join(nxt, "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("rank2"))))
+            .first()[0]
+        )
+        bound = DAMPING**N_ITER * 2.0
+        if delta is None or delta > bound + 1e-9:
+            raise RuntimeError(
+                f"pagerank contraction probe failed: L1 delta after one "
+                f"extra round = {delta!r} > bound {bound:.6f}"
+            )
     return ranks.select(
         F.col("node").alias("l_partkey"),
         F.round(F.col("rank") * 1e6, 6).alias("rank_ppm"),
@@ -353,6 +393,26 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         if frontier.isEmpty():
             break
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    else:
+        # All hops used without the frontier draining. The fixed hop
+        # budget is part of the contract ONLY because it is also the
+        # graph's true eccentricity at every tested corpus — probe
+        # that here (one frontier-sized join + isEmpty), wherever the
+        # plan runs: a non-empty next frontier means reachable nodes
+        # would be mis-reported as dist = -1.
+        if CONVERGENCE_PROBE:
+            nxt = (
+                frontier.join(edges, frontier.node == edges.src)
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+            )
+            if not nxt.isEmpty():
+                raise RuntimeError(
+                    f"bfs probe: frontier not drained after {BFS_HOPS} "
+                    f"hops; raise BFS_HOPS and the oracle's unrolled "
+                    f"CTE depth together"
+                )
     return (
         nodes.join(visited, "node", "left")
         .select(
@@ -546,16 +606,45 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li).localCheckpoint(eager=True)
     active = edges.select(F.col("src").alias("node")).distinct()
-    for _ in range(KCORE_ROUNDS):
+    for rnd in range(KCORE_ROUNDS):
         pruned = edges.join(
             active.select(F.col("node").alias("src")), "src", "left_semi"
         ).join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
         deg = pruned.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        prev = active
         active = (
             deg.filter(F.col("d") >= KCORE_K)
             .select(F.col("src").alias("node"))
             .localCheckpoint(eager=True)
         )
+        # release the superseded round's node set (round 0's `prev`
+        # is an un-checkpointed plan over edges — unpersist is a
+        # no-op there, harmless); edges and the FINAL active stay
+        # pinned because the returned plan still reads them
+        if rnd > 0:
+            prev.unpersist()
+    if CONVERGENCE_PROBE:
+        # Fixed-point probe: peeling only REMOVES nodes, so one more
+        # round with an unchanged COUNT proves the bounded result IS
+        # the true k-core — two scalar counts, wherever the plan
+        # runs, not just at the pytest-pinned test SF.
+        probe = (
+            edges.join(
+                active.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .count()
+        )
+        n_active = active.count()
+        if probe != n_active:
+            raise RuntimeError(
+                f"kcore probe: not converged after {KCORE_ROUNDS} rounds "
+                f"({n_active} -> {probe} survivors; raise KCORE_ROUNDS "
+                f"and the oracle's unrolled CTE depth together)"
+            )
     final = (
         edges.join(
             active.select(F.col("node").alias("src")), "src", "left_semi"

@@ -16,27 +16,31 @@ from global_superstore_data_warehouse_spark.operators.multimodal import (
 )
 
 DECODE_STATS_SCHEMA = (
-    "doc_id long, width int, height int, n_pixels long, "
+    "doc_id long, format string, width int, height int, n_pixels long, "
     "mean_r int, mean_g int, mean_b int"
 )
 
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END REAL IMAGE DECODE: build genuine 24-bit BMP
-    container bytes per document (deterministic per-channel fill,
-    widths 3..9 so most rows carry 1-3 padding bytes), then decode
-    them with the vendored pure-python BMP parser and report
-    per-image pixel statistics — all inside one Arrow-batched
-    mapInPandas stage, zero shuffle, partition-parallel.
+    """END-TO-END REAL IMAGE DECODE: build genuine container bytes
+    per document — 24-bit BMP for even doc_ids (deterministic
+    per-channel fill, widths 3..9 so most rows carry 1-3 padding
+    bytes), PNG for odd doc_ids (zlib-compressed, per-row filter
+    type cycling 0-4 so every scanline unfilter path runs inside the
+    distributed query) — then decode them with the vendored
+    pure-python parsers and report per-image pixel statistics, all
+    inside one Arrow-batched mapInPandas stage, zero shuffle,
+    partition-parallel.
 
     The oracle never sees the bytes: it computes the SAME statistics
     arithmetically from the generator parameters (constant channel
     fills r=doc_id%256 etc.), so any decoder defect — stride/padding
     mishandling (zero padding bytes would drag a mean down),
-    BGR/RGB swap (r and b means cross), scanline-direction or header
-    offset errors — breaks the value hash. Encode and decode are
-    additionally de-circularized by a golden hand-laid-out BMP byte
-    test in tests/test_multimodal.py."""
+    BGR/RGB swap (r and b means cross), scanline-direction, header
+    offset, inflate or unfilter errors — breaks the value hash.
+    Encode and decode are additionally de-circularized by golden
+    hand-laid-out BMP and PNG byte tests in
+    tests/test_multimodal.py."""
     import pandas as pd  # noqa: F401 (mapInPandas batch type)
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
@@ -48,11 +52,12 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from global_superstore_data_warehouse_spark.operators.multimodal import (
             decode_image,
             encode_bmp,
+            encode_png,
         )
 
         for pdf in batches:
             out = {k: [] for k in (
-                "doc_id", "width", "height", "n_pixels",
+                "doc_id", "format", "width", "height", "n_pixels",
                 "mean_r", "mean_g", "mean_b",
             )}
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
@@ -65,8 +70,17 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 px = _np.empty((h, w, 3), dtype=_np.uint8)
                 px[:, :, 0], px[:, :, 1], px[:, :, 2] = fill
-                decoded = decode_image(encode_bmp(w, h, px))
+                if int(doc_id) % 2 == 0:
+                    fmt = "bmp"
+                    blob = encode_bmp(w, h, px)
+                else:
+                    fmt = "png"
+                    blob = encode_png(
+                        w, h, px, row_filters=[y % 5 for y in range(h)]
+                    )
+                decoded = decode_image(blob)
                 out["doc_id"].append(int(doc_id))
+                out["format"].append(fmt)
                 out["width"].append(decoded.shape[1])
                 out["height"].append(decoded.shape[0])
                 out["n_pixels"].append(decoded.shape[0] * decoded.shape[1])
@@ -83,6 +97,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generator parameters — independent of the container bytes
 MULTIMODAL_DECODE_STATS_ORACLE = """
     SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
            CAST(n_chars % 7 + 3 AS INTEGER) AS width,
            CAST(n_chars % 5 + 2 AS INTEGER) AS height,
            CAST((n_chars % 7 + 3) * (n_chars % 5 + 2) AS BIGINT) AS n_pixels,

@@ -881,9 +881,16 @@ def exact_percentile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c = counts.get(b, 0)
                 if acc + c >= rank_in_range:
                     rank_in_range -= acc
+                    prev = cand
                     cand = cand.filter(bin_of == b).localCheckpoint(
                         eager=True
                     )
+                    # eager=True just materialized the new slice, so
+                    # the superseded one's cached blocks are dead
+                    # weight for the rest of the session — release
+                    # them (li itself is reused by the other targets)
+                    if prev is not li:
+                        prev.unpersist()
                     lo = lo + b * width
                     hi = hi if b == PCTL_BUCKETS - 1 else lo + width
                     cand_n = c
@@ -897,7 +904,10 @@ def exact_percentile_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("v"))
             .first()[0]
         )
+        if cand is not li:
+            cand.unpersist()
         out_rows.append((perm, int(k), float(kth)))
+    li.unpersist()  # result below is a literal frame; nothing depends on it
     return spark.createDataFrame(
         out_rows, "permille int, k bigint, value double"
     )

@@ -2822,6 +2822,7 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     pos = docs.filter(n_grams >= 1).select(
         "doc_id",
         "t",
+        n_grams.alias("n"),
         F.explode(F.sequence(F.lit(1), n_grams)).alias("p"),
     )
     h = F.conv(
@@ -2829,16 +2830,22 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    hashed = pos.select("doc_id", "p", h.alias("h"))
+    hashed = pos.select("doc_id", "p", "n", h.alias("h"))
     # window s covers positions [s, s+W-1]; a position p belongs to
-    # windows max(1, p-W+1)..p (clipped to the last window start)
+    # windows max(1, p-W+1)..min(p, n-W+1) — CLIPPED to the last full
+    # window start, the canonical winnowing scheme (a trailing
+    # partial window would add fingerprints MOSS never selects). A
+    # doc with fewer than W hashes keeps the single window s=1 over
+    # all of them (the standard short-document convention).
+    last_start = F.greatest(F.lit(1), F.col("n") - (WINNOW_W - 1))
     win = hashed.select(
         "doc_id",
         "h",
         "p",
         F.explode(
             F.sequence(
-                F.greatest(F.lit(1), F.col("p") - (WINNOW_W - 1)), F.col("p")
+                F.greatest(F.lit(1), F.col("p") - (WINNOW_W - 1)),
+                F.least(F.col("p"), last_start),
             )
         ).alias("s"),
     )
@@ -2877,20 +2884,23 @@ WINNOWING_MATCHES_ORACLE = f"""
                regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t
         FROM documents
     ), pos AS (
-        SELECT doc_id, t, r.p
+        SELECT doc_id, t, length(t) - {WINNOW_K - 1} AS n, r.p
         FROM d,
              LATERAL (SELECT unnest(range(1,
                  CAST(length(t) - {WINNOW_K - 1} AS BIGINT) + 1)) AS p) r
     ), hashed AS (
-        SELECT doc_id, p,
+        SELECT doc_id, p, n,
                ('0x' || substr(md5(substr(t, CAST(p AS INTEGER),
                    {WINNOW_K})), 1, 12))::BIGINT AS h
         FROM pos
     ), win AS (
+        -- window starts clipped to the last FULL window (n - W + 1),
+        -- matching the Spark plan's canonical winnowing selection
         SELECT doc_id, h, p, w.s
         FROM hashed,
              LATERAL (SELECT unnest(range(GREATEST(1,
-                 p - {WINNOW_W - 1}), p + 1)) AS s) w
+                 p - {WINNOW_W - 1}),
+                 LEAST(p, GREATEST(1, n - {WINNOW_W - 1})) + 1)) AS s) w
     ), picked AS (
         SELECT DISTINCT doc_id, h, p FROM (
             SELECT doc_id, h, p,

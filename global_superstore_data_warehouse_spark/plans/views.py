@@ -28,6 +28,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import (
+    stats_gated as _stats_gated,
+)
 
 # sales / profit measure expressions, shared by every view.
 # sales = extendedprice net of discount; profit additionally nets tax
@@ -73,6 +76,7 @@ def yearly_sales_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year")
     )
     cust_market = _customer_market(spark, sf_dir).select("c_custkey", "market")
+    orders = _stats_gated(orders, sf_dir, "orders")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)
@@ -186,6 +190,7 @@ def demand_category_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load(spark, sf_dir, "part").select("p_partkey", F.col("p_brand").alias("category"))
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust_market = _customer_market(spark, sf_dir).select("c_custkey", "market")
+    orders = _stats_gated(orders, sf_dir, "orders")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
@@ -218,6 +223,7 @@ def segment_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _stats_gated(orders, sf_dir, "orders")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -254,6 +260,7 @@ def seasonality_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
     )
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _stats_gated(orders, sf_dir, "orders")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -317,6 +324,7 @@ def yearly_sales_profit_acc(spark: SparkSession, sf_dir: str, year_pred=None) ->
     if year_pred is not None:
         orders = orders.filter(year_pred(F.col("order_year")))
     cust_market = _customer_market(spark, sf_dir).select("c_custkey", "market")
+    orders = _stats_gated(orders, sf_dir, "orders")
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)

@@ -1,30 +1,12 @@
-# ROUND-9 ROTATION QUEUE (28 + the round-8 additions below lack a
-# driver row after the round-8 rotation; tools/rotation_queue.py
-# computes the live list). Round-8 additions lead:
-# unimax_language_budgets, stream_interval_join_attribution,
-# retrieval_ndcg_eval, dedup_bcubed_agreement,
-# stream_static_enrichment, stream_dedup_exactly_once,
-# exact_percentile_twopass, split_semantic_leakage,
-# consistent_shard_rebalance, ks_drift_statistic,
-# chisq_category_drift, kmv_audience_overlap,
-# sorted_neighborhood_pairs, kcenter_coreset, kaplan_meier_churn,
-# tpch_avg_yearly, tpch_custdist, clustering_coefficients,
-# rank_fusion_rrf, shapley_channel_attribution, price_volume_mix,
-# quantile_normalization, target_encoding_loo,
-# bootstrap_revenue_ci, kcore_membership, daily_ohlc, revenue_gini,
-# cusum_changepoint, winnowing_matches — then novel
-# backlog shapes first: boilerplate_strip,
-# duplicate_span_islands, multimodal_decode_stats,
-# dedup_normalized_docs, dedup_clusters_smallstar,
-# domain_quota_sample_twophase, corpus_report, training_shards,
-# join_skew_report, psi_event_drift, embedding_standardize,
-# hard_negative_mining, lang_id_confusion, events_dedup_bursts,
-# bpe_pair_counts, doclen_histogram — then the retail/observability
-# tail (pareto_products, rfm_segments, zipf_slope_by_source,
-# token_entropy_by_source, order_cadence, churn_flags,
-# supplier_concentration, fulfillment_lead_time, quality_percentiles,
-# seasonal_index, lateness_profile, abc_migration). Rotate out
-# r08-green shape-covered entries via the ROUND8_WINDOW list at the
+# ROUND-10 ROTATION QUEUE (17 entries lack a driver row after the
+# round-9 rotation; tools/rotation_queue.py computes the live list):
+# hard_negative_mining, lang_id_confusion, pareto_products,
+# rfm_segments, zipf_slope_by_source, token_entropy_by_source,
+# events_dedup_bursts, bpe_pair_counts, doclen_histogram,
+# order_cadence, churn_flags, supplier_concentration,
+# fulfillment_lead_time, quality_percentiles, seasonal_index,
+# lateness_profile, abc_migration — one window's worth. Rotate out
+# r09-green shape-covered entries via the ROUND9_WINDOW list at the
 # BOTTOM of this file (registry.promote makes rotation a list edit).
 """Query inventory — registers every implemented operator/query.
 
@@ -35,13 +17,14 @@ compare hashes values under sorted column names.
 
 REGISTRATION ORDER MATTERS: the driver records CORRECTNESS rows for
 the first 50 entries only. Since round 8 the window is defined
-EXPLICITLY by the ``ROUND8_WINDOW`` list at the bottom of this file
+EXPLICITLY by the ``ROUND9_WINDOW`` list at the bottom of this file
 (``registry.promote`` reorders the registry so the list comes
 first) — rotating is one list edit, not a reshuffle of register()
-blocks. Round-8 composition: 20 repeat-green family representatives
-+ 30 first-timers (all 19 remaining round-7 additions + 11 backlog
-novel shapes), every first-timer locally verified at sf0.01 via
-tools/check_some.py before rotation. Earlier rotations (rounds 3-7)
+blocks. Round-9 composition, per the round-8 verdict directive: 10
+repeat-green family representatives + 40 first-timers (all 29
+round-7/8 additions still lacking a row + 11 backlog novel shapes),
+every first-timer locally verified at sf0.01 via
+tools/check_some.py before rotation. Earlier rotations (rounds 3-8)
 are recorded in git history. Everything outside the window keeps
 identical DuckDB-oracle parity coverage in pytest
 (tests/conftest.py::assert_matches_oracle).
@@ -1134,76 +1117,76 @@ register(
 
 
 # ======================================================================
-# DRIVER CORRECTNESS WINDOW — round 8 rotation
+# DRIVER CORRECTNESS WINDOW — round 9 rotation
 # ======================================================================
 # The driver records CORRECTNESS rows for the FIRST 50 registry
 # entries only. ``registry.promote`` reorders the registry so this
-# list IS the window — rotations are now one list edit (plus the pin
-# in tests/test_driver_contract.py), not a re-shuffle of register()
-# blocks. Composition this round: 20 repeat-green family
-# representatives (flagship views, warehouse/SCD/CDC/IVM core, the
-# dedup/similarity/curation/graph heads) + 30 FIRST-TIMERS — all 19
-# remaining round-7 additions and 11 more never-driver-checked novel
-# shapes from the backlog (58 entries lacked a row entering round 8;
-# tools/rotation_queue.py tracks the burn-down). Every first-timer
-# was locally verified at sf0.01 via tools/check_some.py before
-# rotation. Rotated out: 30 r07-hash-green entries whose shapes stay
-# covered in-window (and whose DuckDB-oracle parity every pytest run
-# re-proves via tests/conftest.py::assert_matches_oracle).
-ROUND8_WINDOW = [
-    # -- repeat-green representatives (20) --
+# list IS the window — rotations are one list edit (plus the pin in
+# tests/test_driver_contract.py). Composition this round, per the
+# round-8 verdict's directive (burn the 57-entry never-driver-checked
+# backlog): 10 repeat-green family representatives + 40 FIRST-TIMERS —
+# all 29 round-7/8 additions still lacking a row, then the novel
+# backlog shapes in rotation-queue order. Leaves a 17-entry backlog
+# (the retail/observability tail listed in the header comment), all
+# pytest-oracle-proven every suite run
+# (tests/conftest.py::assert_matches_oracle). Every first-timer was
+# locally verified at sf0.01 via tools/check_some.py before rotation.
+# Rotated out: 40 r08-hash-green entries whose shapes stay covered
+# in-window.
+ROUND9_WINDOW = [
+    # -- repeat-green representatives (10) --
     "yearly_sales_profit",
-    "sales_employees_regions",
-    "seasonality_segment",
     "surrogate_keys_customers",
     "conform_two_sources",
     "scd2_two_load_lifecycle",
     "fact_orders",
-    "cdc_apply_orders",
     "incremental_mv_refresh",
     "secured_customers_analyst",
     "minhash_lsh_candidates",
     "dedup_clusters",
-    "jaccard_prefix_pairs",
-    "fuzzy_match_fastss",
-    "sales_cube",
-    "events_in_maintenance_windows",
-    "asof_click_attribution",
-    "curation_pipeline",
-    "decontaminate_bloom",
-    "part_pagerank",
-    # -- first-timers: round-7 additions (19) --
     "cow_merge_upsert",
-    "cow_stream_upsert",
-    "layout_skipping_eval",
-    "bpe_learn_merges",
-    "bpe_vocab_compression",
-    "ann_pq_adc",
-    "multitouch_attribution",
-    "dsir_importance_weights",
-    "superset_containment",
-    "ann_ivf_pq",
-    "bitext_margin_mining",
-    "k_anonymity_audit",
-    "compaction_plan",
-    "temporal_split_audit",
-    "bm25_topk",
-    "measure_correlations",
-    "ab_test_report",
-    "mutual_information",
-    "ccnet_perplexity_buckets",
+    # -- first-timers: round-8 additions (29) --
+    "unimax_language_budgets",
+    "stream_interval_join_attribution",
+    "retrieval_ndcg_eval",
+    "dedup_bcubed_agreement",
+    "stream_static_enrichment",
+    "stream_dedup_exactly_once",
+    "exact_percentile_twopass",
+    "split_semantic_leakage",
+    "consistent_shard_rebalance",
+    "ks_drift_statistic",
+    "chisq_category_drift",
+    "kmv_audience_overlap",
+    "sorted_neighborhood_pairs",
+    "kcenter_coreset",
+    "kaplan_meier_churn",
+    "tpch_avg_yearly",
+    "tpch_custdist",
+    "clustering_coefficients",
+    "rank_fusion_rrf",
+    "shapley_channel_attribution",
+    "price_volume_mix",
+    "quantile_normalization",
+    "target_encoding_loo",
+    "bootstrap_revenue_ci",
+    "kcore_membership",
+    "daily_ohlc",
+    "revenue_gini",
+    "cusum_changepoint",
+    "winnowing_matches",
     # -- first-timers: backlog novel shapes (11) --
-    "daily_revenue_anomalies",
-    "event_trigrams",
-    "order_day_islands",
-    "cumulative_new_users",
-    "events_session_window",
-    "events_value_outliers",
-    "weighted_sample_topk",
-    "revenue_cohorts",
-    "winsorized_segment_balances",
-    "secured_orders_slice",
-    "simhash_near_dup_pairs",
+    "multimodal_decode_stats",
+    "boilerplate_strip",
+    "duplicate_span_islands",
+    "dedup_clusters_smallstar",
+    "domain_quota_sample_twophase",
+    "dedup_normalized_docs",
+    "corpus_report",
+    "training_shards",
+    "join_skew_report",
+    "psi_event_drift",
+    "embedding_standardize",
 ]
 
-registry.promote(ROUND8_WINDOW)
+registry.promote(ROUND9_WINDOW)

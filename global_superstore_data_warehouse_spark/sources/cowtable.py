@@ -491,6 +491,27 @@ def vacuum(
         freed += os.stat(path).st_size
         os.unlink(path)
         deleted += 1
+    # Crashed writers leave their whole staging tree behind at the
+    # table root (_stage-v*-...); nothing else reclaims it now that
+    # staging lives under the root (the old /tmp location at least
+    # got OS cleanup). Same age floor as data files: a LIVE writer's
+    # staging dir is younger than min_age_seconds by construction.
+    for name in sorted(os.listdir(root)):
+        if not name.startswith("_stage-"):
+            continue
+        path = os.path.join(root, name)
+        if not os.path.isdir(path) or (
+            now - os.stat(path).st_mtime < min_age_seconds
+        ):
+            kept += 1
+            continue
+        freed += sum(
+            os.stat(os.path.join(dirpath, f)).st_size
+            for dirpath, _, files in os.walk(path)
+            for f in files
+        )
+        shutil.rmtree(path)
+        deleted += 1
     return {"files_deleted": deleted, "files_kept": kept, "bytes_deleted": freed}
 
 

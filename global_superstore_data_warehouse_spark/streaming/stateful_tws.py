@@ -132,6 +132,16 @@ class SessionProcessor(StatefulProcessor):
                 timerValues.getCurrentWatermarkInMs()
                 < (last + SESSION_GAP_SECONDS) * 1000
             ):
+                # The runtime CONSUMES the fired timer, so rejecting a
+                # stale fire without re-arming would leave the open
+                # session timer-less forever — an idle user's tail
+                # would never flush (silent loss). Re-register at the
+                # true idle point (last + gap, +1s slack); dedupe
+                # against any still-pending timer so repeated stale
+                # fires cannot accumulate.
+                rearm = (last + SESSION_GAP_SECONDS) * 1000 + 1000
+                if rearm not in set(self._handle.listTimers()):
+                    self._handle.registerTimer(rearm)
                 return
             self._open.clear()
             yield self._emit(user_id, [run])

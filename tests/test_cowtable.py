@@ -281,6 +281,13 @@ def test_vacuum_deletes_unreachable_and_orphans(spark, sf_dir, root):
     orphan = os.path.join(root, cowtable.DATA_DIR, "v99-b00000-0.parquet")
     with open(orphan, "wb") as f:
         f.write(b"not really parquet")
+    # ...and a crashed writer's whole staging tree at the table root
+    # (staging lives under the root since round 8; nothing but vacuum
+    # reclaims it — the round-8 advisor's finding)
+    stage_orphan = os.path.join(root, "_stage-v99-crashed")
+    os.makedirs(os.path.join(stage_orphan, "_bucket=0"))
+    with open(os.path.join(stage_orphan, "_bucket=0", "part-0.parquet"), "wb") as f:
+        f.write(b"staged but never committed")
     snap = _norm(cowtable.read_version(spark, root))
     # Default vacuum honors the min-age floor (Delta's retention-hours
     # miniature): every file here is seconds old, so nothing may be
@@ -289,12 +296,14 @@ def test_vacuum_deletes_unreachable_and_orphans(spark, sf_dir, root):
     aged = cowtable.vacuum(root, retain_versions=1)
     assert aged["files_deleted"] == 0
     assert os.path.exists(orphan)
+    assert os.path.isdir(stage_orphan)
     # min_age_seconds=0 = the single-process admin stance: delete
     # everything unreachable, deterministically.
     report = cowtable.vacuum(root, retain_versions=1, min_age_seconds=0)
     assert report["files_deleted"] > 0
     assert report["bytes_deleted"] > 0
     assert not os.path.exists(orphan)
+    assert not os.path.exists(stage_orphan)
     # current snapshot intact
     assert _norm(cowtable.read_version(spark, root)) == snap
     assert snap != pre

@@ -68,6 +68,14 @@ def test_bench_emits_one_json_line():
     # every timed extra reports how many passes its minimum came from
     assert set(detail["extra_passes"]) == set(detail["extra_queries"])
     assert all(1 <= n <= 3 for n in detail["extra_passes"].values())
+    # round-9 guarantee: the 10 slowest extras are exempt from the
+    # budget gate — graded deltas need min-of-2, never min-of-1
+    slowest10 = sorted(
+        detail["extra_queries"], key=lambda n: -detail["extra_queries"][n]
+    )[:10]
+    assert all(detail["extra_passes"][n] >= 2 for n in slowest10), {
+        n: detail["extra_passes"][n] for n in slowest10
+    }
 
 
 def test_correctness_window_is_the_intended_fifty():
@@ -78,55 +86,65 @@ def test_correctness_window_is_the_intended_fifty():
     sys.path.insert(0, REPO)
     from global_superstore_data_warehouse_spark import registry
 
-    from global_superstore_data_warehouse_spark.queries import ROUND8_WINDOW
+    from global_superstore_data_warehouse_spark.queries import ROUND9_WINDOW
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
     # since round 8 the window is DECLARED: registry.promote reorders
-    # the registry to put ROUND8_WINDOW first, so the driver's first
+    # the registry to put ROUND9_WINDOW first, so the driver's first
     # 50 must be exactly that list, in order
-    assert window == list(ROUND8_WINDOW)
-    # round-8 first-timers (the 19 remaining round-7 additions + 11
-    # backlog novel shapes) must be inside the window
-    rotated_in = {
-        "cow_merge_upsert", "cow_stream_upsert", "layout_skipping_eval",
-        "bpe_learn_merges", "bpe_vocab_compression", "ann_pq_adc",
-        "multitouch_attribution", "dsir_importance_weights",
-        "superset_containment", "ann_ivf_pq", "bitext_margin_mining",
-        "k_anonymity_audit", "compaction_plan", "temporal_split_audit",
-        "bm25_topk", "measure_correlations", "ab_test_report",
-        "mutual_information", "ccnet_perplexity_buckets",
-        "daily_revenue_anomalies", "event_trigrams", "order_day_islands",
-        "cumulative_new_users", "events_session_window",
-        "events_value_outliers", "weighted_sample_topk",
-        "revenue_cohorts", "winsorized_segment_balances",
-        "secured_orders_slice", "simhash_near_dup_pairs",
+    assert window == list(ROUND9_WINDOW)
+    # round-9 composition per the round-8 verdict: exactly 10
+    # repeat-green representatives, 40 first-timers (never had a
+    # driver CORRECTNESS row before round 9)
+    repeats = {
+        "yearly_sales_profit", "surrogate_keys_customers",
+        "conform_two_sources", "scd2_two_load_lifecycle", "fact_orders",
+        "incremental_mv_refresh", "secured_customers_analyst",
+        "minhash_lsh_candidates", "dedup_clusters", "cow_merge_upsert",
     }
-    assert rotated_in <= set(window), sorted(rotated_in - set(window))
-    # ...and the round-8 rotated-out entries (all r07 hash-green)
+    assert repeats <= set(window)
+    first_timers = set(window) - repeats
+    assert len(first_timers) == 40
+    # every first-timer must come from the round-8 never-checked
+    # backlog (spot-pin the heads of each backlog family)
+    must_be_in = {
+        "stream_interval_join_attribution", "stream_dedup_exactly_once",
+        "dedup_bcubed_agreement", "exact_percentile_twopass",
+        "bootstrap_revenue_ci", "clustering_coefficients",
+        "kcore_membership", "winnowing_matches",
+        "sorted_neighborhood_pairs", "kcenter_coreset",
+        "tpch_avg_yearly", "tpch_custdist", "multimodal_decode_stats",
+        "dedup_clusters_smallstar", "corpus_report", "training_shards",
+    }
+    assert must_be_in <= first_timers, sorted(must_be_in - first_timers)
+    # ...and the round-9 rotated-out entries (all r08 hash-green)
     # must stay registered (pytest parity retained) but outside it
     rotated_out = {
-        "fact_pit_customers", "gdpr_erasure_cascade", "part_skyline",
-        "entity_resolution_customers", "unigram_logprob_scores",
-        "bigram_surprisal_scores", "user_activity_coverage",
-        "dedup_savings_report", "cluster_balanced_sample",
-        "copurchase_bfs_layers", "daily_revenue_ewma",
-        "benford_order_totals", "market_budget_allocation",
-        "split_near_dup_leakage", "schema_evolution_union",
-        "daily_user_sketch_rollup", "countmin_heavy_hitters",
-        "join_size_estimate", "expectations_report",
-        "audio_decode_stats", "daily_users_kmv", "simhash_recall_eval",
-        "quantile_sketch_rollup", "ann_int8_rerank",
-        "segment_revenue_trend", "profile_columns", "fk_discovery",
-        "partition_advisor", "temperature_mixture_sample",
-        "leakage_safe_splits",
+        "sales_employees_regions", "seasonality_segment",
+        "cdc_apply_orders", "jaccard_prefix_pairs", "fuzzy_match_fastss",
+        "sales_cube", "events_in_maintenance_windows",
+        "asof_click_attribution", "curation_pipeline",
+        "decontaminate_bloom", "part_pagerank", "cow_stream_upsert",
+        "layout_skipping_eval", "bpe_learn_merges",
+        "bpe_vocab_compression", "ann_pq_adc", "multitouch_attribution",
+        "dsir_importance_weights", "superset_containment", "ann_ivf_pq",
+        "bitext_margin_mining", "k_anonymity_audit", "compaction_plan",
+        "temporal_split_audit", "bm25_topk", "measure_correlations",
+        "ab_test_report", "mutual_information",
+        "ccnet_perplexity_buckets", "daily_revenue_anomalies",
+        "event_trigrams", "order_day_islands", "cumulative_new_users",
+        "events_session_window", "events_value_outliers",
+        "weighted_sample_topk", "revenue_cohorts",
+        "winsorized_segment_balances", "secured_orders_slice",
+        "simhash_near_dup_pairs",
     }
     all_names = set(registry.queries())
     assert rotated_out <= all_names - set(window), sorted(
         rotated_out & set(window)
     )
-    # the round-8 window is fully oracle-backed (the two rows-only
-    # entries — HLL sketch rollups — rotated out with pytest bounds)
+    # the round-9 window is fully oracle-backed — every slot can go
+    # hash-green (verified: all 57 backlog entries carry oracles)
     sys.path.insert(0, REPO)
     import __spark_entry__ as e
 

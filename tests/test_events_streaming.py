@@ -847,12 +847,23 @@ def test_tws_processor_timer_semantics_unit():
 
     # stale-timer race: even if the batch-1 timer somehow fired now
     # (watermark 50s < last+gap = 710s), the open session must NOT
-    # be flushed
+    # be flushed. The runtime consumes the fired timer first —
+    # simulate that — and the guard must RE-ARM one (else an idle
+    # user's open session would never flush again: the round-8
+    # advisor's silent-loss finding).
+    handle.timers.clear()
     fired = list(
         proc.handleExpiredTimer((7,), _FakeTimerValues(50_000), None)
     )
     assert fired == []
     assert handle._state.exists()
+    assert handle.timers == [(110 + SESSION_GAP_SECONDS) * 1000 + 1000]
+    # a repeated stale fire must not accumulate a duplicate timer
+    fired = list(
+        proc.handleExpiredTimer((7,), _FakeTimerValues(60_000), None)
+    )
+    assert fired == []
+    assert len(handle.timers) == 1
 
     # a genuinely expired timer (watermark past last + gap) flushes
     wm = (110 + SESSION_GAP_SECONDS) * 1000

@@ -20,11 +20,14 @@ def test_blob_table_schema(spark, sf_dir):
     assert dict(bt.dtypes)["meta"].startswith("struct<width:int,height:int")
 
 
-def test_decode_stub_raises(spark):
+def test_decode_truncated_png_raises(spark):
+    """PNG is a REAL decode path since round 9 — truncated container
+    bytes are a decode ERROR (ValueError), not an unimplemented
+    format."""
     from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
 
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8)
 
 
 @pytest.mark.parametrize("name", ["multimodal_resize", "multimodal_frame_sample"])
@@ -102,6 +105,127 @@ def test_ppm_p6_decode():
     px = decode_image(blob)
     assert px.shape == (h, w, 3)
     assert (px.reshape(-1) == np.frombuffer(body, dtype=np.uint8)).all()
+
+
+def test_png_decode_golden_bytes():
+    """Hand-laid-out PNG (2x2 RGB, filter 0 rows) — chunks, CRCs and
+    the zlib stream written from the spec, NOT via encode_png, so the
+    decoder is proven against the format rather than its own inverse.
+
+    Image (top-down RGB): [[red, green], [blue, white]]."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = (
+        b"\x00" + bytes([255, 0, 0, 0, 255, 0])      # filter 0: red, green
+        + b"\x00" + bytes([0, 0, 255, 255, 255, 255])  # filter 0: blue, white
+    )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_image(blob)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert px.shape == (2, 2, 3)
+    assert (px == want).all()
+
+
+def test_png_roundtrip_every_filter_type():
+    """encode_png -> decode_image is the identity on a deterministic
+    gradient for EVERY per-row filter assignment: uniform rows of
+    each type 0-4, plus a mixed cycle — proving all five unfilter
+    paths (None/Sub/Up/Average/Paeth) against real container bytes."""
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    w, h = 7, 6
+    grad = ((np.arange(h * w * 3) * 31 + 5) % 256).astype(np.uint8).reshape(
+        h, w, 3
+    )
+    for ft in range(5):
+        blob = encode_png(w, h, grad, row_filters=[ft] * h)
+        assert (decode_image(blob) == grad).all(), f"filter {ft}"
+    mixed = [y % 5 for y in range(h)]
+    assert (decode_image(encode_png(w, h, grad, row_filters=mixed)) == grad).all()
+
+
+def test_png_gray_and_rgba_normalize_to_rgb():
+    """Color type 0 replicates to 3 channels; color type 6 drops
+    alpha — both hand-built at the chunk level."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def png(w, h, color, raw):
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    gray = decode_image(png(2, 1, 0, b"\x00" + bytes([7, 200])))
+    assert (gray == np.array([[[7, 7, 7], [200, 200, 200]]], np.uint8)).all()
+    rgba = decode_image(
+        png(1, 1, 6, b"\x00" + bytes([10, 20, 30, 99]))
+    )
+    assert (rgba == np.array([[[10, 20, 30]]], np.uint8)).all()
+
+
+def test_png_unsupported_subformats_still_honest():
+    """Palette / 16-bit / interlaced PNGs stay NotImplementedError —
+    the capability matrix does not overclaim."""
+    import struct
+    import zlib
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    for depth, color, interlace in [(8, 3, 0), (16, 2, 0), (8, 2, 1)]:
+        blob = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(
+                b"IHDR",
+                struct.pack(">IIBBBBB", 1, 1, depth, color, 0, 0, interlace),
+            )
+            + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00\x00"))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(NotImplementedError):
+            decode_image(blob)
 
 
 def test_multimodal_decode_stats_matches_oracle(spark, duck, sf_dir):

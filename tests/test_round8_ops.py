@@ -913,13 +913,14 @@ def test_winnowing_selection_guarantee(spark, sf_dir):
         for p in range(n)
     ]
     sel = set()
-    for s in range(n):
-        # window s (1-based start s+1) covers positions s+1..s+W,
-        # clipped to n — the mirror of the plan's "position p belongs
-        # to windows max(1, p-W+1)..p"; argmin by (h asc, pos desc)
+    # canonical winnowing: only FULL windows, starts 1..n-W+1 (a doc
+    # with fewer than W hashes keeps the single window s=1 over all
+    # of them); argmin by (h asc, pos desc) — the rightmost-tie rule
+    last_start = max(1, n - WINNOW_W + 1)
+    for s1 in range(1, last_start + 1):
         window = [
             (hs[p - 1], -(p), p)
-            for p in range(s + 1, min(s + WINNOW_W, n) + 1)
+            for p in range(s1, min(s1 + WINNOW_W - 1, n) + 1)
         ]
         if window:
             sel.add((min(window)[0], min(window)[2]))
@@ -939,12 +940,12 @@ def test_winnowing_selection_guarantee(spark, sf_dir):
             "t"
         ),
     )
+    n_grams = FF.length("t") - (WINNOW_K - 1)
     pos = d.select(
         "doc_id",
         "t",
-        FF.explode(
-            FF.sequence(FF.lit(1), FF.length("t") - (WINNOW_K - 1))
-        ).alias("p"),
+        n_grams.alias("n"),
+        FF.explode(FF.sequence(FF.lit(1), n_grams)).alias("p"),
     )
     h = FF.conv(
         FF.substring(
@@ -953,14 +954,17 @@ def test_winnowing_selection_guarantee(spark, sf_dir):
         16,
         10,
     ).cast("long")
-    win = pos.select("doc_id", "p", h.alias("h")).select(
+    win = pos.select("doc_id", "p", "n", h.alias("h")).select(
         "doc_id",
         "h",
         "p",
         FF.explode(
             FF.sequence(
                 FF.greatest(FF.lit(1), FF.col("p") - (WINNOW_W - 1)),
-                FF.col("p"),
+                FF.least(
+                    FF.col("p"),
+                    FF.greatest(FF.lit(1), FF.col("n") - (WINNOW_W - 1)),
+                ),
             )
         ).alias("s"),
     )
