@@ -320,3 +320,39 @@ def test_bootstrap_ci_is_one_scan_partial_agg(spark, sf_dir):
     assert "HashAggregate" in plan
     # orders parquet is read for the bootstrap and the point estimate
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+
+def test_stats_gated_views_never_shuffle_lineitem(spark, sf_dir):
+    """Round-9 contract: the orders side of the flagship views rides
+    a statistics-driven broadcast hint (catalog.table_rows -> 
+    hints.stats_gated) below the gate, so the lineitem probe side is
+    NEVER hash-partitioned for the join — AQE's late SMJ->BHJ
+    conversion would still have written lineitem's shuffle map
+    stage. Above the gate the hint drops and the shuffle join is the
+    intended plan (pinned in test_hints by lowering the gate)."""
+    for name in [
+        "yearly_sales_profit",
+        "demand_category_region",
+        "seasonality_segment",
+        "order_details_wide",
+    ]:
+        plan = _q(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        # the only allowed hash-partitioning exchanges are the
+        # aggregation/sort ones on the (tiny) grouped output — never
+        # on a lineitem join key
+        bad = [
+            line
+            for line in plan.splitlines()
+            if "hashpartitioning(l_orderkey" in line
+        ]
+        assert not bad, (name, bad)
+
+
+def test_catalog_table_rows_matches_scan_counts(spark, sf_dir):
+    """Footer statistics must equal the true row counts — they gate
+    join strategy, so a drift here silently flips plans."""
+    from global_superstore_data_warehouse_spark.catalog import load, table_rows
+
+    for t in ["orders", "nation", "region", "customer"]:
+        assert table_rows(sf_dir, t) == load(spark, sf_dir, t).count(), t
