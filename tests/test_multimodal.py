@@ -36,7 +36,7 @@ def test_multimodal_extra_matches_oracle(spark, duck, sf_dir, name):
 
 
 def test_decode_stub_still_raises_for_real_codecs():
-    """JPEG/PNG remain honestly unimplemented (no codec libs)."""
+    """JPEG remains honestly unimplemented (no codec libs)."""
     from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
@@ -294,3 +294,34 @@ def test_audio_decode_stats_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "audio_decode_stats", sf_dir)
+
+
+def test_png_roundtrip_property():
+    """Property test: encode_png -> decode_image is the identity for
+    arbitrary small images and arbitrary per-row filter choices."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def prop(w, h, seed, data):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        assert (decode_image(encode_png(w, h, px, row_filters=filters)) == px).all()
+
+    prop()
