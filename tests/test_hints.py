@@ -75,3 +75,45 @@ def test_gated_plans_identical_results_in_shuffle_mode(spark, monkeypatch):
 
     assert got_clusters == want_clusters
     assert got_tri == want_tri
+
+
+def test_stats_gated_views_identical_results_in_shuffle_mode(spark, monkeypatch):
+    """The round-9 statistics-gated views (footer rowcounts ->
+    broadcast hint on the orders side) must produce byte-identical
+    output with the gate forced to 0 rows — the 100 TB posture where
+    orders exceeds any broadcastable size and the same code runs the
+    shuffle join."""
+    from global_superstore_data_warehouse_spark.operators import hints
+    from global_superstore_data_warehouse_spark.plans.views import (
+        demand_category_region,
+        yearly_sales_profit,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want_y = sorted(map(tuple, yearly_sales_profit(spark, sf).collect()))
+    want_d = sorted(map(tuple, demand_category_region(spark, sf).collect()))
+
+    monkeypatch.setattr(hints, "BROADCAST_MAX_ROWS", 0)
+    assert sorted(map(tuple, yearly_sales_profit(spark, sf).collect())) == want_y
+    assert sorted(map(tuple, demand_category_region(spark, sf).collect())) == want_d
+
+
+def test_stats_gated_drops_hint_above_gate(spark, monkeypatch):
+    """Plan-level proof for the stats gate itself: with the gate at 0
+    rows and auto-broadcast off, the orders join in
+    demand_category_region compiles WITHOUT a broadcast on the
+    orders side (the lineitem<->orders stage becomes a shuffle
+    join)."""
+    from global_superstore_data_warehouse_spark.operators import hints
+    from global_superstore_data_warehouse_spark.plans.views import (
+        demand_category_region,
+    )
+
+    monkeypatch.setattr(hints, "BROADCAST_MAX_ROWS", 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _physical(demand_category_region(spark, "/root/testdata/sf0.001"))
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
