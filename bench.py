@@ -47,9 +47,11 @@ the canary bodies — their whole value is being identical forever.
 ``extra_passes`` annotates how many timing passes each extra query
 got (the budget gate can reduce late-alphabet extras to min-of-1 on
 a contended host; a min-of-1 delta is noise, not a regression).
-Since round 9 the second pass runs slowest-first and the 10 slowest
-extras are EXEMPT from the budget gate — their round-over-round
-deltas are the graded ones, so they must always be min-of-2.
+Since round 9 the second pass runs slowest-first and the 15
+slowest extras (by first-pass time — a margin over the graded
+top-10-by-min) are EXEMPT from the budget gate: their
+round-over-round deltas are the graded ones, so they must always be
+min-of-2.
 """
 
 from __future__ import annotations
@@ -370,14 +372,19 @@ def main() -> None:
             batch += [(n, extra_timings) for n in extra_names]
         elif rnd == ROUNDS - 1:
             # Second pass runs SLOWEST-FIRST (by first-pass timing),
-            # and the 10 slowest are exempt from the budget gate:
+            # and the slowest are exempt from the budget gate:
             # their round-over-round deltas are the graded ones, so
             # they must always be min-of-2 (round-8 lesson — a whole
             # round of min-of-1 extras deltas was ungradeable noise).
             ordered = sorted(
                 extra_names, key=lambda n: -extra_timings.get(n, 0.0)
             )
-            guaranteed = set(ordered[:10])
+            # guarantee 15, not 10: ranking here uses FIRST-pass
+            # times, but the graded top-10 is by final min — minima
+            # drop unevenly, so a 5-entry margin keeps the graded set
+            # covered (observed at sf0.1: 3 of the final top-10 sat
+            # just below a top-10 first-pass cut)
+            guaranteed = set(ordered[:15])
             batch += [(n, extra_timings) for n in ordered]
         for name, sink in batch:
             # budget gate on EXTRA timings: on a badly contended host
