@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import stats_gated
 from global_superstore_data_warehouse_spark.functions.text import tokens
 from global_superstore_data_warehouse_spark.plans.views import SALES, SALES_SQL
 
@@ -164,7 +165,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.quarter("o_orderdate").alias("order_quarter"),
     )
     return (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(stats_gated(orders, sf_dir, "orders"), lineitem.l_orderkey == orders.o_orderkey)
         .rollup("order_year", "order_quarter")
         .agg(
             F.round(F.sum(SALES()), 2).alias("total_sales"),

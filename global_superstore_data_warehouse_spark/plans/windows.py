@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import stats_gated
 from global_superstore_data_warehouse_spark.plans.views import SALES, SALES_SQL
 
 
@@ -30,7 +31,7 @@ def best_month_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     monthly = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(stats_gated(orders, sf_dir, "orders"), lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("segment"), "order_year", "order_month")
         .agg(F.round(F.sum(SALES()), 2).alias("total_sales"))
@@ -76,7 +77,7 @@ def top_employees_per_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", F.col("s_name").alias("employee_name")
     )
     yearly = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(stats_gated(orders, sf_dir, "orders"), lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .groupBy("order_year", "employee_name")
         .agg(F.round(F.sum(SALES()), 2).alias("total_sales"))
@@ -122,7 +123,7 @@ def customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-mismatched the oracle at sf0.1 (order-dependent boundary
     # hits); integers cannot drift
     per_cust = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(stats_gated(orders, sf_dir, "orders"), lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(F.round(F.sum(SALES()) * 100).cast("long").alias("customer_cents"))
     )
@@ -183,7 +184,7 @@ def rolling_7d_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("r_name").alias("market"))
     )
     daily = (
-        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        lineitem.join(stats_gated(orders, sf_dir, "orders"), lineitem.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust_market), orders.o_custkey == cust_market.c_custkey)
         .groupBy("market", "order_date")
         .agg(
