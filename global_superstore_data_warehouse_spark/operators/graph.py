@@ -83,6 +83,7 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    first = e  # shared with `nodes`' lineage — never unpersisted here
     for _ in range(max_rounds):
         after_large = _star_round(e, large=True)
         after_small = _star_round(after_large, large=False).localCheckpoint()
@@ -94,6 +95,11 @@ def connected_components(
             .unionAll(e.exceptAll(after_small))
             .isEmpty()
         )
+        # the probe was the old round's last reader — release its
+        # blocks (same session-lifetime leak the round-8 advisor
+        # flagged in the percentile/k-center/k-core loops)
+        if e is not first:
+            e.unpersist()
         e = after_small
         if not changed:
             break

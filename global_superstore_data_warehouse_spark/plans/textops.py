@@ -687,6 +687,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint()
     )
+    pairs.unpersist()  # folded into the edges checkpoint above
     # symmetric edges → src alone covers every edge-incident node
     active = edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
 
@@ -707,6 +708,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         md = maybe_broadcast(
             m.select(F.col("v").alias("dst"), F.col("m").alias("md")), n_rows=n_map
         )
+        prev = cur
         cur = (
             cur.join(ms, "src")
             .join(md, "dst")
@@ -715,6 +717,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .localCheckpoint()
         )
+        # the superseded contraction level's blocks are never read
+        # again (levels keep their OWN checkpoints for the remap
+        # fold) — release them; the round-8 advisor's session-lifetime
+        # leak pattern
+        prev.unpersist()
         if cur.isEmpty():
             break
 
