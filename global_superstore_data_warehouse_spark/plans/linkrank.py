@@ -385,14 +385,21 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
         )
+        prev_frontier = frontier
         frontier = (
             neighbors.join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
+        # the superseded frontier's blocks are dead once the new one
+        # is materialized (at hop 1 it aliases `visited` — skip)
+        if prev_frontier is not visited:
+            prev_frontier.unpersist()
         if frontier.isEmpty():
             break
+        prev_visited = visited
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        prev_visited.unpersist()
     else:
         # All hops used without the frontier draining. The fixed hop
         # budget is part of the contract ONLY because it is also the
