@@ -529,6 +529,9 @@ def last_batch_id(root: str) -> int | None:
     return best
 
 
+MERGE_RETRIES = 3
+
+
 def _merge_files(
     spark: SparkSession,
     root: str,
@@ -536,38 +539,63 @@ def _merge_files(
     op: str,
     merge_fn,
     extra: dict | None = None,
+    retries: int = None,
 ) -> dict:
     """Shared COW merge driver: prune files by the source's touched
     buckets, run ``merge_fn(touched_state) -> new_state`` on ONLY
     that slice, rewrite those buckets, commit (with any ``extra``
     payload fields, e.g. a streaming batch_id). Returns the pruning
-    report {touched_buckets, files_rewritten, files_carried}."""
-    meta = _read_meta(root)
-    key = meta["key"]
-    version = current_version(root)
-    files = live_files(root, version)
-    touched = set(_touched_buckets(source, key, meta))
-    hit = [e for e in files if e["bucket"] in touched]
-    carried = [e for e in files if e["bucket"] not in touched]
-    if hit:
-        target = spark.read.parquet(
-            *[os.path.join(root, e["file"]) for e in hit]
-        )
-    else:
-        # brand-new buckets only: empty target with the stored schema
-        any_file = os.path.join(root, files[0]["file"])
-        target = spark.read.parquet(any_file).limit(0)
-    new_state = merge_fn(target)
-    adds = _write_bucketed(root, version + 1, new_state, key, meta)
-    payload = {"op": op, "adds": adds, "removes": [e["file"] for e in hit]}
-    if extra:
-        payload.update(extra)
-    _commit(root, version + 1, payload)
-    return {
-        "touched_buckets": sorted(touched),
-        "files_rewritten": len(hit),
-        "files_carried": len(carried),
-    }
+    report {touched_buckets, files_rewritten, files_carried}.
+
+    OPTIMISTIC RETRY (Delta's conflict-resolution loop): losing the
+    create-exclusive commit race no longer surfaces as a hard error —
+    the merge re-reads the NEW current snapshot and re-runs
+    ``merge_fn`` against it, up to ``retries`` times (module default
+    ``MERGE_RETRIES``). This is semantically safe for the merge family
+    because every op here is a key-level upsert/close whose outcome
+    depends only on (latest snapshot, source): replaying it on the
+    winner's snapshot is exactly serializing the two commits. The
+    loser's staged files for the failed attempt are superseded
+    orphans; vacuum() reclaims them past the age floor. Pass
+    retries=0 to restore fail-fast (the exactly-once streaming sink
+    does — its batch_id dedupe needs the conflict surfaced, not
+    replayed)."""
+    if retries is None:
+        retries = MERGE_RETRIES
+    for attempt in range(retries + 1):
+        meta = _read_meta(root)
+        key = meta["key"]
+        version = current_version(root)
+        files = live_files(root, version)
+        touched = set(_touched_buckets(source, key, meta))
+        hit = [e for e in files if e["bucket"] in touched]
+        carried = [e for e in files if e["bucket"] not in touched]
+        if hit:
+            target = spark.read.parquet(
+                *[os.path.join(root, e["file"]) for e in hit]
+            )
+        else:
+            # brand-new buckets only: empty target with stored schema
+            any_file = os.path.join(root, files[0]["file"])
+            target = spark.read.parquet(any_file).limit(0)
+        new_state = merge_fn(target)
+        adds = _write_bucketed(root, version + 1, new_state, key, meta)
+        payload = {"op": op, "adds": adds, "removes": [e["file"] for e in hit]}
+        if extra:
+            payload.update(extra)
+        try:
+            _commit(root, version + 1, payload)
+        except ConcurrentWriteError:
+            if attempt == retries:
+                raise
+            continue  # re-read the winner's snapshot and replay
+        return {
+            "touched_buckets": sorted(touched),
+            "files_rewritten": len(hit),
+            "files_carried": len(carried),
+            "commit_attempts": attempt + 1,
+        }
+
 
 
 def merge_scd1(
@@ -577,6 +605,7 @@ def merge_scd1(
     keys: Sequence[str],
     attrs: Sequence[str],
     extra: dict | None = None,
+    retries: int = None,
 ) -> dict:
     """SCD1 upsert as a file-pruned COW MERGE: semantics are exactly
     ``operators/merge.py::scd1_upsert`` (source wins on key match,
@@ -588,7 +617,7 @@ def merge_scd1(
     def apply(target: DataFrame) -> DataFrame:
         return scd1_upsert(target, source, keys, attrs).drop("is_updated")
 
-    return _merge_files(spark, root, source, "merge_scd1", apply, extra)
+    return _merge_files(spark, root, source, "merge_scd1", apply, extra, retries=retries)
 
 
 def merge_scd2(

@@ -70,6 +70,11 @@ def apply_stream_batch(
         keys=keys,
         attrs=attrs,
         extra={"batch_id": int(batch_id)},
+        # fail-fast, never replay: a commit conflict here can only be
+        # a zombie writer racing the SAME batch — optimistic retry
+        # would re-apply it without re-running the batch_id dedupe
+        # check above, breaking exactly-once
+        retries=0,
     )
     return "merged"
 

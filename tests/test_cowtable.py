@@ -478,3 +478,79 @@ def test_changes_cdf_spans_schema_evolution(spark, sf_dir, root):
     assert {r.c_custkey % 2 for r in rows} == {1}
     assert all(r.loyalty_tier == "GOLD" for r in rows)
     assert len(rows) == half2.count()
+
+
+def test_merge_retries_after_losing_commit_race(spark, sf_dir, root, monkeypatch):
+    """Optimistic-concurrency RETRY (Delta's conflict loop): a merge
+    that loses the create-exclusive commit race must re-read the
+    winner's snapshot, replay itself on top, and succeed — the final
+    state is exactly the two merges applied serially. Simulated
+    deterministically: the first _commit call from the loser is
+    interposed to run a REAL competing merge first (a genuine second
+    writer winning the version), then proceed."""
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=4)
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+
+    winner_src = df.filter(F.col("c_custkey") == lo).withColumn(
+        "c_name", F.lit("winner wrote this")
+    )
+    loser_src = df.filter(F.col("c_custkey") == hi).withColumn(
+        "c_name", F.lit("loser wrote this")
+    )
+
+    real_commit = cowtable._commit
+    fired = {"done": False}
+
+    def racing_commit(r, version, payload):
+        if not fired["done"]:
+            fired["done"] = True
+            # the competing writer lands the SAME version first
+            monkeypatch.setattr(cowtable, "_commit", real_commit)
+            cowtable.merge_scd1(
+                spark, r, winner_src,
+                keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+            )
+            monkeypatch.setattr(cowtable, "_commit", racing_commit)
+        return real_commit(r, version, payload)
+
+    monkeypatch.setattr(cowtable, "_commit", racing_commit)
+    report = cowtable.merge_scd1(
+        spark, root, loser_src,
+        keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    monkeypatch.setattr(cowtable, "_commit", real_commit)
+    assert report["commit_attempts"] == 2
+
+    final = {r["c_custkey"]: r["c_name"] for r in cowtable.read_version(spark, root).collect()}
+    assert final[lo] == "winner wrote this"   # winner's effect survives
+    assert final[hi] == "loser wrote this"    # loser replayed on top
+    # history shows BOTH merges as separate serialized commits
+    assert [h["op"] for h in cowtable.history(root)] == [
+        "create", "merge_scd1", "merge_scd1",
+    ]
+
+
+def test_merge_retries_zero_fails_fast(spark, sf_dir, root, monkeypatch):
+    """retries=0 restores fail-fast (the exactly-once streaming sink
+    contract: a conflict means a zombie raced the same batch — it
+    must surface, not replay past the batch_id dedupe check)."""
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=4)
+
+    real_commit = cowtable._commit
+
+    def racing_commit(r, version, payload):
+        # a competitor claims the version between the merge's
+        # snapshot read and its commit
+        if not os.path.exists(cowtable._commit_path(r, version)):
+            real_commit(r, version, {"op": "txn", "adds": [], "removes": []})
+        return real_commit(r, version, payload)
+
+    monkeypatch.setattr(cowtable, "_commit", racing_commit)
+    with pytest.raises(cowtable.ConcurrentWriteError):
+        cowtable.merge_scd1(
+            spark, root, df.limit(1),
+            keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+            retries=0,
+        )
