@@ -117,3 +117,14 @@ def test_stats_gated_drops_hint_above_gate(spark, monkeypatch):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_table_rows_sums_part_files(spark, tmp_path):
+    """catalog.table_rows must handle the real cluster layout — a
+    DIRECTORY of part files — by summing footer counts, still
+    driver-side metadata only."""
+    from global_superstore_data_warehouse_spark.catalog import table_rows
+
+    out = str(tmp_path / "orders.parquet")
+    spark.range(0, 1000).repartition(4).write.parquet(out)
+    assert table_rows(str(tmp_path), "orders") == 1000
