@@ -539,7 +539,7 @@ def _merge_files(
     op: str,
     merge_fn,
     extra: dict | None = None,
-    retries: int = None,
+    retries: int | None = None,
 ) -> dict:
     """Shared COW merge driver: prune files by the source's touched
     buckets, run ``merge_fn(touched_state) -> new_state`` on ONLY
@@ -605,7 +605,7 @@ def merge_scd1(
     keys: Sequence[str],
     attrs: Sequence[str],
     extra: dict | None = None,
-    retries: int = None,
+    retries: int | None = None,
 ) -> dict:
     """SCD1 upsert as a file-pruned COW MERGE: semantics are exactly
     ``operators/merge.py::scd1_upsert`` (source wins on key match,
