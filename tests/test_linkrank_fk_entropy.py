@@ -68,3 +68,27 @@ def test_entropy_bounded_by_vocab(spark, sf_dir):
     assert rows
     for r in rows:
         assert 0.0 <= r["entropy_nats"] <= math.log(r["vocab_size"]) + 1e-9
+
+
+def test_convergence_probes_fire_when_under_budgeted(spark, sf_dir, monkeypatch):
+    """The round-9 runtime convergence probes must be live checks,
+    not dead code: an under-budgeted hop/peel count raises instead
+    of silently returning a non-fixed-point."""
+    import pytest
+
+    from global_superstore_data_warehouse_spark.plans import linkrank
+
+    # BFS with one hop on a graph of diameter > 1: reachable nodes
+    # would be mis-reported as dist=-1 — the probe must catch it
+    monkeypatch.setattr(linkrank, "BFS_HOPS", 1)
+    with pytest.raises(RuntimeError, match="bfs probe"):
+        linkrank.copurchase_bfs_layers(spark, sf_dir).collect()
+    monkeypatch.undo()
+
+    # k-core with zero peels and an unattainable K: one probe peel
+    # empties the survivor set, so the bounded result is NOT the
+    # fixed point and the probe must say so
+    monkeypatch.setattr(linkrank, "KCORE_ROUNDS", 0)
+    monkeypatch.setattr(linkrank, "KCORE_K", 100_000)
+    with pytest.raises(RuntimeError, match="kcore probe"):
+        linkrank.kcore_membership(spark, sf_dir).collect()
