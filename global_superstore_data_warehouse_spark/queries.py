@@ -5,9 +5,11 @@
 # events_dedup_bursts, bpe_pair_counts, doclen_histogram,
 # order_cadence, churn_flags, supplier_concentration,
 # fulfillment_lead_time, quality_percentiles, seasonal_index,
-# lateness_profile, abc_migration — one window's worth. Rotate out
-# r09-green shape-covered entries via the ROUND9_WINDOW list at the
-# BOTTOM of this file (registry.promote makes rotation a list edit).
+# lateness_profile, abc_migration — one window's worth, ALL 17
+# pre-verified hash-green at sf0.01 via tools/check_some.py at the
+# end of round 9. Rotate out r09-green shape-covered entries via the
+# ROUND9_WINDOW list at the BOTTOM of this file (registry.promote
+# makes rotation a list edit).
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
