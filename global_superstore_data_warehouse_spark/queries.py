@@ -1,15 +1,10 @@
-# ROUND-10 ROTATION QUEUE (17 entries lack a driver row after the
-# round-9 rotation; tools/rotation_queue.py computes the live list):
-# hard_negative_mining, lang_id_confusion, pareto_products,
-# rfm_segments, zipf_slope_by_source, token_entropy_by_source,
-# events_dedup_bursts, bpe_pair_counts, doclen_histogram,
-# order_cadence, churn_flags, supplier_concentration,
-# fulfillment_lead_time, quality_percentiles, seasonal_index,
-# lateness_profile, abc_migration — one window's worth, ALL 17
-# pre-verified hash-green at sf0.01 via tools/check_some.py at the
-# end of round 9. Rotate out r09-green shape-covered entries via the
-# ROUND9_WINDOW list at the BOTTOM of this file (registry.promote
-# makes rotation a list edit).
+# ROTATION QUEUE: EMPTY as of round 10 — all 226 registered queries
+# have (or are in the current window to get) a driver CORRECTNESS
+# row. tools/rotation_queue.py computes the live list. STANDING
+# NET-ZERO-DEBT RULE (see the ROUND10_WINDOW block at the bottom):
+# new registrations per round <= what the next 50-slot window absorbs
+# alongside ~10 repeats (<= 20/round), and every new registration
+# enters the very next window.
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
@@ -19,17 +14,16 @@ compare hashes values under sorted column names.
 
 REGISTRATION ORDER MATTERS: the driver records CORRECTNESS rows for
 the first 50 entries only. Since round 8 the window is defined
-EXPLICITLY by the ``ROUND9_WINDOW`` list at the bottom of this file
+EXPLICITLY by the ``ROUND10_WINDOW`` list at the bottom of this file
 (``registry.promote`` reorders the registry so the list comes
 first) — rotating is one list edit, not a reshuffle of register()
-blocks. Round-9 composition, per the round-8 verdict directive: 10
-repeat-green family representatives + 40 first-timers (all 29
-round-7/8 additions still lacking a row + 11 backlog novel shapes),
-every first-timer locally verified at sf0.01 via
-tools/check_some.py before rotation. Earlier rotations (rounds 3-8)
-are recorded in git history. Everything outside the window keeps
-identical DuckDB-oracle parity coverage in pytest
-(tests/conftest.py::assert_matches_oracle).
+blocks. Round-10 composition, per the round-9 verdict directive:
+the final 17 never-driver-checked backlog entries + 33 repeat-green
+representatives spread across every operator family — this drives
+never-checked debt to ZERO. Earlier rotations (rounds 3-9) are
+recorded in git history / the ROUND9_WINDOW list below. Everything
+outside the window keeps identical DuckDB-oracle parity coverage in
+pytest (tests/conftest.py::assert_matches_oracle).
 """
 
 from __future__ import annotations
@@ -1119,22 +1113,26 @@ register(
 
 
 # ======================================================================
-# DRIVER CORRECTNESS WINDOW — round 9 rotation
+# DRIVER CORRECTNESS WINDOW — round 10 rotation
 # ======================================================================
 # The driver records CORRECTNESS rows for the FIRST 50 registry
 # entries only. ``registry.promote`` reorders the registry so this
 # list IS the window — rotations are one list edit (plus the pin in
-# tests/test_driver_contract.py). Composition this round, per the
-# round-8 verdict's directive (burn the 57-entry never-driver-checked
-# backlog): 10 repeat-green family representatives + 40 FIRST-TIMERS —
-# all 29 round-7/8 additions still lacking a row, then the novel
-# backlog shapes in rotation-queue order. Leaves a 17-entry backlog
-# (the retail/observability tail listed in the header comment), all
-# pytest-oracle-proven every suite run
-# (tests/conftest.py::assert_matches_oracle). Every first-timer was
-# locally verified at sf0.01 via tools/check_some.py before rotation.
-# Rotated out: 40 r08-hash-green entries whose shapes stay covered
-# in-window.
+# tests/test_driver_contract.py). Round-10 composition, per the
+# round-9 verdict directive: ALL 17 remaining never-driver-checked
+# backlog entries (the retail/observability/textops tail — this
+# drives the never-checked backlog to ZERO) + 33 repeat-green
+# representatives spread across every operator family (views,
+# warehouse, SCD, fact, DM, pipeline, COW lakehouse, security,
+# conformance, cleansing, windows, dedup/textops, ANN/embeddings,
+# events/streaming, multimodal, observability, mixtures, stats,
+# graph, curation, setsim, CDC). Every first-timer was verified
+# hash-green at sf0.01 via tools/check_some.py before rotation.
+# Everything outside the window keeps identical DuckDB-oracle parity
+# coverage in pytest (tests/conftest.py::assert_matches_oracle).
+#
+# Round 9's window is preserved below (ROUND9_WINDOW) for the
+# contract test's history pin; git history holds rounds 3-8.
 ROUND9_WINDOW = [
     # -- repeat-green representatives (10) --
     "yearly_sales_profit",
@@ -1191,4 +1189,75 @@ ROUND9_WINDOW = [
     "embedding_standardize",
 ]
 
-registry.promote(ROUND9_WINDOW)
+ROUND10_WINDOW = [
+    # -- first-timers: the final 17 never-driver-checked entries --
+    "hard_negative_mining",
+    "lang_id_confusion",
+    "pareto_products",
+    "rfm_segments",
+    "zipf_slope_by_source",
+    "token_entropy_by_source",
+    "events_dedup_bursts",
+    "bpe_pair_counts",
+    "doclen_histogram",
+    "order_cadence",
+    "churn_flags",
+    "supplier_concentration",
+    "fulfillment_lead_time",
+    "quality_percentiles",
+    "seasonal_index",
+    "lateness_profile",
+    "abc_migration",
+    # -- repeat-green family representatives (33) --
+    # views / warehouse / star schema
+    "yearly_sales_profit",
+    "demand_category_region",
+    "pricing_summary",
+    "surrogate_keys_customers",
+    "dim_date",
+    # SCD / fact / DM / pipeline / lakehouse / CDC
+    "scd2_two_load_lifecycle",
+    "fact_pit_customers",
+    "fact_orders",
+    "order_details_wide",
+    "incremental_mv_refresh",
+    "cow_merge_upsert",
+    "cdc_apply_orders",
+    # security / conformance / cleansing / windows
+    "secured_customers_analyst",
+    "conform_two_sources",
+    "sorted_neighborhood_pairs",
+    "best_month_per_segment",
+    # dedup / textops / setsim
+    "minhash_lsh_candidates",
+    "dedup_clusters",
+    "winnowing_matches",
+    "jaccard_prefix_pairs",
+    # ANN / embeddings
+    "cosine_topk",
+    "ann_ivf_pq",
+    "kcenter_coreset",
+    # events / streaming
+    "events_sessionize",
+    "stream_dedup_exactly_once",
+    "stream_interval_join_attribution",
+    # multimodal / observability / mixtures / curation
+    "multimodal_decode_stats",
+    "join_skew_report",
+    "training_shards",
+    "decontaminate_bloom",
+    # stats / graph
+    "bootstrap_revenue_ci",
+    "vocab_topk",
+    "kcore_membership",
+]
+
+# NET-ZERO-DEBT RULE (standing, adopted round 10 once the backlog hit
+# zero): new query registrations per round MUST NOT exceed what the
+# next 50-slot window can absorb alongside ~10 repeat representatives
+# (realistically <= 20 new entries/round), and EVERY new registration
+# enters the very next window as a first-timer. tools/rotation_queue.py
+# is the audit: its "never-checked backlog" must print empty at each
+# round boundary.
+
+registry.promote(ROUND10_WINDOW)

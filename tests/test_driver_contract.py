@@ -86,65 +86,50 @@ def test_correctness_window_is_the_intended_fifty():
     sys.path.insert(0, REPO)
     from global_superstore_data_warehouse_spark import registry
 
-    from global_superstore_data_warehouse_spark.queries import ROUND9_WINDOW
+    from global_superstore_data_warehouse_spark.queries import ROUND10_WINDOW
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
     # since round 8 the window is DECLARED: registry.promote reorders
-    # the registry to put ROUND9_WINDOW first, so the driver's first
+    # the registry to put ROUND10_WINDOW first, so the driver's first
     # 50 must be exactly that list, in order
-    assert window == list(ROUND9_WINDOW)
-    # round-9 composition per the round-8 verdict: exactly 10
-    # repeat-green representatives, 40 first-timers (never had a
-    # driver CORRECTNESS row before round 9)
-    repeats = {
+    assert window == list(ROUND10_WINDOW)
+    # round-10 composition per the round-9 verdict: ALL 17 remaining
+    # never-driver-checked backlog entries (debt hits zero) + 33
+    # repeat-green family representatives
+    first_timers = {
+        "hard_negative_mining", "lang_id_confusion", "pareto_products",
+        "rfm_segments", "zipf_slope_by_source", "token_entropy_by_source",
+        "events_dedup_bursts", "bpe_pair_counts", "doclen_histogram",
+        "order_cadence", "churn_flags", "supplier_concentration",
+        "fulfillment_lead_time", "quality_percentiles", "seasonal_index",
+        "lateness_profile", "abc_migration",
+    }
+    assert first_timers <= set(window), sorted(first_timers - set(window))
+    repeats = set(window) - first_timers
+    assert len(repeats) == 33
+    # spread: at least one repeat from each major operator family
+    family_heads = {
         "yearly_sales_profit", "surrogate_keys_customers",
-        "conform_two_sources", "scd2_two_load_lifecycle", "fact_orders",
-        "incremental_mv_refresh", "secured_customers_analyst",
-        "minhash_lsh_candidates", "dedup_clusters", "cow_merge_upsert",
+        "scd2_two_load_lifecycle", "fact_orders", "order_details_wide",
+        "incremental_mv_refresh", "cow_merge_upsert", "cdc_apply_orders",
+        "secured_customers_analyst", "conform_two_sources",
+        "sorted_neighborhood_pairs", "best_month_per_segment",
+        "minhash_lsh_candidates", "jaccard_prefix_pairs", "cosine_topk",
+        "events_sessionize", "stream_dedup_exactly_once",
+        "multimodal_decode_stats", "join_skew_report", "training_shards",
+        "decontaminate_bloom", "bootstrap_revenue_ci", "kcore_membership",
     }
-    assert repeats <= set(window)
-    first_timers = set(window) - repeats
-    assert len(first_timers) == 40
-    # every first-timer must come from the round-8 never-checked
-    # backlog (spot-pin the heads of each backlog family)
-    must_be_in = {
-        "stream_interval_join_attribution", "stream_dedup_exactly_once",
-        "dedup_bcubed_agreement", "exact_percentile_twopass",
-        "bootstrap_revenue_ci", "clustering_coefficients",
-        "kcore_membership", "winnowing_matches",
-        "sorted_neighborhood_pairs", "kcenter_coreset",
-        "tpch_avg_yearly", "tpch_custdist", "multimodal_decode_stats",
-        "dedup_clusters_smallstar", "corpus_report", "training_shards",
-    }
-    assert must_be_in <= first_timers, sorted(must_be_in - first_timers)
-    # ...and the round-9 rotated-out entries (all r08 hash-green)
-    # must stay registered (pytest parity retained) but outside it
-    rotated_out = {
-        "sales_employees_regions", "seasonality_segment",
-        "cdc_apply_orders", "jaccard_prefix_pairs", "fuzzy_match_fastss",
-        "sales_cube", "events_in_maintenance_windows",
-        "asof_click_attribution", "curation_pipeline",
-        "decontaminate_bloom", "part_pagerank", "cow_stream_upsert",
-        "layout_skipping_eval", "bpe_learn_merges",
-        "bpe_vocab_compression", "ann_pq_adc", "multitouch_attribution",
-        "dsir_importance_weights", "superset_containment", "ann_ivf_pq",
-        "bitext_margin_mining", "k_anonymity_audit", "compaction_plan",
-        "temporal_split_audit", "bm25_topk", "measure_correlations",
-        "ab_test_report", "mutual_information",
-        "ccnet_perplexity_buckets", "daily_revenue_anomalies",
-        "event_trigrams", "order_day_islands", "cumulative_new_users",
-        "events_session_window", "events_value_outliers",
-        "weighted_sample_topk", "revenue_cohorts",
-        "winsorized_segment_balances", "secured_orders_slice",
-        "simhash_near_dup_pairs",
-    }
+    assert family_heads <= repeats, sorted(family_heads - repeats)
+    # ...and every round-9 window entry rotated out this round (all
+    # r09 hash-green) must stay registered — pytest parity retained
+    from global_superstore_data_warehouse_spark.queries import ROUND9_WINDOW
+
+    rotated_out = set(ROUND9_WINDOW) - set(window)
     all_names = set(registry.queries())
-    assert rotated_out <= all_names - set(window), sorted(
-        rotated_out & set(window)
-    )
-    # the round-9 window is fully oracle-backed — every slot can go
-    # hash-green (verified: all 57 backlog entries carry oracles)
+    assert rotated_out <= all_names, sorted(rotated_out - all_names)
+    # the round-10 window is fully oracle-backed — every slot can go
+    # hash-green
     sys.path.insert(0, REPO)
     import __spark_entry__ as e
 
