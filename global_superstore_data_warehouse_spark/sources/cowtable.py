@@ -50,6 +50,7 @@ import json
 import os
 import shutil
 import tempfile
+import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -150,7 +151,18 @@ def _write_bucketed(
     EXDEV whenever /tmp was a different mount (tmpfs) than the table.
     A belt-and-braces shutil.move fallback covers any exotic layout
     (e.g. a bind-mounted data/ subdir).
+
+    File names carry a per-attempt random token (Delta's GUID part
+    names, delta-io PROTOCOL.md "Data Files"): two concurrent writers
+    racing to the same (version, bucket) must NEVER collide on a data
+    file name, because os.rename() REPLACES an existing destination —
+    a deterministic name let the commit-race loser silently overwrite
+    the winner's committed file, corrupting the snapshot its retry
+    then replayed against. The manifest is the only source of truth
+    for which files are live; the loser's uniquely-named files become
+    unreferenced orphans that vacuum() reclaims past the age floor.
     """
+    token = uuid.uuid4().hex[:12]
     staging = tempfile.mkdtemp(dir=root, prefix=f"_stage-v{version}-")
     try:
         (
@@ -173,7 +185,7 @@ def _write_bucketed(
                 if p.endswith(".parquet")
             )
             for i, part in enumerate(parts):
-                name = f"v{version}-b{bucket:05d}-{i}.parquet"
+                name = f"v{version}-b{bucket:05d}-{i}-{token}.parquet"
                 src = os.path.join(staging, entry, part)
                 dst = os.path.join(data_dir, name)
                 try:
@@ -556,12 +568,15 @@ def _merge_files(
     depends only on (latest snapshot, source): replaying it on the
     winner's snapshot is exactly serializing the two commits. The
     loser's staged files for the failed attempt are superseded
-    orphans; vacuum() reclaims them past the age floor. Pass
-    retries=0 to restore fail-fast (the exactly-once streaming sink
-    does — its batch_id dedupe needs the conflict surfaced, not
-    replayed)."""
+    orphans (their per-attempt uuid names guarantee they never
+    clobber the winner's committed files — see _write_bucketed);
+    vacuum() reclaims them past the age floor. Pass retries=0 to
+    restore fail-fast (the exactly-once streaming sink does — its
+    batch_id dedupe needs the conflict surfaced, not replayed)."""
     if retries is None:
         retries = MERGE_RETRIES
+    if retries < 0:
+        raise ValueError(f"retries must be >= 0, got {retries}")
     for attempt in range(retries + 1):
         meta = _read_meta(root)
         key = meta["key"]

@@ -531,6 +531,103 @@ def test_merge_retries_after_losing_commit_race(spark, sf_dir, root, monkeypatch
     ]
 
 
+def test_merge_race_same_bucket_no_clobber(spark, sf_dir, root, monkeypatch):
+    """SAME-BUCKET commit race: the loser's pre-retry write attempt
+    stages files for the very bucket the winner just committed.
+    Data-file names carry a per-attempt uuid token, so the loser's
+    attempt-1 rename lands beside — never on top of — the winner's
+    committed file. Pre-fix the deterministic v{N+1}-b{B}-{i} name
+    collided and os.rename REPLACED the winner's committed file with
+    the loser's attempt-1 content (built from the OLD snapshot), so
+    the loser's retry replayed against silently-corrupted data and
+    the winner's update was lost despite both commits landing.
+
+    Asserts both the serialized end state AND — the direct clobber
+    check — that time-traveling to the winner's version still shows
+    exactly the winner's effect."""
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=4)
+    meta = cowtable._read_meta(root)
+    # two DISTINCT keys hashed to the SAME bucket
+    pair = (
+        df.select(
+            "c_custkey",
+            cowtable._bucket_col(F.col("c_custkey"), meta).alias("b"),
+        )
+        .orderBy("c_custkey")
+        .limit(50)
+        .collect()
+    )
+    by_bucket = {}
+    k1 = k2 = None
+    for r in pair:
+        if r["b"] in by_bucket and by_bucket[r["b"]] != r["c_custkey"]:
+            k1, k2 = by_bucket[r["b"]], r["c_custkey"]
+            break
+        by_bucket[r["b"]] = r["c_custkey"]
+    assert k1 is not None, "no same-bucket key pair in first 50 keys"
+
+    winner_src = df.filter(F.col("c_custkey") == k1).withColumn(
+        "c_name", F.lit("winner wrote this")
+    )
+    loser_src = df.filter(F.col("c_custkey") == k2).withColumn(
+        "c_name", F.lit("loser wrote this")
+    )
+
+    # Interpose on _write_bucketed, NOT _commit: the dangerous
+    # interleaving is loser-reads-snapshot -> winner COMMITS ->
+    # loser WRITES (post-commit, so a name collision would replace
+    # the winner's committed file) -> loser's commit loses -> retry.
+    real_write = cowtable._write_bucketed
+    fired = {"done": False}
+
+    def racing_write(r, version, d, key, meta_):
+        if not fired["done"]:
+            fired["done"] = True  # re-entrancy: winner uses real path
+            cowtable.merge_scd1(
+                spark, r, winner_src,
+                keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+            )
+        return real_write(r, version, d, key, meta_)
+
+    monkeypatch.setattr(cowtable, "_write_bucketed", racing_write)
+    report = cowtable.merge_scd1(
+        spark, root, loser_src,
+        keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    monkeypatch.setattr(cowtable, "_write_bucketed", real_write)
+    assert report["commit_attempts"] == 2
+
+    final = {
+        r["c_custkey"]: r["c_name"]
+        for r in cowtable.read_version(spark, root).collect()
+        if r["c_custkey"] in (k1, k2)
+    }
+    assert final[k1] == "winner wrote this"  # NOT lost to the clobber
+    assert final[k2] == "loser wrote this"
+    # direct no-clobber proof: the winner's v2 snapshot is byte-intact
+    v2 = {
+        r["c_custkey"]: r["c_name"]
+        for r in cowtable.read_version(spark, root, version=2).collect()
+        if r["c_custkey"] in (k1, k2)
+    }
+    assert v2[k1] == "winner wrote this"
+    assert v2[k2] != "loser wrote this"  # loser's attempt-1 never visible
+
+
+def test_merge_negative_retries_rejected(spark, sf_dir, root):
+    """retries < 0 must raise immediately — range(retries+1) is empty,
+    so pre-fix the merge silently did NOTHING and returned None."""
+    df = _customers(spark, sf_dir)
+    cowtable.create(spark, root, df, key="c_custkey", nbuckets=4)
+    with pytest.raises(ValueError, match="retries"):
+        cowtable.merge_scd1(
+            spark, root, df.limit(1),
+            keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+            retries=-1,
+        )
+
+
 def test_merge_retries_zero_fails_fast(spark, sf_dir, root, monkeypatch):
     """retries=0 restores fail-fast (the exactly-once streaming sink
     contract: a conflict means a zombie raced the same batch — it
