@@ -61,7 +61,25 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
-@_lru_cache(maxsize=512)
+def _freshness_token(path: str) -> tuple[int, int]:
+    """(max mtime_ns, total bytes) over the table's parquet files —
+    a stat-only fingerprint (no footer opens) that changes whenever
+    any part file is rewritten, added, or removed."""
+    import os
+
+    if os.path.isdir(path):
+        mt = sz = 0
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(dirpath, f))
+                    mt = max(mt, st.st_mtime_ns)
+                    sz += st.st_size
+        return mt, sz
+    st = os.stat(path)
+    return st.st_mtime_ns, st.st_size
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Row count from the parquet FOOTERS — the miniature of a
     metastore table statistic: driver-side metadata only, no Spark
@@ -71,13 +89,28 @@ def table_rows(sf_dir: str, name: str) -> int:
     how a production engine consults catalog statistics to pick a
     join strategy instead of paying a runtime COUNT or letting AQE
     discover the size only AFTER the big side's shuffle map stage
-    has already been written. Cached: the test tables are immutable
-    per (sf_dir, name)."""
+    has already been written.
+
+    The footer-read result is cached under a stat-derived freshness
+    token (mtime_ns + bytes), NOT forever per (sf_dir, name): this
+    stat is load-bearing for join strategy, and an in-place rewrite
+    of a gated table (fixture regeneration, a future COW-backed
+    catalog table) must re-read the footers rather than plan a
+    broadcast from stale counts. stat() costs µs per file — the
+    cacheable expense is opening/parsing footers, which this keeps."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _table_rows_at(path, _freshness_token(path))
+
+
+@_lru_cache(maxsize=512)
+def _table_rows_at(path: str, token: tuple[int, int]) -> int:
     import os
 
     import pyarrow.parquet as pq
 
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    del token  # cache key only: invalidates on any rewrite
     if os.path.isdir(path):
         return sum(
             pq.ParquetFile(os.path.join(dirpath, f)).metadata.num_rows

@@ -128,3 +128,19 @@ def test_table_rows_sums_part_files(spark, tmp_path):
     out = str(tmp_path / "orders.parquet")
     spark.range(0, 1000).repartition(4).write.parquet(out)
     assert table_rows(str(tmp_path), "orders") == 1000
+
+
+def test_table_rows_sees_in_place_rewrite(spark, tmp_path):
+    """The rowcount stat gates join strategy, so it must NOT be
+    cached forever per (sf_dir, name): an in-place rewrite of a
+    gated table (fixture regeneration, a COW-backed catalog table)
+    has to re-read the footers, or a >gate table could silently keep
+    planning as a broadcast from stale counts. The cache key carries
+    a stat-derived freshness token (mtime_ns + bytes)."""
+    from global_superstore_data_warehouse_spark.catalog import table_rows
+
+    out = str(tmp_path / "orders.parquet")
+    spark.range(0, 100).write.parquet(out)
+    assert table_rows(str(tmp_path), "orders") == 100
+    spark.range(0, 2500).write.mode("overwrite").parquet(out)
+    assert table_rows(str(tmp_path), "orders") == 2500
