@@ -4,8 +4,11 @@ composite-grain dedup, and the yearly partition column that replaces
 the reference's INHERITS/CHECK partition machinery (C6,
 bl_cl.sql:1147-1187).
 
-Join strategy at scale: lineitem ⋈ orders is the one unavoidable
-big-big shuffle (co-partition on orderkey); customer surrogate keys
+Join strategy at scale: lineitem ⋈ orders is stats-gated
+(``stats_gated`` on the catalog rowcount of orders — broadcast below
+the 5M gate so the grain-dedup window's (orderkey, linenumber)
+shuffle stays lineitem's ONLY exchange; past the gate it degrades to
+the co-partitioned big-big shuffle on orderkey); customer surrogate keys
 come from the size-gated key path (``add_surrogate_key_auto``:
 global window when the measured dimension is small, the distributed
 range-partition path past 5M rows), and the customer-lookup join
@@ -26,7 +29,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
-from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+from global_superstore_data_warehouse_spark.operators.hints import (
+    maybe_broadcast,
+    stats_gated,
+)
 from global_superstore_data_warehouse_spark.operators.keys import (
     add_surrogate_key,
     add_surrogate_key_auto,
@@ -80,6 +86,14 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.datediff(F.to_date("o_orderdate"), "lo") + 1).cast("long").alias("fk_date"),
         F.year("o_orderdate").alias("order_year"),
     )
+    # Stats-gated broadcast (matches the DM twin, dmstar.py): the
+    # grain-dedup window below shuffles lineitem on (orderkey,
+    # linenumber), which CANNOT be reused for the orderkey join — so
+    # without the gate the plan pays a SECOND lineitem exchange.
+    # ord_keyed is a 1:1 projection of orders, so the catalog
+    # rowcount bounds it; past the 5M gate (100 TB) this degrades to
+    # the co-partitioned shuffle join described above.
+    ord_keyed = stats_gated(ord_keyed, sf_dir, "orders")
 
     # Composite-grain dedup (the reference's fact PK + ON CONFLICT DO
     # NOTHING, bl_3nf.sql:217): the testdata deliberately contains

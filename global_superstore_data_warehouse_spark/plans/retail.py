@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import stats_gated
 
 MIN_SUPPORT = 3  # co-occurrence pairs seen in fewer orders are noise
 
@@ -469,15 +470,21 @@ def fulfillment_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     datediff(l_shipdate, o_orderdate) — the SLA dashboard (does
     1-URGENT actually ship faster?).
 
-    Scale shape: one lineitem ⋈ orders equi-join on the order key
-    (the warehouse's standard co-partitioned join; bucketed tables
-    make it shuffle-free), then a priority-sized aggregate with
-    exact percentiles — ``percentile_approx`` is the documented
-    swap-in at extreme cardinality.
+    Scale shape: one stats-gated lineitem ⋈ orders equi-join on the
+    order key (broadcast orders below the catalog gate so lineitem
+    is never shuffled; past it the warehouse's standard
+    co-partitioned join — bucketed tables make it shuffle-free),
+    then a priority-sized aggregate with exact percentiles —
+    ``percentile_approx`` is the documented swap-in at extreme
+    cardinality.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
-    orders = load(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate", "o_orderpriority"
+    orders = stats_gated(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderdate", "o_orderpriority"
+        ),
+        sf_dir,
+        "orders",
     )
     j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "o_orderpriority",
@@ -578,7 +585,13 @@ def abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice", "l_discount"
     )
-    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # stats-gated: broadcast the 2-column orders projection below the
+    # catalog gate (no lineitem shuffle); shuffle join past it
+    orders = stats_gated(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate"),
+        sf_dir,
+        "orders",
+    )
     j = li.join(orders, li.l_orderkey == orders.o_orderkey)
     bounds = orders.agg(
         F.floor(

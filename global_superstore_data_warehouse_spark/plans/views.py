@@ -507,14 +507,20 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is correctly rounded, so both engines produce the
     same doubles; outputs round once at 4 dp.
 
-    Plan shape: one lineitem ⋈ orders shuffle + broadcast segment
-    lookup → a segments x 2 aggregate; the bridge itself is a
-    segment-count-sized projection against a broadcast 1-row total.
+    Plan shape: one stats-gated lineitem ⋈ orders join (broadcast
+    orders below the catalog gate, the co-partitioned shuffle past
+    it) + broadcast segment lookup → a segments x 2 aggregate; the
+    bridge itself is a segment-count-sized projection against a
+    broadcast 1-row total.
     """
     li = load(spark, sf_dir, "lineitem")
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.year("o_orderdate").alias("y")
     )
+    # stats-gated (catalog rowcount bounds the 1:1 orders projection):
+    # below the gate lineitem is never shuffled; at 100 TB this
+    # degrades to the co-partitioned shuffle join
+    orders = _stats_gated(orders, sf_dir, "orders")
     seg = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)

@@ -349,6 +349,43 @@ def test_stats_gated_views_never_shuffle_lineitem(spark, sf_dir):
         assert not bad, (name, bad)
 
 
+def test_stats_gate_covers_every_lineitem_orders_site(spark, sf_dir):
+    """Round-10 closure of the stats-gate ledger: the four previously
+    ungated lineitem ⋈ orders sites (price_volume_mix,
+    fulfillment_lead_time, abc_migration, and fact_orders' ord_keyed
+    — which its own DM twin already gated) now ride the same
+    catalog-statistics broadcast. Below the gate lineitem is never
+    hash-partitioned on the join key."""
+    for name in ["price_volume_mix", "fulfillment_lead_time", "abc_migration"]:
+        plan = _q(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        bad = [
+            line
+            for line in plan.splitlines()
+            if "hashpartitioning(l_orderkey" in line
+        ]
+        assert not bad, (name, bad)
+    # fact_orders: the grain-dedup window legitimately shuffles
+    # lineitem ONCE on (l_orderkey, l_linenumber); the gate removes
+    # the join's SECOND lineitem exchange — so the only allowed
+    # l_orderkey hash-partitioning is the composite window one
+    plan = _q(spark, sf_dir, "fact_orders")
+    assert "BroadcastHashJoin" in plan
+    join_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning(l_orderkey" in line
+        and "l_linenumber" not in line
+    ]
+    assert not join_exchanges, join_exchanges
+    window_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "hashpartitioning(l_orderkey" in line and "l_linenumber" in line
+    ]
+    assert window_exchanges, "grain-dedup window exchange missing"
+
+
 def test_catalog_table_rows_matches_scan_counts(spark, sf_dir):
     """Footer statistics must equal the true row counts — they gate
     join strategy, so a drift here silently flips plans."""
