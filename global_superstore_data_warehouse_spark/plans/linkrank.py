@@ -35,10 +35,15 @@ connected components and plans/embeddings.kmeans_assign):
   point (one extra peel/hop changes nothing — a scalar count);
   PageRank's K rounds ARE its contract (the oracle unrolls exactly
   K), so its probe asserts the theory-backed contraction invariant
-  ||r_{{K+1}} - r_K||_1 <= d^K * ||r_1 - r_0||_1 instead, which holds
-  on ANY corpus and catches mass leaks / damping bugs. Each probe
-  costs one extra round at most; set CONVERGENCE_PROBE = False to
-  skip (e.g. micro-benchmarks of the bare iteration).
+  ||r_K - r_{{K-1}}||_1 <= d^(K-1) * ||r_1 - r_0||_1 <= d^(K-1) * 2
+  on the two iterates the loop ALREADY computes (round-10 change:
+  the previous probe ran a full extra round to diff K vs K+1 —
+  same guarantee, one whole edge-join/agg round more expensive).
+  It holds on ANY corpus and catches mass leaks / damping bugs.
+  Probe cost: k-core/BFS one extra scalar peel/hop; PageRank one
+  node-frame checkpoint + a node-keyed diff job (~free next to the
+  edge joins). Set CONVERGENCE_PROBE = False to skip (e.g.
+  micro-benchmarks of the bare iteration).
 """
 
 from __future__ import annotations
@@ -73,6 +78,25 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def _assert_contraction(prev: DataFrame, curr: DataFrame, bound: float) -> None:
+    """Raise unless ||curr - prev||_1 <= bound (+float slack): the
+    power-iteration contraction invariant between two consecutive
+    rank iterates, both (node, rank, ...) frames. Split out so the
+    raise condition is unit-testable against synthetic violating
+    iterates (tests/test_linkrank_fk_entropy.py)."""
+    delta = (
+        prev.select("node", F.col("rank").alias("rank_prev"))
+        .join(curr.select("node", "rank"), "node")
+        .agg(F.sum(F.abs(F.col("rank") - F.col("rank_prev"))))
+        .first()[0]
+    )
+    if delta is None or delta > bound + 1e-9:
+        raise RuntimeError(
+            f"pagerank contraction probe failed: L1 delta between the "
+            f"final iterates = {delta!r} > bound {bound:.6f}"
+        )
 
 
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,29 +135,25 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    for _ in range(N_ITER):
+    # Contraction invariant (corpus-independent): power iteration
+    # contracts L1 by the damping factor per round, and the first
+    # step moves at most the total mass both ways, so
+    # ||r_K - r_{K-1}||_1 <= d^(K-1) * ||r_1 - r_0||_1 <= d^(K-1)*2.
+    # A violation means a mass leak / damping bug, not "data got
+    # bigger" — safe to assert wherever the plan runs. Asserted on
+    # the two iterates the loop already computes (the checkpoint of
+    # r_{K-1} materializes work round K needs anyway), NOT by running
+    # an extra round: the probe's marginal cost is one node-keyed
+    # diff job over two node-sized cached frames.
+    prev = None
+    for i in range(N_ITER):
+        if CONVERGENCE_PROBE and i == N_ITER - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            prev = ranks
         ranks = _round(ranks)
-    if CONVERGENCE_PROBE:
-        # Contraction invariant (corpus-independent): power iteration
-        # contracts L1 by the damping factor per round, and the first
-        # step moves at most the total mass both ways, so
-        # ||r_{K+1} - r_K||_1 <= d^K * ||r_1 - r_0||_1 <= d^K * 2.
-        # A violation means a mass leak / damping bug, not "data got
-        # bigger" — safe to assert wherever the plan runs.
+    if CONVERGENCE_PROBE and prev is not None:
         ranks = ranks.localCheckpoint(eager=True)  # probe + result reuse it
-        nxt = _round(ranks).select("node", F.col("rank").alias("rank2"))
-        delta = (
-            ranks.select("node", "rank")
-            .join(nxt, "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("rank2"))))
-            .first()[0]
-        )
-        bound = DAMPING**N_ITER * 2.0
-        if delta is None or delta > bound + 1e-9:
-            raise RuntimeError(
-                f"pagerank contraction probe failed: L1 delta after one "
-                f"extra round = {delta!r} > bound {bound:.6f}"
-            )
+        _assert_contraction(prev, ranks, DAMPING ** (N_ITER - 1) * 2.0)
     return ranks.select(
         F.col("node").alias("l_partkey"),
         F.round(F.col("rank") * 1e6, 6).alias("rank_ppm"),

@@ -92,3 +92,39 @@ def test_convergence_probes_fire_when_under_budgeted(spark, sf_dir, monkeypatch)
     monkeypatch.setattr(linkrank, "KCORE_K", 100_000)
     with pytest.raises(RuntimeError, match="kcore probe"):
         linkrank.kcore_membership(spark, sf_dir).collect()
+
+
+def test_pagerank_contraction_probe_fires_and_is_live(spark, sf_dir, monkeypatch):
+    """Round-10 probe rework: the contraction invariant is asserted
+    on the last two ALREADY-COMPUTED iterates (no extra round). Two
+    pins: (1) the raise condition itself, against synthetic iterates
+    that violate the bound (a mass leak between K-1 and K); (2) the
+    probe is live inside part_pagerank's execution path."""
+    import pytest
+
+    from global_superstore_data_warehouse_spark.plans import linkrank
+
+    # (1) unit: violating iterates raise, conforming ones don't
+    prev = spark.createDataFrame(
+        [(1, 0.5), (2, 0.5)], ["node", "rank"]
+    )
+    leaked = spark.createDataFrame(
+        [(1, 3.0), (2, 0.0)], ["node", "rank"]  # L1 delta = 3.0
+    )
+    with pytest.raises(RuntimeError, match="contraction probe"):
+        linkrank._assert_contraction(prev, leaked, bound=1.0)
+    linkrank._assert_contraction(prev, prev, bound=1.0)  # no raise
+
+    # (2) integration: part_pagerank must route through the probe
+    calls = []
+    real = linkrank._assert_contraction
+
+    def spy(prev_df, curr_df, bound):
+        calls.append(bound)
+        return real(prev_df, curr_df, bound)
+
+    monkeypatch.setattr(linkrank, "_assert_contraction", spy)
+    linkrank.part_pagerank(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    assert calls == [linkrank.DAMPING ** (linkrank.N_ITER - 1) * 2.0]
