@@ -5,14 +5,17 @@ Arrow-batched ``mapInPandas`` pipelines.
 The container has no image/audio codec LIBRARIES, so ``decode_image``
 vendors pure-python/numpy decoders for three real formats — BMP
 (24-bit, BI_RGB, bottom-up or top-down, 4-byte row padding), PPM
-(P6, maxval 255) and, since round 9, PNG (8-bit gray/RGB/RGBA,
-non-interlaced: chunk walk, stdlib-zlib inflate, all five scanline
-unfilters) — and raises NotImplementedError for everything else
-(JPEG/WEBP need real codecs; plug in PIL.Image.open and the plumbing
-is unchanged). The matching ``encode_bmp``/``encode_png`` writers
-exist so ingest tests and the registered end-to-end decode query can
-build real container bytes (``encode_png`` takes per-row filter
-types so tests drive every unfilter path). Decode
+(P6, maxval 255) and PNG (round 9: 8-bit gray/RGB/RGBA
+non-interlaced — chunk walk, stdlib-zlib inflate, all five scanline
+unfilters; round 10: palette/PLTE at depths 1/2/4/8 with MSB-first
+sub-byte index unpacking, and 16-bit gray/RGB/RGBA scaled to 8 via
+the high byte) — and raises NotImplementedError for everything else
+(Adam7 interlace, JPEG/WEBP: real codecs; plug in PIL.Image.open and
+the plumbing is unchanged). The matching ``encode_bmp``/
+``encode_png``/``encode_png_palette``/``encode_png16`` writers exist
+so ingest tests and the registered end-to-end decode query can build
+real container bytes (all PNG writers take per-row filter types so
+tests drive every unfilter path in every format family). Decode
 correctness is pinned two ways: a golden hand-laid-out BMP byte
 string in tests (breaks encode/decode circularity) and the
 ``multimodal_decode_stats`` driver query whose DuckDB oracle computes
@@ -89,38 +92,48 @@ def encode_bmp(width: int, height: int, rgb) -> bytes:
     return header + data
 
 
-def encode_png(width: int, height: int, rgb, row_filters=None) -> bytes:
-    """Minimal PNG writer (8-bit RGB, color type 2, no interlace).
-    ``row_filters`` optionally assigns a PNG filter type (0-4) per
-    scanline so tests can exercise every unfilter path in
-    ``decode_image`` with real container bytes; default is filter 0
-    (None) everywhere. Spec: https://www.w3.org/TR/png-3/ §9."""
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
     import struct
     import zlib
 
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _filter_scanlines(rows, bpp: int, filters) -> bytes:
+    """Apply PNG scanline filters to ``rows`` — an (h, stride) uint8
+    array — producing the raw pre-zlib stream (one filter-type byte
+    + filtered bytes per scanline). ``bpp`` is the filter distance
+    in bytes: bytes per complete pixel, min 1 (the spec's rule for
+    sub-byte palette depths). Spec: https://www.w3.org/TR/png-3/ §9.
+    Shared by the RGB8 / palette / 16-bit writers so every format's
+    golden tests can exercise every unfilter path."""
     import numpy as np
 
-    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
-    filters = [0] * height if row_filters is None else list(row_filters)
-    stride = width * 3
+    rows = np.asarray(rows, dtype=np.uint8)
+    h, stride = rows.shape
     raw = bytearray()
     prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        cur = px[y].reshape(stride).astype(np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
         ft = filters[y]
         if ft == 0:
             filt = cur
         elif ft == 1:  # Sub
-            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])[:stride]
             filt = (cur - a) & 0xFF
         elif ft == 2:  # Up
             filt = (cur - prev) & 0xFF
         elif ft == 3:  # Average
-            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])[:stride]
             filt = (cur - ((a + prev) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
-            a = np.concatenate([np.zeros(3, np.int32), cur[:-3]])
-            c = np.concatenate([np.zeros(3, np.int32), prev[:-3]])
+            a = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])[:stride]
+            c = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])[:stride]
             p = a + prev - c
             pa, pb, pc = np.abs(p - a), np.abs(p - prev), np.abs(p - c)
             pred = np.where(
@@ -132,34 +145,118 @@ def encode_png(width: int, height: int, rgb, row_filters=None) -> bytes:
         raw.append(ft)
         raw.extend(filt.astype(np.uint8).tobytes())
         prev = cur
+    return bytes(raw)
 
-    def chunk(tag: bytes, body: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(body))
-            + tag
-            + body
-            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-        )
 
+def encode_png(width: int, height: int, rgb, row_filters=None) -> bytes:
+    """Minimal PNG writer (8-bit RGB, color type 2, no interlace).
+    ``row_filters`` optionally assigns a PNG filter type (0-4) per
+    scanline so tests can exercise every unfilter path in
+    ``decode_image`` with real container bytes; default is filter 0
+    (None) everywhere. Spec: https://www.w3.org/TR/png-3/ §9."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width * 3)
+    filters = [0] * height if row_filters is None else list(row_filters)
+    raw = _filter_scanlines(px, 3, filters)
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    width: int, height: int, palette, indices, depth: int = 8, row_filters=None
+) -> bytes:
+    """PNG writer for color type 3 (indexed): ``palette`` is an
+    (N, 3) uint8 RGB table (PLTE chunk), ``indices`` an (h, w) index
+    array, ``depth`` in {1, 2, 4, 8} — sub-byte depths pack indices
+    MSB-first within each scanline byte, rows padded to a whole byte
+    (spec §7.2). Filter distance is 1 byte for every palette depth."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    idx = np.asarray(indices, dtype=np.uint8).reshape(height, width)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError(f"palette depth {depth} not in 1/2/4/8")
+    if int(idx.max(initial=0)) >= min(len(pal), 1 << depth):
+        raise ValueError("palette index out of range for depth/palette")
+    if depth == 8:
+        rows = idx
+    else:
+        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        bits = ((idx[:, :, None] >> shifts) & 1).reshape(height, width * depth)
+        pad = (-bits.shape[1]) % 8
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((height, pad), dtype=bits.dtype)], axis=1
+            )
+        rows = np.packbits(bits.astype(np.uint8), axis=1)
+    filters = [0] * height if row_filters is None else list(row_filters)
+    raw = _filter_scanlines(rows, 1, filters)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(
+    width: int, height: int, samples, color: int = 2, row_filters=None
+) -> bytes:
+    """PNG writer for 16-bit samples (big-endian per spec §7.1),
+    color type 0 (gray), 2 (RGB) or 6 (RGBA). ``samples`` is an
+    (h, w, channels) — or flattenable — uint16 array. Filter
+    distance is channels*2 bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    channels = {0: 1, 2: 3, 6: 4}[color]
+    px = np.asarray(samples, dtype=np.uint16).reshape(
+        height, width * channels
+    )
+    rows = (
+        px.astype(">u2").view(np.uint8).reshape(height, width * channels * 2)
+    )
+    filters = [0] * height if row_filters is None else list(row_filters)
+    raw = _filter_scanlines(rows, channels * 2, filters)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
     )
 
 
 def _png_decode(b: bytes):
     """Pure-python/numpy PNG decode: chunk walk, zlib inflate, and
     full per-scanline unfilter (all five filter types). Supports the
-    baseline truecolor family — bit depth 8, color types 0
-    (grayscale, replicated to RGB), 2 (RGB) and 6 (RGBA, alpha
-    dropped), no interlace. Everything else raises
-    NotImplementedError (palette/16-bit/Adam7 are codec-library
-    territory). Filters None/Sub/Up are vectorized (Sub is a mod-256
-    prefix sum per channel lane); Average/Paeth keep the spec's
-    sequential scan — PNG rows are short and this is the cold path."""
+    whole baseline non-interlaced family — color types 0 (grayscale,
+    replicated to RGB), 2 (RGB) and 6 (RGBA, alpha dropped) at bit
+    depth 8 or 16 (16-bit scales to 8 via the high byte), and color
+    type 3 (palette/PLTE) at depths 1/2/4/8 (sub-byte indices
+    unpacked MSB-first per spec §7.2). Adam7 interlace raises
+    NotImplementedError (codec-library territory). Filters
+    None/Sub/Up are vectorized (Sub is a mod-256 prefix sum per
+    byte lane); Average/Paeth keep the spec's sequential scan — PNG
+    rows are short and this is the cold path. The filter distance is
+    bytes-per-complete-pixel, min 1 (so 16-bit RGB unfilters over
+    6-byte lanes, palette always over 1)."""
     import struct
     import zlib
 
@@ -170,24 +267,37 @@ def _png_decode(b: bytes):
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", b[16:29]
     )
-    if depth != 8 or color not in (0, 2, 6) or interlace != 0:
+    valid_depths = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 6: (8, 16)}
+    if interlace != 0 or color not in valid_depths or depth not in valid_depths[color]:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace}: "
-            "only 8-bit gray/RGB/RGBA non-interlaced supported here"
+            "gray/RGB/RGBA at 8/16-bit and palette at 1/2/4/8-bit, "
+            "non-interlaced, supported here"
         )
-    ch = {0: 1, 2: 3, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
     idat = bytearray()
+    palette = None
     pos = 8
     while pos + 8 <= len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         tag = b[pos + 4 : pos + 8]
         if tag == b"IDAT":
             idat += b[pos + 8 : pos + 8 + length]
+        if tag == b"PLTE":
+            body = b[pos + 8 : pos + 8 + length]
+            if length % 3 != 0:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         if tag == b"IEND":
             break
         pos += 12 + length
     raw = zlib.decompress(bytes(idat))
-    stride = w * ch
+    if color == 3:
+        stride = (w * depth + 7) // 8
+        bpp = 1
+    else:
+        bpp = ch * (depth // 8)
+        stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG scanline data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -199,19 +309,19 @@ def _png_decode(b: bytes):
         ).astype(np.int32)
         if ft == 0:
             cur = line
-        elif ft == 1:  # Sub: mod-256 prefix sum per channel lane
-            cur = np.cumsum(line.reshape(-1, ch), axis=0).reshape(stride) & 0xFF
+        elif ft == 1:  # Sub: mod-256 prefix sum per byte lane
+            cur = np.cumsum(line.reshape(-1, bpp), axis=0).reshape(stride) & 0xFF
         elif ft == 2:  # Up
             cur = (line + prev) & 0xFF
         elif ft in (3, 4):  # Average / Paeth: sequential per spec
             cur = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = int(cur[x - ch]) if x >= ch else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 up = int(prev[x])
                 if ft == 3:
                     pred = (a + up) >> 1
                 else:
-                    c = int(prev[x - ch]) if x >= ch else 0
+                    c = int(prev[x - bpp]) if x >= bpp else 0
                     p = a + up - c
                     pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
                     pred = a if pa <= pb and pa <= pc else (up if pb <= pc else c)
@@ -220,20 +330,38 @@ def _png_decode(b: bytes):
             raise ValueError(f"bad PNG filter type {ft} on row {y}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    px = out.reshape(h, w, ch)
+    if color == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing its PLTE chunk")
+        if depth == 8:
+            idx = out
+        else:
+            bits = np.unpackbits(out, axis=1)[:, : w * depth]
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("palette index out of range")
+        return np.ascontiguousarray(palette[idx])
+    if depth == 16:
+        # big-endian sample pairs; 16->8 via the high byte (the
+        # spec-sanctioned approximation of v * 255 / 65535)
+        px = out.reshape(h, w, ch, 2)[:, :, :, 0]
+    else:
+        px = out.reshape(h, w, ch)
     if ch == 1:
         return np.ascontiguousarray(np.repeat(px, 3, axis=2))
     return np.ascontiguousarray(px[:, :, :3])  # RGBA -> drop alpha
 
 
 def decode_image(blob: bytes):
-    """Decode a BMP (24-bit BI_RGB), PPM (P6) or PNG (8-bit
-    gray/RGB/RGBA, non-interlaced) container into a (height, width,
-    3) uint8 RGB numpy array — a REAL pure-python decode (header
-    parse, stride/padding handling, channel-order and scanline-
-    direction normalization; for PNG: chunk walk, zlib inflate and
-    the five scanline unfilters). Other formats raise
-    NotImplementedError: JPEG/WEBP need codec libraries this
+    """Decode a BMP (24-bit BI_RGB), PPM (P6) or PNG (gray/RGB/RGBA
+    at 8/16-bit + palette at 1/2/4/8-bit, non-interlaced) container
+    into a (height, width, 3) uint8 RGB numpy array — a REAL
+    pure-python decode (header parse, stride/padding handling,
+    channel-order and scanline-direction normalization; for PNG:
+    chunk walk, zlib inflate, the five scanline unfilters, PLTE
+    lookup and 16->8 high-byte scaling). Other formats raise
+    NotImplementedError: Adam7/JPEG/WEBP need codec libraries this
     container lacks; swapping in PIL changes this function body
     only."""
     import numpy as np

@@ -23,14 +23,21 @@ DECODE_STATS_SCHEMA = (
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END REAL IMAGE DECODE: build genuine container bytes
-    per document — 24-bit BMP for even doc_ids (deterministic
-    per-channel fill, widths 3..9 so most rows carry 1-3 padding
-    bytes), PNG for odd doc_ids (zlib-compressed, per-row filter
-    type cycling 0-4 so every scanline unfilter path runs inside the
-    distributed query) — then decode them with the vendored
-    pure-python parsers and report per-image pixel statistics, all
-    inside one Arrow-batched mapInPandas stage, zero shuffle,
-    partition-parallel.
+    per document, cycling doc_id % 4 over the four vendored
+    container families — 24-bit BMP (deterministic per-channel
+    fill, widths 3..9 so most rows carry 1-3 padding bytes),
+    8-bit RGB PNG (zlib-compressed, per-row filter type cycling 0-4
+    so every scanline unfilter path runs inside the distributed
+    query), palette PNG (PLTE lookup; bit depth cycles 1/2/4/8 by
+    doc_id so MSB-first sub-byte index unpacking runs too — every
+    palette entry carries the same fill so the mean stays the
+    arithmetic one while the indices alternate across the depth
+    range), and 16-bit RGB PNG (big-endian samples with the fill in
+    the high byte and doc_id-derived noise in the low byte, pinning
+    the 16->8 high-byte scaling) — then decode them with the
+    vendored pure-python parsers and report per-image pixel
+    statistics, all inside one Arrow-batched mapInPandas stage, zero
+    shuffle, partition-parallel.
 
     The oracle never sees the bytes: it computes the SAME statistics
     arithmetically from the generator parameters (constant channel
@@ -53,6 +60,8 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             decode_image,
             encode_bmp,
             encode_png,
+            encode_png16,
+            encode_png_palette,
         )
 
         for pdf in batches:
@@ -70,13 +79,42 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 px = _np.empty((h, w, 3), dtype=_np.uint8)
                 px[:, :, 0], px[:, :, 1], px[:, :, 2] = fill
-                if int(doc_id) % 2 == 0:
+                variant = int(doc_id) % 4
+                filters = [y % 5 for y in range(h)]
+                if variant == 0:
                     fmt = "bmp"
                     blob = encode_bmp(w, h, px)
-                else:
+                elif variant == 1:
                     fmt = "png"
-                    blob = encode_png(
-                        w, h, px, row_filters=[y % 5 for y in range(h)]
+                    blob = encode_png(w, h, px, row_filters=filters)
+                elif variant == 2:
+                    # palette: depth cycles 1/2/4/8; indices sweep the
+                    # depth's full range while every entry is the same
+                    # fill, so sub-byte unpacking is exercised without
+                    # moving the oracle's arithmetic means
+                    fmt = "png-palette"
+                    depth = (1, 2, 4, 8)[(int(doc_id) // 4) % 4]
+                    n = 1 << depth
+                    pal = _np.tile(
+                        _np.array(fill, dtype=_np.uint8), (n, 1)
+                    )
+                    idx = (
+                        _np.arange(h * w, dtype=_np.int64) % n
+                    ).astype(_np.uint8).reshape(h, w)
+                    blob = encode_png_palette(
+                        w, h, pal, idx, depth=depth, row_filters=filters
+                    )
+                else:
+                    # 16-bit RGB: fill in the high byte, doc-derived
+                    # noise in the low byte — decode must return the
+                    # high byte exactly
+                    fmt = "png16"
+                    lo = int(doc_id) % 256
+                    px16 = (
+                        px.astype(_np.uint16) << 8
+                    ) | _np.uint16(lo)
+                    blob = encode_png16(
+                        w, h, px16, color=2, row_filters=filters
                     )
                 decoded = decode_image(blob)
                 out["doc_id"].append(int(doc_id))
@@ -97,7 +135,9 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generator parameters — independent of the container bytes
 MULTIMODAL_DECODE_STATS_ORACLE = """
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'png' END AS format,
+           CASE CAST(doc_id % 4 AS INTEGER)
+                WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                WHEN 2 THEN 'png-palette' ELSE 'png16' END AS format,
            CAST(n_chars % 7 + 3 AS INTEGER) AS width,
            CAST(n_chars % 5 + 2 AS INTEGER) AS height,
            CAST((n_chars % 7 + 3) * (n_chars % 5 + 2) AS BIGINT) AS n_pixels,

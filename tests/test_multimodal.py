@@ -201,8 +201,10 @@ def test_png_gray_and_rgba_normalize_to_rgb():
 
 
 def test_png_unsupported_subformats_still_honest():
-    """Palette / 16-bit / interlaced PNGs stay NotImplementedError —
-    the capability matrix does not overclaim."""
+    """Adam7 interlace, gray+alpha (color 4), sub-byte grayscale and
+    16-bit palette stay NotImplementedError — the capability matrix
+    does not overclaim. (Palette 1/2/4/8 and 16-bit gray/RGB/RGBA
+    moved OUT of this list in round 10: they decode now.)"""
     import struct
     import zlib
 
@@ -214,7 +216,12 @@ def test_png_unsupported_subformats_still_honest():
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    for depth, color, interlace in [(8, 3, 0), (16, 2, 0), (8, 2, 1)]:
+    for depth, color, interlace in [
+        (8, 2, 1),   # Adam7
+        (8, 4, 0),   # gray+alpha
+        (4, 0, 0),   # sub-byte grayscale
+        (16, 3, 0),  # 16-bit palette (not a legal PNG either)
+    ]:
         blob = (
             b"\x89PNG\r\n\x1a\n"
             + chunk(
@@ -226,6 +233,150 @@ def test_png_unsupported_subformats_still_honest():
         )
         with pytest.raises(NotImplementedError):
             decode_image(blob)
+
+
+def test_png_palette_decode_golden_bytes():
+    """Hand-laid-out palette PNG (2x2, bit depth 2): PLTE + packed
+    sub-byte indices written from the spec, NOT via
+    encode_png_palette, so the PLTE lookup and MSB-first unpacking
+    are proven against the format rather than their own inverse.
+
+    Palette: [red, green, blue, white]; indices [[0,1],[2,3]] —
+    depth-2 rows pack as 0b00_01_0000=0x10 and 0b10_11_0000=0xB0."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    raw = b"\x00\x10" + b"\x00\xb0"  # filter 0 + one packed byte per row
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 2, 3, 0, 0, 0))
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_image(blob)
+    want = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    assert px.shape == (2, 2, 3)
+    assert (px == want).all()
+
+
+def test_png16_decode_golden_bytes():
+    """Hand-laid-out 16-bit RGB PNG (1x2, filter 0): big-endian
+    sample pairs written from the spec; decode must return exactly
+    the high bytes (the spec-sanctioned 16->8 scaling)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    # pixel 0: (0xFF01, 0x0002, 0x80FF); pixel 1: (0x0123, 0xABCD, 0x00EF)
+    raw = b"\x00" + bytes(
+        [0xFF, 0x01, 0x00, 0x02, 0x80, 0xFF, 0x01, 0x23, 0xAB, 0xCD, 0x00, 0xEF]
+    )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_image(blob)
+    want = np.array([[[0xFF, 0x00, 0x80], [0x01, 0xAB, 0x00]]], dtype=np.uint8)
+    assert px.shape == (1, 2, 3)
+    assert (px == want).all()
+
+
+def test_png_palette_missing_plte_rejected():
+    import struct
+    import zlib
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_image(blob)
+
+
+def test_png_palette_and_16bit_roundtrip_property():
+    """Property: encode_png_palette/encode_png16 -> decode_image is
+    the identity (palette lookup / high-byte scaling respectively)
+    for arbitrary small images, every palette depth, every color
+    type, and arbitrary per-row filter choices."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_image,
+        encode_png16,
+        encode_png_palette,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 10),
+        depth=st.sampled_from([1, 2, 4, 8]),
+        color=st.sampled_from([0, 2, 6]),
+        seed=st.integers(0, 2**31 - 1),
+        data=st.data(),
+    )
+    def prop(w, h, depth, color, seed, data):
+        rng = np.random.default_rng(seed)
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        # palette
+        n = min(1 << depth, 256)
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+        got = decode_image(
+            encode_png_palette(w, h, pal, idx, depth=depth, row_filters=filters)
+        )
+        assert (got == pal[idx]).all()
+        # 16-bit
+        ch = {0: 1, 2: 3, 6: 4}[color]
+        s16 = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+        got16 = decode_image(
+            encode_png16(w, h, s16, color=color, row_filters=filters)
+        )
+        hi = (s16 >> 8).astype(np.uint8)
+        want = np.repeat(hi, 3, axis=2) if ch == 1 else hi[:, :, :3]
+        assert (got16 == want).all()
+
+    prop()
 
 
 def test_multimodal_decode_stats_matches_oracle(spark, duck, sf_dir):
