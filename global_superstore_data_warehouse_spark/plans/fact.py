@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.catalog import load, table_rows
 from global_superstore_data_warehouse_spark.operators.hints import (
     maybe_broadcast,
     stats_gated,
@@ -51,8 +51,10 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Surrogate-key lookup tables (row_number by natural key — same
     # ids the dim builders assign). The customer path is size-gated:
     # window below 5M rows, the distributed range-partition path
-    # above (the parquet count is metadata-only).
-    n_customers = customer.count()
+    # above. The count comes from the parquet-footer catalog stat —
+    # driver-side metadata, no Spark job (a .count() here cost a
+    # full scan job per fact build).
+    n_customers = table_rows(sf_dir, "customer")
     cust_sk = add_surrogate_key_auto(
         customer.select("c_custkey", "c_nationkey"), ["c_custkey"],
         name="fk_customer", n_rows=n_customers,
