@@ -8,8 +8,9 @@ vendors pure-python/numpy decoders for three real formats — BMP
 (P6, maxval 255) and PNG (round 9: 8-bit gray/RGB/RGBA
 non-interlaced — chunk walk, stdlib-zlib inflate, all five scanline
 unfilters; round 10: palette/PLTE at depths 1/2/4/8 with MSB-first
-sub-byte index unpacking, and 16-bit gray/RGB/RGBA scaled to 8 via
-the high byte) — and raises NotImplementedError for everything else
+sub-byte index unpacking, 16-bit samples scaled to 8 via the high
+byte, and gray+alpha — every legal non-interlaced IHDR combination)
+— and raises NotImplementedError for everything else
 (Adam7 interlace, JPEG/WEBP: real codecs; plug in PIL.Image.open and
 the plumbing is unchanged). The matching ``encode_bmp``/
 ``encode_png``/``encode_png_palette``/``encode_png16`` writers exist
@@ -217,15 +218,15 @@ def encode_png16(
     width: int, height: int, samples, color: int = 2, row_filters=None
 ) -> bytes:
     """PNG writer for 16-bit samples (big-endian per spec §7.1),
-    color type 0 (gray), 2 (RGB) or 6 (RGBA). ``samples`` is an
-    (h, w, channels) — or flattenable — uint16 array. Filter
-    distance is channels*2 bytes."""
+    color type 0 (gray), 2 (RGB), 4 (gray+alpha) or 6 (RGBA).
+    ``samples`` is an (h, w, channels) — or flattenable — uint16
+    array. Filter distance is channels*2 bytes."""
     import struct
     import zlib
 
     import numpy as np
 
-    channels = {0: 1, 2: 3, 6: 4}[color]
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
     px = np.asarray(samples, dtype=np.uint16).reshape(
         height, width * channels
     )
@@ -267,14 +268,14 @@ def _png_decode(b: bytes):
     w, h, depth, color, _comp, _filt, interlace = struct.unpack(
         ">IIBBBBB", b[16:29]
     )
-    valid_depths = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 6: (8, 16)}
+    valid_depths = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
     if interlace != 0 or color not in valid_depths or depth not in valid_depths[color]:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color} interlace={interlace}: "
-            "gray/RGB/RGBA at 8/16-bit and palette at 1/2/4/8-bit, "
+            "gray/gray+alpha/RGB/RGBA at 8/16-bit and palette at 1/2/4/8-bit, "
             "non-interlaced, supported here"
         )
-    ch = {0: 1, 2: 3, 3: 1, 6: 4}[color]
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
     idat = bytearray()
     palette = None
     pos = 8
@@ -348,14 +349,15 @@ def _png_decode(b: bytes):
         px = out.reshape(h, w, ch, 2)[:, :, :, 0]
     else:
         px = out.reshape(h, w, ch)
-    if ch == 1:
-        return np.ascontiguousarray(np.repeat(px, 3, axis=2))
+    if ch <= 2:  # gray / gray+alpha: replicate luma, drop alpha
+        return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
     return np.ascontiguousarray(px[:, :, :3])  # RGBA -> drop alpha
 
 
 def decode_image(blob: bytes):
-    """Decode a BMP (24-bit BI_RGB), PPM (P6) or PNG (gray/RGB/RGBA
-    at 8/16-bit + palette at 1/2/4/8-bit, non-interlaced) container
+    """Decode a BMP (24-bit BI_RGB), PPM (P6) or PNG (gray/
+    gray+alpha/RGB/RGBA at 8/16-bit + palette at 1/2/4/8-bit,
+    non-interlaced) container
     into a (height, width, 3) uint8 RGB numpy array — a REAL
     pure-python decode (header parse, stride/padding handling,
     channel-order and scanline-direction normalization; for PNG:

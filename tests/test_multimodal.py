@@ -201,10 +201,11 @@ def test_png_gray_and_rgba_normalize_to_rgb():
 
 
 def test_png_unsupported_subformats_still_honest():
-    """Adam7 interlace, gray+alpha (color 4), sub-byte grayscale and
-    16-bit palette stay NotImplementedError — the capability matrix
-    does not overclaim. (Palette 1/2/4/8 and 16-bit gray/RGB/RGBA
-    moved OUT of this list in round 10: they decode now.)"""
+    """Adam7 interlace, sub-byte grayscale and 16-bit palette stay
+    NotImplementedError — the capability matrix does not overclaim.
+    (Palette 1/2/4/8, 16-bit, and gray+alpha moved OUT of this list
+    in round 10: every legal non-interlaced IHDR combination decodes
+    now.)"""
     import struct
     import zlib
 
@@ -218,8 +219,7 @@ def test_png_unsupported_subformats_still_honest():
 
     for depth, color, interlace in [
         (8, 2, 1),   # Adam7
-        (8, 4, 0),   # gray+alpha
-        (4, 0, 0),   # sub-byte grayscale
+        (4, 0, 0),   # sub-byte grayscale (not a legal combination we claim)
         (16, 3, 0),  # 16-bit palette (not a legal PNG either)
     ]:
         blob = (
@@ -307,6 +307,36 @@ def test_png16_decode_golden_bytes():
     assert (px == want).all()
 
 
+def test_png_gray_alpha_decode_golden_bytes():
+    """Hand-laid-out 8-bit gray+alpha PNG (color type 4, 2x1,
+    filter 0): luma replicates to RGB, alpha drops — there is no
+    8-bit GA writer, so this is decoder-vs-format by construction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = b"\x00" + bytes([7, 200, 250, 0])  # (luma, alpha) x 2
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 4, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    px = decode_image(blob)
+    want = np.array([[[7, 7, 7], [250, 250, 250]]], dtype=np.uint8)
+    assert px.shape == (1, 2, 3)
+    assert (px == want).all()
+
+
 def test_png_palette_missing_plte_rejected():
     import struct
     import zlib
@@ -349,7 +379,7 @@ def test_png_palette_and_16bit_roundtrip_property():
         w=st.integers(1, 12),
         h=st.integers(1, 10),
         depth=st.sampled_from([1, 2, 4, 8]),
-        color=st.sampled_from([0, 2, 6]),
+        color=st.sampled_from([0, 2, 4, 6]),
         seed=st.integers(0, 2**31 - 1),
         data=st.data(),
     )
@@ -366,14 +396,16 @@ def test_png_palette_and_16bit_roundtrip_property():
             encode_png_palette(w, h, pal, idx, depth=depth, row_filters=filters)
         )
         assert (got == pal[idx]).all()
-        # 16-bit
-        ch = {0: 1, 2: 3, 6: 4}[color]
+        # 16-bit (gray / RGB / gray+alpha / RGBA)
+        ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
         s16 = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
         got16 = decode_image(
             encode_png16(w, h, s16, color=color, row_filters=filters)
         )
         hi = (s16 >> 8).astype(np.uint8)
-        want = np.repeat(hi, 3, axis=2) if ch == 1 else hi[:, :, :3]
+        want = (
+            np.repeat(hi[:, :, :1], 3, axis=2) if ch <= 2 else hi[:, :, :3]
+        )
         assert (got16 == want).all()
 
     prop()
