@@ -10,8 +10,10 @@ non-interlaced — chunk walk, stdlib-zlib inflate, all five scanline
 unfilters; round 10: palette/PLTE at depths 1/2/4/8 with MSB-first
 sub-byte index unpacking, 16-bit samples scaled to 8 via the high
 byte, and gray+alpha — every legal non-interlaced IHDR combination)
-— and raises NotImplementedError for everything else
-(Adam7 interlace, JPEG/WEBP: real codecs; plug in PIL.Image.open and
+plus, since round 10, baseline-sequential JPEG (``operators/jpeg.py``:
+marker walk, canonical Huffman, IDCT, 4:2:0/4:4:4, DRI/RST) — and
+raises NotImplementedError for everything else (Adam7 interlace,
+progressive JPEG, WEBP: real codecs; plug in PIL.Image.open and
 the plumbing is unchanged). The matching ``encode_bmp``/
 ``encode_png``/``encode_png_palette``/``encode_png16`` writers exist
 so ingest tests and the registered end-to-end decode query can build
@@ -371,6 +373,10 @@ def decode_image(blob: bytes):
     b = bytes(blob)
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(b)
+    if b[:2] == b"\xff\xd8":
+        from global_superstore_data_warehouse_spark.operators.jpeg import _jpeg_decode
+
+        return _jpeg_decode(b)
     if b[:2] == b"BM":
         data_off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)
@@ -417,9 +423,9 @@ def decode_image(blob: bytes):
             .copy()
         )
     raise NotImplementedError(
-        "only BMP (24-bit), PPM (P6) and PNG (8-bit, non-interlaced) "
-        "decode in this environment; JPEG/WEBP need codec libraries — "
-        "plug in PIL here"
+        "only BMP (24-bit), PPM (P6), PNG (non-interlaced) and baseline "
+        "JPEG decode in this environment; WEBP/AVIF/progressive-JPEG "
+        "need codec libraries — plug in PIL here"
     )
 
 

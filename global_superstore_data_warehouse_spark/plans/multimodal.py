@@ -23,7 +23,7 @@ DECODE_STATS_SCHEMA = (
 
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END REAL IMAGE DECODE: build genuine container bytes
-    per document, cycling doc_id % 4 over the four vendored
+    per document, cycling doc_id % 5 over the five vendored
     container families — 24-bit BMP (deterministic per-channel
     fill, widths 3..9 so most rows carry 1-3 padding bytes),
     8-bit RGB PNG (zlib-compressed, per-row filter type cycling 0-4
@@ -32,12 +32,16 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id so MSB-first sub-byte index unpacking runs too — every
     palette entry carries the same fill so the mean stays the
     arithmetic one while the indices alternate across the depth
-    range), and 16-bit RGB PNG (big-endian samples with the fill in
+    range), 16-bit RGB PNG (big-endian samples with the fill in
     the high byte and doc_id-derived noise in the low byte, pinning
-    the 16->8 high-byte scaling) — then decode them with the
-    vendored pure-python parsers and report per-image pixel
-    statistics, all inside one Arrow-batched mapInPandas stage, zero
-    shuffle, partition-parallel.
+    the 16->8 high-byte scaling), and baseline JPEG (grayscale,
+    unit quant tables — a constant block is DC-only spectrum, so the
+    full marker-walk/Huffman/IDCT pipeline reconstructs the fill
+    EXACTLY and stays inside the arithmetic oracle; restart markers
+    every 2 MCUs exercise the DRI/RST path distributed) — then
+    decode them with the vendored pure-python parsers and report
+    per-image pixel statistics, all inside one Arrow-batched
+    mapInPandas stage, zero shuffle, partition-parallel.
 
     The oracle never sees the bytes: it computes the SAME statistics
     arithmetically from the generator parameters (constant channel
@@ -56,6 +60,9 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
+        from global_superstore_data_warehouse_spark.operators.jpeg import (
+            encode_jpeg_baseline,
+        )
         from global_superstore_data_warehouse_spark.operators.multimodal import (
             decode_image,
             encode_bmp,
@@ -79,7 +86,7 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 px = _np.empty((h, w, 3), dtype=_np.uint8)
                 px[:, :, 0], px[:, :, 1], px[:, :, 2] = fill
-                variant = int(doc_id) % 4
+                variant = int(doc_id) % 5
                 filters = [y % 5 for y in range(h)]
                 if variant == 0:
                     fmt = "bmp"
@@ -87,6 +94,19 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif variant == 1:
                     fmt = "png"
                     blob = encode_png(w, h, px, row_filters=filters)
+                elif variant == 4:
+                    # baseline JPEG, grayscale fill = doc_id % 256
+                    # (r channel's formula): unit quant makes the
+                    # constant image reconstruct exactly, so the
+                    # oracle's arithmetic means still hold with
+                    # mean_r = mean_g = mean_b
+                    fmt = "jpeg"
+                    gray = _np.full((h, w, 3), fill[0], dtype=_np.uint8)
+                    px = gray
+                    blob = encode_jpeg_baseline(
+                        w, h, gray, quant=1, grayscale=True,
+                        restart_interval=2,
+                    )
                 elif variant == 2:
                     # palette: depth cycles 1/2/4/8; indices sweep the
                     # depth's full range while every entry is the same
@@ -135,15 +155,18 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generator parameters — independent of the container bytes
 MULTIMODAL_DECODE_STATS_ORACLE = """
     SELECT doc_id,
-           CASE CAST(doc_id % 4 AS INTEGER)
+           CASE CAST(doc_id % 5 AS INTEGER)
                 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                WHEN 2 THEN 'png-palette' ELSE 'png16' END AS format,
+                WHEN 2 THEN 'png-palette' WHEN 3 THEN 'png16'
+                ELSE 'jpeg' END AS format,
            CAST(n_chars % 7 + 3 AS INTEGER) AS width,
            CAST(n_chars % 5 + 2 AS INTEGER) AS height,
            CAST((n_chars % 7 + 3) * (n_chars % 5 + 2) AS BIGINT) AS n_pixels,
            CAST(doc_id % 256 AS INTEGER) AS mean_r,
-           CAST((doc_id * 7 + 13) % 256 AS INTEGER) AS mean_g,
-           CAST((doc_id * 31 + 5) % 256 AS INTEGER) AS mean_b
+           CAST(CASE WHEN doc_id % 5 = 4 THEN doc_id % 256
+                     ELSE (doc_id * 7 + 13) % 256 END AS INTEGER) AS mean_g,
+           CAST(CASE WHEN doc_id % 5 = 4 THEN doc_id % 256
+                     ELSE (doc_id * 31 + 5) % 256 END AS INTEGER) AS mean_b
     FROM documents
 """
 

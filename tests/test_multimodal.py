@@ -36,11 +36,16 @@ def test_multimodal_extra_matches_oracle(spark, duck, sf_dir, name):
 
 
 def test_decode_stub_still_raises_for_real_codecs():
-    """JPEG remains honestly unimplemented (no codec libs)."""
+    """WEBP remains honestly unimplemented (no codec libs); baseline
+    JPEG became a real decode path in round 10 (tests/test_jpeg.py),
+    so a malformed JPEG is a decode ERROR, not an unimplemented
+    format."""
     from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # JPEG SOI
+        decode_image(b"RIFF\x00\x00\x00\x00WEBPVP8 " + b"\x00" * 16)
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)  # truncated JPEG
 
 
 def test_bmp_decode_golden_bytes():
