@@ -279,6 +279,25 @@ EXTRA = [
     "cusum_changepoint",
     # winnowing fingerprints (zero-shuffle explodes + min-struct agg)
     "winnowing_matches",
+    # round-10: the final 16 rotation-queue queries previously absent
+    # here — every registered-and-windowed query now reports a timing
+    # (bpe_pair_counts was already present above)
+    "hard_negative_mining",
+    "lang_id_confusion",
+    "pareto_products",
+    "rfm_segments",
+    "zipf_slope_by_source",
+    "token_entropy_by_source",
+    "events_dedup_bursts",
+    "doclen_histogram",
+    "order_cadence",
+    "churn_flags",
+    "supplier_concentration",
+    "fulfillment_lead_time",
+    "quality_percentiles",
+    "seasonal_index",
+    "lateness_profile",
+    "abc_migration",
 ]
 
 ROUNDS = 3
