@@ -378,6 +378,9 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         m = b[pos + 1]
+        if m == 0xFF:  # fill byte padding before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if m == 0xD9:  # EOI before SOS
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:

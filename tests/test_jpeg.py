@@ -173,3 +173,13 @@ def test_decode_image_dispatches_jpeg():
     px = np.full((3, 3, 3), 77, dtype=np.uint8)
     blob = encode_jpeg_baseline(3, 3, px, quant=1, grayscale=True)
     assert (decode_image(blob) == 77).all()
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker; the walk must skip them."""
+    px = np.full((4, 4, 3), 99, np.uint8)
+    b = encode_jpeg_baseline(4, 4, px, quant=1, grayscale=True)
+    i = b.index(b"\xff\xc0")
+    padded = b[:i] + b"\xff\xff\xff" + b[i:]
+    assert (_jpeg_decode(padded) == 99).all()
