@@ -460,9 +460,15 @@ def decode_wav(blob: bytes):
     """Decode a WAV container into (sample_rate, int16 numpy array) —
     a REAL pure-python decode: RIFF validation plus a proper chunk
     WALK (fmt/data may be separated by LIST/fact/cue chunks, chunks
-    are word-aligned), PCM16 mono only. Compressed or multichannel
-    audio raises NotImplementedError — plug in soundfile/librosa here
-    and the mapInPandas plumbing is unchanged."""
+    are word-aligned). Round 10 widened the classic family: PCM at
+    8 (unsigned) / 16 / 24 / 32 bits, IEEE float32 (format 3), G.711
+    A-law (6) and µ-law (7) — everything normalizes to int16 (high
+    bits for wide PCM, clipped scaling for float, the standard G.711
+    expansion tables for the companded formats), and multichannel
+    audio downmixes to mono by the rounded channel mean. Compressed
+    formats beyond these (ADPCM, MP3-in-WAV, ...) raise
+    NotImplementedError — plug in soundfile/librosa here and the
+    mapInPandas plumbing is unchanged."""
     import numpy as np
 
     b = bytes(blob)
@@ -483,15 +489,62 @@ def decode_wav(blob: bytes):
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
     if rate is None or data_off is None:
         raise NotImplementedError("missing fmt or data chunk")
-    if audio_format != 1 or n_channels != 1 or bits != 16:
+    if not n_channels or n_channels < 1:
+        raise ValueError("WAV fmt chunk declares zero channels")
+    data = b[data_off : data_off + data_len]
+    if audio_format == 1 and bits == 16:
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif audio_format == 1 and bits == 8:
+        # 8-bit WAV PCM is UNSIGNED, midpoint 128
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        samples = (u - 128) << 8
+    elif audio_format == 1 and bits == 24:
+        raw = np.frombuffer(data, dtype=np.uint8)
+        raw = raw[: len(raw) // 3 * 3].reshape(-1, 3).astype(np.int32)
+        v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)  # sign extend
+        samples = v >> 8
+    elif audio_format == 1 and bits == 32:
+        samples = np.frombuffer(data, dtype="<i4").astype(np.int64) >> 16
+    elif audio_format == 3 and bits == 32:
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        samples = np.clip(np.round(f * 32767.0), -32768, 32767).astype(np.int32)
+    elif audio_format in (6, 7) and bits == 8:
+        code = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+        if audio_format == 7:  # µ-law (G.711): complement, then expand
+            u = (~code) & 0xFF
+            sign = (u & 0x80) != 0
+            exp = (u >> 4) & 7
+            mant = u & 0x0F
+            # ((mant<<3)+0x84)<<exp − 0x84 is the G.711 expansion with
+            # the bias pre-scaled ×4, i.e. already 16-bit (max 32124)
+            mag = (((mant << 3) + 0x84) << exp) - 0x84
+            samples = np.where(sign, -mag, mag)
+        else:  # A-law (G.711): even-bit inversion, then expand
+            a = code ^ 0x55
+            sign = (a & 0x80) != 0
+            exp = (a >> 4) & 7
+            mant = a & 0x0F
+            # (mant<<4)+8 / ((mant<<4)+0x108)<<(exp-1) is the G.711
+            # expansion at 16-bit scale (max 32256)
+            mag = np.where(
+                exp == 0,
+                (mant << 4) + 8,
+                ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+            )
+            samples = np.where(sign, mag, -mag)  # sign bit 1 = positive
+    else:
         raise NotImplementedError(
-            f"only PCM16 mono supported (format={audio_format}, "
-            f"channels={n_channels}, bits={bits})"
+            f"WAV format={audio_format} bits={bits} unsupported (PCM "
+            "8/16/24/32, float32, A-law, µ-law decode here; ADPCM/MP3 "
+            "need codec libraries)"
         )
-    samples = np.frombuffer(
-        b, dtype="<i2", offset=data_off, count=data_len // 2
-    )
-    return rate, samples
+    if n_channels > 1:
+        samples = samples[: len(samples) // n_channels * n_channels]
+        samples = np.round(
+            samples.reshape(-1, n_channels).mean(axis=1)
+        ).astype(np.int64)
+    return rate, np.clip(samples, -32768, 32767).astype(np.int16)
 
 
 def extract_blob_features(blob_table: DataFrame) -> DataFrame:

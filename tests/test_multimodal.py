@@ -471,11 +471,71 @@ def test_decode_wav_roundtrip_and_refusals():
 
     with pytest.raises(NotImplementedError):
         decode_wav(b"RIFFxxxxAVI ")  # not WAVE
-    # stereo refused
-    stereo = bytearray(encode_wav(8000, s))
-    stereo[22] = 2
+    # ADPCM (format 2) stays refused
+    adpcm = bytearray(encode_wav(8000, s))
+    adpcm[20] = 2
     with pytest.raises(NotImplementedError):
-        decode_wav(bytes(stereo))
+        decode_wav(bytes(adpcm))
+
+
+def _wav_container(fmt, ch, bits, rate, payload):
+    f = (
+        fmt.to_bytes(2, "little") + ch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * ch * max(bits // 8, 1)).to_bytes(4, "little")
+        + (ch * max(bits // 8, 1)).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    body = (
+        b"WAVE" + b"fmt " + len(f).to_bytes(4, "little") + f
+        + b"data" + len(payload).to_bytes(4, "little") + payload
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_decode_wav_full_classic_family():
+    """Round-10 widening, all golden hand-laid containers: PCM at
+    8 (unsigned) / 24 / 32 bits normalize to int16 high bits; IEEE
+    float32 scales and clips; G.711 µ-law / A-law expand to the
+    published 16-bit values (µ-law 0x00 -> -32124, A-law 0xD5 -> +8,
+    0xAA -> +32256 — the Sun g711 table scale); multichannel
+    downmixes by the rounded channel mean."""
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_wav
+
+    r, s = decode_wav(_wav_container(1, 1, 8, 8000, bytes([128, 129, 127, 255, 0])))
+    assert r == 8000 and s.tolist() == [0, 256, -256, 32512, -32768]
+    r, s = decode_wav(_wav_container(1, 1, 24, 8000, bytes([0, 1, 0, 255, 255, 255])))
+    assert s.tolist() == [1, -1]
+    r, s = decode_wav(
+        _wav_container(1, 1, 32, 8000, np.array([1 << 16, -(1 << 16)], "<i4").tobytes())
+    )
+    assert s.tolist() == [1, -1]
+    r, s = decode_wav(
+        _wav_container(3, 1, 32, 8000, np.array([0.0, 1.0, -1.0, 0.5], "<f4").tobytes())
+    )
+    assert s.tolist() == [0, 32767, -32767, 16384]
+    # G.711 published pairs
+    r, s = decode_wav(_wav_container(7, 1, 8, 8000, bytes([0xFF, 0x7F, 0x00, 0x80])))
+    assert s.tolist() == [0, 0, -32124, 32124]
+    r, s = decode_wav(_wav_container(6, 1, 8, 8000, bytes([0xD5, 0x55, 0xAA, 0x2A])))
+    assert s.tolist() == [8, -8, 32256, -32256]
+    # both expansions are odd-symmetric and monotone across segments
+    import numpy as _np
+
+    for fmt in (6, 7):
+        full = decode_wav(_wav_container(fmt, 1, 8, 8000, bytes(range(256))))[1]
+        pos = sorted(int(v) for v in full if v > 0)
+        assert pos == sorted(set(pos))  # distinct quantization levels
+        # odd symmetry: the negative magnitudes are exactly the
+        # positive ones
+        assert sorted(-int(v) for v in full if v < 0) == pos
+    # stereo downmix
+    r, s = decode_wav(
+        _wav_container(1, 2, 16, 8000, np.array([100, 200, -100, -300], np.int16).tobytes())
+    )
+    assert s.tolist() == [150, -200]
 
 
 def test_audio_decode_stats_matches_oracle(spark, duck, sf_dir):
