@@ -173,6 +173,158 @@ COW_MERGE_UPSERT_ORACLE = f"""
 """
 
 
+# --- merge-on-read twin --------------------------------------------------
+
+
+def mor_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE-ON-READ twin of ``cow_merge_upsert`` (round 10,
+    ``sources/mortable.py``): the IDENTICAL logical upsert — first
+    fifth of the customer key range gets +100.00, {N_INSERTS} new
+    keys appended — but executed by writing one equality-delete file
+    plus the source rows, REWRITING NOTHING. The snapshot read
+    resolves deletes at scan time (broadcast anti-join on key with
+    the Iceberg v2 sequence rule _seq < del_seq), and the audit
+    folds the result per bucket exactly like the COW twin, adding
+    ``delete_keys`` — the live equality-delete keys landing in each
+    bucket, read back from the ACTUAL delete files so the hash also
+    proves the delete-side bookkeeping. ``rewritten`` is identically
+    0 for every bucket: the defining property of the format (the COW
+    twin's column is 1 exactly on the touched buckets).
+
+    Scale shape: merge cost O(source) regardless of table size; read
+    adds one broadcast hash anti-probe per row (delete rowcounts come
+    from the manifest, so the broadcast decision is metadata-only);
+    compact() — exercised in pytest, not here — folds the deletes
+    back into bucket files when read amplification crosses the
+    table-service threshold.
+    """
+    from global_superstore_data_warehouse_spark.sources import mortable
+
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    lo, hi = int(lo), int(hi)
+    cut = lo + (hi - lo) // 5
+
+    work = tempfile.mkdtemp(prefix="mor-upsert-")
+    root = work + "/tbl"
+    try:
+        mortable.create(
+            spark, root, df, key="c_custkey", nbuckets=NBUCKETS, bounds=(lo, hi)
+        )
+        inserts = spark.range(1, N_INSERTS + 1).select(
+            (F.lit(hi) + F.col("id")).alias("c_custkey"),
+            F.concat(F.lit("new customer "), F.col("id")).alias("c_name"),
+            F.col("id").cast("double").alias("c_acctbal"),
+            F.lit("BUILDING").alias("c_mktsegment"),
+        )
+        source = (
+            df.filter(F.col("c_custkey") <= cut)
+            .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+            .unionByName(inserts)
+        )
+        report = mortable.merge_upsert(spark, root, source, key="c_custkey")
+        assert report["files_rewritten"] == 0  # the format's contract
+
+        meta = mortable._read_meta(root)
+        # live delete keys per bucket, from the REAL delete files
+        _data, dels = mortable._live(root)
+        del_keys = spark.read.parquet(
+            *[f"{root}/{e['file']}" for e in dels]
+        ).select("c_custkey")
+        del_per_bucket = (
+            del_keys.withColumn(
+                "bucket", mortable._bucket_col(F.col("c_custkey"), meta)
+            )
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("delete_keys"))
+        )
+        snap = mortable.read_version(spark, root)
+        out = (
+            snap.withColumn(
+                "bucket", mortable._bucket_col(F.col("c_custkey"), meta)
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    (F.col("c_custkey") <= cut).cast("long")
+                ).alias("n_updated"),
+                F.sum((F.col("c_custkey") > hi).cast("long")).alias("n_inserted"),
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                ).alias("sum_acctbal_cents"),
+            )
+            .join(F.broadcast(del_per_bucket), "bucket", "left")
+            .select(
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_updated").cast("bigint").alias("n_updated"),
+                F.col("n_inserted").cast("bigint").alias("n_inserted"),
+                "sum_acctbal_cents",
+                F.coalesce(F.col("delete_keys"), F.lit(0))
+                .cast("bigint")
+                .alias("delete_keys"),
+                F.lit(0).cast("int").alias("rewritten"),
+            )
+        )
+        # sever lineage to the temp table before reclaiming it (same
+        # discipline as cow_merge_upsert)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+MOR_MERGE_UPSERT_ORACLE = f"""
+    WITH bounds AS (
+        SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi,
+               MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) // 5 AS cut
+        FROM customer
+    ), source AS (
+        SELECT c.c_custkey, c.c_name,
+               ROUND(c.c_acctbal + 100.0, 2) AS c_acctbal, c.c_mktsegment
+        FROM customer c, bounds b WHERE c.c_custkey <= b.cut
+        UNION ALL
+        SELECT b.hi + i.i, 'new customer ' || i.i,
+               CAST(i.i AS DOUBLE), 'BUILDING'
+        FROM bounds b, (SELECT UNNEST(range(1, {N_INSERTS + 1})) AS i) i
+    ), merged AS (
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM source
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, c.c_acctbal, c.c_mktsegment
+        FROM customer c
+        WHERE c.c_custkey NOT IN (SELECT c_custkey FROM source)
+    ), bucketed AS (
+        SELECT m.*,
+               GREATEST(0, LEAST({NBUCKETS - 1},
+                   CAST(((m.c_custkey - b.lo) * {NBUCKETS})
+                        // (b.hi - b.lo + 1) AS INT))) AS bucket,
+               b.cut, b.hi AS hi0
+        FROM merged m, bounds b
+    ), delkeys AS (
+        SELECT GREATEST(0, LEAST({NBUCKETS - 1},
+                   CAST(((s.c_custkey - b.lo) * {NBUCKETS})
+                        // (b.hi - b.lo + 1) AS INT))) AS bucket,
+               COUNT(DISTINCT s.c_custkey) AS delete_keys
+        FROM source s, bounds b
+        GROUP BY 1
+    )
+    SELECT CAST(bk.bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN bk.c_custkey <= bk.cut THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_updated,
+           CAST(SUM(CASE WHEN bk.c_custkey > bk.hi0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_inserted,
+           CAST(SUM(CAST(ROUND(bk.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents,
+           CAST(COALESCE(MAX(dk.delete_keys), 0) AS BIGINT) AS delete_keys,
+           CAST(0 AS INTEGER) AS rewritten
+    FROM bucketed bk LEFT JOIN delkeys dk ON bk.bucket = dk.bucket
+    GROUP BY bk.bucket
+"""
+
+
 # --- streamed COW upsert lifecycle --------------------------------------
 
 

@@ -18,9 +18,10 @@ EXPLICITLY by the ``ROUND10_WINDOW`` list at the bottom of this file
 (``registry.promote`` reorders the registry so the list comes
 first) — rotating is one list edit, not a reshuffle of register()
 blocks. Round-10 composition, per the round-9 verdict directive:
-the final 17 never-driver-checked backlog entries + 33 repeat-green
-representatives spread across every operator family — this drives
-never-checked debt to ZERO. Earlier rotations (rounds 3-9) are
+the final 17 never-driver-checked backlog entries + the round's one
+new registration (mor_merge_upsert, per the net-zero rule) + 32
+repeat-green representatives spread across every operator family —
+this drives never-checked debt to ZERO. Earlier rotations (rounds 3-9) are
 recorded in git history / the ROUND9_WINDOW list below. Everything
 outside the window keeps identical DuckDB-oracle parity coverage in
 pytest (tests/conftest.py::assert_matches_oracle).
@@ -978,6 +979,16 @@ register(
     lakehouse.cow_merge_upsert,
     lakehouse.COW_MERGE_UPSERT_ORACLE,
 )
+# NEW round 10 (the net-zero-debt rule's single registration this
+# round, windowed immediately): the MERGE-ON-READ twin — equality
+# delete files + sequence-rule snapshot read (Iceberg v2 semantics),
+# same logical upsert as cow_merge_upsert, zero files rewritten; the
+# audit also hashes the delete-side bookkeeping per bucket.
+register(
+    "mor_merge_upsert",
+    lakehouse.mor_merge_upsert,
+    lakehouse.MOR_MERGE_UPSERT_ORACLE,
+)
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both
 # sides' K-NN neighborhoods, exact integer micro-cosine ranking.
@@ -1208,7 +1219,9 @@ ROUND10_WINDOW = [
     "seasonal_index",
     "lateness_profile",
     "abc_migration",
-    # -- repeat-green family representatives (33) --
+    # -- first-timer: the round-10 net-zero-rule registration --
+    "mor_merge_upsert",
+    # -- repeat-green family representatives (32) --
     # views / warehouse / star schema
     "yearly_sales_profit",
     "demand_category_region",
@@ -1246,9 +1259,10 @@ ROUND10_WINDOW = [
     "join_skew_report",
     "training_shards",
     "decontaminate_bloom",
-    # stats / graph
+    # stats / graph (vocab_topk dropped to make room for
+    # mor_merge_upsert: it is headline-benched every round and was
+    # hash-green in r01/r02 + pytest)
     "bootstrap_revenue_ci",
-    "vocab_topk",
     "kcore_membership",
 ]
 

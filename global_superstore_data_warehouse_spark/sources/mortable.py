@@ -1,0 +1,270 @@
+"""Merge-on-read (MOR) table — the write-cheap twin of the
+copy-on-write table in ``sources/cowtable.py`` (round 10).
+
+Where the COW table's MERGE rewrites every touched bucket file, the
+MOR table writes two SMALL artifacts per merge and rewrites nothing:
+
+  * an EQUALITY-DELETE file — just the merge keys — under
+    ``deletes/``, stamped with the commit's sequence number, and
+  * ordinary bucketed data files holding the source rows, whose
+    embedded ``_seq`` column carries the same sequence number.
+
+A delete applies to every data row whose ``_seq`` is STRICTLY LESS
+than the delete's sequence — Iceberg v2's rule (spec §"Row-level
+deletes": "equality delete files applied to data files from the same
+commit or an earlier one"), which is exactly what lets one commit
+carry both the delete of a key's old row and its replacement row:
+the replacement shares the delete's sequence, so the strict
+inequality spares it.
+
+Snapshot read = ONE scan of the live data files, anti-joined against
+ONE scan of the live delete files on (key equal AND _seq < del_seq).
+The delete side is broadcast below the catalog gate (delete-file
+rowcounts ride in the manifest, so the decision is metadata-only,
+the same statistics-first discipline as ``operators/hints``) — at
+scale the merge costs one map-side hash probe per row, no shuffle of
+the data side at all. ``compact()`` folds the accumulated deletes
+back into rewritten bucket files (the COW path), resetting read
+amplification; the trade the two formats embody is write
+amplification (COW) vs read amplification (MOR), and ``stats()``
+reports the live delete-row count so a table service can schedule
+compaction on a threshold.
+
+Shares the commit-log mechanics with cowtable: the same
+create-exclusive ``_commit`` (losers surface ConcurrentWriteError),
+the same staged-write-then-rename discipline with per-attempt uuid
+file names (a commit-race loser can never clobber a winner's file),
+the same vacuum/time-travel manifest folding. Reference lineage: the
+reference's MERGE/ON-CONFLICT loaders (bl_cl.sql:806-875) are the
+semantics; the storage strategy choice is the beyond-reference part.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.sources import cowtable
+from global_superstore_data_warehouse_spark.sources.cowtable import (
+    ConcurrentWriteError,  # noqa: F401  (part of this module's API too)
+    _bucket_col,
+    _commit,
+    _commit_path,
+    _log_path,
+    _meta_path,
+    _read_meta,
+    _write_bucketed,
+)
+
+DATA_DIR = cowtable.DATA_DIR
+DELETE_DIR = "deletes"
+
+
+def _write_delete(root: str, version: int, keys: DataFrame, key: str) -> list[dict]:
+    """Write an equality-delete file set: the distinct ``key`` values
+    of ``keys`` plus the constant ``_del_seq`` column, staged under
+    the table root and renamed into deletes/ under per-attempt uuid
+    names (same no-clobber discipline as data files)."""
+    token = uuid.uuid4().hex[:12]
+    staging = tempfile.mkdtemp(dir=root, prefix=f"_stage-d{version}-")
+    try:
+        (
+            keys.select(F.col(key))
+            .dropDuplicates([key])
+            .withColumn("_del_seq", F.lit(version).cast("long"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        import pyarrow.parquet as pq
+
+        out_dir = os.path.join(root, DELETE_DIR)
+        os.makedirs(out_dir, exist_ok=True)
+        adds: list[dict] = []
+        parts = sorted(
+            p for p in os.listdir(staging) if p.endswith(".parquet")
+        )
+        for i, part in enumerate(parts):
+            name = f"d{version}-{i}-{token}.parquet"
+            src = os.path.join(staging, part)
+            dst = os.path.join(out_dir, name)
+            try:
+                os.rename(src, dst)
+            except OSError:
+                shutil.move(src, dst)
+            adds.append(
+                {
+                    "file": f"{DELETE_DIR}/{name}",
+                    "rows": pq.ParquetFile(dst).metadata.num_rows,
+                    "seq": version,
+                }
+            )
+        return adds
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def create(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key: str,
+    nbuckets: int = 16,
+    bounds: tuple[int, int] | None = None,
+) -> None:
+    """CREATE at ``root``: bucketed base data files carrying
+    ``_seq = 1``, empty delete set, commit version 1."""
+    os.makedirs(_log_path(root), exist_ok=False)
+    lo, hi = bounds if bounds is not None else df.agg(F.min(key), F.max(key)).first()
+    meta = {"key": key, "lo": int(lo), "hi": int(hi), "nbuckets": nbuckets}
+    with open(_meta_path(root), "w") as f:
+        json.dump(meta, f)
+    adds = _write_bucketed(
+        root, 1, df.withColumn("_seq", F.lit(1).cast("long")), key, meta
+    )
+    _commit(
+        root, 1,
+        {"op": "create", "adds": adds, "removes": [],
+         "delete_adds": [], "delete_removes": []},
+    )
+
+
+def current_version(root: str) -> int:
+    return cowtable.current_version(root)
+
+
+def _live(root: str, version: int | None = None) -> tuple[list[dict], list[dict]]:
+    """Fold the commit log to (live data entries, live delete
+    entries) at ``version`` — manifest-only, no data reads."""
+    top = current_version(root) if version is None else version
+    data: dict[str, dict] = {}
+    dels: dict[str, dict] = {}
+    for v in range(1, top + 1):
+        with open(_commit_path(root, v)) as f:
+            c = json.load(f)
+        for rel in c.get("removes", []):
+            data.pop(rel, None)
+        for add in c.get("adds", []):
+            data[add["file"]] = add
+        for rel in c.get("delete_removes", []):
+            dels.pop(rel, None)
+        for add in c.get("delete_adds", []):
+            dels[add["file"]] = add
+    return list(data.values()), list(dels.values())
+
+
+def merge_upsert(
+    spark: SparkSession,
+    root: str,
+    source: DataFrame,
+    key: str,
+) -> dict:
+    """Row-level UPSERT, merge-on-read style: one commit adds an
+    equality-delete file for the source keys (killing any older
+    versions of those rows on read) and bucketed data files holding
+    the source rows at the same sequence — NOTHING existing is
+    rewritten. Write cost is O(source), independent of table size;
+    the bill is paid at read time until ``compact()``. Conflicts
+    surface as ConcurrentWriteError (create-exclusive commit)."""
+    meta = _read_meta(root)
+    if key != meta["key"]:
+        raise ValueError(f"table is keyed on {meta['key']!r}, not {key!r}")
+    version = current_version(root) + 1
+    delete_adds = _write_delete(root, version, source, key)
+    adds = _write_bucketed(
+        root, version,
+        source.withColumn("_seq", F.lit(version).cast("long")), key, meta,
+    )
+    _commit(
+        root, version,
+        {"op": "merge", "adds": adds, "removes": [],
+         "delete_adds": delete_adds, "delete_removes": []},
+    )
+    return {
+        "version": version,
+        "data_files_added": len(adds),
+        "delete_files_added": len(delete_adds),
+        "delete_rows": sum(e["rows"] for e in delete_adds),
+        "files_rewritten": 0,  # the point of MOR
+    }
+
+
+def read_version(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read: one scan of live data files anti-joined against
+    the live equality deletes on (key equal AND _seq < del_seq). The
+    delete side is broadcast below the 5M-row gate using MANIFEST
+    rowcounts (no job, no footer read — they were harvested at write
+    time); past the gate the same plan degrades to a shuffled
+    anti-join, and a table whose delete set grew that large is
+    overdue for compact()."""
+    from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+
+    data_entries, del_entries = _live(root, version)
+    if not data_entries:
+        raise ValueError(f"no data files live at {root}")
+    data = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["file"]) for e in data_entries]
+    )
+    if not del_entries:
+        return data.drop("_seq")
+    key = _read_meta(root)["key"]
+    dels = spark.read.parquet(
+        *[os.path.join(root, e["file"]) for e in del_entries]
+    )
+    n_del = sum(e["rows"] for e in del_entries)
+    merged = data.join(
+        maybe_broadcast(dels, n_rows=n_del),
+        (data[key] == dels[key]) & (data["_seq"] < dels["_del_seq"]),
+        "left_anti",
+    )
+    return merged.drop("_seq")
+
+
+def compact(spark: SparkSession, root: str) -> dict:
+    """Fold the delete files away: materialize the merged snapshot,
+    rewrite it as fresh bucketed data files, and commit a version
+    that removes every prior data and delete file. Read
+    amplification resets to zero; this IS the COW write the merge
+    deferred, run once for many merges (the economics of a table
+    service's scheduled compaction)."""
+    meta = _read_meta(root)
+    version = current_version(root) + 1
+    data_entries, del_entries = _live(root)
+    snapshot = read_version(spark, root)
+    adds = _write_bucketed(
+        root, version,
+        snapshot.withColumn("_seq", F.lit(version).cast("long")),
+        meta["key"], meta,
+    )
+    _commit(
+        root, version,
+        {"op": "compact", "adds": adds,
+         "removes": [e["file"] for e in data_entries],
+         "delete_adds": [],
+         "delete_removes": [e["file"] for e in del_entries]},
+    )
+    return {
+        "version": version,
+        "data_files_rewritten": len(adds),
+        "delete_files_folded": len(del_entries),
+    }
+
+
+def stats(root: str, version: int | None = None) -> dict:
+    """Manifest-only health report: live file/row counts for the
+    data and delete sides — the compaction-scheduling signal."""
+    data_entries, del_entries = _live(root, version)
+    return {
+        "data_files": len(data_entries),
+        "data_rows": sum(e["rows"] for e in data_entries),
+        "delete_files": len(del_entries),
+        "delete_rows": sum(e["rows"] for e in del_entries),
+    }

@@ -97,19 +97,20 @@ def test_correctness_window_is_the_intended_fifty():
     # 50 must be exactly that list, in order
     assert window == list(ROUND10_WINDOW)
     # round-10 composition per the round-9 verdict: ALL 17 remaining
-    # never-driver-checked backlog entries (debt hits zero) + 33
-    # repeat-green family representatives
+    # never-driver-checked backlog entries (debt hits zero) + the
+    # round's single net-zero-rule registration (mor_merge_upsert,
+    # windowed immediately) + 32 repeat-green family representatives
     first_timers = {
         "hard_negative_mining", "lang_id_confusion", "pareto_products",
         "rfm_segments", "zipf_slope_by_source", "token_entropy_by_source",
         "events_dedup_bursts", "bpe_pair_counts", "doclen_histogram",
         "order_cadence", "churn_flags", "supplier_concentration",
         "fulfillment_lead_time", "quality_percentiles", "seasonal_index",
-        "lateness_profile", "abc_migration",
+        "lateness_profile", "abc_migration", "mor_merge_upsert",
     }
     assert first_timers <= set(window), sorted(first_timers - set(window))
     repeats = set(window) - first_timers
-    assert len(repeats) == 33
+    assert len(repeats) == 32
     # spread: at least one repeat from each major operator family
     family_heads = {
         "yearly_sales_profit", "surrogate_keys_customers",

@@ -1,0 +1,178 @@
+"""Merge-on-read table (sources/mortable.py): lifecycle equivalence
+vs the logical SCD1 upsert and vs the COW twin, the Iceberg v2
+sequence rule (a delete never kills rows from its own commit),
+compaction folding, time travel, read-plan shape (broadcast
+anti-join, no data-side shuffle), and the no-rewrite contract."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from global_superstore_data_warehouse_spark.sources import cowtable, mortable
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="mortable-test-")
+    path = os.path.join(d, "tbl")
+    yield path
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _customers(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+
+
+def _norm(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def _upsert_source(spark, df):
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    cut = int(lo) + (int(hi) - int(lo)) // 5
+    inserts = spark.range(1, 4).select(
+        (F.lit(int(hi)) + F.col("id")).alias("c_custkey"),
+        F.concat(F.lit("new "), F.col("id")).alias("c_name"),
+        F.col("id").cast("double").alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    return (
+        df.filter(F.col("c_custkey") <= cut)
+        .withColumn("c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2))
+        .unionByName(inserts)
+    )
+
+
+def test_mor_merge_matches_logical_upsert_and_cow_twin(spark, sf_dir, root):
+    df = _customers(spark, sf_dir)
+    src = _upsert_source(spark, df)
+    mortable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    report = mortable.merge_upsert(spark, root, src, key="c_custkey")
+    assert report["files_rewritten"] == 0
+    assert report["delete_files_added"] >= 1
+    got = _norm(mortable.read_version(spark, root))
+    # logical SCD1 upsert
+    expected = _norm(
+        src.unionByName(df.join(src.select("c_custkey"), "c_custkey", "left_anti"))
+    )
+    assert got == expected
+    # the COW twin computes the identical state
+    cow_root = root + "-cow"
+    cowtable.create(spark, cow_root, df, key="c_custkey", nbuckets=8)
+    cowtable.merge_scd1(
+        spark, cow_root, src,
+        keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
+    )
+    assert got == _norm(cowtable.read_version(spark, cow_root))
+
+
+def test_mor_merge_rewrites_nothing(spark, sf_dir, root):
+    """The defining property: every pre-merge data file survives the
+    merge byte-identically (same inode, same mtime)."""
+    df = _customers(spark, sf_dir)
+    mortable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    data_dir = os.path.join(root, mortable.DATA_DIR)
+    before = {
+        n: (os.stat(os.path.join(data_dir, n)).st_ino,
+            os.stat(os.path.join(data_dir, n)).st_mtime_ns)
+        for n in os.listdir(data_dir)
+    }
+    mortable.merge_upsert(
+        spark, root, _upsert_source(spark, df), key="c_custkey"
+    )
+    after = {
+        n: (os.stat(os.path.join(data_dir, n)).st_ino,
+            os.stat(os.path.join(data_dir, n)).st_mtime_ns)
+        for n in os.listdir(data_dir)
+        if n in before
+    }
+    assert after == before  # untouched, not rewritten-in-place
+
+
+def test_mor_sequence_rule_spares_same_commit_rows(spark, sf_dir, root):
+    """The equality delete and the replacement rows land in ONE
+    commit with the same sequence; the strict `_seq < del_seq` rule
+    must kill the OLD row and spare the NEW one — and a later merge
+    of the same key must kill the round-2 row too (two stacked
+    deletes, each applying to its past only)."""
+    df = _customers(spark, sf_dir).limit(20).localCheckpoint(eager=True)
+    key = int(df.agg(F.min("c_custkey")).first()[0])
+    mortable.create(spark, root, df, key="c_custkey", nbuckets=4)
+    one = df.filter(F.col("c_custkey") == key)
+    mortable.merge_upsert(
+        spark, root, one.withColumn("c_name", F.lit("v2")), key="c_custkey"
+    )
+    mortable.merge_upsert(
+        spark, root, one.withColumn("c_name", F.lit("v3")), key="c_custkey"
+    )
+    rows = (
+        mortable.read_version(spark, root)
+        .filter(F.col("c_custkey") == key)
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0]["c_name"] == "v3"
+    # stats see both delete files still live
+    st = mortable.stats(root)
+    assert st["delete_files"] == 2 and st["delete_rows"] == 2
+
+
+def test_mor_compact_folds_deletes_and_preserves_state(spark, sf_dir, root):
+    df = _customers(spark, sf_dir)
+    mortable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    mortable.merge_upsert(
+        spark, root, _upsert_source(spark, df), key="c_custkey"
+    )
+    before = _norm(mortable.read_version(spark, root))
+    assert mortable.stats(root)["delete_rows"] > 0
+    rep = mortable.compact(spark, root)
+    assert rep["delete_files_folded"] >= 1
+    st = mortable.stats(root)
+    assert st["delete_files"] == 0 and st["delete_rows"] == 0
+    assert _norm(mortable.read_version(spark, root)) == before
+    # merges keep working after compaction
+    mortable.merge_upsert(
+        spark, root, df.limit(1).withColumn("c_name", F.lit("post")),
+        key="c_custkey",
+    )
+    assert mortable.stats(root)["delete_files"] == 1
+
+
+def test_mor_time_travel(spark, sf_dir, root):
+    df = _customers(spark, sf_dir)
+    mortable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    v1 = _norm(mortable.read_version(spark, root, version=1))
+    mortable.merge_upsert(
+        spark, root, _upsert_source(spark, df), key="c_custkey"
+    )
+    assert _norm(mortable.read_version(spark, root, version=1)) == v1
+    assert v1 == _norm(df)
+
+
+def test_mor_read_plan_broadcasts_deletes_no_data_shuffle(spark, sf_dir, root):
+    """The snapshot read must be scan + BroadcastHashJoin(LeftAnti):
+    the data side is never hash-partitioned (the delete set rides the
+    manifest-rowcount broadcast gate)."""
+    df = _customers(spark, sf_dir)
+    mortable.create(spark, root, df, key="c_custkey", nbuckets=8)
+    mortable.merge_upsert(
+        spark, root, _upsert_source(spark, df), key="c_custkey"
+    )
+    plan = (
+        mortable.read_version(spark, root)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "hashpartitioning(c_custkey" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mor_key_mismatch_rejected(spark, sf_dir, root):
+    df = _customers(spark, sf_dir)
+    mortable.create(spark, root, df, key="c_custkey", nbuckets=4)
+    with pytest.raises(ValueError, match="keyed on"):
+        mortable.merge_upsert(spark, root, df, key="c_name")
