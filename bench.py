@@ -298,6 +298,8 @@ EXTRA = [
     "seasonal_index",
     "lateness_profile",
     "abc_migration",
+    # round-10 net-zero-rule registration: the merge-on-read twin
+    "mor_merge_upsert",
 ]
 
 ROUNDS = 3
