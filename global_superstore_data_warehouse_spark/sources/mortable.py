@@ -164,6 +164,7 @@ def merge_upsert(
     root: str,
     source: DataFrame,
     key: str,
+    extra: dict | None = None,
 ) -> dict:
     """Row-level UPSERT, merge-on-read style: one commit adds an
     equality-delete file for the source keys (killing any older
@@ -171,7 +172,10 @@ def merge_upsert(
     the source rows at the same sequence — NOTHING existing is
     rewritten. Write cost is O(source), independent of table size;
     the bill is paid at read time until ``compact()``. Conflicts
-    surface as ConcurrentWriteError (create-exclusive commit)."""
+    surface as ConcurrentWriteError (create-exclusive commit).
+    ``extra`` fields ride in the commit payload (e.g. a streaming
+    ``batch_id`` for the exactly-once ledger, read back via
+    ``cowtable.last_batch_id`` — the log format is shared)."""
     meta = _read_meta(root)
     if key != meta["key"]:
         raise ValueError(f"table is keyed on {meta['key']!r}, not {key!r}")
@@ -181,17 +185,46 @@ def merge_upsert(
         root, version,
         source.withColumn("_seq", F.lit(version).cast("long")), key, meta,
     )
-    _commit(
-        root, version,
-        {"op": "merge", "adds": adds, "removes": [],
-         "delete_adds": delete_adds, "delete_removes": []},
-    )
+    payload = {"op": "merge", "adds": adds, "removes": [],
+               "delete_adds": delete_adds, "delete_removes": []}
+    if extra:
+        payload.update(extra)
+    _commit(root, version, payload)
     return {
         "version": version,
         "data_files_added": len(adds),
         "delete_files_added": len(delete_adds),
         "delete_rows": sum(e["rows"] for e in delete_adds),
         "files_rewritten": 0,  # the point of MOR
+    }
+
+
+def delete_keys(
+    spark: SparkSession,
+    root: str,
+    keys: DataFrame,
+    key: str,
+    extra: dict | None = None,
+) -> dict:
+    """Row-level DELETE: one commit adding ONLY an equality-delete
+    file — no data files at all (Iceberg's DELETE FROM). Every live
+    row whose key matches and whose ``_seq`` predates this commit
+    vanishes from subsequent reads; ``compact()`` reclaims the bytes."""
+    meta = _read_meta(root)
+    if key != meta["key"]:
+        raise ValueError(f"table is keyed on {meta['key']!r}, not {key!r}")
+    version = current_version(root) + 1
+    delete_adds = _write_delete(root, version, keys, key)
+    payload = {"op": "delete", "adds": [], "removes": [],
+               "delete_adds": delete_adds, "delete_removes": []}
+    if extra:
+        payload.update(extra)
+    _commit(root, version, payload)
+    return {
+        "version": version,
+        "delete_files_added": len(delete_adds),
+        "delete_rows": sum(e["rows"] for e in delete_adds),
+        "files_rewritten": 0,
     }
 
 
