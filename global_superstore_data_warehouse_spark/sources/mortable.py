@@ -277,6 +277,35 @@ def compact(spark: SparkSession, root: str) -> dict:
         snapshot.withColumn("_seq", F.lit(version).cast("long")),
         meta["key"], meta,
     )
+    if not adds:
+        # fully-deleted table: partitionBy writes nothing for an empty
+        # frame, but the fold must leave a schema-bearing data file or
+        # the table stops being readable — persist one empty part
+        token = uuid.uuid4().hex[:12]
+        staging = tempfile.mkdtemp(dir=root, prefix=f"_stage-v{version}-")
+        try:
+            (
+                snapshot.withColumn("_seq", F.lit(version).cast("long"))
+                .limit(0)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            part = next(
+                p for p in sorted(os.listdir(staging)) if p.endswith(".parquet")
+            )
+            name = f"v{version}-empty-{token}.parquet"
+            dst = os.path.join(root, DATA_DIR, name)
+            try:
+                os.rename(os.path.join(staging, part), dst)
+            except OSError:
+                shutil.move(os.path.join(staging, part), dst)
+            adds = [
+                {"file": f"{DATA_DIR}/{name}", "bucket": 0, "rows": 0,
+                 "min_key": None, "max_key": None}
+            ]
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     _commit(
         root, version,
         {"op": "compact", "adds": adds,

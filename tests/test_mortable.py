@@ -250,3 +250,84 @@ def test_mor_stream_exactly_once(spark, sf_dir, root, tmp_path):
         .unionByName(b3.select("c_custkey"))
         .distinct()
     )
+
+
+def test_mor_random_op_sequences_equal_logical_state(spark, sf_dir, root):
+    """Property: an arbitrary interleaving of upserts, pure deletes,
+    and compactions leaves the MOR table exactly at the logical fold
+    of those operations (a plain dict), for every hypothesis-drawn
+    sequence."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op_st = st.tuples(
+        st.sampled_from(["upsert", "delete", "compact"]),
+        st.sets(st.integers(0, 9), min_size=1, max_size=4),
+        st.sampled_from(["a", "b", "c"]),
+    )
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op_st, min_size=1, max_size=5))
+    def prop(ops):
+        import shutil as _sh
+        import tempfile as _tf
+
+        d = _tf.mkdtemp(prefix="mor-prop-")
+        try:
+            r = os.path.join(d, "tbl")
+            base = spark.createDataFrame(
+                [(k, "base") for k in range(10)], "k long, attr string"
+            )
+            mortable.create(spark, r, base, key="k", nbuckets=4)
+            state = {k: "base" for k in range(10)}
+            for kind, keys, attr in ops:
+                if kind == "upsert":
+                    src = spark.createDataFrame(
+                        [(k, attr) for k in sorted(keys)], "k long, attr string"
+                    )
+                    mortable.merge_upsert(spark, r, src, key="k")
+                    for k in keys:
+                        state[k] = attr
+                elif kind == "delete":
+                    src = spark.createDataFrame(
+                        [(k,) for k in sorted(keys)], "k long"
+                    )
+                    mortable.delete_keys(spark, r, src, key="k")
+                    for k in keys:
+                        state.pop(k, None)
+                else:
+                    mortable.compact(spark, r)
+            got = sorted(map(tuple, mortable.read_version(spark, r).collect()))
+            assert got == sorted(state.items())
+        finally:
+            _sh.rmtree(d, ignore_errors=True)
+
+    prop()
+
+
+def test_mor_compact_of_fully_deleted_table_stays_readable(spark, sf_dir, root):
+    base = spark.createDataFrame(
+        [(k, "x") for k in range(6)], "k long, attr string"
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=4)
+    mortable.delete_keys(
+        spark, root, base.select("k"), key="k"
+    )
+    assert mortable.read_version(spark, root).count() == 0
+    mortable.compact(spark, root)
+    snap = mortable.read_version(spark, root)
+    assert snap.count() == 0
+    assert set(snap.columns) == {"k", "attr"}
+    # and the table accepts new merges afterwards
+    mortable.merge_upsert(
+        spark, root,
+        spark.createDataFrame([(3, "back")], "k long, attr string"),
+        key="k",
+    )
+    assert sorted(map(tuple, mortable.read_version(spark, root).collect())) == [
+        (3, "back")
+    ]
