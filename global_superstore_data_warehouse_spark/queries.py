@@ -1,4 +1,4 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 226 registered queries
+# ROTATION QUEUE: EMPTY as of round 10 — all 227 registered queries
 # have (or are in the current window to get) a driver CORRECTNESS
 # row. tools/rotation_queue.py computes the live list. STANDING
 # NET-ZERO-DEBT RULE (see the ROUND10_WINDOW block at the bottom):
