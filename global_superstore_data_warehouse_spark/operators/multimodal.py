@@ -9,16 +9,18 @@ vendors pure-python/numpy decoders for three real formats — BMP
 non-interlaced — chunk walk, stdlib-zlib inflate, all five scanline
 unfilters; round 10: palette/PLTE at depths 1/2/4/8 with MSB-first
 sub-byte index unpacking, 16-bit samples scaled to 8 via the high
-byte, and gray+alpha — every legal non-interlaced IHDR combination)
-plus, since round 10, baseline-sequential JPEG (``operators/jpeg.py``:
+byte, gray+alpha, and Adam7 interlace — per-pass unfilter + spec
+§8.2 scatter — so the FULL legal IHDR matrix decodes) plus, since
+round 10, baseline-sequential JPEG (``operators/jpeg.py``:
 marker walk, canonical Huffman, IDCT, 4:2:0/4:4:4, DRI/RST) — and
-raises NotImplementedError for everything else (Adam7 interlace,
-progressive JPEG, WEBP: real codecs; plug in PIL.Image.open and
+raises NotImplementedError for everything else (progressive JPEG,
+WEBP: real codecs; plug in PIL.Image.open and
 the plumbing is unchanged). The matching ``encode_bmp``/
 ``encode_png``/``encode_png_palette``/``encode_png16`` writers exist
 so ingest tests and the registered end-to-end decode query can build
-real container bytes (all PNG writers take per-row filter types so
-tests drive every unfilter path in every format family). Decode
+real container bytes (all PNG writers take per-row filter types and
+an ``interlace`` flag so tests drive every unfilter path in every
+format family, sequential and interlaced). Decode
 correctness is pinned two ways: a golden hand-laid-out BMP byte
 string in tests (breaks encode/decode circularity) and the
 ``multimodal_decode_stats`` driver query whose DuckDB oracle computes
@@ -151,21 +153,67 @@ def _filter_scanlines(rows, bpp: int, filters) -> bytes:
     return bytes(raw)
 
 
-def encode_png(width: int, height: int, rgb, row_filters=None) -> bytes:
-    """Minimal PNG writer (8-bit RGB, color type 2, no interlace).
-    ``row_filters`` optionally assigns a PNG filter type (0-4) per
-    scanline so tests can exercise every unfilter path in
-    ``decode_image`` with real container bytes; default is filter 0
-    (None) everywhere. Spec: https://www.w3.org/TR/png-3/ §9."""
+def png_scanline_count(width: int, height: int, interlace: bool = False) -> int:
+    """Number of scanlines a PNG of this geometry emits — ``height``
+    sequentially, or the sum of non-empty Adam7 pass heights when
+    interlaced (what a per-scanline ``row_filters`` list must cover,
+    in pass-major stream order)."""
+    if not interlace:
+        return height
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw and ph:
+            total += ph
+    return total
+
+
+def _png_raw_stream(samples, pack_rows, bpp: int, filters, interlace: bool) -> bytes:
+    """Build the pre-zlib filtered stream from per-pixel ``samples``
+    ((h, w) or (h, w, ch)): sequentially, or as the concatenation of
+    the seven independently-filtered Adam7 reduced images (spec
+    §8.2; empty passes emit nothing). ``pack_rows`` turns a
+    sub-image into its (ph, stride) scanline bytes; ``filters`` is
+    one filter type per emitted scanline in stream order."""
+    if not interlace:
+        return _filter_scanlines(pack_rows(samples), bpp, filters)
+    raw = bytearray()
+    li = 0
+    for x0, y0, dx, dy in _ADAM7:
+        sub = samples[y0::dy, x0::dx]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        raw += _filter_scanlines(pack_rows(sub), bpp, filters[li : li + ph])
+        li += ph
+    return bytes(raw)
+
+
+def encode_png(width: int, height: int, rgb, row_filters=None, interlace: bool = False) -> bytes:
+    """Minimal PNG writer (8-bit RGB, color type 2), sequential or
+    Adam7-interlaced. ``row_filters`` optionally assigns a PNG
+    filter type (0-4) per emitted scanline (pass-major order when
+    interlaced — ``png_scanline_count`` gives the length) so tests
+    can exercise every unfilter path in ``decode_image`` with real
+    container bytes; default is filter 0 everywhere.
+    Spec: https://www.w3.org/TR/png-3/ §9."""
     import struct
     import zlib
 
     import numpy as np
 
-    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width * 3)
-    filters = [0] * height if row_filters is None else list(row_filters)
-    raw = _filter_scanlines(px, 3, filters)
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    n = png_scanline_count(width, height, interlace)
+    filters = [0] * n if row_filters is None else list(row_filters)
+    raw = _png_raw_stream(
+        px,
+        lambda sub: np.ascontiguousarray(sub).reshape(sub.shape[0], sub.shape[1] * 3),
+        3,
+        filters,
+        interlace,
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -174,14 +222,41 @@ def encode_png(width: int, height: int, rgb, row_filters=None) -> bytes:
     )
 
 
+def _pack_index_rows(idx, depth: int):
+    """Pack an (h, w) palette-index sub-image into its (h, stride)
+    scanline bytes: identity at depth 8; MSB-first sub-byte packing
+    with rows padded to a whole byte below (spec §7.2)."""
+    import numpy as np
+
+    h, w = idx.shape
+    if depth == 8:
+        return np.ascontiguousarray(idx)
+    shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+    bits = ((idx[:, :, None] >> shifts) & 1).reshape(h, w * depth)
+    pad = (-bits.shape[1]) % 8
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((h, pad), dtype=bits.dtype)], axis=1
+        )
+    return np.packbits(bits.astype(np.uint8), axis=1)
+
+
 def encode_png_palette(
-    width: int, height: int, palette, indices, depth: int = 8, row_filters=None
+    width: int,
+    height: int,
+    palette,
+    indices,
+    depth: int = 8,
+    row_filters=None,
+    interlace: bool = False,
 ) -> bytes:
     """PNG writer for color type 3 (indexed): ``palette`` is an
     (N, 3) uint8 RGB table (PLTE chunk), ``indices`` an (h, w) index
     array, ``depth`` in {1, 2, 4, 8} — sub-byte depths pack indices
     MSB-first within each scanline byte, rows padded to a whole byte
-    (spec §7.2). Filter distance is 1 byte for every palette depth."""
+    (spec §7.2; when Adam7-interlaced, the padding applies per
+    reduced-image scanline). Filter distance is 1 byte for every
+    palette depth."""
     import struct
     import zlib
 
@@ -193,20 +268,12 @@ def encode_png_palette(
         raise ValueError(f"palette depth {depth} not in 1/2/4/8")
     if int(idx.max(initial=0)) >= min(len(pal), 1 << depth):
         raise ValueError("palette index out of range for depth/palette")
-    if depth == 8:
-        rows = idx
-    else:
-        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
-        bits = ((idx[:, :, None] >> shifts) & 1).reshape(height, width * depth)
-        pad = (-bits.shape[1]) % 8
-        if pad:
-            bits = np.concatenate(
-                [bits, np.zeros((height, pad), dtype=bits.dtype)], axis=1
-            )
-        rows = np.packbits(bits.astype(np.uint8), axis=1)
-    filters = [0] * height if row_filters is None else list(row_filters)
-    raw = _filter_scanlines(rows, 1, filters)
-    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, 0)
+    n = png_scanline_count(width, height, interlace)
+    filters = [0] * n if row_filters is None else list(row_filters)
+    raw = _png_raw_stream(
+        idx, lambda sub: _pack_index_rows(sub, depth), 1, filters, interlace
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, 3, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -217,27 +284,38 @@ def encode_png_palette(
 
 
 def encode_png16(
-    width: int, height: int, samples, color: int = 2, row_filters=None
+    width: int,
+    height: int,
+    samples,
+    color: int = 2,
+    row_filters=None,
+    interlace: bool = False,
 ) -> bytes:
     """PNG writer for 16-bit samples (big-endian per spec §7.1),
-    color type 0 (gray), 2 (RGB), 4 (gray+alpha) or 6 (RGBA).
-    ``samples`` is an (h, w, channels) — or flattenable — uint16
-    array. Filter distance is channels*2 bytes."""
+    color type 0 (gray), 2 (RGB), 4 (gray+alpha) or 6 (RGBA),
+    sequential or Adam7-interlaced. ``samples`` is an
+    (h, w, channels) — or flattenable — uint16 array. Filter
+    distance is channels*2 bytes."""
     import struct
     import zlib
 
     import numpy as np
 
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
-    px = np.asarray(samples, dtype=np.uint16).reshape(
-        height, width * channels
-    )
-    rows = (
-        px.astype(">u2").view(np.uint8).reshape(height, width * channels * 2)
-    )
-    filters = [0] * height if row_filters is None else list(row_filters)
-    raw = _filter_scanlines(rows, channels * 2, filters)
-    ihdr = struct.pack(">IIBBBBB", width, height, 16, color, 0, 0, 0)
+    px = np.asarray(samples, dtype=np.uint16).reshape(height, width, channels)
+
+    def pack(sub):
+        ph, pw = sub.shape[0], sub.shape[1]
+        return (
+            np.ascontiguousarray(sub.astype(">u2"))
+            .view(np.uint8)
+            .reshape(ph, pw * channels * 2)
+        )
+
+    n = png_scanline_count(width, height, interlace)
+    filters = [0] * n if row_filters is None else list(row_filters)
+    raw = _png_raw_stream(px, pack, channels * 2, filters, interlace)
+    ihdr = struct.pack(">IIBBBBB", width, height, 16, color, 0, 0, int(interlace))
     return (
         b"\x89PNG\r\n\x1a\n"
         + _png_chunk(b"IHDR", ihdr)
@@ -246,69 +324,45 @@ def encode_png16(
     )
 
 
-def _png_decode(b: bytes):
-    """Pure-python/numpy PNG decode: chunk walk, zlib inflate, and
-    full per-scanline unfilter (all five filter types). Supports the
-    whole baseline non-interlaced family — color types 0 (grayscale,
-    replicated to RGB), 2 (RGB) and 6 (RGBA, alpha dropped) at bit
-    depth 8 or 16 (16-bit scales to 8 via the high byte), and color
-    type 3 (palette/PLTE) at depths 1/2/4/8 (sub-byte indices
-    unpacked MSB-first per spec §7.2). Adam7 interlace raises
-    NotImplementedError (codec-library territory). Filters
-    None/Sub/Up are vectorized (Sub is a mod-256 prefix sum per
-    byte lane); Average/Paeth keep the spec's sequential scan — PNG
-    rows are short and this is the cold path. The filter distance is
-    bytes-per-complete-pixel, min 1 (so 16-bit RGB unfilters over
-    6-byte lanes, palette always over 1)."""
-    import struct
-    import zlib
+# Adam7 pass geometry (spec §8.2 / libpng): x_start, y_start,
+# x_step, y_step for each of the 7 reduced images, in stream order.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_stride(w: int, depth: int, color: int, ch: int) -> int:
+    """Scanline byte stride for a row of ``w`` pixels (sub-byte
+    palette rows pad to a whole byte, spec §7.2)."""
+    if color == 3:
+        return (w * depth + 7) // 8
+    return w * ch * (depth // 8)
+
+
+def _png_unfilter(raw, offset: int, h: int, stride: int, bpp: int):
+    """Unfilter ``h`` scanlines of ``stride`` bytes starting at
+    ``offset`` in the raw (inflated) stream; returns the (h, stride)
+    uint8 array. Filters None/Sub/Up are vectorized (Sub is a
+    mod-256 prefix sum per byte lane); Average/Paeth keep the spec's
+    sequential scan — PNG rows are short and this is the cold path.
+    ``bpp`` is the filter distance: bytes per complete pixel, min 1.
+    The filter state resets at the call boundary, which is exactly
+    the spec's rule for each Adam7 reduced image."""
     import numpy as np
 
-    if len(b) < 45 or b[12:16] != b"IHDR":
-        raise ValueError("truncated or malformed PNG")
-    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
-        ">IIBBBBB", b[16:29]
-    )
-    valid_depths = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
-    if interlace != 0 or color not in valid_depths or depth not in valid_depths[color]:
-        raise NotImplementedError(
-            f"PNG depth={depth} color_type={color} interlace={interlace}: "
-            "gray/gray+alpha/RGB/RGBA at 8/16-bit and palette at 1/2/4/8-bit, "
-            "non-interlaced, supported here"
-        )
-    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
-    idat = bytearray()
-    palette = None
-    pos = 8
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack(">I", b[pos : pos + 4])
-        tag = b[pos + 4 : pos + 8]
-        if tag == b"IDAT":
-            idat += b[pos + 8 : pos + 8 + length]
-        if tag == b"PLTE":
-            body = b[pos + 8 : pos + 8 + length]
-            if length % 3 != 0:
-                raise ValueError("PLTE length not a multiple of 3")
-            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        if tag == b"IEND":
-            break
-        pos += 12 + length
-    raw = zlib.decompress(bytes(idat))
-    if color == 3:
-        stride = (w * depth + 7) // 8
-        bpp = 1
-    else:
-        bpp = ch * (depth // 8)
-        stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data length mismatch")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
-        ft = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        ft = raw[base]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride, offset=base + 1
         ).astype(np.int32)
         if ft == 0:
             cur = line
@@ -333,24 +387,112 @@ def _png_decode(b: bytes):
             raise ValueError(f"bad PNG filter type {ft} on row {y}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    return out
+
+
+def _png_rows_to_samples(out, w: int, h: int, depth: int, color: int, ch: int):
+    """Convert unfiltered scanline bytes (h, stride) to per-pixel
+    sample bytes: palette images yield an (h, w) index array
+    (sub-byte indices unpacked MSB-first per spec §7.2); everything
+    else yields (h, w, ch) uint8, with 16-bit samples scaled to 8
+    via the high byte (the spec-sanctioned approximation of
+    v * 255 / 65535)."""
+    import numpy as np
+
+    if color == 3:
+        if depth == 8:
+            return out[:, :w]
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
+        return (bits.reshape(h, w, depth) * weights).sum(axis=2)
+    if depth == 16:
+        return out.reshape(h, w, ch, 2)[:, :, :, 0]
+    return out.reshape(h, w, ch)
+
+
+def _png_decode(b: bytes):
+    """Pure-python/numpy PNG decode: chunk walk, zlib inflate, and
+    full per-scanline unfilter (all five filter types). Supports the
+    whole legal IHDR matrix — color types 0 (grayscale, replicated
+    to RGB), 2 (RGB), 4 (gray+alpha) and 6 (RGBA, alpha dropped) at
+    bit depth 8 or 16 (16-bit scales to 8 via the high byte), color
+    type 3 (palette/PLTE) at depths 1/2/4/8 (sub-byte indices
+    unpacked MSB-first per spec §7.2), each either sequential or
+    Adam7-interlaced (round 10): the seven reduced images are
+    unfiltered independently (filter state resets per pass, pass
+    scanlines pad to whole bytes) and scattered into the canvas by
+    the spec §8.2 (x_start, y_start, x_step, y_step) grid; empty
+    passes contribute zero scanlines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 45 or b[12:16] != b"IHDR":
+        raise ValueError("truncated or malformed PNG")
+    w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", b[16:29]
+    )
+    valid_depths = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+    if interlace not in (0, 1) or color not in valid_depths or depth not in valid_depths[color]:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace}: "
+            "gray/gray+alpha/RGB/RGBA at 8/16-bit and palette at 1/2/4/8-bit, "
+            "sequential or Adam7, supported here"
+        )
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    idat = bytearray()
+    palette = None
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + length]
+        if tag == b"PLTE":
+            body = b[pos + 8 : pos + 8 + length]
+            if length % 3 != 0:
+                raise ValueError("PLTE length not a multiple of 3")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        if tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    bpp = 1 if color == 3 else ch * (depth // 8)
+    if interlace == 0:
+        stride = _png_stride(w, depth, color, ch)
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG scanline data length mismatch")
+        samples = _png_rows_to_samples(
+            _png_unfilter(raw, 0, h, stride, bpp), w, h, depth, color, ch
+        )
+    else:
+        canvas_shape = (h, w) if color == 3 else (h, w, ch)
+        samples = np.zeros(canvas_shape, dtype=np.int32 if color == 3 else np.uint8)
+        offset = 0
+        for x0, y0, dx, dy, in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue  # empty pass: zero scanlines in the stream
+            stride = _png_stride(pw, depth, color, ch)
+            if offset + ph * (stride + 1) > len(raw):
+                raise ValueError("PNG interlaced data length mismatch")
+            rows = _png_unfilter(raw, offset, ph, stride, bpp)
+            offset += ph * (stride + 1)
+            samples[y0::dy, x0::dx] = _png_rows_to_samples(
+                rows, pw, ph, depth, color, ch
+            )
+        if offset != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
     if color == 3:
         if palette is None:
             raise ValueError("palette PNG missing its PLTE chunk")
-        if depth == 8:
-            idx = out
-        else:
-            bits = np.unpackbits(out, axis=1)[:, : w * depth]
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.int32)
-            idx = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        idx = samples
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("palette index out of range")
         return np.ascontiguousarray(palette[idx])
-    if depth == 16:
-        # big-endian sample pairs; 16->8 via the high byte (the
-        # spec-sanctioned approximation of v * 255 / 65535)
-        px = out.reshape(h, w, ch, 2)[:, :, :, 0]
-    else:
-        px = out.reshape(h, w, ch)
+    px = samples
     if ch <= 2:  # gray / gray+alpha: replicate luma, drop alpha
         return np.ascontiguousarray(np.repeat(px[:, :, :1], 3, axis=2))
     return np.ascontiguousarray(px[:, :, :3])  # RGBA -> drop alpha
@@ -359,15 +501,16 @@ def _png_decode(b: bytes):
 def decode_image(blob: bytes):
     """Decode a BMP (24-bit BI_RGB), PPM (P6) or PNG (gray/
     gray+alpha/RGB/RGBA at 8/16-bit + palette at 1/2/4/8-bit,
-    non-interlaced) container
+    sequential or Adam7-interlaced) container
     into a (height, width, 3) uint8 RGB numpy array — a REAL
     pure-python decode (header parse, stride/padding handling,
     channel-order and scanline-direction normalization; for PNG:
-    chunk walk, zlib inflate, the five scanline unfilters, PLTE
-    lookup and 16->8 high-byte scaling). Other formats raise
-    NotImplementedError: Adam7/JPEG/WEBP need codec libraries this
-    container lacks; swapping in PIL changes this function body
-    only."""
+    chunk walk, zlib inflate, the five scanline unfilters, Adam7
+    per-pass unfilter + scatter, PLTE lookup and 16->8 high-byte
+    scaling). Baseline JPEG delegates to ``operators/jpeg.py``;
+    other formats raise NotImplementedError: WEBP/progressive JPEG
+    need codec libraries this container lacks; swapping in PIL
+    changes this function body only."""
     import numpy as np
 
     b = bytes(blob)
@@ -423,9 +566,9 @@ def decode_image(blob: bytes):
             .copy()
         )
     raise NotImplementedError(
-        "only BMP (24-bit), PPM (P6), PNG (non-interlaced) and baseline "
-        "JPEG decode in this environment; WEBP/AVIF/progressive-JPEG "
-        "need codec libraries — plug in PIL here"
+        "only BMP (24-bit), PPM (P6), PNG (full IHDR matrix incl. Adam7) "
+        "and baseline JPEG decode in this environment; WEBP/AVIF/"
+        "progressive-JPEG need codec libraries — plug in PIL here"
     )
 
 

@@ -87,13 +87,27 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 px = _np.empty((h, w, 3), dtype=_np.uint8)
                 px[:, :, 0], px[:, :, 1], px[:, :, 2] = fill
                 variant = int(doc_id) % 5
-                filters = [y % 5 for y in range(h)]
+                # every PNG variant alternates sequential / Adam7 by
+                # doc_id//5 parity: the pixels (and so the oracle's
+                # arithmetic means) are identical, only the container
+                # layout changes — per-pass unfilter + scatter runs
+                # distributed under the same value hash
+                inter = (int(doc_id) // 5) % 2 == 1
+                from global_superstore_data_warehouse_spark.operators.multimodal import (  # noqa: E501
+                    png_scanline_count,
+                )
+
+                filters = [
+                    y % 5 for y in range(png_scanline_count(w, h, inter))
+                ]
                 if variant == 0:
                     fmt = "bmp"
                     blob = encode_bmp(w, h, px)
                 elif variant == 1:
                     fmt = "png"
-                    blob = encode_png(w, h, px, row_filters=filters)
+                    blob = encode_png(
+                        w, h, px, row_filters=filters, interlace=inter
+                    )
                 elif variant == 4:
                     # baseline JPEG, grayscale fill = doc_id % 256
                     # (r channel's formula): unit quant makes the
@@ -122,7 +136,8 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _np.arange(h * w, dtype=_np.int64) % n
                     ).astype(_np.uint8).reshape(h, w)
                     blob = encode_png_palette(
-                        w, h, pal, idx, depth=depth, row_filters=filters
+                        w, h, pal, idx, depth=depth, row_filters=filters,
+                        interlace=inter,
                     )
                 else:
                     # 16-bit RGB: fill in the high byte, doc-derived
@@ -134,7 +149,8 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         px.astype(_np.uint16) << 8
                     ) | _np.uint16(lo)
                     blob = encode_png16(
-                        w, h, px16, color=2, row_filters=filters
+                        w, h, px16, color=2, row_filters=filters,
+                        interlace=inter,
                     )
                 decoded = decode_image(blob)
                 out["doc_id"].append(int(doc_id))

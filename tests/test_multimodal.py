@@ -206,11 +206,12 @@ def test_png_gray_and_rgba_normalize_to_rgb():
 
 
 def test_png_unsupported_subformats_still_honest():
-    """Adam7 interlace, sub-byte grayscale and 16-bit palette stay
-    NotImplementedError — the capability matrix does not overclaim.
-    (Palette 1/2/4/8, 16-bit, and gray+alpha moved OUT of this list
-    in round 10: every legal non-interlaced IHDR combination decodes
-    now.)"""
+    """Illegal IHDR combinations stay NotImplementedError — the
+    capability matrix does not overclaim. (Palette 1/2/4/8, 16-bit,
+    gray+alpha, and — later in round 10 — Adam7 interlace all moved
+    OUT of this list: the full legal IHDR matrix decodes now, so
+    only genuinely illegal combinations and unknown interlace codes
+    remain refusals.)"""
     import struct
     import zlib
 
@@ -223,9 +224,10 @@ def test_png_unsupported_subformats_still_honest():
         )
 
     for depth, color, interlace in [
-        (8, 2, 1),   # Adam7
+        (8, 2, 2),   # interlace code 2 does not exist in the spec
         (4, 0, 0),   # sub-byte grayscale (not a legal combination we claim)
         (16, 3, 0),  # 16-bit palette (not a legal PNG either)
+        (16, 3, 1),  # illegal even when interlaced
     ]:
         blob = (
             b"\x89PNG\r\n\x1a\n"
@@ -573,3 +575,146 @@ def test_png_roundtrip_property():
         assert (decode_image(encode_png(w, h, px, row_filters=filters)) == px).all()
 
     prop()
+
+def test_png_adam7_decode_golden_bytes():
+    """Hand-laid Adam7 golden: a 3x3 8-bit grayscale PNG whose
+    IDAT stream was written pass-by-pass BY HAND from the spec §8.2
+    pass table (pixel value = 10*y + x, all filters 0), so the
+    decoder's pass geometry, stream order and scatter are pinned
+    independently of our own interlaced encoder. For w=h=3 the
+    non-empty passes and their pixels are:
+      pass 1 (0,0,8,8): (0,0)            -> 00
+      pass 4 (2,0,4,4): (2,0)            -> 02
+      pass 5 (0,2,2,4): (0,2) (2,2)      -> 14 16
+      pass 6 (1,0,2,2): (1,0) / (1,2)    -> 01 / 15  (two scanlines)
+      pass 7 (0,1,1,2): (0,1)(1,1)(2,1)  -> 0a 0b 0c
+    Passes 2 (x0=4) and 3 (y0=4) are empty and emit nothing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import decode_image
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytes.fromhex(
+        "00" "00"          # pass 1: filter 0, pixel (0,0)=0
+        "00" "02"          # pass 4: filter 0, pixel (2,0)=2
+        "00" "1416"        # pass 5: filter 0, pixels (0,2)=20 (2,2)=22
+        "00" "01"          # pass 6 row 0: pixel (1,0)=1
+        "00" "15"          # pass 6 row 1: pixel (1,2)=21
+        "00" "0a0b0c"      # pass 7: pixels (0,1)=10 (1,1)=11 (2,1)=12
+    )
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    expect = np.repeat(
+        (10 * np.arange(3)[:, None] + np.arange(3)[None, :])[:, :, None], 3, axis=2
+    ).astype(np.uint8)
+    assert (decode_image(blob) == expect).all()
+
+
+def test_png_adam7_matches_sequential_every_family():
+    """Property test: for random geometries, pixels and per-scanline
+    filter choices, the Adam7-interlaced encoding of an image decodes
+    to exactly the same array as its sequential encoding — across
+    RGB8, every palette depth, and every 16-bit color type."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        encode_png16,
+        encode_png_palette,
+        png_scanline_count,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 18),
+        h=st.integers(1, 14),
+        seed=st.integers(0, 2**31 - 1),
+        family=st.sampled_from(
+            ["rgb8", "pal1", "pal2", "pal4", "pal8", "g16", "rgb16", "ga16", "rgba16"]
+        ),
+        data=st.data(),
+    )
+    def prop(w, h, seed, family, data):
+        rng = np.random.default_rng(seed)
+        n = png_scanline_count(w, h, True)
+        filters = data.draw(st.lists(st.integers(0, 4), min_size=n, max_size=n))
+        seq_filters = [0] * h
+        if family == "rgb8":
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            seq = encode_png(w, h, px, row_filters=seq_filters)
+            inter = encode_png(w, h, px, row_filters=filters, interlace=True)
+        elif family.startswith("pal"):
+            depth = int(family[3:])
+            pal = rng.integers(0, 256, size=(1 << depth, 3), dtype=np.uint8)
+            idx = rng.integers(0, 1 << depth, size=(h, w), dtype=np.uint8)
+            seq = encode_png_palette(w, h, pal, idx, depth=depth, row_filters=seq_filters)
+            inter = encode_png_palette(
+                w, h, pal, idx, depth=depth, row_filters=filters, interlace=True
+            )
+        else:
+            color = {"g16": 0, "rgb16": 2, "ga16": 4, "rgba16": 6}[family]
+            ch = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+            s = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+            seq = encode_png16(w, h, s, color=color, row_filters=seq_filters)
+            inter = encode_png16(
+                w, h, s, color=color, row_filters=filters, interlace=True
+            )
+        assert (decode_image(inter) == decode_image(seq)).all()
+
+    prop()
+
+
+def test_png_adam7_stream_length_validated():
+    """A truncated or over-long interlaced stream is a hard
+    ValueError, not a silent partial decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    import pytest
+
+    from global_superstore_data_warehouse_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    px = np.zeros((5, 5, 3), dtype=np.uint8)
+    good = encode_png(5, 5, px, interlace=True)
+    # locate the IDAT chunk and rebuild it with one byte chopped off
+    # the inflated stream (and one appended)
+    pos = good.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", good[pos : pos + 4])
+    raw = zlib.decompress(good[pos + 8 : pos + 8 + length])
+    tail = good[pos + 12 + length :]
+
+    def rebuild(new_raw):
+        body = zlib.compress(new_raw)
+        return (
+            good[:pos]
+            + struct.pack(">I", len(body))
+            + b"IDAT"
+            + body
+            + struct.pack(">I", zlib.crc32(b"IDAT" + body) & 0xFFFFFFFF)
+            + tail
+        )
+
+    for bad_raw in (raw[:-1], raw + b"\x00"):
+        with pytest.raises(ValueError):
+            decode_image(rebuild(bad_raw))
