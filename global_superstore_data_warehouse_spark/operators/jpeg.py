@@ -1,31 +1,40 @@
-"""Vendored pure-python/numpy BASELINE JPEG codec (round 10) — the
-last image-format gap the verdict tracked, closed without codec
+"""Vendored pure-python/numpy JPEG codec (round 10) — the last
+image-format gap the verdict tracked, closed without codec
 libraries.
 
-Decoder: baseline/extended sequential Huffman JPEG (SOF0/SOF1,
-8-bit precision) — marker walk, DQT/DHT canonical-Huffman table
-builds, interleaved MCU entropy decode with byte-stuffing and
-DRI/RSTn restart handling, dequantize + unzigzag, matrix-multiply
-IDCT, nearest-neighbor chroma upsampling for any (H,V) sampling with
-factors in {1, 2}, and JFIF YCbCr->RGB. Grayscale (1 component) and
-YCbCr (3 components) frames. Progressive (SOF2), arithmetic coding
-(SOF9+), hierarchical, and 12-bit precision raise
-NotImplementedError — the honest refusal line, exactly like Adam7
-for PNG.
+Decoder: Huffman JPEG at 8-bit precision, sequential (SOF0/SOF1)
+AND progressive (SOF2, late round 10) — marker walk, DQT/DHT
+canonical-Huffman table builds, entropy decode with byte-stuffing
+and DRI/RSTn restart handling. Every scan accumulates into
+per-component zigzag coefficient arrays; progressive scans follow
+T.81 annex G (DC successive approximation with arithmetic-shift
+point transform, single-component spectral-band AC-first scans
+with EOB runs, and the G.1.2.3 AC-refinement correction-bit
+algorithm); a final vectorized dequantize + matrix IDCT +
+nearest-neighbor chroma upsample (+ JFIF YCbCr->RGB) produces
+pixels. Grayscale (1 component) and YCbCr (3 components) frames,
+sampling factors in {1, 2}. Arithmetic coding (SOF9+),
+hierarchical, and 12-bit precision raise NotImplementedError — the
+honest refusal line.
 
-Encoder (test support, like encode_png/encode_bmp): RGB->YCbCr,
-optional 2x2 box chroma downsample (4:2:0), level shift, FDCT via
-the same orthonormal DCT-II matrix, uniform or caller-provided
-quantization tables, fixed-length canonical Huffman tables (legal
-DHT: every DC symbol gets a 4-bit code, every AC symbol an 8-bit
-code — poor compression, zero transcription risk vs Annex K), byte
-stuffing, optional restart intervals. Encode->decode round-trips are
-LOSSY by nature; tests assert exactness on constant images with
-unit quant tables (DC-only blocks reconstruct exactly) and bounded
-error on smooth gradients. A hand-laid golden byte test with a
-VARIABLE-length Huffman table breaks encoder/decoder circularity
-and exercises the canonical code builder beyond what the encoder
-emits.
+Encoders (test support, like encode_png/encode_bmp):
+``encode_jpeg_baseline`` — RGB->YCbCr, optional 2x2 box chroma
+downsample (4:2:0), level shift, FDCT via the same orthonormal
+DCT-II matrix, uniform or caller-provided quantization tables,
+fixed-length canonical Huffman tables (legal DHT: every DC symbol
+gets a 4-bit code, every AC symbol an 8-bit code — poor
+compression, zero transcription risk vs Annex K), byte stuffing,
+optional restart intervals — and ``encode_jpeg_progressive``, which
+emits a five-stage annex-G scan script transmitting EXACTLY the
+same quantized coefficients, so tests can assert
+decode(progressive) == decode(baseline) bit-for-bit on pixels.
+Encode->decode round-trips are LOSSY by nature; tests assert
+exactness on constant images with unit quant tables (DC-only blocks
+reconstruct exactly) and bounded error on smooth gradients.
+Hand-laid golden byte tests (one sequential with a VARIABLE-length
+Huffman table the encoder can't emit, one progressive assembled
+bit-by-bit from the annex-G text) break encoder/decoder
+circularity.
 
 Spec: ITU-T T.81 / ISO 10918-1 (public). PNG/BMP/PPM live in
 operators/multimodal.py; ``decode_image`` dispatches FFD8 here.
@@ -359,33 +368,424 @@ def encode_jpeg_baseline(
 
 
 # ----------------------------------------------------------------------
+# Progressive encoder (test support)
+# ----------------------------------------------------------------------
+#
+# Emits a fixed five-stage scan script per component family:
+# DC-first at Al=1 (interleaved for color), two spectral-band
+# AC-first scans (1-5, 6-63) at Al=1, one AC-refinement scan
+# (Ah=1 -> Al=0) and one DC-refinement scan — so a decoder must
+# exercise DC successive approximation, spectral selection, EOB
+# runs, and the G.1.2.3 correction-bit algorithm to reproduce the
+# image. The AC table must carry EOB_n symbols (r<<4 for r<15),
+# which baseline's table lacks, so the progressive script uses its
+# own fixed-length table: all 176 (run, size<=10) symbols at 8 bits.
+
+_AC_VALS_PROG = sorted((r << 4) | s for r in range(16) for s in range(0, 11))
+_AC_BITS_PROG = [0] * 7 + [len(_AC_VALS_PROG)] + [0] * 8
+
+
+def _prepare_planes(width, height, rgb, quant, subsampling, grayscale):
+    """Shared front half of both encoders: color transform,
+    subsample, MCU-pad; returns (comps, padded planes, qt)."""
+    px = np.asarray(rgb, dtype=np.uint8).reshape(height, width, 3)
+    qt = _quant_table(quant)
+    if grayscale:
+        comps = [(1, 1, 1)]
+        planes = [_rgb_to_ycbcr(px)[:, :, 0]]
+    elif subsampling == "4:4:4":
+        comps = [(1, 1, 1), (2, 1, 1), (3, 1, 1)]
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2]]
+    elif subsampling == "4:2:0":
+        comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+        ycc = _rgb_to_ycbcr(px)
+        even = _pad_edge(ycc[:, :, 1], (height + 1) // 2 * 2, (width + 1) // 2 * 2)
+        cb = (even[0::2, 0::2] + even[0::2, 1::2] + even[1::2, 0::2] + even[1::2, 1::2]) / 4.0
+        even = _pad_edge(ycc[:, :, 2], (height + 1) // 2 * 2, (width + 1) // 2 * 2)
+        cr = (even[0::2, 0::2] + even[0::2, 1::2] + even[1::2, 0::2] + even[1::2, 1::2]) / 4.0
+        planes = [ycc[:, :, 0], cb, cr]
+    else:
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    padded = [
+        _pad_edge(plane, mcuy * 8 * v, mcux * 8 * h)
+        for plane, (_cid, h, v) in zip(planes, comps)
+    ]
+    return comps, padded, qt, mcux, mcuy
+
+
+def _quantized_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """FDCT + quantize every 8x8 block of a padded plane into
+    zigzag-order coefficients (bh, bw, 64) — per-block arithmetic
+    IDENTICAL to the baseline encoder's `_encode_block` so both
+    encoders transmit the same integers for the same image."""
+    bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coeffs = _DCT @ (block - 128.0) @ _DCT.T
+            q = np.round(coeffs / qt).astype(np.int64)
+            out[by, bx] = q[_ZZ_ROWS, _ZZ_COLS]
+    return out
+
+
+def _emit_eobrun(writer: _BitWriter, ac_codes: dict, st: dict) -> None:
+    """Flush a pending EOB run (symbol = nbits<<4 plus nbits low
+    bits of the run length, T.81 G.1.2.2) followed by the correction
+    bits buffered against it (refinement scans only)."""
+    if st["eobrun"] > 0:
+        nbits = st["eobrun"].bit_length() - 1
+        code, ln = ac_codes[nbits << 4]
+        writer.write(code, ln)
+        if nbits:
+            writer.write(st["eobrun"] - (1 << nbits), nbits)
+        st["eobrun"] = 0
+    for bit in st["be"]:
+        writer.write(bit, 1)
+    st["be"] = []
+
+
+def _emit_dc_first(writer, zz, dc_codes, al: int, pred: int) -> int:
+    """DC first pass: category/EXTEND of the point-transformed
+    (arithmetic >> Al) difference; returns the new predictor."""
+    v = int(zz[0]) >> al
+    diff = v - pred
+    t = _category(diff)
+    code, ln = dc_codes[t]
+    writer.write(code, ln)
+    if t:
+        writer.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    return v
+
+
+def _emit_ac_first(writer, zz, ac_codes, ss, se, al, st) -> None:
+    """AC first pass over one block's spectral band, with EOB-run
+    accumulation across blocks (point transform on magnitudes)."""
+    run = 0
+    for k in range(ss, se + 1):
+        c = int(zz[k])
+        v = (abs(c) >> al) * (1 if c >= 0 else -1)
+        if v == 0:
+            run += 1
+            continue
+        _emit_eobrun(writer, ac_codes, st)
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = ac_codes[(run << 4) | s]
+        writer.write(code, ln)
+        writer.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run > 0:
+        st["eobrun"] += 1
+        if st["eobrun"] == 0x7FFF:
+            _emit_eobrun(writer, ac_codes, st)
+
+
+def _emit_ac_refine(writer, zz, ac_codes, ss, se, al, st) -> None:
+    """AC refinement over one block's spectral band — the encoder
+    side of T.81 G.1.2.3 (mirroring libjpeg's jcphuff): newly
+    significant coefficients (|c|>>Al == 1) emit (run,1)+sign;
+    already-nonzero ones buffer their next magnitude bit, emitted
+    after the next symbol; trailing zeros fold into the EOB run."""
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob_idx = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob_idx = i
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_idx:
+            _emit_eobrun(writer, ac_codes, st)
+            code, ln = ac_codes[0xF0]
+            writer.write(code, ln)
+            r -= 16
+            for bit in br:
+                writer.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        _emit_eobrun(writer, ac_codes, st)
+        code, ln = ac_codes[(r << 4) | 1]
+        writer.write(code, ln)
+        writer.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+        for bit in br:
+            writer.write(bit, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st["eobrun"] += 1
+        st["be"].extend(br)
+        if st["eobrun"] == 0x7FFF or len(st["be"]) > 900:
+            _emit_eobrun(writer, ac_codes, st)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    rgb,
+    quant=1,
+    subsampling: str = "4:4:4",
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive JPEG writer (SOF2; see the scan script above).
+    Transmits EXACTLY the same quantized coefficients as
+    ``encode_jpeg_baseline`` for the same inputs, so decoding both
+    must give identical pixels — the cross-check the tests pin."""
+    comps, padded, qt, mcux, mcuy = _prepare_planes(
+        width, height, rgb, quant, subsampling, grayscale
+    )
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    blocks = [_quantized_blocks(p, qt) for p in padded]
+
+    out = bytearray(b"\xff\xd8")
+    zzq = qt[_ZZ_ROWS, _ZZ_COLS].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + b"\x00" + zzq
+    body = struct.pack(">BHHB", 8, height, width, len(comps))
+    for cid, h, v in comps:
+        body += bytes([cid, (h << 4) | v, 0])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(body)) + body
+    for tc, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS_PROG, _AC_VALS_PROG)):
+        seg = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+    dc_codes = _encode_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _encode_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+
+    def sos_header(scan_cis, ss, se, ah, al):
+        body = bytes([len(scan_cis)])
+        for ci in scan_cis:
+            body += bytes([comps[ci][0], 0x00])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def run_scan(scan_cis, ss, se, ah, al):
+        nonlocal out
+        out += sos_header(scan_cis, ss, se, ah, al)
+        writer = _BitWriter()
+        preds = {ci: 0 for ci in scan_cis}
+        st = {"eobrun": 0, "be": []}
+        rst = 0
+        mcu_index = 0
+
+        def block(ci, zz):
+            if ss == 0:
+                if ah == 0:
+                    preds[ci] = _emit_dc_first(writer, zz, dc_codes, al, preds[ci])
+                else:
+                    writer.write((int(zz[0]) >> al) & 1, 1)
+            else:
+                if ah == 0:
+                    _emit_ac_first(writer, zz, ac_codes, ss, se, al, st)
+                else:
+                    _emit_ac_refine(writer, zz, ac_codes, ss, se, al, st)
+
+        def maybe_restart():
+            nonlocal rst
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                _emit_eobrun(writer, ac_codes, st)
+                writer.pad_to_byte()
+                writer.buf += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                for k in preds:
+                    preds[k] = 0
+
+        if len(scan_cis) == 1:
+            ci = scan_cis[0]
+            _cid, hh, v, = comps[ci]
+            comp_w = -(-width * hh // hmax)
+            comp_h = -(-height * v // vmax)
+            bw, bh = -(-comp_w // 8), -(-comp_h // 8)
+            for i in range(bh * bw):
+                maybe_restart()
+                block(ci, blocks[ci][i // bw, i % bw])
+                mcu_index += 1
+        else:
+            for mi in range(mcuy * mcux):
+                maybe_restart()
+                my, mx = mi // mcux, mi % mcux
+                for ci in scan_cis:
+                    _cid, hh, v = comps[ci]
+                    for by in range(v):
+                        for bx in range(hh):
+                            block(ci, blocks[ci][my * v + by, mx * hh + bx])
+                mcu_index += 1
+        _emit_eobrun(writer, ac_codes, st)
+        writer.pad_to_byte()
+        out += writer.buf
+
+    all_cis = list(range(len(comps)))
+    run_scan(all_cis, 0, 0, 0, 1)            # DC first, Al=1
+    for ci in all_cis:
+        run_scan([ci], 1, 5, 0, 1)            # AC band 1-5 first
+        run_scan([ci], 6, 63, 0, 1)           # AC band 6-63 first
+    for ci in all_cis:
+        run_scan([ci], 1, 63, 1, 0)           # AC refinement -> full precision
+    run_scan(all_cis, 0, 0, 1, 0)             # DC refinement -> full precision
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ----------------------------------------------------------------------
 # Decoder
 # ----------------------------------------------------------------------
+#
+# Architecture (T.81 annex F sequential + annex G progressive,
+# unified): every scan decodes INTO per-component zigzag coefficient
+# arrays (blocks_y, blocks_x, 64); after the last scan, one
+# vectorized dequantize + IDCT + upsample pass produces pixels. A
+# sequential frame is simply the one-scan special case (Ss=0, Se=63,
+# Ah=Al=0, DC and AC in the same block visit). Progressive scans
+# arrive as any legal scan script: interleaved or single-component
+# DC-first / DC-refinement scans, single-component spectral-band
+# AC-first scans with EOB runs, and AC-refinement scans with
+# correction bits (the G.1.2.3 algorithm, mirrored from the spec the
+# same way libjpeg's jdphuff does).
+
+
+def _decode_dc_first(reader, zz, dc_tab, al: int, pred: int) -> int:
+    """DC coefficient, first pass (Ah=0): category + EXTEND bits,
+    predictor in the point-transformed domain, stored shifted."""
+    t = reader.decode_symbol(dc_tab)
+    pred += _extend(reader.read_bits(t), t)
+    zz[0] = pred << al
+    return pred
+
+
+def _decode_dc_refine(reader, zz, al: int) -> None:
+    """DC successive-approximation refinement (Ah=Al+1): one bit,
+    ORed at position Al (two's complement — the prior passes left
+    the low bits zero)."""
+    if reader.read_bit():
+        zz[0] |= 1 << al
+
+
+def _decode_ac_first(reader, zz, ac_tab, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC coefficients of a spectral band, first pass (Ah=0).
+    (r<<4)|0 symbols with r<15 start an EOB run of 2^r + bits(r)
+    blocks (this block included); returns the EOB-run balance for
+    the following blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = reader.decode_symbol(ac_tab)
+        r, s = sym >> 4, sym & 15
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band end")
+        zz[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_correction(reader, zz, k: int, se: int, p1: int, m1: int) -> None:
+    """Apply correction bits to every already-nonzero coefficient in
+    zz[k..se] (the EOB-run tail of G.1.2.3)."""
+    while k <= se:
+        if zz[k] != 0 and reader.read_bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else m1
+        k += 1
+
+
+def _decode_ac_refine(reader, zz, ac_tab, ss: int, se: int, al: int, eobrun: int) -> int:
+    """AC successive-approximation refinement (Ah=Al+1), T.81
+    G.1.2.3: newly-significant coefficients arrive as (run, 1)
+    symbols plus a sign bit; every already-nonzero coefficient
+    passed along the way carries one correction bit; EOB runs cover
+    whole blocks of correction-only refinement."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = reader.decode_symbol(ac_tab)
+            r, s = sym >> 4, sym & 15
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("AC refinement magnitude size != 1")
+                newval = p1 if reader.read_bit() else m1
+            # advance past r zero-history coefficients, applying
+            # correction bits to nonzero-history ones along the way
+            while k <= se:
+                if zz[k] != 0:
+                    if reader.read_bit() and (zz[k] & p1) == 0:
+                        zz[k] += p1 if zz[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("AC refinement ran past band end")
+                zz[k] = newval
+            k += 1
+    if eobrun > 0:
+        _ac_refine_correction(reader, zz, k, se, p1, m1)
+        eobrun -= 1
+    return eobrun
 
 
 def _jpeg_decode(b: bytes) -> np.ndarray:
-    """Decode baseline/extended-sequential Huffman JPEG bytes into a
-    (height, width, 3) uint8 RGB array. See module doc for the
-    supported envelope and the honest refusals."""
+    """Decode baseline / extended-sequential / progressive Huffman
+    JPEG bytes into a (height, width, 3) uint8 RGB array. See module
+    doc for the supported envelope and the honest refusals."""
     if b[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    coefs: list[np.ndarray] | None = None
     restart_interval = 0
+    saw_scan = False
     pos = 2
-    while pos + 4 <= len(b):
+    while pos + 2 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         m = b[pos + 1]
         if m == 0xFF:  # fill byte padding before a marker (T.81 B.1.1.2)
             pos += 1
             continue
-        if m == 0xD9:  # EOI before SOS
+        if m == 0xD9:  # EOI
             break
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             pos += 2
             continue
+        if pos + 4 > len(b):
+            raise ValueError("truncated JPEG segment header")
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         seg = b[pos + 4 : pos + 2 + seglen]
         pos += 2 + seglen
@@ -409,7 +809,7 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nvals])
                 htables[(tc, th)] = _canonical_codes(bits, vals)
                 i += 17 + nvals
-        elif m in (0xC0, 0xC1):  # SOF0 / SOF1 (both Huffman sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 progressive
             precision, h, w, nf = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise NotImplementedError(f"{precision}-bit JPEG precision")
@@ -422,81 +822,159 @@ def _jpeg_decode(b: bytes) -> np.ndarray:
             if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
                 raise NotImplementedError("sampling factors beyond 2 unsupported")
             frame = (h, w, comps)
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            progressive = m == 0xC2
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = [
+                np.zeros((mcuy * v, mcux * hh, 64), dtype=np.int32)
+                for (_cid, hh, v, _tq) in comps
+            ]
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(f"JPEG frame type SOF{m - 0xC0}")
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif m == 0xDA:  # SOS — entropy data follows
-            if frame is None:
+        elif m == 0xDA:  # SOS — entropy data follows the header
+            if frame is None or coefs is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
-            scan = {}
+            scan_comps = []
             for ci in range(ns):
                 cid, tdta = seg[1 + ci * 2 : 3 + ci * 2]
-                scan[cid] = (tdta >> 4, tdta & 15)
-            return _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval)
-        # APPn / COM / others: skipped
-    raise ValueError("JPEG has no scan data")
+                scan_comps.append((cid, tdta >> 4, tdta & 15))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            pos = _decode_sos(
+                b, pos, frame, scan_comps, ss, se, ah, al,
+                coefs, htables, restart_interval, progressive,
+            )
+            saw_scan = True
+        # APPn / COM / DNL / others: skipped
+    if not saw_scan or frame is None or coefs is None:
+        raise ValueError("JPEG has no scan data")
+    return _finish_frame(frame, coefs, qtables)
 
 
-def _decode_scan(b, pos, frame, scan, qtables, htables, restart_interval):
+def _decode_sos(
+    b, pos, frame, scan_comps, ss, se, ah, al,
+    coefs, htables, restart_interval, progressive,
+):
+    """Decode one scan's entropy data into the coefficient arrays;
+    returns the stream position after the scan (byte-aligned, at the
+    next marker). Single-component scans are non-interleaved (MCU =
+    one block over the component's OWN ceil(x/8) x ceil(y/8) grid,
+    T.81 A.2.2); multi-component scans interleave H x V blocks per
+    MCU (A.2.3)."""
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * 8 * v, mcux * 8 * hh), dtype=np.float64)
-        for (_cid, hh, v, _tq) in comps
-    ]
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(scan_comps) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if ss > 63 or se > 63 or ss > se:
+            raise ValueError("bad spectral selection")
+    else:
+        ss, se, ah, al = 0, 63, 0, 0  # sequential semantics, always
+
+    # resolve scan components to frame indices
+    order = []  # (frame_ci, dc_tab or None, ac_tab or None)
+    for cid, td, ta in scan_comps:
+        ci = next(
+            (i for i, c in enumerate(comps) if c[0] == cid), None
+        )
+        if ci is None:
+            raise ValueError(f"scan references unknown component id {cid}")
+        dc_tab = htables.get((0, td)) if ss == 0 else None
+        ac_tab = htables.get((1, ta)) if se > 0 else None
+        if ss == 0 and ah == 0 and dc_tab is None:
+            raise ValueError("missing DC Huffman table")
+        if se > 0 and ac_tab is None:
+            raise ValueError("missing AC Huffman table")
+        order.append((ci, dc_tab, ac_tab))
+
     reader = _BitReader(b, pos)
-    preds = [0] * len(comps)
-    mcu_index = 0
+    preds = {ci: 0 for ci, _d, _a in order}
+    eobrun = 0
     rst = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                reader.align_and_consume_rst(rst)
-                rst = (rst + 1) % 8
-                preds = [0] * len(comps)
-            for ci, (cid, hh, v, tq) in enumerate(comps):
-                td, ta = scan[cid]
-                dc_tab = htables[(0, td)]
-                ac_tab = htables[(1, ta)]
-                qt = qtables[tq]
+
+    def decode_block(zz, ci, dc_tab, ac_tab):
+        nonlocal eobrun
+        if ss == 0:
+            if ah == 0:
+                preds[ci] = _decode_dc_first(reader, zz, dc_tab, al, preds[ci])
+            else:
+                _decode_dc_refine(reader, zz, al)
+        if se > 0:
+            if ah == 0:
+                eobrun = _decode_ac_first(
+                    reader, zz, ac_tab, max(ss, 1), se, al, eobrun
+                )
+            else:
+                eobrun = _decode_ac_refine(
+                    reader, zz, ac_tab, max(ss, 1), se, al, eobrun
+                )
+
+    def maybe_restart(mcu_index):
+        nonlocal rst, eobrun
+        if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+            reader.align_and_consume_rst(rst)
+            rst = (rst + 1) % 8
+            for k in preds:
+                preds[k] = 0
+            eobrun = 0
+
+    if len(order) == 1:
+        # non-interleaved: the component's own block grid
+        ci, dc_tab, ac_tab = order[0]
+        _cid, hh, v, _tq = comps[ci]
+        comp_w = -(-w * hh // hmax)  # ceil(w * hh / hmax), T.81 A.1.1
+        comp_h = -(-h * v // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        arr = coefs[ci]
+        for i in range(bh * bw):
+            maybe_restart(i)
+            decode_block(arr[i // bw, i % bw], ci, dc_tab, ac_tab)
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        for mi in range(mcuy * mcux):
+            maybe_restart(mi)
+            my, mx = mi // mcux, mi % mcux
+            for ci, dc_tab, ac_tab in order:
+                _cid, hh, v, _tq = comps[ci]
                 for by in range(v):
                     for bx in range(hh):
-                        zz = np.zeros(64, dtype=np.int64)
-                        t = reader.decode_symbol(dc_tab)
-                        diff = _extend(reader.read_bits(t), t)
-                        preds[ci] += diff
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            sym = reader.decode_symbol(ac_tab)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += sym >> 4
-                            size = sym & 15
-                            if k > 63:
-                                raise ValueError("AC run past block end")
-                            zz[k] = _extend(reader.read_bits(size), size)
-                            k += 1
-                        block = np.zeros((8, 8), dtype=np.float64)
-                        block[_ZZ_ROWS, _ZZ_COLS] = zz * qt[_ZZ_ROWS, _ZZ_COLS]
-                        spatial = _DCT.T @ block @ _DCT + 128.0
-                        y0 = (my * v + by) * 8
-                        x0 = (mx * hh + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
-            mcu_index += 1
-    # upsample to full resolution and crop
+                        decode_block(
+                            coefs[ci][my * v + by, mx * hh + bx],
+                            ci, dc_tab, ac_tab,
+                        )
+    # byte-align and report the position of the next marker
+    reader.n = 0
+    return reader.pos
+
+
+def _finish_frame(frame, coefs, qtables) -> np.ndarray:
+    """Dequantize + IDCT every block (vectorized over the whole
+    component), upsample to full resolution, crop, and convert
+    JFIF YCbCr -> RGB (or replicate grayscale)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
-    for plane, (_cid, hh, v, _tq) in zip(planes, comps):
+    for arr, (_cid, hh, v, tq) in zip(coefs, comps):
+        qt = qtables.get(tq)
+        if qt is None:
+            raise ValueError(f"missing quantization table {tq}")
+        deq = arr.astype(np.float64) * qt[_ZZ_ROWS, _ZZ_COLS]
+        by, bx = arr.shape[0], arr.shape[1]
+        blocks = np.zeros((by, bx, 8, 8), dtype=np.float64)
+        blocks[:, :, _ZZ_ROWS, _ZZ_COLS] = deq
+        spatial = np.einsum("ij,abjk,kl->abil", _DCT.T, blocks, _DCT) + 128.0
+        plane = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         up = np.repeat(np.repeat(plane, vmax // v, axis=0), hmax // hh, axis=1)
         full.append(up[:h, :w])
     if len(full) == 1:

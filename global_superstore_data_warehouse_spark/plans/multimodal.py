@@ -109,18 +109,32 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         w, h, px, row_filters=filters, interlace=inter
                     )
                 elif variant == 4:
-                    # baseline JPEG, grayscale fill = doc_id % 256
-                    # (r channel's formula): unit quant makes the
-                    # constant image reconstruct exactly, so the
-                    # oracle's arithmetic means still hold with
-                    # mean_r = mean_g = mean_b
+                    # JPEG, grayscale fill = doc_id % 256 (r channel's
+                    # formula): unit quant makes the constant image
+                    # reconstruct exactly, so the oracle's arithmetic
+                    # means still hold with mean_r = mean_g = mean_b.
+                    # Alternates baseline / PROGRESSIVE (SOF2) by the
+                    # same doc_id//5 parity as the PNG interlace flag,
+                    # so the annex-G scan machinery (DC successive
+                    # approximation, spectral bands, EOB runs) also
+                    # runs distributed under the value hash
                     fmt = "jpeg"
                     gray = _np.full((h, w, 3), fill[0], dtype=_np.uint8)
                     px = gray
-                    blob = encode_jpeg_baseline(
-                        w, h, gray, quant=1, grayscale=True,
-                        restart_interval=2,
-                    )
+                    if inter:
+                        from global_superstore_data_warehouse_spark.operators.jpeg import (  # noqa: E501
+                            encode_jpeg_progressive,
+                        )
+
+                        blob = encode_jpeg_progressive(
+                            w, h, gray, quant=1, grayscale=True,
+                            restart_interval=2,
+                        )
+                    else:
+                        blob = encode_jpeg_baseline(
+                            w, h, gray, quant=1, grayscale=True,
+                            restart_interval=2,
+                        )
                 elif variant == 2:
                     # palette: depth cycles 1/2/4/8; indices sweep the
                     # depth's full range while every entry is the same

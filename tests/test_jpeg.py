@@ -1,9 +1,11 @@
-"""Baseline JPEG codec (operators/jpeg.py): golden hand-laid bytes
-with a VARIABLE-length Huffman table (the fixed-length encoder can't
+"""JPEG codec (operators/jpeg.py): golden hand-laid bytes with a
+VARIABLE-length Huffman table (the fixed-length encoder can't
 produce one — breaks encode/decode circularity), exact constant-image
 round-trips at unit quant, bounded-error property round-trips over
-gray/4:4:4/4:2:0 with restart intervals, and the honest-refusal
-matrix (progressive, 12-bit, >2 sampling, WEBP)."""
+gray/4:4:4/4:2:0 with restart intervals, the honest-refusal matrix
+(12-bit, arithmetic, >2 sampling, WEBP), and — since progressive
+decode landed — decode(progressive) == decode(baseline) equality
+sweeps plus a bit-by-bit hand-laid annex-G progressive golden."""
 
 import struct
 
@@ -144,9 +146,12 @@ def test_jpeg_restart_markers_present_and_decoded():
 
 def test_jpeg_refusals_stay_honest():
     base = encode_jpeg_baseline(4, 4, np.zeros((4, 4, 3), np.uint8), quant=1)
-    # progressive: flip SOF0 -> SOF2
+    # progressive (SOF2) DECODES since late round 10 — but a baseline
+    # stream whose SOF marker was flipped to SOF2 carries an illegal
+    # progressive scan header (Ss=0, Se=63), which must be a hard
+    # ValueError, not a silent mis-decode
     prog = base.replace(b"\xff\xc0", b"\xff\xc2")
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         _jpeg_decode(prog)
     # arithmetic-coded sequential: SOF9
     arith = base.replace(b"\xff\xc0", b"\xff\xc9")
@@ -183,3 +188,170 @@ def test_jpeg_fill_bytes_before_markers():
     i = b.index(b"\xff\xc0")
     padded = b[:i] + b"\xff\xff\xff" + b[i:]
     assert (_jpeg_decode(padded) == 99).all()
+
+def test_jpeg_progressive_equals_baseline():
+    """The progressive encoder transmits the same quantized
+    coefficients as the baseline encoder, so decoding both streams
+    must give IDENTICAL pixels — across geometries, grayscale/4:4:4/
+    4:2:0, quant levels, and restart intervals. This cross-checks
+    the whole annex-G scan machinery (DC successive approximation,
+    spectral bands, EOB runs, AC refinement correction bits) against
+    the independently golden-pinned sequential path."""
+    from global_superstore_data_warehouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for (w, h, sub, gray, rst) in [
+        (8, 8, "4:4:4", True, 0),
+        (5, 11, "4:4:4", True, 0),
+        (16, 16, "4:4:4", False, 0),
+        (10, 6, "4:2:0", False, 0),
+        (33, 17, "4:4:4", False, 2),
+        (9, 9, "4:2:0", False, 3),
+        (1, 1, "4:4:4", True, 0),
+        (24, 8, "4:2:0", False, 0),
+        (7, 13, "4:4:4", False, 1),
+    ]:
+        for q in (1, 8, 40):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            b = encode_jpeg_baseline(
+                w, h, px, quant=q, subsampling=sub, grayscale=gray,
+                restart_interval=rst,
+            )
+            p = encode_jpeg_progressive(
+                w, h, px, quant=q, subsampling=sub, grayscale=gray,
+                restart_interval=rst,
+            )
+            assert (_jpeg_decode(b) == _jpeg_decode(p)).all(), (w, h, sub, gray, rst, q)
+
+
+def test_jpeg_progressive_property():
+    """Hypothesis sweep of the same baseline==progressive equality."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from global_superstore_data_warehouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 20),
+        h=st.integers(1, 20),
+        q=st.integers(1, 60),
+        gray=st.booleans(),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        rst=st.integers(0, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def prop(w, h, q, gray, sub, rst, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        kw = dict(
+            quant=q, subsampling=sub, grayscale=gray, restart_interval=rst
+        )
+        b = encode_jpeg_baseline(w, h, px, **kw)
+        p = encode_jpeg_progressive(w, h, px, **kw)
+        assert (_jpeg_decode(b) == _jpeg_decode(p)).all()
+
+    prop()
+
+
+def test_jpeg_progressive_golden_bytes():
+    """HAND-LAID progressive golden, independent of our encoder: an
+    8x8 grayscale SOF2 stream with unit quant and the fixed-length
+    tables, whose four scans (DC-first Al=1, AC-first band 1-63
+    Al=1, AC-refinement Ah=1->Al=0 carried entirely by an EOB run's
+    correction bits, DC-refinement) were assembled bit-by-bit from
+    T.81 annex G by hand. Coefficients: DC=576, zz1=(0,1)->3,
+    zz5=(0,2)->-7. Expected pixels come from a cosine-sum IDCT
+    written inline here — not the module's matrix."""
+    import zlib  # noqa: F401  (parallel with the PNG goldens' imports)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    def entropy(bitstr):
+        # pad with 1-bits to a byte, then byte-stuff 0xFF
+        bitstr += "1" * (-len(bitstr) % 8)
+        raw = bytes(
+            int(bitstr[i : i + 8], 2) for i in range(0, len(bitstr), 8)
+        )
+        out = bytearray()
+        for byte in raw:
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+    ac_vals = sorted((r << 4) | s for r in range(16) for s in range(0, 11))
+    assert ac_vals.index(0x01) == 1 and ac_vals.index(0x32) == 35
+
+    blob = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + b"\x01" * 64)  # unit quant, table 0
+        + seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, bytes([0x00, 0, 0, 0, 12] + [0] * 12) + bytes(range(12)))
+        + seg(0xC4, bytes([0x10] + [0] * 7 + [176] + [0] * 8) + bytes(ac_vals))
+        # scan 1: DC first, Al=1 -> diff = 576>>1 = 288, category 9
+        # ('1001'), then 9 magnitude bits of +288 ('100100000')
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x01]))
+        + entropy("1001" + "100100000")
+        # scan 2: AC first, band 1-63, Al=1 -> zz1: 3>>1=+1 via
+        # symbol 0x01 (code idx 1) + sign-magnitude bit '1'; three
+        # zeros; zz5: -(7>>1)=-3 via symbol 0x32 (run 3, size 2, code
+        # idx 35) + extend bits '00'; then EOB (symbol 0x00, code 0)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+        + entropy("00000001" + "1" + "00100011" + "00" + "00000000")
+        # scan 3: AC refinement Ah=1 Al=0 -> one EOB run covering the
+        # block (symbol 0x00), followed by the two correction bits
+        # for the already-nonzero zz1 (3&1=1) and zz5 (7&1=1)
+        + seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+        + entropy("00000000" + "1" + "1")
+        # scan 4: DC refinement -> the last DC magnitude bit (576&1=0)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x10]))
+        + entropy("0")
+        + b"\xff\xd9"
+    )
+    got = _jpeg_decode(blob)
+
+    # independent IDCT: cosine sums, not the module's _DCT matrix
+    coef = np.zeros((8, 8))
+    coef[0, 0], coef[0, 1], coef[0, 2] = 576.0, 3.0, -7.0
+    expect = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = np.sqrt(0.125) if u == 0 else np.sqrt(0.25)
+                    cv = np.sqrt(0.125) if v == 0 else np.sqrt(0.25)
+                    s += (
+                        cu * cv * coef[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            expect[y, x] = s + 128.0
+    expect = np.clip(np.round(expect), 0, 255).astype(np.uint8)
+    assert (got == np.repeat(expect[:, :, None], 3, axis=2)).all()
+
+
+def test_jpeg_progressive_malformed_scans_rejected():
+    """Illegal progressive scan headers are hard errors: a DC scan
+    with Se!=0, a multi-component AC scan, and size!=1 refinement
+    symbols must all raise rather than mis-decode."""
+    from global_superstore_data_warehouse_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    px = np.full((8, 8, 3), 100, np.uint8)
+    good = encode_jpeg_progressive(8, 8, px, quant=1, grayscale=True)
+
+    # find the first SOS and corrupt its spectral selection: the DC
+    # scan (Ss=0 Se=0) becomes Ss=0 Se=5
+    i = good.index(b"\xff\xda")
+    bad = bytearray(good)
+    bad[i + 2 + 2 + 3 + 1] = 5  # Se byte of the 1-component scan header
+    with pytest.raises(ValueError, match="Se=0"):
+        _jpeg_decode(bytes(bad))
