@@ -11,9 +11,10 @@ unfilters; round 10: palette/PLTE at depths 1/2/4/8 with MSB-first
 sub-byte index unpacking, 16-bit samples scaled to 8 via the high
 byte, gray+alpha, and Adam7 interlace — per-pass unfilter + spec
 §8.2 scatter — so the FULL legal IHDR matrix decodes) plus, since
-round 10, baseline-sequential JPEG (``operators/jpeg.py``:
-marker walk, canonical Huffman, IDCT, 4:2:0/4:4:4, DRI/RST) — and
-raises NotImplementedError for everything else (progressive JPEG,
+round 10, JPEG (``operators/jpeg.py``: baseline SOF0 and progressive
+SOF2 — marker walk, canonical Huffman, annex-G scan accumulation,
+IDCT, 4:2:0/4:4:4, DRI/RST) — and raises NotImplementedError for
+everything else (arithmetic-coded/12-bit/hierarchical JPEG,
 WEBP: real codecs; plug in PIL.Image.open and
 the plumbing is unchanged). The matching ``encode_bmp``/
 ``encode_png``/``encode_png_palette``/``encode_png16`` writers exist
@@ -507,10 +508,11 @@ def decode_image(blob: bytes):
     channel-order and scanline-direction normalization; for PNG:
     chunk walk, zlib inflate, the five scanline unfilters, Adam7
     per-pass unfilter + scatter, PLTE lookup and 16->8 high-byte
-    scaling). Baseline JPEG delegates to ``operators/jpeg.py``;
-    other formats raise NotImplementedError: WEBP/progressive JPEG
-    need codec libraries this container lacks; swapping in PIL
-    changes this function body only."""
+    scaling). JPEG (baseline SOF0 and progressive SOF2) delegates to
+    ``operators/jpeg.py``; other formats raise NotImplementedError:
+    WEBP/AVIF and arithmetic-coded/12-bit/hierarchical JPEG need
+    codec libraries this container lacks; swapping in PIL changes
+    this function body only."""
     import numpy as np
 
     b = bytes(blob)
@@ -567,8 +569,8 @@ def decode_image(blob: bytes):
         )
     raise NotImplementedError(
         "only BMP (24-bit), PPM (P6), PNG (full IHDR matrix incl. Adam7) "
-        "and baseline JPEG decode in this environment; WEBP/AVIF/"
-        "progressive-JPEG need codec libraries — plug in PIL here"
+        "and JPEG (baseline + progressive) decode in this environment; "
+        "WEBP/AVIF/arithmetic-JPEG need codec libraries — plug in PIL here"
     )
 
 

@@ -335,3 +335,113 @@ AUDIO_DECODE_STATS_ORACLE = f"""
                 AS BIGINT) AS peak_abs
     FROM documents
 """
+
+
+# --- real video decode (AVI / MJPEG) -----------------------------------
+
+VIDEO_STATS_SCHEMA = (
+    "doc_id long, n_frames int, frame_index int, ts_us long, "
+    "width int, height int, mean_luma int"
+)
+VIDEO_US_PER_FRAME = 40_000  # 25 fps exactly
+VIDEO_FRAME_STRIDE = 2
+
+
+def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END REAL VIDEO DECODE — the moving-picture twin of
+    ``multimodal_decode_stats`` / ``audio_decode_stats``: build a
+    genuine AVI 1.0 container per document (one MJPEG 'vids' stream,
+    3..6 JPEG frames, avih/strh/strf headers + movi list + idx1
+    keyframe index), parse it with the vendored pure-python RIFF
+    walker (``operators/avi.py`` — header cross-validation, word
+    alignment, idx1 verification), frame-sample every
+    ``VIDEO_FRAME_STRIDE``-th frame, and DECODE each sampled frame
+    with the vendored JPEG decoder — per-frame variant alternates
+    baseline (SOF0) / progressive (SOF2) by (doc_id + frame) parity,
+    so the annex-G scan machinery runs distributed inside a video
+    container too. One Arrow-batched mapInPandas stage, zero shuffle,
+    fan-out rows (one per sampled frame) — the shape a real
+    frame-decoder pipeline uses at 100 TB: partition-parallel over
+    videos, no driver involvement, no collect.
+
+    Each frame is a constant-luma grayscale image
+    (fill = (doc_id*11 + frame*37) % 256) with a unit quant table —
+    a constant block is a DC-only spectrum, so the JPEG round-trip
+    reconstructs the fill EXACTLY and the oracle stays arithmetic:
+    it recomputes frame count, sampled indices, timestamps, and the
+    per-frame mean from the generator parameters without ever seeing
+    the bytes. Container encode/decode circularity is broken by a
+    golden hand-laid AVI byte test plus refusal/idx1-mismatch tests
+    in tests/test_multimodal.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def decode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        from global_superstore_data_warehouse_spark.operators.avi import (
+            decode_avi_mjpeg,
+            encode_avi_mjpeg,
+        )
+        from global_superstore_data_warehouse_spark.operators.jpeg import (
+            encode_jpeg_baseline,
+            encode_jpeg_progressive,
+        )
+        from global_superstore_data_warehouse_spark.operators.multimodal import (
+            decode_image,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "frame_index", "ts_us",
+                "width", "height", "mean_luma",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 3 + d % 4
+                w = 8 + d % 9   # 8..16: most sizes need MCU edge padding
+                h = 8 + d % 7   # 8..14
+                frames = []
+                for f in range(nf):
+                    fill = (d * 11 + f * 37) % 256
+                    px = _np.full((h, w, 3), fill, dtype=_np.uint8)
+                    enc = (
+                        encode_jpeg_progressive
+                        if (d + f) % 2
+                        else encode_jpeg_baseline
+                    )
+                    frames.append(enc(w, h, px, quant=1, grayscale=True))
+                meta, got = decode_avi_mjpeg(
+                    encode_avi_mjpeg(w, h, frames, VIDEO_US_PER_FRAME)
+                )
+                assert meta["n_frames"] == nf  # container self-check
+                for f in range(0, nf, VIDEO_FRAME_STRIDE):
+                    px = decode_image(got[f])
+                    assert px.shape == (h, w, 3)
+                    out["doc_id"].append(d)
+                    out["n_frames"].append(nf)
+                    out["frame_index"].append(f)
+                    out["ts_us"].append(f * meta["us_per_frame"])
+                    out["width"].append(meta["width"])
+                    out["height"].append(meta["height"])
+                    out["mean_luma"].append(int(px[:, :, 0].mean()))
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(decode_batches, VIDEO_STATS_SCHEMA)
+
+
+VIDEO_FRAME_SAMPLE_ORACLE = f"""
+    WITH v AS (
+        SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents
+    )
+    SELECT doc_id,
+           CAST(nf AS INTEGER) AS n_frames,
+           CAST(t.i AS INTEGER) AS frame_index,
+           CAST(t.i * {VIDEO_US_PER_FRAME} AS BIGINT) AS ts_us,
+           CAST(8 + doc_id % 9 AS INTEGER) AS width,
+           CAST(8 + doc_id % 7 AS INTEGER) AS height,
+           CAST((doc_id * 11 + t.i * 37) % 256 AS INTEGER) AS mean_luma
+    FROM v, LATERAL (
+        SELECT unnest(range(0, nf, {VIDEO_FRAME_STRIDE})) AS i
+    ) t
+"""

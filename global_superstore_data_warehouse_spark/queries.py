@@ -1,10 +1,13 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 227 registered queries
-# have (or are in the current window to get) a driver CORRECTNESS
-# row. tools/rotation_queue.py computes the live list. STANDING
-# NET-ZERO-DEBT RULE (see the ROUND10_WINDOW block at the bottom):
-# new registrations per round <= what the next 50-slot window absorbs
-# alongside ~10 repeats (<= 20/round), and every new registration
-# enters the very next window.
+# ROTATION QUEUE: the round-10 late additions (video_frame_sample_
+# stats, audio_vad_features, warc_ingest_stats) are the only
+# never-driver-checked entries; they are pre-verified hash-green in
+# pytest and MUST lead ROUND11_WINDOW. Everything else among the
+# registered queries has a driver CORRECTNESS row (or is in the
+# current window to get one). tools/rotation_queue.py computes the
+# live list. STANDING NET-ZERO-DEBT RULE (see the ROUND10_WINDOW
+# block at the bottom): new registrations per round <= what the next
+# 50-slot window absorbs alongside ~10 repeats (<= 20/round), and
+# every new registration enters the very next window.
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
@@ -988,6 +991,18 @@ register(
     "mor_merge_upsert",
     lakehouse.mor_merge_upsert,
     lakehouse.MOR_MERGE_UPSERT_ORACLE,
+)
+# NEW late round 10 (within the net-zero budget; ROUND11_WINDOW
+# entrant): REAL video decode — per-doc AVI 1.0 containers (MJPEG
+# 'vids' stream, movi list, idx1) parsed by the vendored RIFF walker,
+# every 2nd frame JPEG-decoded (baseline/progressive alternating)
+# inside one mapInPandas stage; arithmetic oracle over the generator
+# parameters. The moving-picture completion of the image/audio
+# decode family.
+register(
+    "video_frame_sample_stats",
+    multimodal.video_frame_sample_stats,
+    multimodal.VIDEO_FRAME_SAMPLE_ORACLE,
 )
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both

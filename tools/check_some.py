@@ -8,6 +8,11 @@ import os
 import sys
 
 sys.path.insert(0, "/root/repo")
+# executor Python workers resolve mapInPandas closure imports via
+# PYTHONPATH (the driver contract __spark_entry__.py sets the same)
+os.environ["PYTHONPATH"] = "/root/repo" + os.pathsep + os.environ.get(
+    "PYTHONPATH", ""
+)
 import duckdb
 from pyspark.sql import SparkSession
 
