@@ -445,3 +445,116 @@ VIDEO_FRAME_SAMPLE_ORACLE = f"""
         SELECT unnest(range(0, nf, {VIDEO_FRAME_STRIDE})) AS i
     ) t
 """
+
+
+# --- audio feature extraction (VAD-style) ------------------------------
+
+AUDIO_VAD_SCHEMA = (
+    "doc_id long, n_samples int, zero_crossings int, sum_sq long, "
+    "rms_micro long, n_windows int, active_windows int"
+)
+VAD_WINDOW = 32          # samples per energy window
+VAD_THRESHOLD = 8192     # window sum(|s|) above this = voice activity
+
+
+def audio_vad_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FEATURE EXTRACTION over the real WAV decode path — the
+    step after ``audio_decode_stats``'s raw statistics: per-clip
+    zero-crossing count, RMS, and a windowed voice-activity profile
+    (energy per ``VAD_WINDOW``-sample window vs a fixed threshold),
+    the classic front-end of a speech-data curation pipeline. The
+    clip alternates SILENT and VOICED windows (window w is muted when
+    (w + doc_id) % 3 == 0), so activity detection has real structure
+    to find — not a constant. Encode -> decode_wav -> numpy features,
+    one Arrow-batched mapInPandas stage, zero shuffle.
+
+    Every output is an exact integer so the DuckDB oracle (nested
+    list_transform lambdas over the same waveform formula) matches
+    bit-for-bit: rms_micro = isqrt(sum_sq * 1e6 // n) is the
+    floor-sqrt at micro precision, and floor(sqrt(x)) over an exactly
+    representable integer x < 2^52 is IEEE-safe (the nearest double
+    to sqrt(x) can only cross an integer boundary when x is a perfect
+    square, where it is exact)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def feature_batches(batches):
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        from global_superstore_data_warehouse_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "zero_crossings", "sum_sq",
+                "rms_micro", "n_windows", "active_windows",
+            )}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 64 + d % 128
+                t = _np.arange(n, dtype=_np.int64)
+                s = ((d * 7919 + t * 31) % 2048) - 1024
+                s = _np.where((t // VAD_WINDOW + d) % 3 == 0, 0, s)
+                _rate, dec = decode_wav(encode_wav(AUDIO_RATE, s))
+                s = dec.astype(_np.int64)
+                nonneg = s >= 0
+                zc = int((nonneg[1:] != nonneg[:-1]).sum())
+                sum_sq = int((s * s).sum())
+                nw = -(-n // VAD_WINDOW)
+                active = 0
+                for w in range(nw):
+                    win = s[w * VAD_WINDOW : (w + 1) * VAD_WINDOW]
+                    if int(_np.abs(win).sum()) > VAD_THRESHOLD:
+                        active += 1
+                out["doc_id"].append(d)
+                out["n_samples"].append(n)
+                out["zero_crossings"].append(zc)
+                out["sum_sq"].append(sum_sq)
+                out["rms_micro"].append(_math.isqrt(sum_sq * 1_000_000 // n))
+                out["n_windows"].append(nw)
+                out["active_windows"].append(active)
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(feature_batches, AUDIO_VAD_SCHEMA)
+
+
+# s(t) with the per-window mute, shared by every feature below
+_VAD_S = (
+    "CASE WHEN ((t // {W}) + doc_id) % 3 = 0 THEN 0 "
+    "ELSE ((doc_id * 7919 + t * 31) % 2048) - 1024 END"
+).format(W=VAD_WINDOW)
+
+AUDIO_VAD_FEATURES_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id,
+               64 + doc_id % 128 AS n,
+               list_transform(range(0, 64 + doc_id % 128),
+                              t -> {_VAD_S}) AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(list_aggregate(list_transform(range(1, n), t ->
+                CASE WHEN (s[t + 1] >= 0) <> (s[t] >= 0)
+                     THEN 1 ELSE 0 END), 'sum') AS INTEGER)
+               AS zero_crossings,
+           CAST(list_aggregate(list_transform(s, v -> v * v), 'sum')
+                AS BIGINT) AS sum_sq,
+           CAST(floor(sqrt(CAST(
+                (list_aggregate(list_transform(s, v -> v * v), 'sum')
+                 * 1000000) // n AS DOUBLE))) AS BIGINT) AS rms_micro,
+           CAST(ceil(n / {VAD_WINDOW}.0) AS INTEGER) AS n_windows,
+           CAST(list_aggregate(list_transform(
+                range(0, CAST(ceil(n / {VAD_WINDOW}.0) AS BIGINT)), w ->
+                CASE WHEN list_aggregate(list_transform(
+                         range(w * {VAD_WINDOW},
+                               least((w + 1) * {VAD_WINDOW}, n)),
+                         t -> abs({_VAD_S})), 'sum') > {VAD_THRESHOLD}
+                     THEN 1 ELSE 0 END), 'sum') AS INTEGER)
+               AS active_windows
+    FROM base
+"""

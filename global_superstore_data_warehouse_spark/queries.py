@@ -41,6 +41,7 @@ from global_superstore_data_warehouse_spark.plans import (
     embeddings,
     events,
     fact,
+    ingest,
     lakehouse,
     linkrank,
     mixtures,
@@ -1003,6 +1004,26 @@ register(
     "video_frame_sample_stats",
     multimodal.video_frame_sample_stats,
     multimodal.VIDEO_FRAME_SAMPLE_ORACLE,
+)
+# NEW late round 10 (net-zero budget; ROUND11_WINDOW entrant): audio
+# FEATURE extraction after the real WAV decode — zero-crossings,
+# exact integer RMS (isqrt at micro precision), and a windowed
+# voice-activity profile over a clip with genuine silent/voiced
+# structure; all-integer outputs, nested-lambda DuckDB oracle.
+register(
+    "audio_vad_features",
+    multimodal.audio_vad_features,
+    multimodal.AUDIO_VAD_FEATURES_ORACLE,
+)
+# NEW late round 10 (net-zero budget; ROUND11_WINDOW entrant): WARC
+# web-archive ingestion — per-doc .warc.gz blobs (three records,
+# per-record gzip members, HTTP response payload) split, parsed, and
+# header-stripped by the vendored pure-python reader; the oracle
+# rebuilds the framing math and digests in SQL.
+register(
+    "warc_ingest_stats",
+    ingest.warc_ingest_stats,
+    ingest.WARC_INGEST_STATS_ORACLE,
 )
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both

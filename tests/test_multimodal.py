@@ -718,3 +718,33 @@ def test_png_adam7_stream_length_validated():
     for bad_raw in (raw[:-1], raw + b"\x00"):
         with pytest.raises(ValueError):
             decode_image(rebuild(bad_raw))
+
+
+def test_audio_vad_features_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "audio_vad_features", sf_dir)
+
+
+def test_audio_vad_silent_windows_are_inactive():
+    """The VAD window math itself (not the Spark plumbing): a muted
+    window counts as inactive, a loud one as active, and the partial
+    tail window is measured over its real samples only."""
+    import numpy as np
+
+    from global_superstore_data_warehouse_spark.plans.multimodal import (
+        VAD_THRESHOLD,
+        VAD_WINDOW,
+    )
+
+    # clip: one loud window, one silent, one partial-loud tail
+    loud = np.full(VAD_WINDOW, 300, np.int64)       # 32*300 > 8192
+    silent = np.zeros(VAD_WINDOW, np.int64)
+    tail = np.full(7, 2000, np.int64)               # 7*2000 > 8192
+    s = np.concatenate([loud, silent, tail])
+    acts = [
+        int(np.abs(s[w * VAD_WINDOW : (w + 1) * VAD_WINDOW]).sum())
+        > VAD_THRESHOLD
+        for w in range(3)
+    ]
+    assert acts == [True, False, True]
