@@ -1,13 +1,13 @@
-# ROTATION QUEUE: the round-10 late additions (video_frame_sample_
-# stats, audio_vad_features, warc_ingest_stats) are the only
-# never-driver-checked entries; they are pre-verified hash-green in
-# pytest and MUST lead ROUND11_WINDOW. Everything else among the
-# registered queries has a driver CORRECTNESS row (or is in the
-# current window to get one). tools/rotation_queue.py computes the
-# live list. STANDING NET-ZERO-DEBT RULE (see the ROUND10_WINDOW
-# block at the bottom): new registrations per round <= what the next
-# 50-slot window absorbs alongside ~10 repeats (<= 20/round), and
-# every new registration enters the very next window.
+# ROTATION QUEUE: EMPTY as of round 10 — all 230 registered queries
+# have (or are in the current window to get) a driver CORRECTNESS
+# row; the round-10 late additions (video_frame_sample_stats,
+# audio_vad_features, warc_ingest_stats) entered ROUND10_WINDOW
+# directly, displacing three repeat-greens. tools/rotation_queue.py
+# computes the live list. STANDING NET-ZERO-DEBT RULE (see the
+# ROUND10_WINDOW block at the bottom): new registrations per round
+# <= what the next 50-slot window absorbs alongside ~10 repeats
+# (<= 20/round), and every new registration enters the very next
+# window.
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
@@ -1255,9 +1255,19 @@ ROUND10_WINDOW = [
     "seasonal_index",
     "lateness_profile",
     "abc_migration",
-    # -- first-timer: the round-10 net-zero-rule registration --
+    # -- first-timers: the round-10 net-zero-rule registrations --
     "mor_merge_upsert",
-    # -- repeat-green family representatives (32) --
+    # late round 10: the multimodal/ingestion additions enter the
+    # CURRENT window (the very next driver check), displacing three
+    # repeat-greens whose families stay represented: multimodal_
+    # decode_stats (r09 green; video+audio twins below exercise the
+    # same decoders end-to-end), kcenter_coreset (ANN keeps
+    # cosine_topk + ann_ivf_pq), training_shards (r09 green;
+    # curation keeps decontaminate_bloom + join_skew_report).
+    "video_frame_sample_stats",
+    "audio_vad_features",
+    "warc_ingest_stats",
+    # -- repeat-green family representatives (29) --
     # views / warehouse / star schema
     "yearly_sales_profit",
     "demand_category_region",
@@ -1285,15 +1295,12 @@ ROUND10_WINDOW = [
     # ANN / embeddings
     "cosine_topk",
     "ann_ivf_pq",
-    "kcenter_coreset",
     # events / streaming
     "events_sessionize",
     "stream_dedup_exactly_once",
     "stream_interval_join_attribution",
-    # multimodal / observability / mixtures / curation
-    "multimodal_decode_stats",
+    # observability / mixtures / curation
     "join_skew_report",
-    "training_shards",
     "decontaminate_bloom",
     # stats / graph (vocab_topk dropped to make room for
     # mor_merge_upsert: it is headline-benched every round and was

@@ -98,8 +98,9 @@ def test_correctness_window_is_the_intended_fifty():
     assert window == list(ROUND10_WINDOW)
     # round-10 composition per the round-9 verdict: ALL 17 remaining
     # never-driver-checked backlog entries (debt hits zero) + the
-    # round's single net-zero-rule registration (mor_merge_upsert,
-    # windowed immediately) + 32 repeat-green family representatives
+    # round's net-zero-rule registrations windowed immediately
+    # (mor_merge_upsert plus the late multimodal/ingestion trio) +
+    # 29 repeat-green family representatives
     first_timers = {
         "hard_negative_mining", "lang_id_confusion", "pareto_products",
         "rfm_segments", "zipf_slope_by_source", "token_entropy_by_source",
@@ -107,10 +108,12 @@ def test_correctness_window_is_the_intended_fifty():
         "order_cadence", "churn_flags", "supplier_concentration",
         "fulfillment_lead_time", "quality_percentiles", "seasonal_index",
         "lateness_profile", "abc_migration", "mor_merge_upsert",
+        "video_frame_sample_stats", "audio_vad_features",
+        "warc_ingest_stats",
     }
     assert first_timers <= set(window), sorted(first_timers - set(window))
     repeats = set(window) - first_timers
-    assert len(repeats) == 32
+    assert len(repeats) == 29
     # spread: at least one repeat from each major operator family
     family_heads = {
         "yearly_sales_profit", "surrogate_keys_customers",
@@ -120,7 +123,7 @@ def test_correctness_window_is_the_intended_fifty():
         "sorted_neighborhood_pairs", "best_month_per_segment",
         "minhash_lsh_candidates", "jaccard_prefix_pairs", "cosine_topk",
         "events_sessionize", "stream_dedup_exactly_once",
-        "multimodal_decode_stats", "join_skew_report", "training_shards",
+        "join_skew_report",
         "decontaminate_bloom", "bootstrap_revenue_ci", "kcore_membership",
     }
     assert family_heads <= repeats, sorted(family_heads - repeats)
