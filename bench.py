@@ -300,6 +300,11 @@ EXTRA = [
     "abc_migration",
     # round-10 net-zero-rule registration: the merge-on-read twin
     "mor_merge_upsert",
+    # late round-10 additions (windowed immediately): real video
+    # decode, audio feature extraction, .warc.gz ingestion
+    "video_frame_sample_stats",
+    "audio_vad_features",
+    "warc_ingest_stats",
 ]
 
 ROUNDS = 3

@@ -198,12 +198,21 @@ def decode_avi_mjpeg(blob: bytes):
                                 strf = b[o3 : o3 + s3]
             elif ltype == b"movi":
                 movi_off, movi_len = off, size
-                for t2, o2, s2 in _walk(b, off + 4, off + size):
-                    if t2[2:4] in (b"dc", b"db"):
-                        frames.append(b[o2 : o2 + s2])
-                        # offset of the chunk HEADER relative to the
-                        # 'movi' fourcc (the AVIOLDINDEX convention)
-                        frame_offsets.append((o2 - 8 - off, s2))
+
+                def _collect(start: int, stop: int) -> None:
+                    for t2, o2, s2 in _walk(b, start, stop):
+                        if t2 == b"LIST" and b[o2 : o2 + 4] == b"rec ":
+                            # interleaved files group chunks in
+                            # 'rec ' lists — recurse transparently
+                            _collect(o2 + 4, o2 + s2)
+                        elif t2[2:4] in (b"dc", b"db"):
+                            frames.append(b[o2 : o2 + s2])
+                            # offset of the chunk HEADER relative to
+                            # the 'movi' fourcc (AVIOLDINDEX
+                            # convention, nesting-independent)
+                            frame_offsets.append((o2 - 8 - movi_off, s2))
+
+                _collect(off + 4, off + size)
         elif tag == b"idx1":
             idx1 = b[off : off + size]
 

@@ -170,3 +170,49 @@ def test_video_frame_sample_stats_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "video_frame_sample_stats", sf_dir)
+
+
+def test_avi_rec_grouped_movi_chunks():
+    """Interleaved AVIs wrap movi chunks in LIST 'rec ' groups; the
+    walker must find frames through the grouping transparently, and
+    idx1 offsets (which point at the chunk headers, not the groups)
+    must still verify. Container laid out by hand."""
+    frames = [FRAME_A, FRAME_B]
+
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    sugg = max(len(f) for f in frames)
+    avih = struct.pack(
+        "<10I16s", 1000, 0, 0, AVIF_HASINDEX, 2, 0, 1, sugg, 4, 2,
+        b"\x00" * 16,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0, 1000,
+        1_000_000, 0, 2, sugg, 0xFFFFFFFF, 0, 0, 0, 4, 2,
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, 4, 2, 1, 24, b"MJPG", 24, 0, 0, 0, 0,
+    )
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih) + chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    # each frame inside its own LIST 'rec ' group
+    movi_body = bytearray()
+    idx = bytearray()
+    for f in frames:
+        # the frame chunk header sits 12 bytes into the rec list
+        # (LIST hdr 8 + 'rec ' 4), relative to the 'movi' fourcc
+        off = 4 + len(movi_body) + 12
+        movi_body += chunk(b"LIST", b"rec " + chunk(b"00dc", f))
+        idx += struct.pack("<4sIII", b"00dc", AVIIF_KEYFRAME, off, len(f))
+    body = (
+        b"AVI " + hdrl + chunk(b"LIST", b"movi" + bytes(movi_body))
+        + chunk(b"idx1", bytes(idx))
+    )
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    meta, got = decode_avi_mjpeg(blob)
+    assert got == frames
+    assert meta["n_frames"] == 2
