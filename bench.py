@@ -305,6 +305,8 @@ EXTRA = [
     "video_frame_sample_stats",
     "audio_vad_features",
     "warc_ingest_stats",
+    "tfrecord_ingest_stats",
+    "webdataset_ingest_stats",
 ]
 
 ROUNDS = 3

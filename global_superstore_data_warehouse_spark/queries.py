@@ -1,4 +1,4 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 230 registered queries
+# ROTATION QUEUE: EMPTY as of round 10 — all 232 registered queries
 # have (or are in the current window to get) a driver CORRECTNESS
 # row; the round-10 late additions (video_frame_sample_stats,
 # audio_vad_features, warc_ingest_stats) entered ROUND10_WINDOW
@@ -1025,6 +1025,22 @@ register(
     ingest.warc_ingest_stats,
     ingest.WARC_INGEST_STATS_ORACLE,
 )
+# NEW late round 10 (net-zero budget; windowed immediately): TFRecord
+# training-shard ingestion — masked-CRC32C record framing + a
+# hand-rolled tf.train.Example proto wire codec (varints, packed
+# Int64List), both validated record/field-exactly; and WebDataset
+# tar-of-samples ingestion — stdlib tar walk, stem-grouped samples,
+# caption + vendored-BMP-decode stats per sample.
+register(
+    "tfrecord_ingest_stats",
+    ingest.tfrecord_ingest_stats,
+    ingest.TFRECORD_INGEST_STATS_ORACLE,
+)
+register(
+    "webdataset_ingest_stats",
+    ingest.webdataset_ingest_stats,
+    ingest.WEBDATASET_INGEST_STATS_ORACLE,
+)
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both
 # sides' K-NN neighborhoods, exact integer micro-cosine ranking.
@@ -1267,13 +1283,18 @@ ROUND10_WINDOW = [
     "video_frame_sample_stats",
     "audio_vad_features",
     "warc_ingest_stats",
-    # -- repeat-green family representatives (29) --
+    # still later round 10: the training-shard ingestion pair, same
+    # treatment — windowed immediately, displacing two repeat-greens
+    # (pricing_summary: headline-benched every round + r09 green;
+    # dim_date: r05 green, warehouse family keeps
+    # surrogate_keys_customers + best_month_per_segment).
+    "tfrecord_ingest_stats",
+    "webdataset_ingest_stats",
+    # -- repeat-green family representatives (27) --
     # views / warehouse / star schema
     "yearly_sales_profit",
     "demand_category_region",
-    "pricing_summary",
     "surrogate_keys_customers",
-    "dim_date",
     # SCD / fact / DM / pipeline / lakehouse / CDC
     "scd2_two_load_lifecycle",
     "fact_pit_customers",
