@@ -307,6 +307,7 @@ EXTRA = [
     "warc_ingest_stats",
     "tfrecord_ingest_stats",
     "webdataset_ingest_stats",
+    "avro_ingest_stats",
 ]
 
 ROUNDS = 3

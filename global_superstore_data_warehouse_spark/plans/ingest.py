@@ -324,3 +324,106 @@ WEBDATASET_INGEST_STATS_ORACLE = """
            CAST((doc_id * 13 + 7) % 256 AS INTEGER) AS mean_r
     FROM documents
 """
+
+
+# --- Avro object-container ingestion -------------------------------------
+
+AVRO_STATS_SCHEMA = (
+    "doc_id long, rec_index int, event_id long, name_len int, "
+    "payload_md5 string, metric_x2 long"
+)
+
+
+def avro_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END AVRO INGESTION: build a genuine Avro Object
+    Container File per document — 2..4 records of a primitive record
+    schema (long / string / bytes / double / boolean), zigzag-varint
+    binary encoding, sync-marker blocks, codec alternating deflate /
+    null by doc parity so both decompression paths run distributed —
+    then parse it back with the vendored pure-python reader
+    (``operators/avro.py``), validating magic, codec, per-block
+    record counts, sync markers, and exact block consumption. One
+    mapInPandas stage, zero shuffle — the Kafka-archive / data-lake
+    interchange ingest shape.
+
+    event_id is deliberately sign-mixed so the zigzag decode is
+    value-checked (a shift-vs-arithmetic-shift bug flips negatives),
+    and metric is a half-integer reported as metric*2 so the double
+    path stays hash-exact. The oracle recomputes everything from the
+    generator formulas; the zigzag table and OCF golden bytes are
+    pinned separately in tests/test_avro.py."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    schema = {
+        "type": "record",
+        "name": "Event",
+        "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "payload", "type": "bytes"},
+            {"name": "metric", "type": "double"},
+            {"name": "keep", "type": "boolean"},
+        ],
+    }
+
+    def parse_batches(batches):
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        from global_superstore_data_warehouse_spark.operators.avro import (
+            encode_avro_ocf,
+            parse_avro_ocf,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "rec_index", "event_id", "name_len",
+                "payload_md5", "metric_x2",
+            )}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                body = str(text).encode()
+                k = 2 + d % 3
+                recs = [
+                    {
+                        "event_id": (d % 11) - 5 + i * 3,  # sign-mixed
+                        "name": f"evt-{d}-{i}",
+                        "payload": body,
+                        "metric": i + 0.5,
+                        "keep": i % 2 == 0,
+                    }
+                    for i in range(k)
+                ]
+                codec = "deflate" if d % 2 == 0 else "null"
+                blob = encode_avro_ocf(
+                    schema, recs, codec=codec, records_per_block=2
+                )
+                _schema2, got = parse_avro_ocf(blob)
+                for i, rec in enumerate(got):
+                    out["doc_id"].append(d)
+                    out["rec_index"].append(i)
+                    out["event_id"].append(rec["event_id"])
+                    out["name_len"].append(len(rec["name"]))
+                    out["payload_md5"].append(
+                        _hashlib.md5(rec["payload"]).hexdigest()
+                    )
+                    out["metric_x2"].append(int(rec["metric"] * 2))
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(parse_batches, AVRO_STATS_SCHEMA)
+
+
+AVRO_INGEST_STATS_ORACLE = """
+    WITH d AS (
+        SELECT doc_id, text, 2 + doc_id % 3 AS k FROM documents
+    )
+    SELECT doc_id,
+           CAST(t.i AS INTEGER) AS rec_index,
+           CAST((doc_id % 11) - 5 + t.i * 3 AS BIGINT) AS event_id,
+           CAST(length('evt-' || doc_id || '-' || t.i) AS INTEGER)
+               AS name_len,
+           md5(text) AS payload_md5,
+           CAST(t.i * 2 + 1 AS BIGINT) AS metric_x2
+    FROM d, LATERAL (SELECT unnest(range(0, k)) AS i) t
+"""

@@ -1,4 +1,4 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 232 registered queries
+# ROTATION QUEUE: EMPTY as of round 10 — all 233 registered queries
 # have (or are in the current window to get) a driver CORRECTNESS
 # row; the round-10 late additions (video_frame_sample_stats,
 # audio_vad_features, warc_ingest_stats) entered ROUND10_WINDOW
@@ -1041,6 +1041,15 @@ register(
     ingest.webdataset_ingest_stats,
     ingest.WEBDATASET_INGEST_STATS_ORACLE,
 )
+# NEW late round 10 (net-zero budget; windowed immediately): Avro
+# object-container ingestion — zigzag-varint binary decode (sign-mixed
+# event ids pin the arithmetic-shift path), sync-marker block walk,
+# deflate/null codecs alternating by doc parity.
+register(
+    "avro_ingest_stats",
+    ingest.avro_ingest_stats,
+    ingest.AVRO_INGEST_STATS_ORACLE,
+)
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both
 # sides' K-NN neighborhoods, exact integer micro-cosine ranking.
@@ -1290,10 +1299,12 @@ ROUND10_WINDOW = [
     # surrogate_keys_customers + best_month_per_segment).
     "tfrecord_ingest_stats",
     "webdataset_ingest_stats",
-    # -- repeat-green family representatives (27) --
+    # and the Avro OCF reader, displacing demand_category_region
+    # (headline-benched every round + r09 driver-green).
+    "avro_ingest_stats",
+    # -- repeat-green family representatives (26) --
     # views / warehouse / star schema
     "yearly_sales_profit",
-    "demand_category_region",
     "surrogate_keys_customers",
     # SCD / fact / DM / pipeline / lakehouse / CDC
     "scd2_two_load_lifecycle",
