@@ -308,6 +308,7 @@ EXTRA = [
     "tfrecord_ingest_stats",
     "webdataset_ingest_stats",
     "avro_ingest_stats",
+    "arrow_ipc_ingest_stats",
 ]
 
 ROUNDS = 3

@@ -1,4 +1,4 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 233 registered queries
+# ROTATION QUEUE: EMPTY as of round 10 — all 234 registered queries
 # have (or are in the current window to get) a driver CORRECTNESS
 # row; the round-10 late additions (video_frame_sample_stats,
 # audio_vad_features, warc_ingest_stats) entered ROUND10_WINDOW
@@ -1050,6 +1050,15 @@ register(
     ingest.avro_ingest_stats,
     ingest.AVRO_INGEST_STATS_ORACLE,
 )
+# NEW late round 10 (net-zero budget; windowed immediately): Arrow
+# IPC stream interchange — per-doc .arrows streams written and read
+# batch-by-batch with pyarrow (the engine substrate), reduced with
+# Arrow compute over the raw buffers; schema signature pinned.
+register(
+    "arrow_ipc_ingest_stats",
+    ingest.arrow_ipc_ingest_stats,
+    ingest.ARROW_IPC_INGEST_STATS_ORACLE,
+)
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both
 # sides' K-NN neighborhoods, exact integer micro-cosine ranking.
@@ -1302,13 +1311,16 @@ ROUND10_WINDOW = [
     # and the Avro OCF reader, displacing demand_category_region
     # (headline-benched every round + r09 driver-green).
     "avro_ingest_stats",
-    # -- repeat-green family representatives (26) --
+    # and the Arrow IPC interchange audit, displacing
+    # fact_pit_customers (r05 green; SCD family keeps
+    # scd2_two_load_lifecycle + fact_orders).
+    "arrow_ipc_ingest_stats",
+    # -- repeat-green family representatives (25) --
     # views / warehouse / star schema
     "yearly_sales_profit",
     "surrogate_keys_customers",
     # SCD / fact / DM / pipeline / lakehouse / CDC
     "scd2_two_load_lifecycle",
-    "fact_pit_customers",
     "fact_orders",
     "order_details_wide",
     "incremental_mv_refresh",

@@ -111,10 +111,11 @@ def test_correctness_window_is_the_intended_fifty():
         "video_frame_sample_stats", "audio_vad_features",
         "warc_ingest_stats", "tfrecord_ingest_stats",
         "webdataset_ingest_stats", "avro_ingest_stats",
+        "arrow_ipc_ingest_stats",
     }
     assert first_timers <= set(window), sorted(first_timers - set(window))
     repeats = set(window) - first_timers
-    assert len(repeats) == 26
+    assert len(repeats) == 25
     # spread: at least one repeat from each major operator family
     family_heads = {
         "yearly_sales_profit", "surrogate_keys_customers",

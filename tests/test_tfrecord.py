@@ -135,3 +135,9 @@ def test_webdataset_ingest_stats_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "webdataset_ingest_stats", sf_dir)
+
+
+def test_arrow_ipc_ingest_stats_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "arrow_ipc_ingest_stats", sf_dir)
