@@ -218,6 +218,14 @@ def decode_avi_mjpeg(blob: bytes):
 
     if avih is None or strh is None or strf is None or movi_off is None:
         raise ValueError("AVI missing avih/strh/strf/movi")
+    # struct layouts below need: avih 40 bytes (through dwHeight),
+    # strh 36 (through dwLength), strf 20 (through biCompression) —
+    # shorter chunks are corrupt headers, not struct.error material
+    if len(avih) < 40 or len(strh) < 36 or len(strf) < 20:
+        raise ValueError(
+            f"AVI header chunk truncated (avih={len(avih)} "
+            f"strh={len(strh)} strf={len(strf)} bytes)"
+        )
     (us_per_frame, _mbps, _pad, flags, total_frames, _init, n_streams,
      _sugg, width, height) = struct.unpack_from("<10I", avih, 0)
     if n_streams != 1:

@@ -99,12 +99,16 @@ def _decode_value(t: str, b: bytes, pos: int):
     if t == "null":
         return None, pos
     if t == "boolean":
+        if pos >= len(b):
+            raise ValueError("truncated Avro boolean")
         if b[pos] not in (0, 1):
             raise ValueError(f"bad Avro boolean byte {b[pos]}")
         return bool(b[pos]), pos + 1
     if t in ("int", "long"):
         return _read_long(b, pos)
     if t == "double":
+        if pos + 8 > len(b):
+            raise ValueError("truncated Avro double")
         (v,) = struct.unpack_from("<d", b, pos)
         return v, pos + 8
     if t in ("bytes", "string"):

@@ -131,6 +131,8 @@ def _varint(n: int) -> bytes:
 
 
 def _read_varint(b: bytes, pos: int):
+    """Unsigned varint for tags and lengths (< 2^64; a tag or length
+    needing the 10th byte's high bits is malformed)."""
     shift = n = 0
     while True:
         if pos >= len(b):
@@ -139,10 +141,21 @@ def _read_varint(b: bytes, pos: int):
         n |= (byte & 0x7F) << shift
         pos += 1
         if not byte & 0x80:
+            if n >= 1 << 64:
+                raise ValueError("varint overflow")
             return n, pos
         shift += 7
         if shift > 63:
             raise ValueError("varint overflow")
+
+
+def _read_int64(b: bytes, pos: int):
+    """int64 VALUE varint: protobuf encodes negative int64 as the
+    64-bit two's complement in a 10-byte varint, so values >= 2^63
+    wrap to their negative interpretation (a reader that skips this
+    silently turns -1 into 18446744073709551615)."""
+    u, pos = _read_varint(b, pos)
+    return (u - (1 << 64) if u >= 1 << 63 else u), pos
 
 
 def _ld(field: int, payload: bytes) -> bytes:
@@ -153,8 +166,8 @@ def _ld(field: int, payload: bytes) -> bytes:
 def encode_example(features: dict) -> bytes:
     """Serialize ``{name: bytes | str | list[int]}`` as a
     tf.train.Example. Strings/bytes become BytesList, int lists
-    become packed Int64List (non-negative only — two's-complement
-    10-byte varints are refused to keep the codec small and exact)."""
+    become packed Int64List; negative int64s get protobuf's
+    canonical 10-byte two's-complement varint."""
     entries = bytearray()
     for name, val in features.items():
         if isinstance(val, str):
@@ -164,9 +177,10 @@ def encode_example(features: dict) -> bytes:
         else:
             packed = bytearray()
             for v in val:
-                if v < 0:
-                    raise ValueError("negative int64 unsupported here")
-                packed += _varint(int(v))
+                v = int(v)
+                if not -(1 << 63) <= v < 1 << 63:
+                    raise ValueError(f"{v} does not fit int64")
+                packed += _varint(v + (1 << 64) if v < 0 else v)
             feature = _ld(3, _ld(1, bytes(packed)))  # int64_list.value
         entries += _ld(1, _ld(1, name.encode()) + _ld(2, feature))
     return _ld(1, bytes(entries))  # Example.features
@@ -220,11 +234,12 @@ def parse_example(blob: bytes) -> dict:
                 if f3 != 1:
                     raise ValueError(f"unexpected Int64List field {f3}")
                 if isinstance(v, int):
-                    ints.append(v)  # unpacked varint
+                    # unpacked varint: re-apply int64 interpretation
+                    ints.append(v - (1 << 64) if v >= 1 << 63 else v)
                 else:
                     pos = 0
                     while pos < len(v):
-                        n, pos = _read_varint(v, pos)
+                        n, pos = _read_int64(v, pos)
                         ints.append(n)
             out[name] = ints
         else:

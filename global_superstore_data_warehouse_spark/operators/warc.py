@@ -45,17 +45,31 @@ def encode_warc_gz(records) -> bytes:
 
 def _split_members(blob: bytes):
     """Yield each gzip member's decompressed bytes. Concatenated
-    members are split via decompressobj.eof/unused_data — the
-    streaming idiom; a member that never reaches EOF (truncated
-    stream) is a hard error."""
-    rest = bytes(blob)
-    while rest:
+    members are split by feeding the decompressor bounded windows of
+    a memoryview and advancing by what each member consumed — LINEAR
+    in stream size (a naive ``rest = d.unused_data`` loop re-copies
+    the whole remainder per member, O(members x bytes): ruinous on a
+    real 1 GB / 50k-record crawl shard). A member that never reaches
+    EOF (truncated stream) or fails the gzip CRC is a hard
+    ValueError."""
+    mv = memoryview(bytes(blob))
+    pos, window = 0, 1 << 20
+    while pos < len(mv):
         d = zlib.decompressobj(31)
-        chunk = d.decompress(rest)
-        if not d.eof:
-            raise ValueError("truncated gzip member in WARC stream")
-        yield chunk + d.flush()
-        rest = d.unused_data
+        out = bytearray()
+        while not d.eof:
+            if pos >= len(mv):
+                raise ValueError("truncated gzip member in WARC stream")
+            piece = mv[pos : pos + window]
+            try:
+                out += d.decompress(piece)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt gzip member: {exc}") from None
+            # unused_data is bounded by the window, so the only copy
+            # per iteration is at most `window` bytes
+            pos += len(piece) - len(d.unused_data)
+        out += d.flush()
+        yield bytes(out)
 
 
 def parse_warc_gz(blob: bytes):

@@ -316,7 +316,9 @@ def webdataset_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WEBDATASET_INGEST_STATS_ORACLE = """
     SELECT doc_id,
-           lpad(CAST(doc_id AS VARCHAR), 9, '0') AS sample_key,
+           -- printf, not lpad: lpad TRUNCATES an id past 9 digits,
+           -- while the plan's f"{d:09d}" only ever pads
+           printf('%09d', doc_id) AS sample_key,
            CAST(octet_length(encode(text)) AS BIGINT) AS txt_len,
            md5(text) AS txt_md5,
            CAST(3 + doc_id % 5 AS INTEGER) AS img_width,

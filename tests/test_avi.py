@@ -216,3 +216,27 @@ def test_avi_rec_grouped_movi_chunks():
     meta, got = decode_avi_mjpeg(blob)
     assert got == frames
     assert meta["n_frames"] == 2
+
+
+def test_avi_truncated_header_chunks_are_value_errors():
+    """An avih/strh/strf chunk shorter than its struct layout is a
+    corrupt header -> ValueError, never struct.error."""
+    def chunk(tag, body):
+        return tag + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    short_avih = chunk(b"avih", b"\x00" * 8)
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"MJPG", 0, 0, 0, 0, 1000,
+        1_000_000, 0, 1, 0, 0, 0, 0, 0, 4, 2,
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, 4, 2, 1, 24, b"MJPG",
+                       24, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + short_avih + chunk(
+        b"LIST", b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", FRAME_A))
+    body = b"AVI " + hdrl + movi
+    blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="header chunk truncated"):
+        decode_avi_mjpeg(blob)

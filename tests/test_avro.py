@@ -141,3 +141,32 @@ def test_avro_ingest_stats_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "avro_ingest_stats", sf_dir)
+
+
+def test_avro_truncated_values_are_value_errors():
+    """A block whose framing is self-consistent but whose data is
+    shorter than the schema demands must raise ValueError (the
+    documented contract), not struct.error/IndexError."""
+    for schema_t, body in (
+        ("double", b"\x01\x02"),      # needs 8 bytes
+        ("boolean", b""),             # needs 1 byte
+        ("long", b"\x80"),            # unterminated varint
+        ("string", bytes([0x06]) + b"ab"),  # claims 3 bytes, has 2
+    ):
+        schema = {"type": "record", "name": "T",
+                  "fields": [{"name": "v", "type": schema_t}]}
+        sj = json.dumps(schema, separators=(",", ":")).encode()
+        ocf = (
+            b"Obj\x01"
+            + bytes([0x04])
+            + _zigzag(len(b"avro.codec")) + b"avro.codec"
+            + _zigzag(4) + b"null"
+            + _zigzag(len(b"avro.schema")) + b"avro.schema"
+            + _zigzag(len(sj)) + sj
+            + bytes([0x00])
+            + b"S" * 16
+            + _zigzag(1) + _zigzag(len(body)) + body
+            + b"S" * 16
+        )
+        with pytest.raises(ValueError, match="truncated Avro|over-long"):
+            parse_avro_ocf(ocf)

@@ -99,8 +99,8 @@ def test_correctness_window_is_the_intended_fifty():
     # round-10 composition per the round-9 verdict: ALL 17 remaining
     # never-driver-checked backlog entries (debt hits zero) + the
     # round's net-zero-rule registrations windowed immediately
-    # (mor_merge_upsert plus the late multimodal/ingestion trio) +
-    # 29 repeat-green family representatives
+    # (mor_merge_upsert plus seven late multimodal/ingestion
+    # additions) + 25 repeat-green family representatives
     first_timers = {
         "hard_negative_mining", "lang_id_confusion", "pareto_products",
         "rfm_segments", "zipf_slope_by_source", "token_entropy_by_source",

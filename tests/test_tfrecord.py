@@ -141,3 +141,21 @@ def test_arrow_ipc_ingest_stats_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "arrow_ipc_ingest_stats", sf_dir)
+
+
+def test_example_negative_int64_roundtrip():
+    """Protobuf encodes negative int64 as the 64-bit two's complement
+    in a 10-byte varint; a reader that skips the sign interpretation
+    silently turns -1 into 2^64-1. Pin the canonical -1 bytes and the
+    full-range round trip."""
+    got = parse_example(encode_example({"n": [-1, -(2**63), 2**63 - 1, 0]}))
+    assert got == {"n": [-1, -(2**63), 2**63 - 1, 0]}
+    # canonical wire bytes for -1: ten bytes, 0xFF x9 + 0x01
+    packed = b"\xff" * 9 + b"\x01"
+    int64_list = bytes([0x0A, len(packed)]) + packed
+    feature = bytes([0x1A, len(int64_list)]) + int64_list
+    entry = bytes([0x0A, 1]) + b"n" + bytes([0x12, len(feature)]) + feature
+    features = bytes([0x0A, len(entry)]) + entry
+    example = bytes([0x0A, len(features)]) + features
+    assert parse_example(example) == {"n": [-1]}
+    assert encode_example({"n": [-1]}) == example

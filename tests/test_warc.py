@@ -135,3 +135,31 @@ def test_warc_ingest_stats_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "warc_ingest_stats", sf_dir)
+
+
+def test_warc_corrupt_gzip_is_value_error():
+    """The documented error contract is ValueError for any framing
+    defect — zlib.error must not leak through on a bad CRC or
+    garbage between members."""
+    blob = bytearray(encode_warc_gz([("metadata", {}, b"payload-xyz")]))
+    blob[-5] ^= 0xFF  # corrupt the gzip CRC32 trailer
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        parse_warc_gz(bytes(blob))
+    ok = encode_warc_gz([("metadata", {}, b"p")])
+    with pytest.raises(ValueError, match="corrupt gzip|truncated gzip"):
+        parse_warc_gz(ok + b"garbage-not-gzip")
+
+
+def test_warc_member_split_is_linear():
+    """Many-member streams must split by advancing an offset, not by
+    re-copying the remainder per member — 2k members should parse in
+    well under a second (the quadratic form took minutes at crawl
+    scale)."""
+    import time
+
+    recs = [("metadata", {}, b"x" * 50) for _ in range(2000)]
+    blob = encode_warc_gz(recs)
+    t0 = time.perf_counter()
+    got = parse_warc_gz(blob)
+    assert len(got) == 2000
+    assert time.perf_counter() - t0 < 5.0
