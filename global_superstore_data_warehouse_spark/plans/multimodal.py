@@ -372,7 +372,7 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-frame mean from the generator parameters without ever seeing
     the bytes. Container encode/decode circularity is broken by a
     golden hand-laid AVI byte test plus refusal/idx1-mismatch tests
-    in tests/test_multimodal.py."""
+    in tests/test_avi.py."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def decode_batches(batches):
