@@ -309,6 +309,7 @@ EXTRA = [
     "webdataset_ingest_stats",
     "avro_ingest_stats",
     "arrow_ipc_ingest_stats",
+    "cow_change_feed",
 ]
 
 ROUNDS = 3

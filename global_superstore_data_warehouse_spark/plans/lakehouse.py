@@ -462,3 +462,123 @@ def mv_apply_cdf(
         )
         .filter(F.col("n_rows") > 0)
     )
+
+
+# --- change data feed ----------------------------------------------------
+
+CDF_N_INSERTS = 7
+
+
+def cow_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED read over the COW table (Delta's
+    ``table_changes``): create the customer table (v1), run an SCD1
+    merge that bumps the first fifth of the key range by +100.00 and
+    inserts ``CDF_N_INSERTS`` new keys (v2), then a file-pruned
+    DELETE of a key band that deliberately STRADDLES the update
+    boundary (v3) — so the feed must report the deleted rows' POST-
+    update balances on one side of the band and original balances on
+    the other. Returns every row-level change in (v1, v3]:
+    insert / delete / update_preimage / update_postimage rows tagged
+    with their commit version, balances in exact integer cents.
+
+    Scale shape (see ``cowtable.change_feed``): per-commit diffs read
+    only the buckets that commit touched, decided from commit-log
+    metadata alone; unchanged buckets are never scanned. The oracle
+    reproduces the full feed from the generator formulas — update
+    band, insert ids, delete band with the straddle-aware preimage —
+    so a wrong preimage, a missed bucket, or a phantom change row
+    breaks the hash."""
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    lo, hi = int(lo), int(hi)
+    cut = lo + (hi - lo) // 5          # update band: [lo, cut)
+    half = (hi - lo) // 20             # delete band: [cut-half, cut+half)
+
+    work = tempfile.mkdtemp(prefix="cow-cdf-")
+    root = work + "/tbl"
+    try:
+        cowtable.create(
+            spark, root, df, key="c_custkey", nbuckets=NBUCKETS,
+            bounds=(lo, hi),
+        )
+        inserts = spark.range(1, CDF_N_INSERTS + 1).select(
+            (F.lit(hi) + F.col("id")).alias("c_custkey"),
+            F.concat(F.lit("cdf customer "), F.col("id")).alias("c_name"),
+            F.col("id").cast("double").alias("c_acctbal"),
+            F.lit("MACHINERY").alias("c_mktsegment"),
+        )
+        updates = df.where(F.col("c_custkey") < cut).select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        cowtable.merge_scd1(
+            spark, root, updates.unionByName(inserts),
+            keys=["c_custkey"],
+            attrs=["c_name", "c_acctbal", "c_mktsegment"],
+        )
+        del_keys = df.where(
+            (F.col("c_custkey") >= cut - half)
+            & (F.col("c_custkey") < cut + half)
+        ).select("c_custkey")
+        cowtable.merge_delete(spark, root, del_keys)
+
+        feed = cowtable.change_feed(spark, root, 1, 3).select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        # eager materialization severs lineage to the temp table so
+        # the finally can reclaim it (same idiom as cow_merge_upsert)
+        return feed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+COW_CHANGE_FEED_ORACLE = f"""
+    WITH b AS (
+        SELECT min(c_custkey) AS lo, max(c_custkey) AS hi FROM customer
+    ),
+    p AS (
+        SELECT lo, hi,
+               lo + (hi - lo) // 5 AS cut,
+               (hi - lo) // 20 AS half
+        FROM b
+    ),
+    upd AS (
+        SELECT c.c_custkey,
+               CAST(round(c.c_acctbal * 100) AS BIGINT) AS pre_cents,
+               c.c_mktsegment
+        FROM customer c, p
+        WHERE c.c_custkey < p.cut
+    )
+    -- v2: update pre/post images over the first fifth
+    SELECT c_custkey, 'update_preimage' AS change_type,
+           2 AS commit_version, pre_cents AS bal_cents,
+           c_mktsegment AS segment
+    FROM upd
+    UNION ALL
+    SELECT c_custkey, 'update_postimage', 2, pre_cents + 10000,
+           c_mktsegment
+    FROM upd
+    UNION ALL
+    -- v2: the brand-new keys
+    SELECT p.hi + t.i, 'insert', 2, t.i * 100, 'MACHINERY'
+    FROM p, LATERAL (
+        SELECT unnest(range(1, {CDF_N_INSERTS} + 1)) AS i
+    ) t
+    UNION ALL
+    -- v3: deletes straddling the update boundary — preimage carries
+    -- the +100 on the updated side only
+    SELECT c.c_custkey, 'delete', 3,
+           CAST(round(c.c_acctbal * 100) AS BIGINT)
+               + CASE WHEN c.c_custkey < p.cut THEN 10000 ELSE 0 END,
+           c.c_mktsegment
+    FROM customer c, p
+    WHERE c.c_custkey >= p.cut - p.half AND c.c_custkey < p.cut + p.half
+"""

@@ -1,4 +1,4 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 234 registered queries
+# ROTATION QUEUE: EMPTY as of round 10 — all 235 registered queries
 # have (or are in the current window to get) a driver CORRECTNESS
 # row; the round-10 late additions (video_frame_sample_stats,
 # audio_vad_features, warc_ingest_stats) entered ROUND10_WINDOW
@@ -1059,6 +1059,16 @@ register(
     ingest.arrow_ipc_ingest_stats,
     ingest.ARROW_IPC_INGEST_STATS_ORACLE,
 )
+# NEW late round 10 (net-zero budget; windowed immediately): CHANGE
+# DATA FEED over the COW table (Delta table_changes semantics) —
+# log-pruned per-commit diffs emit insert/delete/update_preimage/
+# update_postimage rows across an upsert commit and a file-pruned
+# DELETE whose key band straddles the update boundary.
+register(
+    "cow_change_feed",
+    lakehouse.cow_change_feed,
+    lakehouse.COW_CHANGE_FEED_ORACLE,
+)
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both
 # sides' K-NN neighborhoods, exact integer micro-cosine ranking.
@@ -1315,7 +1325,12 @@ ROUND10_WINDOW = [
     # fact_pit_customers (r05 green; SCD family keeps
     # scd2_two_load_lifecycle + fact_orders).
     "arrow_ipc_ingest_stats",
-    # -- repeat-green family representatives (25) --
+    # and the COW change-data-feed read, displacing dedup_clusters
+    # (green r09; dedup family keeps minhash_lsh_candidates +
+    # jaccard_prefix_pairs + winnowing_matches + its smallstar twin
+    # in pytest).
+    "cow_change_feed",
+    # -- repeat-green family representatives (24) --
     # views / warehouse / star schema
     "yearly_sales_profit",
     "surrogate_keys_customers",
@@ -1333,7 +1348,6 @@ ROUND10_WINDOW = [
     "best_month_per_segment",
     # dedup / textops / setsim
     "minhash_lsh_candidates",
-    "dedup_clusters",
     "winnowing_matches",
     "jaccard_prefix_pairs",
     # ANN / embeddings

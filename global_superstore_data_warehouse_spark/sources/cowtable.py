@@ -654,3 +654,119 @@ def merge_scd2(
         return scd2_merge(target, source, keys, attrs, effective_date)
 
     return _merge_files(spark, root, source, "merge_scd2", apply)
+
+
+def merge_delete(
+    spark: SparkSession,
+    root: str,
+    keys_df: DataFrame,
+    retries: int | None = None,
+) -> dict:
+    """File-pruned DELETE as a COW merge (Delta's ``DELETE WHERE key
+    IN (...)`` shape): only the buckets the key set maps to are read
+    and rewritten (anti-join against a broadcast-sized key frame);
+    every other file is carried by reference. ``keys_df`` must have
+    exactly the table's key column."""
+    meta = _read_meta(root)
+    key = meta["key"]
+
+    def apply(target: DataFrame) -> DataFrame:
+        return target.join(F.broadcast(keys_df.select(key)), key, "left_anti")
+
+    return _merge_files(spark, root, keys_df, "delete", apply, retries=retries)
+
+
+def change_feed(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED (Delta's ``table_changes`` semantics): every
+    row-level change committed in versions (from_version, to_version],
+    tagged ``_change_type`` in {'insert', 'delete',
+    'update_preimage', 'update_postimage'} and ``_commit_version``.
+
+    Scale shape: the per-commit diff reads ONLY the buckets that
+    commit touched — derived from the commit log's adds/removes
+    metadata, no data scan decides pruning — and carried buckets
+    cannot contain changes by construction (their files moved by
+    reference). The loop over versions is driver-side metadata only
+    (exactly Delta's CDF planner); each iteration contributes one
+    log-pruned scan pair to a single unioned lazy plan. Keys must be
+    unique per version (the upsert-table invariant this module
+    maintains)."""
+    meta = _read_meta(root)
+    key = meta["key"]
+    top = current_version(root)
+    if to_version is None:
+        to_version = top
+    if not 1 <= from_version <= to_version <= top:
+        raise ValueError(
+            f"bad change_feed range [{from_version}, {to_version}] "
+            f"(table at version {top})"
+        )
+
+    feed = None
+    for v in range(from_version + 1, to_version + 1):
+        with open(_commit_path(root, v)) as f:
+            commit = json.load(f)
+        prev_files = live_files(root, v - 1)
+        prev_by_name = {e["file"]: e for e in prev_files}
+        touched = {a["bucket"] for a in commit["adds"]} | {
+            prev_by_name[r]["bucket"]
+            for r in commit["removes"]
+            if r in prev_by_name
+        }
+        old_hit = [e for e in prev_files if e["bucket"] in touched]
+        new_hit = [
+            e for e in live_files(root, v) if e["bucket"] in touched
+        ]
+
+        def _scan(entries):
+            if not entries:
+                return None
+            return spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, e["file"]) for e in entries]
+            )
+
+        old_df = _scan(old_hit)
+        new_df = _scan(new_hit)
+        template = old_df if old_df is not None else new_df
+        if template is None:
+            continue  # metadata-only commit
+        attrs = [c for c in template.columns if c != key]
+        empty = template.limit(0)
+        o = (old_df if old_df is not None else empty).select(
+            key, F.struct(*attrs).alias("_pre")
+        )
+        n = (new_df if new_df is not None else empty).select(
+            key, F.struct(*attrs).alias("_post")
+        )
+        j = o.join(n, key, "full_outer").where(
+            ~F.col("_pre").eqNullSafe(F.col("_post"))
+        )
+        parts = []
+        for side, ctype, cond in (
+            ("_post", "insert", F.col("_pre").isNull()),
+            ("_pre", "delete", F.col("_post").isNull()),
+            ("_pre", "update_preimage",
+             F.col("_pre").isNotNull() & F.col("_post").isNotNull()),
+            ("_post", "update_postimage",
+             F.col("_pre").isNotNull() & F.col("_post").isNotNull()),
+        ):
+            parts.append(
+                j.where(cond).select(
+                    key,
+                    *[F.col(f"{side}.{a}").alias(a) for a in attrs],
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+            )
+        step = parts[0]
+        for p in parts[1:]:
+            step = step.unionByName(p)
+        feed = step if feed is None else feed.unionByName(step)
+    if feed is None:
+        raise ValueError("change_feed range contains no data commits")
+    return feed

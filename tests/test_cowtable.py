@@ -651,3 +651,71 @@ def test_merge_retries_zero_fails_fast(spark, sf_dir, root, monkeypatch):
             keys=["c_custkey"], attrs=["c_name", "c_acctbal", "c_mktsegment"],
             retries=0,
         )
+
+
+def test_cow_merge_delete_prunes_and_deletes(spark, tmp_path):
+    """merge_delete rewrites only the buckets the key set maps to and
+    removes exactly those keys."""
+    import pyspark.sql.functions as F
+
+    from global_superstore_data_warehouse_spark.sources import cowtable
+
+    root = str(tmp_path / "t")
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    cowtable.create(spark, root, df, key="k", nbuckets=4, bounds=(1, 100))
+    report = cowtable.merge_delete(
+        spark, root, spark.range(10, 20).select(F.col("id").alias("k"))
+    )
+    assert report["touched_buckets"] == [0]
+    assert report["files_carried"] >= 3
+    got = {r.k for r in cowtable.read_version(spark, root).collect()}
+    assert got == set(range(1, 101)) - set(range(10, 20))
+
+
+def test_cow_change_feed_all_change_types(spark, tmp_path):
+    """CDF over create -> upsert -> delete reports exactly the four
+    change kinds with correct pre/post images and versions."""
+    import pyspark.sql.functions as F
+
+    from global_superstore_data_warehouse_spark.sources import cowtable
+
+    root = str(tmp_path / "t")
+    df = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cowtable.create(spark, root, df, key="k", nbuckets=2, bounds=(1, 20))
+    # v2: update k in {1,2} (+1), insert k=21
+    src = spark.createDataFrame(
+        [(1, 11), (2, 21), (21, 210)], "k long, v long"
+    )
+    cowtable.merge_scd1(spark, root, src, keys=["k"], attrs=["v"])
+    # v3: delete k in {2, 5}
+    cowtable.merge_delete(
+        spark, root, spark.createDataFrame([(2,), (5,)], "k long")
+    )
+    rows = {
+        (r.k, r._change_type, r._commit_version, r.v)
+        for r in cowtable.change_feed(spark, root, 1).collect()
+    }
+    assert rows == {
+        (1, "update_preimage", 2, 10), (1, "update_postimage", 2, 11),
+        (2, "update_preimage", 2, 20), (2, "update_postimage", 2, 21),
+        (21, "insert", 2, 210),
+        (2, "delete", 3, 21),   # post-update value, not the original
+        (5, "delete", 3, 50),
+    }
+    # range validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad change_feed range"):
+        cowtable.change_feed(spark, root, 0)
+    with _pytest.raises(ValueError, match="bad change_feed range"):
+        cowtable.change_feed(spark, root, 2, 9)
+
+
+def test_cow_change_feed_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "cow_change_feed", sf_dir)
