@@ -21,10 +21,12 @@ EXPLICITLY by the ``ROUND10_WINDOW`` list at the bottom of this file
 (``registry.promote`` reorders the registry so the list comes
 first) — rotating is one list edit, not a reshuffle of register()
 blocks. Round-10 composition, per the round-9 verdict directive:
-the final 17 never-driver-checked backlog entries + the round's one
-new registration (mor_merge_upsert, per the net-zero rule) + 32
-repeat-green representatives spread across every operator family —
-this drives never-checked debt to ZERO. Earlier rotations (rounds 3-9) are
+the final 17 never-driver-checked backlog entries + the round's nine
+net-zero-rule registrations windowed immediately (mor_merge_upsert,
+the multimodal trio, the four shard-ingestion formats + Arrow IPC,
+and cow_change_feed) + 24 repeat-green representatives spread across
+every operator family — never-checked debt stays ZERO. Earlier
+rotations (rounds 3-9) are
 recorded in git history / the ROUND9_WINDOW list below. Everything
 outside the window keeps identical DuckDB-oracle parity coverage in
 pytest (tests/conftest.py::assert_matches_oracle).
