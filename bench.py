@@ -310,6 +310,7 @@ EXTRA = [
     "avro_ingest_stats",
     "arrow_ipc_ingest_stats",
     "cow_change_feed",
+    "mor_change_feed",
 ]
 
 ROUNDS = 3

@@ -582,3 +582,69 @@ COW_CHANGE_FEED_ORACLE = f"""
     FROM customer c, p
     WHERE c.c_custkey >= p.cut - p.half AND c.c_custkey < p.cut + p.half
 """
+
+
+def mor_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME logical change feed as ``cow_change_feed`` — same
+    update band, same inserts, same straddling delete band, same
+    output schema, SAME ORACLE — produced by the merge-on-read
+    engine: the feed derives from each commit's own equality-delete
+    and data files (``mortable.change_feed``), with the preimage
+    lookup pruned to manifest-envelope-overlapping files, instead of
+    COW's snapshot diffs over rewritten buckets. A hash match against
+    the shared oracle proves the two storage engines report
+    IDENTICAL row-level history for the identical logical workload —
+    the CDC-consumer-facing contract that makes the formats
+    interchangeable."""
+    from global_superstore_data_warehouse_spark.sources import mortable
+
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    lo, hi = int(lo), int(hi)
+    cut = lo + (hi - lo) // 5
+    half = (hi - lo) // 20
+
+    work = tempfile.mkdtemp(prefix="mor-cdf-")
+    root = work + "/tbl"
+    try:
+        mortable.create(
+            spark, root, df, key="c_custkey", nbuckets=NBUCKETS,
+            bounds=(lo, hi),
+        )
+        inserts = spark.range(1, CDF_N_INSERTS + 1).select(
+            (F.lit(hi) + F.col("id")).alias("c_custkey"),
+            F.concat(F.lit("cdf customer "), F.col("id")).alias("c_name"),
+            F.col("id").cast("double").alias("c_acctbal"),
+            F.lit("MACHINERY").alias("c_mktsegment"),
+        )
+        updates = df.where(F.col("c_custkey") < cut).select(
+            "c_custkey",
+            "c_name",
+            (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        mortable.merge_upsert(
+            spark, root, updates.unionByName(inserts), key="c_custkey"
+        )
+        del_keys = df.where(
+            (F.col("c_custkey") >= cut - half)
+            & (F.col("c_custkey") < cut + half)
+        ).select("c_custkey")
+        mortable.delete_keys(spark, root, del_keys, key="c_custkey")
+
+        feed = mortable.change_feed(spark, root, 1, 3).select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        return feed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# the whole point: byte-identical history from both engines
+MOR_CHANGE_FEED_ORACLE = COW_CHANGE_FEED_ORACLE

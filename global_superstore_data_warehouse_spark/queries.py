@@ -1,4 +1,4 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 235 registered queries
+# ROTATION QUEUE: EMPTY as of round 10 — all 236 registered queries
 # have (or are in the current window to get) a driver CORRECTNESS
 # row; the round-10 late additions (video_frame_sample_stats,
 # audio_vad_features, warc_ingest_stats) entered ROUND10_WINDOW
@@ -21,11 +21,12 @@ EXPLICITLY by the ``ROUND10_WINDOW`` list at the bottom of this file
 (``registry.promote`` reorders the registry so the list comes
 first) — rotating is one list edit, not a reshuffle of register()
 blocks. Round-10 composition, per the round-9 verdict directive:
-the final 17 never-driver-checked backlog entries + the round's nine
+the final 17 never-driver-checked backlog entries + the round's ten
 net-zero-rule registrations windowed immediately (mor_merge_upsert,
 the multimodal trio, the four shard-ingestion formats + Arrow IPC,
-and cow_change_feed) + 24 repeat-green representatives spread across
-every operator family — never-checked debt stays ZERO. Earlier
+and the COW/MOR change-feed pair) + 23 repeat-green representatives
+spread across every operator family — never-checked debt stays
+ZERO. Earlier
 rotations (rounds 3-9) are
 recorded in git history / the ROUND9_WINDOW list below. Everything
 outside the window keeps identical DuckDB-oracle parity coverage in
@@ -1071,6 +1072,16 @@ register(
     lakehouse.cow_change_feed,
     lakehouse.COW_CHANGE_FEED_ORACLE,
 )
+# ... and its merge-on-read twin: identical logical workload and the
+# SAME oracle text — a hash match proves both storage engines report
+# byte-identical row-level history (the CDC consumer contract). The
+# MOR derivation is commit-local (own delete/data files + an
+# envelope-pruned preimage lookup), never a snapshot diff.
+register(
+    "mor_change_feed",
+    lakehouse.mor_change_feed,
+    lakehouse.MOR_CHANGE_FEED_ORACLE,
+)
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both
 # sides' K-NN neighborhoods, exact integer micro-cosine ranking.
@@ -1332,7 +1343,11 @@ ROUND10_WINDOW = [
     # jaccard_prefix_pairs + winnowing_matches + its smallstar twin
     # in pytest).
     "cow_change_feed",
-    # -- repeat-green family representatives (24) --
+    # plus the MOR twin of the change feed (same oracle), displacing
+    # ann_ivf_pq (r09 green; ANN family keeps cosine_topk in the
+    # window and the full IVF/PQ family in pytest).
+    "mor_change_feed",
+    # -- repeat-green family representatives (23) --
     # views / warehouse / star schema
     "yearly_sales_profit",
     "surrogate_keys_customers",
@@ -1354,7 +1369,6 @@ ROUND10_WINDOW = [
     "jaccard_prefix_pairs",
     # ANN / embeddings
     "cosine_topk",
-    "ann_ivf_pq",
     # events / streaming
     "events_sessionize",
     "stream_dedup_exactly_once",

@@ -330,3 +330,147 @@ def stats(root: str, version: int | None = None) -> dict:
         "delete_files": len(del_entries),
         "delete_rows": sum(e["rows"] for e in del_entries),
     }
+
+
+def _key_envelope(root: str, commit: dict, key: str) -> tuple[int, int]:
+    """Metadata-only [lo, hi] envelope of the keys a commit touches:
+    data adds carry min_key/max_key in the manifest; delete files
+    (which don't) contribute their parquet row-group statistics — one
+    footer read per delete file, never a Spark job (the same
+    statistics-first discipline as catalog.table_rows)."""
+    import pyarrow.parquet as pq
+
+    lo, hi = None, None
+
+    def fold(a, b):
+        nonlocal lo, hi
+        lo = a if lo is None else min(lo, a)
+        hi = b if hi is None else max(hi, b)
+
+    for add in commit.get("adds", []):
+        fold(add["min_key"], add["max_key"])
+    for add in commit.get("delete_adds", []):
+        md = pq.ParquetFile(os.path.join(root, add["file"])).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(key)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                fold(st.min, st.max)
+    if lo is None:
+        raise ValueError("commit touches no keys")
+    return int(lo), int(hi)
+
+
+def _snapshot_pruned(
+    spark: SparkSession, root: str, version: int, lo: int, hi: int
+) -> DataFrame:
+    """``read_version`` restricted to data files whose manifest
+    [min_key, max_key] envelope overlaps [lo, hi] — the preimage
+    lookup for the change feed opens only the files that can hold a
+    touched key (plus the delete side, applied as usual)."""
+    from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+
+    key = _read_meta(root)["key"]
+    data_entries, del_entries = _live(root, version)
+    hit = [
+        e for e in data_entries
+        if not (e["max_key"] < lo or e["min_key"] > hi)
+    ]
+    if not hit:
+        first = os.path.join(root, data_entries[0]["file"])
+        return spark.read.parquet(first).limit(0).drop("_seq")
+    data = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["file"]) for e in hit]
+    )
+    if del_entries:
+        dels = spark.read.parquet(
+            *[os.path.join(root, e["file"]) for e in del_entries]
+        )
+        n_del = sum(e["rows"] for e in del_entries)
+        data = data.join(
+            maybe_broadcast(dels, n_rows=n_del),
+            (data[key] == dels[key]) & (data["_seq"] < dels["_del_seq"]),
+            "left_anti",
+        )
+    return data.drop("_seq")
+
+
+def change_feed(
+    spark: SparkSession,
+    root: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """CHANGE DATA FEED over the merge-on-read table — same contract
+    as ``cowtable.change_feed`` (rows tagged ``_change_type`` in
+    insert / delete / update_preimage / update_postimage plus
+    ``_commit_version``), derived the MOR-NATIVE way: each commit's
+    changes come from its OWN files (the data files it added = new
+    images, its equality-delete file = the touched key set), never a
+    full snapshot diff. The only read of older data is the preimage
+    lookup, and that scan is pruned to the data files whose manifest
+    key envelope overlaps the commit's touched-key envelope
+    (metadata-only decision). ``compact`` commits rewrite bytes but
+    change no rows and are correctly skipped — the op field in the
+    log says so without reading anything."""
+    meta = _read_meta(root)
+    key = meta["key"]
+    top = current_version(root)
+    if to_version is None:
+        to_version = top
+    if not 1 <= from_version <= to_version <= top:
+        raise ValueError(
+            f"bad change_feed range [{from_version}, {to_version}] "
+            f"(table at version {top})"
+        )
+    feed = None
+    for v in range(from_version + 1, to_version + 1):
+        with open(_commit_path(root, v)) as f:
+            commit = json.load(f)
+        if commit.get("op") not in ("merge", "delete"):
+            continue  # create/compact/vacuum: no row-level changes
+        lo, hi = _key_envelope(root, commit, key)
+        prev = _snapshot_pruned(spark, root, v - 1, lo, hi)
+        attrs = [c for c in prev.columns if c != key]
+
+        if commit.get("adds"):
+            new_df = spark.read.option("mergeSchema", "true").parquet(
+                *[os.path.join(root, e["file"]) for e in commit["adds"]]
+            ).drop("_seq")
+        else:
+            new_df = prev.limit(0)
+        touched = spark.read.parquet(
+            *[os.path.join(root, e["file"]) for e in commit["delete_adds"]]
+        ).select(key).dropDuplicates([key])
+
+        o = prev.join(F.broadcast(touched), key, "inner").select(
+            key, F.struct(*attrs).alias("_pre")
+        )
+        n = new_df.select(key, F.struct(*attrs).alias("_post"))
+        j = o.join(n, key, "full_outer").where(
+            ~F.col("_pre").eqNullSafe(F.col("_post"))
+        )
+        parts = []
+        for side, ctype, cond in (
+            ("_post", "insert", F.col("_pre").isNull()),
+            ("_pre", "delete", F.col("_post").isNull()),
+            ("_pre", "update_preimage",
+             F.col("_pre").isNotNull() & F.col("_post").isNotNull()),
+            ("_post", "update_postimage",
+             F.col("_pre").isNotNull() & F.col("_post").isNotNull()),
+        ):
+            parts.append(
+                j.where(cond).select(
+                    key,
+                    *[F.col(f"{side}.{a}").alias(a) for a in attrs],
+                    F.lit(ctype).alias("_change_type"),
+                    F.lit(v).cast("int").alias("_commit_version"),
+                )
+            )
+        step = parts[0]
+        for p in parts[1:]:
+            step = step.unionByName(p)
+        feed = step if feed is None else feed.unionByName(step)
+    if feed is None:
+        raise ValueError("change_feed range contains no row-level commits")
+    return feed

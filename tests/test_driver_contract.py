@@ -99,8 +99,8 @@ def test_correctness_window_is_the_intended_fifty():
     # round-10 composition per the round-9 verdict: ALL 17 remaining
     # never-driver-checked backlog entries (debt hits zero) + the
     # round's net-zero-rule registrations windowed immediately
-    # (mor_merge_upsert plus eight late multimodal/ingestion/lakehouse
-    # additions) + 24 repeat-green family representatives
+    # (mor_merge_upsert plus nine late multimodal/ingestion/lakehouse
+    # additions) + 23 repeat-green family representatives
     first_timers = {
         "hard_negative_mining", "lang_id_confusion", "pareto_products",
         "rfm_segments", "zipf_slope_by_source", "token_entropy_by_source",
@@ -111,11 +111,11 @@ def test_correctness_window_is_the_intended_fifty():
         "video_frame_sample_stats", "audio_vad_features",
         "warc_ingest_stats", "tfrecord_ingest_stats",
         "webdataset_ingest_stats", "avro_ingest_stats",
-        "arrow_ipc_ingest_stats", "cow_change_feed",
+        "arrow_ipc_ingest_stats", "cow_change_feed", "mor_change_feed",
     }
     assert first_timers <= set(window), sorted(first_timers - set(window))
     repeats = set(window) - first_timers
-    assert len(repeats) == 24
+    assert len(repeats) == 23
     # spread: at least one repeat from each major operator family
     family_heads = {
         "yearly_sales_profit", "surrogate_keys_customers",

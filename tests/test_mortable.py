@@ -331,3 +331,48 @@ def test_mor_compact_of_fully_deleted_table_stays_readable(spark, sf_dir, root):
     assert sorted(map(tuple, mortable.read_version(spark, root).collect())) == [
         (3, "back")
     ]
+
+
+def test_mor_change_feed_all_change_types(spark, tmp_path):
+    """MOR CDF from commit-local files: upsert (update + insert) then
+    pure delete; compact commits must contribute nothing."""
+    import pyspark.sql.functions as F
+
+    from global_superstore_data_warehouse_spark.sources import mortable
+
+    root = str(tmp_path / "t")
+    df = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, df, key="k", nbuckets=2, bounds=(1, 20))
+    src = spark.createDataFrame(
+        [(1, 11), (2, 21), (21, 210)], "k long, v long"
+    )
+    mortable.merge_upsert(spark, root, src, key="k")            # v2
+    mortable.delete_keys(
+        spark, root, spark.createDataFrame([(2,), (5,)], "k long"), key="k"
+    )                                                            # v3
+    mortable.compact(spark, root)                                # v4
+    rows = {
+        (r.k, r._change_type, r._commit_version, r.v)
+        for r in mortable.change_feed(spark, root, 1).collect()
+    }
+    assert rows == {
+        (1, "update_preimage", 2, 10), (1, "update_postimage", 2, 11),
+        (2, "update_preimage", 2, 20), (2, "update_postimage", 2, 21),
+        (21, "insert", 2, 210),
+        (2, "delete", 3, 21),
+        (5, "delete", 3, 50),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad change_feed range"):
+        mortable.change_feed(spark, root, 0)
+    with _pytest.raises(ValueError, match="no row-level commits"):
+        mortable.change_feed(spark, root, 3, 4)  # only the compact
+
+
+def test_mor_change_feed_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "mor_change_feed", sf_dir)
