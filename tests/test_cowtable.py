@@ -719,3 +719,79 @@ def test_cow_change_feed_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "cow_change_feed", sf_dir)
+
+
+def test_change_feed_property_random_histories(spark, tmp_path):
+    """Property: for random upsert/delete commit sequences, BOTH
+    engines' change feeds equal a pure-python simulation of the
+    row-level history (the same state machine, no Spark). Seeds are
+    fixed for determinism; keys collide across commits on purpose."""
+    import random
+
+    import pyspark.sql.functions as F
+
+    from global_superstore_data_warehouse_spark.sources import (
+        cowtable,
+        mortable,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        base = {k: k * 10 for k in range(1, 13)}
+        ops = []
+        for _v in range(3):  # 3 commits after create
+            if rng.random() < 0.4:
+                ops.append(("delete", sorted(rng.sample(range(1, 16), 3))))
+            else:
+                ops.append((
+                    "upsert",
+                    {k: rng.randrange(1000) for k in rng.sample(range(1, 16), 4)},
+                ))
+
+        # pure-python simulation of the expected feed
+        state = dict(base)
+        expect = set()
+        for i, (kind, arg) in enumerate(ops):
+            v = i + 2
+            if kind == "delete":
+                for k in arg:
+                    if k in state:
+                        expect.add((k, "delete", v, state.pop(k)))
+            else:
+                for k, val in sorted(arg.items()):
+                    if k in state:
+                        if state[k] != val:
+                            expect.add((k, "update_preimage", v, state[k]))
+                            expect.add((k, "update_postimage", v, val))
+                    else:
+                        expect.add((k, "insert", v, val))
+                    state[k] = val
+
+        for engine, mod in (("cow", cowtable), ("mor", mortable)):
+            root = str(tmp_path / f"{engine}-{seed}")
+            df = spark.createDataFrame(
+                sorted(base.items()), "k long, v long"
+            )
+            mod.create(spark, root, df, key="k", nbuckets=3, bounds=(1, 15))
+            for kind, arg in ops:
+                if kind == "delete":
+                    keys = spark.createDataFrame(
+                        [(k,) for k in arg], "k long"
+                    )
+                    if engine == "cow":
+                        mod.merge_delete(spark, root, keys)
+                    else:
+                        mod.delete_keys(spark, root, keys, key="k")
+                else:
+                    src = spark.createDataFrame(
+                        sorted(arg.items()), "k long, v long"
+                    )
+                    if engine == "cow":
+                        mod.merge_scd1(spark, root, src, keys=["k"], attrs=["v"])
+                    else:
+                        mod.merge_upsert(spark, root, src, key="k")
+            got = {
+                (r.k, r._change_type, r._commit_version, r.v)
+                for r in mod.change_feed(spark, root, 1).collect()
+            }
+            assert got == expect, (engine, seed)
