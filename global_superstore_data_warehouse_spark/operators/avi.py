@@ -263,15 +263,26 @@ def decode_avi_mjpeg(blob: bytes):
             raise ValueError(
                 f"idx1 has {len(idx1) // 16} entries for {len(frames)} frames"
             )
+        # AVIOLDINDEX offsets appear in the wild in TWO conventions:
+        # relative to the 'movi' fourcc (the documented one) or
+        # absolute from file start (common interop output). Detect
+        # from the first entry — if its offset equals the absolute
+        # position of the first movi chunk header, validate the whole
+        # index in absolute mode; both are valid input.
+        base = 0
+        if frame_offsets:
+            first_off = struct.unpack_from("<4sIII", idx1, 0)[2]
+            if first_off == frame_offsets[0][0] + movi_off:
+                base = movi_off
         for i, (want_off, want_size) in enumerate(frame_offsets):
             ckid, _fl, ioff, isize = struct.unpack_from("<4sIII", idx1, 16 * i)
-            if ckid[2:4] not in (b"dc", b"db") or (ioff, isize) != (
+            if ckid[2:4] not in (b"dc", b"db") or (ioff - base, isize) != (
                 want_off,
                 want_size,
             ):
                 raise ValueError(
                     f"idx1 entry {i} ({ckid!r}@{ioff}+{isize}) does not "
-                    f"match movi chunk @{want_off}+{want_size}"
+                    f"match movi chunk @{want_off + base}+{want_size}"
                 )
     meta = {
         "width": int(width),

@@ -1257,6 +1257,156 @@ def daily_user_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Audit tolerances: HLL sketch (lgConfigK=12 -> rsd ~1.6%) and
+# approx_count_distinct (rsd=0.01) both get a few-sigma relative
+# bound plus a small-count absolute slack; the flags (not the
+# engine-specific estimates) are the hash-checked output.
+SKETCH_REL_TOL = 0.05
+SKETCH_ABS_TOL = 5.0
+
+
+def _within(est, exact):
+    """1 iff |est - exact| <= max(rel*exact, abs) — deterministic."""
+    bound = F.greatest(
+        F.lit(SKETCH_REL_TOL) * exact.cast("double"), F.lit(SKETCH_ABS_TOL)
+    )
+    return (F.abs(est.cast("double") - exact.cast("double")) <= bound).cast(
+        "int"
+    )
+
+
+def daily_user_sketch_rollup_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable twin of ``daily_user_sketch_rollup``: joins
+    the HLL estimates to the EXACT daily and cumulative distinct
+    user counts and emits integer pass flags on the ±tolerance
+    bound. The engine-specific estimates never appear in the output
+    — only the exact counts (oracle-expressible) and the flags
+    (which the oracle asserts are 1), so the driver's hash compare
+    becomes a real error-bound check on the sketch path instead of
+    the rows-only record the sketch query itself gets.
+
+    Exact cumulative distinct without a growing re-scan: each user
+    contributes to the running count from their FIRST day only, so
+    cumulative(day) = running sum of first-day user counts — one
+    extra user-sized aggregate, then days-sized arithmetic."""
+    est = daily_user_sketch_rollup(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    exact_daily = ev.groupBy("day").agg(
+        F.count_distinct("user_id").alias("exact_daily_users")
+    )
+    new_by_day = (
+        ev.groupBy("user_id")
+        .agg(F.min("day").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    exact = (
+        exact_daily.join(new_by_day, "day", "left")
+        .select(
+            "day",
+            "exact_daily_users",
+            F.sum(F.coalesce("new_users", F.lit(0)))
+            .over(w)
+            .alias("exact_cumulative_users"),
+        )
+    )
+    return (
+        est.join(exact, "day")
+        .select(
+            "day",
+            "n_events",
+            F.col("exact_daily_users").cast("bigint").alias(
+                "exact_daily_users"
+            ),
+            F.col("exact_cumulative_users").cast("bigint").alias(
+                "exact_cumulative_users"
+            ),
+            _within(F.col("daily_users_est"), F.col("exact_daily_users")).alias(
+                "daily_ok"
+            ),
+            _within(
+                F.col("cumulative_users_est"),
+                F.col("exact_cumulative_users"),
+            ).alias("cumulative_ok"),
+        )
+        .orderBy("day")
+    )
+
+
+DAILY_USER_SKETCH_ROLLUP_AUDIT_ORACLE = """
+    WITH ev AS (
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id
+        FROM events
+    ), daily AS (
+        SELECT day,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS exact_daily_users
+        FROM ev GROUP BY day
+    ), firsts AS (
+        SELECT MIN(day) AS day, user_id FROM ev GROUP BY user_id
+    ), new_by_day AS (
+        SELECT day, COUNT(*) AS new_users FROM firsts GROUP BY day
+    )
+    SELECT d.day,
+           CAST(d.n_events AS BIGINT) AS n_events,
+           CAST(d.exact_daily_users AS BIGINT) AS exact_daily_users,
+           CAST(SUM(COALESCE(n.new_users, 0)) OVER (
+               ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS exact_cumulative_users,
+           1 AS daily_ok,
+           1 AS cumulative_ok
+    FROM daily d LEFT JOIN new_by_day n ON n.day = d.day
+    ORDER BY d.day
+"""
+
+
+def events_hourly_approx_users_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Driver-checkable twin of ``events_hourly_approx_users``: the
+    HLL++ hourly estimate joined to the exact hourly distinct count,
+    reduced to the exact count plus an integer pass flag on the
+    ±tolerance bound (same audit contract as
+    ``daily_user_sketch_rollup_audit``)."""
+    est = events_hourly_approx_users(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_start"
+        )
+    ).agg(F.count_distinct("user_id").alias("exact_users"))
+    return (
+        est.join(exact, "hour_start")
+        .select(
+            "hour_start",
+            "n_events",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            _within(F.col("approx_users"), F.col("exact_users")).alias(
+                "approx_ok"
+            ),
+        )
+        .orderBy("hour_start")
+    )
+
+
+EVENTS_HOURLY_APPROX_USERS_AUDIT_ORACLE = """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           1 AS approx_ok
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+"""
+
+
 # --- mergeable count-min sketch (heavy-hitter counts) -----------------
 
 CMS_DEPTH = 4  # independent hash rows

@@ -1117,17 +1117,24 @@ TARGET_ENCODING_LOO_ORACLE = f"""
 # --- deterministic Poisson bootstrap confidence interval ----------------
 
 BOOT_B = 200  # resamples
-# FROZEN Poisson(1) CDF thresholds in 48-bit hash units:
-# floor(P(X<=k) * 2^48) for k = 0..5 (weights cap at 6; the tail
-# probability beyond 6 is 6e-6 * 2^-48-quantized — identical
+# Draw-derivation modulus: the largest prime below 2^48. Each order
+# hashes ONCE (md5 -> two independent 48-bit seeds h1, h2); resample
+# j's uniform draw is then u_j = (h1*(2j+1) + h2*j) mod BOOT_P —
+# pure integer codegen, no per-resample hashing. For j != j' the
+# seed->draw map (h1,h2) -> (u_j, u_j') is a bijection mod the prime
+# (determinant j'-j != 0), so the B draws per order are PAIRWISE
+# INDEPENDENT exactly — ample for bootstrap order statistics.
+BOOT_P = 281_474_976_710_597  # = 2^48 - 59, prime
+# FROZEN Poisson(1) CDF thresholds in mod-BOOT_P units:
+# floor(P(X<=k) * BOOT_P) for k = 0..5 (weights cap at 6; identical
 # literals in plan and oracle, so both engines draw the same w)
 BOOT_POISSON_T48 = [
-    103548857136060,
-    207097714272121,
-    258872142840152,
-    276130285696162,
-    280444821410164,
-    281307728552965,
+    103548857136039,
+    207097714272078,
+    258872142840097,
+    276130285696104,
+    280444821410106,
+    281307728552906,
 ]
 
 
@@ -1139,12 +1146,13 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     — each row independently contributes Poisson(1) copies to each
     resample; resample sizes concentrate tightly around n). B={B}
     resamples in ONE scan: every order explodes into (resample,
-    weight) pairs with the weight drawn DETERMINISTICALLY — each
-    md5(order, j) yields two independent 48-bit integers (hex 1-12
-    -> resample 2j, hex 13-24 -> resample 2j+1) cut by the frozen
-    Poisson(1) CDF thresholds above, pure integer comparisons, so
-    the "randomness" is engine-exact and the driver can hash-check
-    a bootstrap.
+    weight) pairs with the weight drawn DETERMINISTICALLY — ONE
+    md5 per ORDER yields two 48-bit seeds (hex 1-12, 13-24); each
+    resample j's uniform draw is the pairwise-independent
+    multiply-mod-prime mix (h1*(2j+1) + h2*j) mod BOOT_P, cut by
+    the frozen Poisson(1) CDF thresholds above — pure integer
+    comparisons, so the "randomness" is engine-exact and the driver
+    can hash-check a bootstrap.
 
     Exactness: order totals enter as integer cents; each resample
     mean is the integer ratio (1000 * sum_wx) DIV sum_w
@@ -1159,25 +1167,24 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan reads.
     """
     # COST DISCIPLINE (this plan multiplies the scan by B):
-    # 1) ONE md5 per (order, j) yields TWO independent 48-bit draws
-    #    (hex 1-12 -> resample 2j, hex 13-24 -> resample 2j+1) —
-    #    halving the hash count;
+    # 1) ONE md5 + TWO hex convs per ORDER (not per draw): the B
+    #    per-resample draws derive from the two 48-bit seeds by
+    #    multiply-mod-prime integer arithmetic (header comment above
+    #    BOOT_P proves the draws pairwise independent). Round-11
+    #    rewrite: the previous shape hashed md5 per (order, j) —
+    #    B/2 hashes + B 12-hex convs per order dominated the 22 s
+    #    sf0.1 runtime; this one is pure codegen after one hash.
+    #    Max magnitude: h1*(2j+1) + h2*j < 2^48*399 + 2^48*199
+    #    ~ 1.7e17 — comfortably inside BIGINT, no overflow in
+    #    either engine (ANSI-safe).
     # 2) the Poisson cut is SIX inlined integer comparisons, NOT a
     #    higher-order array filter — zip_with/filter lambdas run
     #    interpreted and cost ~5x the whole md5 at 30M rows.
-    j_col = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B // 2 - 1))).alias("j")
     o = load(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
         F.col("o_orderkey"),
     )
-    h = F.md5(
-        F.concat(
-            F.lit("boot|"),
-            F.col("o_orderkey").cast("string"),
-            F.lit("|"),
-            F.col("j").cast("string"),
-        )
-    )
+    h = F.md5(F.concat(F.lit("boot|"), F.col("o_orderkey").cast("string")))
 
     def u48(start: int):
         return F.conv(F.substring("h", start, 12), 16, 10).cast("long")
@@ -1188,23 +1195,22 @@ def bootstrap_revenue_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out + F.when(u >= F.lit(t), 1).otherwise(0)
         return out
 
+    j_col = F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
     drawn = (
-        o.select("cents", "o_orderkey", j_col)
-        .withColumn("h", h)
+        o.withColumn("h", h)
+        .select("cents", u48(1).alias("h1"), u48(13).alias("h2"))
+        .select("cents", "h1", "h2", j_col)
         .select(
             "cents",
-            F.explode(
-                F.array(
-                    F.struct(
-                        (2 * F.col("j")).alias("b"), u48(1).alias("u")
-                    ),
-                    F.struct(
-                        (2 * F.col("j") + 1).alias("b"), u48(13).alias("u")
-                    ),
+            "b",
+            (
+                (
+                    F.col("h1") * (2 * F.col("b") + 1)
+                    + F.col("h2") * F.col("b")
                 )
-            ).alias("d"),
+                % F.lit(BOOT_P)
+            ).alias("u"),
         )
-        .select("cents", F.col("d.b").alias("b"), F.col("d.u").alias("u"))
     )
     res = (
         drawn.withColumn("w", w_of(F.col("u")))
@@ -1256,19 +1262,17 @@ BOOTSTRAP_REVENUE_CI_ORACLE = f"""
         SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
                o_orderkey
         FROM orders
-    ), expl AS (
-        SELECT o.cents, r.range AS j,
-               md5('boot|' || o.o_orderkey || '|' ||
-                   CAST(r.range AS VARCHAR)) AS h
-        FROM o CROSS JOIN range({BOOT_B // 2}) r
+    ), seeded AS (
+        SELECT cents,
+               ('0x' || substr(md5('boot|' || o_orderkey), 1, 12))::BIGINT
+                   AS h1,
+               ('0x' || substr(md5('boot|' || o_orderkey), 13, 12))::BIGINT
+                   AS h2
+        FROM o
     ), drawn AS (
-        SELECT cents, 2 * j AS b,
-               ('0x' || substr(h, 1, 12))::BIGINT AS u
-        FROM expl
-        UNION ALL
-        SELECT cents, 2 * j + 1 AS b,
-               ('0x' || substr(h, 13, 12))::BIGINT AS u
-        FROM expl
+        SELECT cents, r.range AS b,
+               (h1 * (2 * r.range + 1) + h2 * r.range) % {BOOT_P} AS u
+        FROM seeded CROSS JOIN range({BOOT_B}) r
     ), res AS (
         SELECT b, 1000 * SUM({_BOOT_W_SQL} * cents)
                    // SUM({_BOOT_W_SQL}) AS mean_mc

@@ -248,6 +248,24 @@ register(
 # rows-only entry events_hourly_approx_users so the window still
 # carries exactly one no-oracle row)
 register("daily_user_sketch_rollup", events.daily_user_sketch_rollup, None)
+# NEW round 11 (net-zero budget; ROUND11_WINDOW first-timers): the
+# two sketch queries above are the registry's only rows-only driver
+# records (HLL estimates have no deterministic SQL oracle). These
+# audit twins close that gap: each joins the sketch estimate to the
+# EXACT count and outputs only oracle-expressible columns — the
+# exact counts plus integer pass flags on the ±tolerance bound — so
+# the driver's hash compare becomes a real error-bound check on the
+# sketch path.
+register(
+    "daily_user_sketch_rollup_audit",
+    events.daily_user_sketch_rollup_audit,
+    events.DAILY_USER_SKETCH_ROLLUP_AUDIT_ORACLE,
+)
+register(
+    "events_hourly_approx_users_audit",
+    events.events_hourly_approx_users_audit,
+    events.EVENTS_HOURLY_APPROX_USERS_AUDIT_ORACLE,
+)
 
 # --- Rotated IN round 7 (never driver-checked before; fourteen more
 # shapes get their first CORRECTNESS rows — see the matching

@@ -664,14 +664,20 @@ def merge_delete(
 ) -> dict:
     """File-pruned DELETE as a COW merge (Delta's ``DELETE WHERE key
     IN (...)`` shape): only the buckets the key set maps to are read
-    and rewritten (anti-join against a broadcast-sized key frame);
-    every other file is carried by reference. ``keys_df`` must have
-    exactly the table's key column."""
+    and rewritten (anti-join against the key frame); every other
+    file is carried by reference. ``keys_df`` must have exactly the
+    table's key column. The broadcast is size-GATED, not assumed:
+    one count of the key frame decides (module broadcast policy —
+    a huge delete set degrades to a shuffled anti-join instead of an
+    unguarded broadcast)."""
+    from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+
     meta = _read_meta(root)
     key = meta["key"]
+    keys_only = maybe_broadcast(keys_df.select(key))
 
     def apply(target: DataFrame) -> DataFrame:
-        return target.join(F.broadcast(keys_df.select(key)), key, "left_anti")
+        return target.join(keys_only, key, "left_anti")
 
     return _merge_files(spark, root, keys_df, "delete", apply, retries=retries)
 
@@ -707,21 +713,33 @@ def change_feed(
             f"(table at version {top})"
         )
 
+    # Fold the commit log ONCE and advance the live-file dict
+    # incrementally across the version loop — O(V) total log reads.
+    # (live_files(root, v) refolds from version 1, so calling it per
+    # iteration was O(V^2) driver-side over long ranges.)
+    live: dict[str, dict] = {}
+
+    def _advance(commit: dict) -> None:
+        for rel in commit["removes"]:
+            live.pop(rel, None)
+        for add in commit["adds"]:
+            live[add["file"]] = add
+
+    for v in range(1, from_version + 1):
+        with open(_commit_path(root, v)) as f:
+            _advance(json.load(f))
+
     feed = None
     for v in range(from_version + 1, to_version + 1):
         with open(_commit_path(root, v)) as f:
             commit = json.load(f)
-        prev_files = live_files(root, v - 1)
-        prev_by_name = {e["file"]: e for e in prev_files}
+        prev_files = list(live.values())
         touched = {a["bucket"] for a in commit["adds"]} | {
-            prev_by_name[r]["bucket"]
-            for r in commit["removes"]
-            if r in prev_by_name
+            live[r]["bucket"] for r in commit["removes"] if r in live
         }
         old_hit = [e for e in prev_files if e["bucket"] in touched]
-        new_hit = [
-            e for e in live_files(root, v) if e["bucket"] in touched
-        ]
+        _advance(commit)
+        new_hit = [e for e in live.values() if e["bucket"] in touched]
 
         def _scan(entries):
             if not entries:

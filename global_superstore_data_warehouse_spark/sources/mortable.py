@@ -348,7 +348,8 @@ def _key_envelope(root: str, commit: dict, key: str) -> tuple[int, int]:
         hi = b if hi is None else max(hi, b)
 
     for add in commit.get("adds", []):
-        fold(add["min_key"], add["max_key"])
+        if add["min_key"] is not None:  # zero-row placeholder entries
+            fold(add["min_key"], add["max_key"])
     for add in commit.get("delete_adds", []):
         md = pq.ParquetFile(os.path.join(root, add["file"])).metadata
         idx = md.schema.to_arrow_schema().get_field_index(key)
@@ -374,7 +375,11 @@ def _snapshot_pruned(
     data_entries, del_entries = _live(root, version)
     hit = [
         e for e in data_entries
-        if not (e["max_key"] < lo or e["min_key"] > hi)
+        # zero-row entries (a compact of a fully-deleted table writes
+        # one with min_key/max_key = None to keep the table readable)
+        # can never overlap any key envelope — skip before comparing
+        if e["min_key"] is not None
+        and not (e["max_key"] < lo or e["min_key"] > hi)
     ]
     if not hit:
         first = os.path.join(root, data_entries[0]["file"])
@@ -413,6 +418,8 @@ def change_feed(
     (metadata-only decision). ``compact`` commits rewrite bytes but
     change no rows and are correctly skipped — the op field in the
     log says so without reading anything."""
+    from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+
     meta = _read_meta(root)
     key = meta["key"]
     top = current_version(root)
@@ -442,8 +449,13 @@ def change_feed(
         touched = spark.read.parquet(
             *[os.path.join(root, e["file"]) for e in commit["delete_adds"]]
         ).select(key).dropDuplicates([key])
+        n_touched = sum(e["rows"] for e in commit["delete_adds"])
 
-        o = prev.join(F.broadcast(touched), key, "inner").select(
+        # Same manifest-gated broadcast discipline as read_version: a
+        # huge delete commit must not be broadcast unconditionally.
+        o = prev.join(
+            maybe_broadcast(touched, n_rows=n_touched), key, "inner"
+        ).select(
             key, F.struct(*attrs).alias("_pre")
         )
         n = new_df.select(key, F.struct(*attrs).alias("_post"))

@@ -240,3 +240,28 @@ def test_avi_truncated_header_chunks_are_value_errors():
     blob = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="header chunk truncated"):
         decode_avi_mjpeg(blob)
+
+
+def test_avi_idx1_absolute_offsets_accepted():
+    """AVIOLDINDEX appears in the wild with offsets either relative
+    to the 'movi' fourcc (the documented convention, what our encoder
+    writes) or absolute from file start (common interop output, e.g.
+    old VfW writers). Both must decode; a mixed/garbled index must
+    still fail."""
+    frames = [FRAME_A, FRAME_B]
+    blob = bytearray(_hand_laid_avi(frames))
+    movi_pos = bytes(blob).index(b"movi")
+    idx_pos = bytes(blob).rindex(b"idx1") + 8
+    # rewrite every idx1 entry offset from movi-relative to absolute
+    for i in range(len(frames)):
+        at = idx_pos + 16 * i + 8
+        rel = struct.unpack_from("<I", blob, at)[0]
+        struct.pack_into("<I", blob, at, rel + movi_pos)
+    meta, got = decode_avi_mjpeg(bytes(blob))
+    assert got == frames
+    assert meta["n_frames"] == 2
+    # garble the SECOND entry only: mode detection keys off the first
+    # entry (absolute), so the mismatch must still raise
+    struct.pack_into("<I", blob, idx_pos + 16 + 8, 7)
+    with pytest.raises(ValueError, match="idx1 entry"):
+        decode_avi_mjpeg(bytes(blob))

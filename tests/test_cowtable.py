@@ -795,3 +795,58 @@ def test_change_feed_property_random_histories(spark, tmp_path):
                 for r in mod.change_feed(spark, root, 1).collect()
             }
             assert got == expect, (engine, seed)
+
+
+def test_cow_merge_delete_gate_shuffle_path(spark, tmp_path, monkeypatch):
+    """Round-11 advice: merge_delete's anti-join broadcast is gated,
+    not assumed. With the gate forced to zero, the same call runs the
+    shuffle anti-join and deletes identically."""
+    import pyspark.sql.functions as F
+
+    from global_superstore_data_warehouse_spark.operators import hints
+    from global_superstore_data_warehouse_spark.sources import cowtable
+
+    root = str(tmp_path / "t")
+    df = spark.range(1, 101).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    cowtable.create(spark, root, df, key="k", nbuckets=4, bounds=(1, 100))
+    monkeypatch.setattr(hints, "BROADCAST_MAX_ROWS", 0)
+    cowtable.merge_delete(
+        spark, root, spark.range(10, 20).select(F.col("id").alias("k"))
+    )
+    got = {r.k for r in cowtable.read_version(spark, root).collect()}
+    assert got == set(range(1, 101)) - set(range(10, 20))
+
+
+def test_cow_change_feed_folds_log_once(spark, tmp_path, monkeypatch):
+    """Round-11 advice: change_feed must fold the commit log
+    incrementally (O(V) driver-side log reads), never by calling
+    live_files per version (O(V^2)). Proven by making live_files
+    explode: the feed must still plan and collect correctly."""
+    import pyspark.sql.functions as F
+
+    from global_superstore_data_warehouse_spark.sources import cowtable
+
+    root = str(tmp_path / "t")
+    df = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cowtable.create(spark, root, df, key="k", nbuckets=2, bounds=(1, 20))
+    for step in range(2, 6):  # v2..v5: four single-key upserts
+        cowtable.merge_scd1(
+            spark, root,
+            spark.createDataFrame([(1, step * 100)], "k long, v long"),
+            keys=["k"], attrs=["v"],
+        )
+
+    def boom(*a, **k):
+        raise AssertionError("change_feed must not call live_files")
+
+    monkeypatch.setattr(cowtable, "live_files", boom)
+    rows = {
+        (r.k, r._change_type, r._commit_version, r.v)
+        for r in cowtable.change_feed(spark, root, 1).collect()
+    }
+    assert (1, "update_postimage", 5, 500) in rows
+    assert len([r for r in rows if r[1] == "update_postimage"]) == 4

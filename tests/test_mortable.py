@@ -376,3 +376,57 @@ def test_mor_change_feed_matches_oracle(spark, duck, sf_dir):
     from tests.conftest import assert_matches_oracle
 
     assert_matches_oracle(spark, duck, "mor_change_feed", sf_dir)
+
+
+def test_mor_change_feed_over_none_keyed_compact_entry(spark, tmp_path):
+    """Regression (round-11 advice): compact() of a fully-deleted
+    table writes a zero-row data entry with min_key/max_key = None;
+    a later merge's change_feed preimage pruning must skip it, not
+    raise TypeError comparing None with int."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = spark.range(1, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 6))
+    mortable.delete_keys(spark, root, base.select("k"), key="k")   # v2
+    mortable.compact(spark, root)                                   # v3: None-keyed entry
+    src = spark.createDataFrame([(3, 33), (9, 90)], "k long, v long")
+    mortable.merge_upsert(spark, root, src, key="k")                # v4
+    rows = {
+        (r.k, r._change_type, r._commit_version, r.v)
+        for r in mortable.change_feed(spark, root, 1).collect()
+    }
+    assert {(3, "insert", 4, 33), (9, "insert", 4, 90)} <= rows
+    deletes = {(r[0], r[3]) for r in rows if r[1] == "delete"}
+    assert deletes == {(k, k * 10) for k in range(1, 7)}
+
+
+def test_mor_change_feed_delete_broadcast_is_gated(spark, tmp_path, monkeypatch):
+    """The touched-key probe in change_feed must follow the module's
+    manifest-gated broadcast policy: with the gate forced to zero the
+    same plan runs as a shuffle join (no broadcast exchange on the
+    preimage probe) and produces identical changes."""
+    import pyspark.sql.functions as F
+
+    from global_superstore_data_warehouse_spark.operators import hints
+
+    root = str(tmp_path / "t")
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 20))
+    src = spark.createDataFrame([(1, 11), (21, 210)], "k long, v long")
+    mortable.merge_upsert(spark, root, src, key="k")
+    expected = {
+        (r.k, r._change_type, r._commit_version, r.v)
+        for r in mortable.change_feed(spark, root, 1).collect()
+    }
+    monkeypatch.setattr(hints, "BROADCAST_MAX_ROWS", 0)
+    got_df = mortable.change_feed(spark, root, 1)
+    got = {
+        (r.k, r._change_type, r._commit_version, r.v)
+        for r in got_df.collect()
+    }
+    assert got == expected

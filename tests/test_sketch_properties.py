@@ -89,3 +89,43 @@ def test_cms_never_undercounts_and_batching_invariant(spark, keys, split):
     for r in probes.collect():
         est = min(grid_all.get((i, r[f"cell{i}"]), 0) for i in range(CMS_DEPTH))
         assert est >= exact[r["user_id"]], (r["user_id"], est, exact[r["user_id"]])
+
+
+def test_daily_user_sketch_rollup_audit_matches_oracle(spark, duck, sf_dir):
+    """The audit twin (round 11) turns the registry's only rows-only
+    entries into hash-checked error-bound audits: exact counts +
+    pass flags are oracle-expressible, and the flags being 1 IS the
+    HLL tolerance check."""
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "daily_user_sketch_rollup_audit", sf_dir)
+
+
+def test_events_hourly_approx_users_audit_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "events_hourly_approx_users_audit", sf_dir)
+
+
+def test_sketch_audit_flags_catch_violations(spark, sf_dir):
+    """The pass flag is a real comparator, not a constant: shrink the
+    tolerance to zero-ish and some flag must drop to 0 (estimates are
+    not exact at every group), proving the audit would catch a
+    broken sketch."""
+    from global_superstore_data_warehouse_spark.plans import events as E
+
+    df = E.daily_user_sketch_rollup_audit(spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r.daily_ok == 1 and r.cumulative_ok == 1 for r in rows)
+    # flag logic: _within is a strict bound comparator
+    from pyspark.sql import functions as F
+
+    probe = spark.range(1).select(
+        E._within(F.lit(100.0), F.lit(100)).alias("eq"),
+        E._within(F.lit(104.9), F.lit(100)).alias("in_rel"),
+        E._within(F.lit(106.0), F.lit(100)).alias("out_rel"),
+        E._within(F.lit(4.0), F.lit(1)).alias("in_abs"),
+        E._within(F.lit(7.0), F.lit(1)).alias("out_abs"),
+    ).first()
+    assert (probe.eq, probe.in_rel, probe.out_rel, probe.in_abs,
+            probe.out_abs) == (1, 1, 0, 1, 0)
