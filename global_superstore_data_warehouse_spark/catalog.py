@@ -27,9 +27,25 @@ TABLES = (
 )
 
 
+# Per-session DataFrame memo: a DataFrame is an immutable logical
+# plan, so handing the same object to every query is safe — and
+# saves the ~100 ms of py4j round-trips + footer schema inference
+# that EVERY ``spark.read.parquet`` call pays (round-11 profiling:
+# five table loads in sales_employees_regions cost ~0.6 s of pure
+# plan construction, the attributed source of the sub-second
+# headline creep). Keyed on the live SparkSession (weakly — a
+# stopped session's plans die with it) and the same stat-only
+# freshness token as ``table_rows``, so an in-place rewrite of a
+# table re-reads instead of serving a stale plan.
+from weakref import WeakKeyDictionary as _WeakKeyDictionary
+
+_DF_MEMO: "_WeakKeyDictionary[SparkSession, dict]" = _WeakKeyDictionary()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table; column pruning + predicate
-    pushdown happen automatically downstream.
+    pushdown happen automatically downstream. Memoized per
+    (session, dir, table, file-freshness) — see ``_DF_MEMO``.
 
     ``events.ts`` has shipped as both parquet TIMESTAMP(NANOS)
     (Spark's vectorized reader rejects it; read as nanos-long via the
@@ -39,6 +55,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    import os
+
+    key = (sf_dir, name, _freshness_token(os.path.join(sf_dir, f"{name}.parquet")))
+    memo = _DF_MEMO.setdefault(spark, {})
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    df = _load_uncached(spark, sf_dir, name)
+    memo[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
         from pyspark.sql import types as T

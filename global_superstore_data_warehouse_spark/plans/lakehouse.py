@@ -648,3 +648,195 @@ def mor_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the whole point: byte-identical history from both engines
 MOR_CHANGE_FEED_ORACLE = COW_CHANGE_FEED_ORACLE
+
+
+# --- threshold-driven compaction scheduling (table service) ------------
+
+COMPACT_RATIO = 0.4  # sweep buckets whose delete ratio exceeds this
+
+
+def mor_compaction_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MOR table service end-to-end under the driver's oracle
+    gate (round 11, ``mortable.compact_buckets``): build read
+    amplification unevenly across buckets, sweep with a threshold,
+    and audit per bucket that (a) exactly the over-threshold buckets
+    were folded, (b) their delete keys vanished from the REAL delete
+    files while under-threshold buckets kept theirs, and (c) the
+    merged state is exactly the logical upsert+delete — all from
+    oracle-expressible arithmetic (range buckets, counts, cents).
+
+    Scripted history on the customer table (16 range buckets):
+      v2 UPSERT  keys <= cut (first fifth of the key range, +100.00)
+                 -> buckets ~0-3 accumulate deletes AND new rows;
+      v3 DELETE  a disjoint middle slice [mid, mid + range/8)
+                 -> ~2 buckets where most physical rows are dead;
+      sweep at {COMPACT_RATIO}: the update buckets sit near ratio
+      0.5 (n deletes / 2n physical rows) and the slice buckets near
+      1.0 — both above; the cut-boundary bucket (~0.17) and untouched
+      buckets stay below and keep their delete keys.
+
+    The audit reads delete_keys_before/after from the ACTUAL live
+    delete files at each point (bookkeeping proof, same discipline
+    as ``mor_merge_upsert``); ``compacted`` comes from the sweep
+    report. Scale shape: the sweep's scheduling signal is
+    delete-file-sized + manifest-only; the fold reads only victim
+    buckets' files."""
+    from global_superstore_data_warehouse_spark.sources import mortable
+
+    df = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    lo, hi = df.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+    lo, hi = int(lo), int(hi)
+    cut = lo + (hi - lo) // 5
+    slice_lo = lo + (hi - lo) // 2
+    slice_hi = slice_lo + (hi - lo) // 8  # exclusive
+
+    work = tempfile.mkdtemp(prefix="mor-policy-")
+    root = work + "/tbl"
+    try:
+        mortable.create(
+            spark, root, df, key="c_custkey", nbuckets=NBUCKETS,
+            bounds=(lo, hi),
+        )
+        updates = df.filter(F.col("c_custkey") <= cut).withColumn(
+            "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+        )
+        mortable.merge_upsert(spark, root, updates, key="c_custkey")
+        mortable.delete_keys(
+            spark, root,
+            df.where(
+                (F.col("c_custkey") >= slice_lo)
+                & (F.col("c_custkey") < slice_hi)
+            ).select("c_custkey"),
+            key="c_custkey",
+        )
+        meta = mortable._read_meta(root)
+
+        def del_per_bucket(alias: str) -> DataFrame:
+            _d, dels = mortable._live(root)
+            if not dels:
+                return (
+                    spark.range(0).select(
+                        F.col("id").cast("int").alias("bucket"),
+                        F.lit(0).cast("bigint").alias(alias),
+                    )
+                )
+            return (
+                spark.read.parquet(*[f"{root}/{e['file']}" for e in dels])
+                .select(
+                    mortable._bucket_col(F.col("c_custkey"), meta).alias(
+                        "bucket"
+                    )
+                )
+                .groupBy("bucket")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+                .localCheckpoint(eager=True)  # pin before the sweep mutates
+            )
+
+        before = del_per_bucket("delete_keys_before")
+        report = mortable.compact_buckets(
+            spark, root, max_delete_ratio=COMPACT_RATIO
+        )
+        after = del_per_bucket("delete_keys_after")
+        victims = [int(b) for b in report["buckets_compacted"]]
+
+        snap = mortable.read_version(spark, root)
+        out = (
+            snap.withColumn(
+                "bucket", mortable._bucket_col(F.col("c_custkey"), meta)
+            )
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.round(F.col("c_acctbal") * 100).cast("long")
+                ).alias("sum_acctbal_cents"),
+            )
+            .join(F.broadcast(before), "bucket", "left")
+            .join(F.broadcast(after), "bucket", "left")
+            .select(
+                F.col("bucket").cast("int").alias("bucket"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                "sum_acctbal_cents",
+                F.coalesce("delete_keys_before", F.lit(0))
+                .cast("bigint")
+                .alias("delete_keys_before"),
+                F.coalesce("delete_keys_after", F.lit(0))
+                .cast("bigint")
+                .alias("delete_keys_after"),
+                F.col("bucket").isin(victims).cast("int").alias("compacted"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+mor_compaction_policy.__doc__ = mor_compaction_policy.__doc__.format(
+    COMPACT_RATIO=COMPACT_RATIO
+)
+
+_BUCKET_SQL = (
+    f"GREATEST(0, LEAST({NBUCKETS - 1}, "
+    f"CAST(((c_custkey - b.lo) * {NBUCKETS}) // (b.hi - b.lo + 1) AS INT)))"
+)
+
+MOR_COMPACTION_POLICY_ORACLE = f"""
+    WITH bounds AS (
+        SELECT MIN(c_custkey) AS lo, MAX(c_custkey) AS hi,
+               MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) // 5
+                   AS cut,
+               MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) // 2
+                   AS slice_lo,
+               MIN(c_custkey) + (MAX(c_custkey) - MIN(c_custkey)) // 2
+                   + (MAX(c_custkey) - MIN(c_custkey)) // 8 AS slice_hi
+        FROM customer
+    ), phys AS (
+        -- physical data rows at sweep time: base rows + the upsert's
+        -- source rows (MOR rewrites nothing, so both remain on disk)
+        SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n
+        FROM customer, bounds b GROUP BY 1
+    ), upd AS (
+        SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n
+        FROM customer, bounds b WHERE c_custkey <= b.cut GROUP BY 1
+    ), sliced AS (
+        SELECT {_BUCKET_SQL} AS bucket, COUNT(*) AS n
+        FROM customer, bounds b
+        WHERE c_custkey >= b.slice_lo AND c_custkey < b.slice_hi
+        GROUP BY 1
+    ), dels AS (
+        -- delete-file rows per bucket before the sweep: the upsert's
+        -- key set plus the (disjoint) delete slice
+        SELECT COALESCE(u.bucket, s.bucket) AS bucket,
+               COALESCE(u.n, 0) + COALESCE(s.n, 0) AS delete_keys_before
+        FROM upd u FULL OUTER JOIN sliced s ON u.bucket = s.bucket
+    ), sched AS (
+        SELECT p.bucket,
+               COALESCE(d.delete_keys_before, 0) AS delete_keys_before,
+               CASE WHEN COALESCE(d.delete_keys_before, 0) * 1.0
+                         / (p.n + COALESCE(u.n, 0)) > {COMPACT_RATIO}
+                    THEN 1 ELSE 0 END AS compacted
+        FROM phys p
+        LEFT JOIN dels d ON d.bucket = p.bucket
+        LEFT JOIN upd u ON u.bucket = p.bucket
+    ), live AS (
+        SELECT {_BUCKET_SQL} AS bucket,
+               CASE WHEN c_custkey <= b.cut
+                    THEN ROUND(c_acctbal + 100.0, 2) ELSE c_acctbal
+               END AS c_acctbal
+        FROM customer, bounds b
+        WHERE NOT (c_custkey >= b.slice_lo AND c_custkey < b.slice_hi)
+    )
+    SELECT CAST(l.bucket AS INTEGER) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_acctbal_cents,
+           CAST(MAX(s.delete_keys_before) AS BIGINT) AS delete_keys_before,
+           CAST(MAX(CASE WHEN s.compacted = 1 THEN 0
+                    ELSE s.delete_keys_before END) AS BIGINT)
+               AS delete_keys_after,
+           CAST(MAX(s.compacted) AS INTEGER) AS compacted
+    FROM live l JOIN sched s ON s.bucket = l.bucket
+    GROUP BY l.bucket
+"""

@@ -1100,6 +1100,17 @@ register(
     lakehouse.mor_change_feed,
     lakehouse.MOR_CHANGE_FEED_ORACLE,
 )
+# NEW round 11 (net-zero budget; ROUND11_WINDOW first-timer): the MOR
+# table service — threshold-driven per-bucket compaction scheduling
+# (mortable.compact_buckets) audited end-to-end: exactly the
+# over-threshold buckets fold, their delete keys vanish from the
+# real delete files, under-threshold buckets keep theirs, and the
+# merged state stays exactly the logical upsert+delete.
+register(
+    "mor_compaction_policy",
+    lakehouse.mor_compaction_policy,
+    lakehouse.MOR_COMPACTION_POLICY_ORACLE,
+)
 # NEW round 7: margin-based bitext mining (Artetxe & Schwenk) —
 # distance-margin scoring of en->de candidate pairs against both
 # sides' K-NN neighborhoods, exact integer micro-cosine ranking.
@@ -1409,4 +1420,69 @@ ROUND10_WINDOW = [
 # is the audit: its "never-checked backlog" must print empty at each
 # round boundary.
 
-registry.promote(ROUND10_WINDOW)
+# ROUND 11: verification-freshness rotation. Never-checked debt hit
+# zero in round 10, so the risk shifted to STALENESS: the window below
+# is the 50 entries with the OLDEST last-green driver round, computed
+# from the CORRECTNESS_r01–r10 union (tools/rotation_queue.py audits;
+# 25 entries last green in r02, 22 in r03), plus the round's three
+# net-zero-rule first-timers (the two sketch audit twins replacing
+# the registry's only rows-only records, and the MOR compaction
+# policy sweep). The only r03-era green NOT re-windowed is
+# vocab_topk — headline-benched (and therefore re-run) every round.
+ROUND11_WINDOW = [
+    # -- first-timers: round-11 net-zero-rule registrations --
+    "daily_user_sketch_rollup_audit",
+    "events_hourly_approx_users_audit",
+    "mor_compaction_policy",
+    # -- stalest greens: last driver row r02 (25) --
+    "case_insensitive_segments",
+    "clean_dirty_ids",
+    "customer_ltv_deciles",
+    "customers_with_orders",
+    "demand_category_region",
+    "dim_market",
+    "distinct_union_brands",
+    "dq_report",
+    "duplicate_orders",
+    "events_json_props",
+    "fuzzy_name_match",
+    "merged_entities",
+    "new_customers",
+    "parse_dates",
+    "priority_distribution",
+    "qa_duplicates_any_table",
+    "qa_rowcounts",
+    "rolling_7d_sales",
+    "scd1_upsert_customers",
+    "segment_sales",
+    "split_names",
+    "top_employees_per_year",
+    "types_in_both_halves",
+    "types_missing_from_sample",
+    "union_all_segments",
+    # -- stalest greens: last driver row r03 (22) --
+    "ann_lsh_topk",
+    "crossmodal_near_dup",
+    "dedup_exact_docs",
+    "deterministic_sample",
+    "dim_product_hierarchy",
+    "doc_fingerprints",
+    "embedding_centroids",
+    "embedding_near_dup",
+    "events_hourly",
+    "lang_id",
+    "lineitem_measures_unpivot",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "ngram_jaccard_pairs",
+    "pack_chunks",
+    "repetition_stats",
+    "sales_pivot",
+    "scd2_employees",
+    "scd2_products",
+    "simhash_docs",
+    "stratified_sample",
+    "token_stats",
+]
+
+registry.promote(ROUND11_WINDOW)

@@ -332,6 +332,179 @@ def stats(root: str, version: int | None = None) -> dict:
     }
 
 
+def bucket_delete_ratios(
+    spark: SparkSession, root: str
+) -> dict[int, float]:
+    """Per-bucket read-amplification signal for the table service:
+    live delete keys landing in each bucket / physical data rows in
+    that bucket. Data rows come from the manifest (metadata only);
+    delete keys need one Spark job over the DELETE files alone —
+    delete-file-sized, never table-sized (at 100 TB the delete side
+    is the small artifact by construction)."""
+    meta = _read_meta(root)
+    data_entries, del_entries = _live(root)
+    data_rows: dict[int, int] = {}
+    for e in data_entries:
+        data_rows[e["bucket"]] = data_rows.get(e["bucket"], 0) + e["rows"]
+    if not del_entries:
+        return {b: 0.0 for b in data_rows}
+    dels = spark.read.parquet(
+        *[os.path.join(root, e["file"]) for e in del_entries]
+    )
+    counts = {
+        r["b"]: r["n"]
+        for r in dels.select(
+            _bucket_col(F.col(meta["key"]), meta).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return {
+        b: counts.get(b, 0) / rows if rows else 0.0
+        for b, rows in data_rows.items()
+    }
+
+
+def compact_buckets(
+    spark: SparkSession, root: str, max_delete_ratio: float
+) -> dict:
+    """Threshold-driven TABLE SERVICE sweep: compact exactly the
+    buckets whose delete ratio (``bucket_delete_ratios``) exceeds
+    ``max_delete_ratio``, leaving every other bucket's files — data
+    and bytes — untouched (carried by reference, inodes never move).
+
+    Per victim bucket the sweep folds the deletes the COW way: read
+    that bucket's data files, anti-join the live delete set, rewrite
+    as fresh files stamped ``_seq = new version``. The new sequence
+    exceeds every live ``_del_seq``, so remaining delete files can
+    never re-kill the rewritten rows (the same Iceberg v2 strict
+    inequality the read path applies). The delete side is then
+    REWRITTEN WITHOUT the victim buckets' keys — each surviving key
+    keeps its ORIGINAL ``_del_seq`` (required: its relation to
+    non-victim data rows' sequences must not change) — so read
+    amplification for the hot buckets drops to zero and the delete
+    probe shrinks for everyone else.
+
+    Commits as ``op=compact``: row-level state is provably unchanged
+    (tests assert snapshot equality), so change feeds skip it.
+    Returns the scheduling evidence: per-bucket ratios, the victims,
+    and delete rows before/after."""
+    meta = _read_meta(root)
+    key = meta["key"]
+    ratios = bucket_delete_ratios(spark, root)
+    victims = sorted(b for b, r in ratios.items() if r > max_delete_ratio)
+    data_entries, del_entries = _live(root)
+    rows_before = sum(e["rows"] for e in del_entries)
+    report = {
+        "ratios": ratios,
+        "buckets_compacted": victims,
+        "delete_rows_before": rows_before,
+    }
+    if not victims:
+        report.update(
+            version=None, data_files_rewritten=0,
+            delete_rows_after=rows_before,
+        )
+        return report
+    victim_files = [e for e in data_entries if e["bucket"] in victims]
+    if len(victim_files) == len(data_entries):
+        # every live data file is a victim: identical outcome to the
+        # whole-table fold, which also owns the fully-deleted-table
+        # placeholder edge — delegate
+        full = compact(spark, root)
+        report.update(
+            version=full["version"],
+            data_files_rewritten=full["data_files_rewritten"],
+            delete_rows_after=0,
+        )
+        return report
+
+    version = current_version(root) + 1
+    from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+
+    victim_data = spark.read.option("mergeSchema", "true").parquet(
+        *[os.path.join(root, e["file"]) for e in victim_files]
+    )
+    dels = None
+    if del_entries:
+        dels = spark.read.parquet(
+            *[os.path.join(root, e["file"]) for e in del_entries]
+        )
+        n_del = sum(e["rows"] for e in del_entries)
+        victim_data = victim_data.join(
+            maybe_broadcast(dels, n_rows=n_del),
+            (victim_data[key] == dels[key])
+            & (victim_data["_seq"] < dels["_del_seq"]),
+            "left_anti",
+        )
+    adds = _write_bucketed(
+        root, version,
+        victim_data.drop("_seq").withColumn(
+            "_seq", F.lit(version).cast("long")
+        ),
+        key, meta,
+    )
+    delete_adds: list[dict] = []
+    if dels is not None:
+        survivors = dels.where(
+            ~_bucket_col(F.col(key), meta).isin(victims)
+        )
+        delete_adds = _rewrite_deletes(root, version, survivors)
+    _commit(
+        root, version,
+        {"op": "compact", "adds": adds,
+         "removes": [e["file"] for e in victim_files],
+         "delete_adds": delete_adds,
+         "delete_removes": [e["file"] for e in del_entries]},
+    )
+    report.update(
+        version=version,
+        data_files_rewritten=len(adds),
+        delete_rows_after=sum(e["rows"] for e in delete_adds),
+    )
+    return report
+
+
+def _rewrite_deletes(
+    root: str, version: int, dels: DataFrame
+) -> list[dict]:
+    """Rewrite a (key, _del_seq) delete frame into fresh delete
+    files, PRESERVING each key's original ``_del_seq`` (unlike
+    ``_write_delete``, which stamps a new constant sequence — wrong
+    here: a surviving delete's ordering against old data rows must
+    not change). Returns the manifest add-entries; empty input
+    yields none (the delete side simply disappears)."""
+    import pyarrow.parquet as pq
+
+    token = uuid.uuid4().hex[:12]
+    staging = tempfile.mkdtemp(dir=root, prefix=f"_stage-d{version}-")
+    try:
+        dels.coalesce(1).write.mode("overwrite").parquet(staging)
+        out_dir = os.path.join(root, DELETE_DIR)
+        os.makedirs(out_dir, exist_ok=True)
+        adds: list[dict] = []
+        parts = sorted(
+            p for p in os.listdir(staging) if p.endswith(".parquet")
+        )
+        for i, part in enumerate(parts):
+            dst = os.path.join(out_dir, f"d{version}-{i}-{token}.parquet")
+            n = pq.ParquetFile(os.path.join(staging, part)).metadata.num_rows
+            if n == 0:
+                continue
+            try:
+                os.rename(os.path.join(staging, part), dst)
+            except OSError:
+                shutil.move(os.path.join(staging, part), dst)
+            adds.append(
+                {"file": f"{DELETE_DIR}/{os.path.basename(dst)}",
+                 "rows": n, "seq": version}
+            )
+        return adds
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _key_envelope(root: str, commit: dict, key: str) -> tuple[int, int]:
     """Metadata-only [lo, hi] envelope of the keys a commit touches:
     data adds carry min_key/max_key in the manifest; delete files

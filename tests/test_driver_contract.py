@@ -87,56 +87,47 @@ def test_correctness_window_is_the_intended_fifty():
     rotation notes."""
     sys.path.insert(0, REPO)
     from global_superstore_data_warehouse_spark import registry
-
-    from global_superstore_data_warehouse_spark.queries import ROUND10_WINDOW
+    from global_superstore_data_warehouse_spark.queries import ROUND11_WINDOW
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
     # since round 8 the window is DECLARED: registry.promote reorders
-    # the registry to put ROUND10_WINDOW first, so the driver's first
+    # the registry to put ROUND11_WINDOW first, so the driver's first
     # 50 must be exactly that list, in order
-    assert window == list(ROUND10_WINDOW)
-    # round-10 composition per the round-9 verdict: ALL 17 remaining
-    # never-driver-checked backlog entries (debt hits zero) + the
-    # round's net-zero-rule registrations windowed immediately
-    # (mor_merge_upsert plus nine late multimodal/ingestion/lakehouse
-    # additions) + 23 repeat-green family representatives
+    assert window == list(ROUND11_WINDOW)
+    # round-11 composition per the round-10 verdict: verification
+    # FRESHNESS — the 47 entries with the oldest last-green driver
+    # round (25 last green r02, 22 last green r03, from the
+    # CORRECTNESS_r01-r10 union) + the round's three net-zero-rule
+    # first-timers windowed immediately
     first_timers = {
-        "hard_negative_mining", "lang_id_confusion", "pareto_products",
-        "rfm_segments", "zipf_slope_by_source", "token_entropy_by_source",
-        "events_dedup_bursts", "bpe_pair_counts", "doclen_histogram",
-        "order_cadence", "churn_flags", "supplier_concentration",
-        "fulfillment_lead_time", "quality_percentiles", "seasonal_index",
-        "lateness_profile", "abc_migration", "mor_merge_upsert",
-        "video_frame_sample_stats", "audio_vad_features",
-        "warc_ingest_stats", "tfrecord_ingest_stats",
-        "webdataset_ingest_stats", "avro_ingest_stats",
-        "arrow_ipc_ingest_stats", "cow_change_feed", "mor_change_feed",
+        "daily_user_sketch_rollup_audit",
+        "events_hourly_approx_users_audit",
+        "mor_compaction_policy",
     }
     assert first_timers <= set(window), sorted(first_timers - set(window))
-    repeats = set(window) - first_timers
-    assert len(repeats) == 23
-    # spread: at least one repeat from each major operator family
-    family_heads = {
-        "yearly_sales_profit", "surrogate_keys_customers",
-        "scd2_two_load_lifecycle", "fact_orders", "order_details_wide",
-        "incremental_mv_refresh", "cow_merge_upsert", "cdc_apply_orders",
-        "secured_customers_analyst", "conform_two_sources",
-        "sorted_neighborhood_pairs", "best_month_per_segment",
-        "minhash_lsh_candidates", "jaccard_prefix_pairs", "cosine_topk",
-        "events_sessionize", "stream_dedup_exactly_once",
-        "join_skew_report",
-        "decontaminate_bloom", "bootstrap_revenue_ci", "kcore_membership",
+    stale_r02 = {
+        "case_insensitive_segments", "clean_dirty_ids",
+        "customer_ltv_deciles", "customers_with_orders",
+        "demand_category_region", "dim_market", "distinct_union_brands",
+        "dq_report", "duplicate_orders", "events_json_props",
+        "fuzzy_name_match", "merged_entities", "new_customers",
+        "parse_dates", "priority_distribution", "qa_duplicates_any_table",
+        "qa_rowcounts", "rolling_7d_sales", "scd1_upsert_customers",
+        "segment_sales", "split_names", "top_employees_per_year",
+        "types_in_both_halves", "types_missing_from_sample",
+        "union_all_segments",
     }
-    assert family_heads <= repeats, sorted(family_heads - repeats)
-    # ...and every round-9 window entry rotated out this round (all
-    # r09 hash-green) must stay registered — pytest parity retained
-    from global_superstore_data_warehouse_spark.queries import ROUND9_WINDOW
+    assert len(stale_r02) == 25 and stale_r02 <= set(window)
+    assert len(set(window) - first_timers - stale_r02) == 22  # the r03 tier
+    # ...and every round-10 window entry rotated out this round (all
+    # r10 hash-green) must stay registered — pytest parity retained
+    from global_superstore_data_warehouse_spark.queries import ROUND10_WINDOW
 
-    rotated_out = set(ROUND9_WINDOW) - set(window)
+    rotated_out = set(ROUND10_WINDOW) - set(window)
     all_names = set(registry.queries())
     assert rotated_out <= all_names, sorted(rotated_out - all_names)
-    # the round-10 window is fully oracle-backed — every slot can go
+    # the round-11 window is fully oracle-backed — every slot can go
     # hash-green
     sys.path.insert(0, REPO)
     import __spark_entry__ as e

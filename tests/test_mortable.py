@@ -430,3 +430,174 @@ def test_mor_change_feed_delete_broadcast_is_gated(spark, tmp_path, monkeypatch)
         for r in got_df.collect()
     }
     assert got == expected
+
+
+def test_mor_compact_buckets_threshold_sweep(spark, tmp_path):
+    """Round-11 table service: compact_buckets folds ONLY the buckets
+    whose delete ratio exceeds the threshold, preserves snapshot
+    equality exactly, never moves non-victim files (inode check), and
+    shrinks the delete side to the surviving buckets' keys with their
+    ORIGINAL _del_seq."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    # 4 buckets over keys 1..40 -> bucket = (k-1)//10
+    base = spark.range(1, 41).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=4, bounds=(1, 40))
+    # v2: upsert keys 1..6 (bucket 0 ratio 6/10) + key 11 (bucket 1 1/10)
+    mortable.merge_upsert(
+        spark, root,
+        spark.createDataFrame(
+            [(k, k * 100) for k in [1, 2, 3, 4, 5, 6, 11]], "k long, v long"
+        ),
+        key="k",
+    )
+    # v3: delete keys 12, 21 (bucket 1 -> 2/20 incl. its new data row; bucket 2 -> 1/10)
+    mortable.delete_keys(
+        spark, root, spark.createDataFrame([(12,), (21,)], "k long"), key="k"
+    )
+    before = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+    ratios = mortable.bucket_delete_ratios(spark, root)
+    # bucket 0: 6 delete keys / (10 base + 6 new) ; bucket 1: 2 / 11; bucket 2: 1/10
+    assert ratios[0] == 6 / 16 and ratios[3] == 0.0
+    inode_of = {
+        e["file"]: os.stat(os.path.join(root, e["file"])).st_ino
+        for e in mortable._live(root)[0]
+    }
+    report = mortable.compact_buckets(spark, root, max_delete_ratio=0.2)
+    assert report["buckets_compacted"] == [0]
+    assert report["delete_rows_before"] == 9
+    # survivors: bucket1 keys {11,12}, bucket2 {21} -> 3 delete rows
+    assert report["delete_rows_after"] == 3
+    after = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+    assert after == before
+    # non-victim data files carried by reference (same inode)
+    data_after, dels_after = mortable._live(root)
+    for e in data_after:
+        if e["bucket"] != 0:
+            assert os.stat(os.path.join(root, e["file"])).st_ino == inode_of[e["file"]]
+        else:
+            assert e["file"] not in inode_of  # rewritten fresh
+    # surviving deletes keep their ORIGINAL _del_seq (2 for k=11, 3 for 12/21)
+    surv = {
+        (r.k, r._del_seq)
+        for r in spark.read.parquet(
+            *[os.path.join(root, e["file"]) for e in dels_after]
+        ).collect()
+    }
+    assert surv == {(11, 2), (12, 3), (21, 3)}
+    # change feed skips the compact commit; below-threshold rerun is a no-op
+    vers = {r._commit_version for r in mortable.change_feed(spark, root, 1).collect()}
+    assert report["version"] not in vers
+    rerun = mortable.compact_buckets(spark, root, max_delete_ratio=0.2)
+    assert rerun["buckets_compacted"] == [] and rerun["version"] is None
+
+
+def test_mor_compact_buckets_all_victims_delegates(spark, tmp_path):
+    """A sweep whose victims cover every live data file folds the
+    whole table (including the fully-deleted placeholder edge)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = spark.range(1, 9).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 8))
+    mortable.delete_keys(spark, root, base.select("k"), key="k")
+    report = mortable.compact_buckets(spark, root, max_delete_ratio=0.1)
+    assert report["buckets_compacted"] == [0, 1]
+    assert report["delete_rows_after"] == 0
+    assert mortable.read_version(spark, root).count() == 0
+
+
+def test_mor_compact_buckets_property_random_histories(spark, tmp_path):
+    """Property: for random upsert/delete histories and thresholds,
+    the sweep preserves the logical state exactly and leaves zero
+    delete keys mapping to compacted buckets."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyspark.sql.functions as F
+
+    counter = [0]
+
+    @settings(
+        max_examples=6, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        ops=st.lists(
+            st.tuples(
+                st.sampled_from(["upsert", "delete"]),
+                st.sets(st.integers(1, 30), min_size=1, max_size=8),
+            ),
+            min_size=1, max_size=4,
+        ),
+        thresh=st.sampled_from([0.0, 0.15, 0.5]),
+    )
+    def check(ops, thresh):
+        counter[0] += 1
+        root = str(tmp_path / f"t{counter[0]}")
+        base = spark.range(1, 31).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        )
+        mortable.create(spark, root, base, key="k", nbuckets=3, bounds=(1, 30))
+        for kind, keys in ops:
+            if kind == "upsert":
+                mortable.merge_upsert(
+                    spark, root,
+                    spark.createDataFrame(
+                        [(k, k * 7) for k in sorted(keys)], "k long, v long"
+                    ),
+                    key="k",
+                )
+            else:
+                mortable.delete_keys(
+                    spark, root,
+                    spark.createDataFrame([(k,) for k in sorted(keys)], "k long"),
+                    key="k",
+                )
+        before = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+        report = mortable.compact_buckets(spark, root, max_delete_ratio=thresh)
+        after = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+        assert after == before
+        meta = mortable._read_meta(root)
+        _d, dels_after = mortable._live(root)
+        if dels_after and report["buckets_compacted"]:
+            left = spark.read.parquet(
+                *[os.path.join(root, e["file"]) for e in dels_after]
+            ).select(
+                mortable._bucket_col(F.col("k"), meta).alias("b")
+            )
+            got = {r.b for r in left.collect()}
+            assert not (got & set(report["buckets_compacted"]))
+
+    check()
+
+
+def test_mor_compaction_policy_matches_oracle(spark, duck, sf_dir):
+    from tests.conftest import assert_matches_oracle
+
+    assert_matches_oracle(spark, duck, "mor_compaction_policy", sf_dir)
+
+
+def test_mor_compaction_policy_splits_on_threshold(spark, sf_dir):
+    """The scripted history must actually exercise BOTH sides of the
+    threshold: some buckets compacted (delete keys drop to zero),
+    some with surviving delete keys — otherwise the sweep is not
+    being tested, only run."""
+    from global_superstore_data_warehouse_spark.plans.lakehouse import (
+        mor_compaction_policy,
+    )
+
+    rows = mor_compaction_policy(spark, sf_dir).collect()
+    compacted = [r for r in rows if r.compacted == 1]
+    kept = [r for r in rows if r.compacted == 0 and r.delete_keys_before > 0]
+    untouched = [r for r in rows if r.delete_keys_before == 0]
+    assert compacted and kept and untouched
+    for r in compacted:
+        assert r.delete_keys_after == 0
+    for r in kept:
+        assert r.delete_keys_after == r.delete_keys_before
