@@ -311,6 +311,11 @@ EXTRA = [
     "arrow_ipc_ingest_stats",
     "cow_change_feed",
     "mor_change_feed",
+    # round-11 net-zero-rule registrations: sketch error-bound audit
+    # twins + the threshold-scheduled MOR compaction table service
+    "daily_user_sketch_rollup_audit",
+    "events_hourly_approx_users_audit",
+    "mor_compaction_policy",
 ]
 
 ROUNDS = 3

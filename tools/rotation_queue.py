@@ -48,6 +48,31 @@ def main() -> None:
     print(f"\nnever-checked backlog outside the window ({len(backlog)}):")
     for q in backlog:
         print(f"  {q}")
+    # STALENESS report (round 11+): once the never-checked backlog is
+    # empty the rotation criterion becomes last-GREEN age — list every
+    # registered query by the round of its most recent green row
+    # (hash_match, or rows_match for no-oracle entries), oldest first.
+    # The next round's window should be the head of this list plus the
+    # round's net-zero first-timers.
+    green: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        with open(path) as f:
+            doc = json.load(f)
+        rows = doc.get("queries", doc) if isinstance(doc, dict) else {}
+        for q, r in rows.items():
+            if isinstance(r, dict) and (
+                r.get("hash_match")
+                or (
+                    r.get("err") == "no_oracle"
+                    and (r.get("spark_rows") or 0) > 0
+                )
+            ):
+                green[q] = rnd
+    by_age = sorted(names, key=lambda q: (green.get(q, ""), q))
+    print("\nstaleness (last-green round, oldest first; '-' = never green):")
+    for q in by_age:
+        print(f"  {green.get(q, '-'):>4}  {q}")
 
 
 if __name__ == "__main__":
