@@ -144,3 +144,25 @@ def test_table_rows_sees_in_place_rewrite(spark, tmp_path):
     assert table_rows(str(tmp_path), "orders") == 100
     spark.range(0, 2500).write.mode("overwrite").parquet(out)
     assert table_rows(str(tmp_path), "orders") == 2500
+
+
+def test_load_memo_reuses_plan_and_sees_rewrite(spark, tmp_path):
+    """Round 11: catalog.load memoizes the DataFrame per (session,
+    dir, table, freshness token). Two loads of an unchanged table
+    must return the SAME object (the saving — no py4j/footer work);
+    an in-place rewrite must invalidate the memo and the fresh plan
+    must see the new data."""
+    from global_superstore_data_warehouse_spark.catalog import load
+
+    out = str(tmp_path / "orders.parquet")
+    spark.range(0, 100).selectExpr("id AS o_orderkey").write.parquet(out)
+    a = load(spark, str(tmp_path), "orders")
+    b = load(spark, str(tmp_path), "orders")
+    assert a is b
+    assert a.count() == 100
+    spark.range(0, 37).selectExpr("id AS o_orderkey").write.mode(
+        "overwrite"
+    ).parquet(out)
+    c = load(spark, str(tmp_path), "orders")
+    assert c is not a
+    assert c.count() == 37
