@@ -355,3 +355,81 @@ def test_jpeg_progressive_malformed_scans_rejected():
     bad[i + 2 + 2 + 3 + 1] = 5  # Se byte of the 1-component scan header
     with pytest.raises(ValueError, match="Se=0"):
         _jpeg_decode(bytes(bad))
+
+
+def test_bitreader_lut_fallback_and_alignment():
+    """Round-11 reader internals, exercised directly: codes longer
+    than 8 bits miss the 256-entry LUT and must decode via the
+    canonical bit-serial walk; byte-alignment after buffered reads
+    must rewind whole unconsumed bytes so the RST marker is found at
+    its stream position; stuffed 0xFF00 bytes stay correct next to
+    buffered runs."""
+    from global_superstore_data_warehouse_spark.operators.jpeg import (
+        _BitReader,
+        _canonical_codes,
+        _HuffTable,
+    )
+
+    # DHT with one 2-bit code (sym 5) and two 12-bit codes (7, 9):
+    # BITS = one code of length 2, two of length 12
+    bits = [0, 1] + [0] * 9 + [2] + [0] * 4
+    tab = _HuffTable(_canonical_codes(bits, [5, 7, 9]))
+    assert tab.lut[0b00_000000] == (5, 2)  # 2-bit code fills the LUT
+    # canonical: len2 -> code 0; len12 -> codes 0b010000000000/..01
+    long_a, long_b = 0b010000000000, 0b010000000001
+    assert tab.codes[(12, long_a)] == 7 and tab.codes[(12, long_b)] == 9
+    assert tab.lut[long_a >> 4] is None  # 8-bit prefix of a long code
+
+    # stream: [sym7][sym5][sym9][5 magnitude bits=0b10110], padded
+    # with 1-bits to the byte boundary (31 -> 32 bits)
+    word = (
+        (((((long_a << 2) | 0b00) << 12) | long_b) << 5) | 0b10110
+    )
+    word = (word << 1) | 0b1
+    blob = word.to_bytes(4, "big")
+    r = _BitReader(blob, 0)
+    assert r.decode_symbol(tab) == 7   # slow path (12 bits)
+    assert r.decode_symbol(tab) == 5   # LUT path
+    assert r.decode_symbol(tab) == 9   # slow path again
+    assert r.read_bits(5) == 0b10110
+
+    # alignment: in a VALID stream the RST follows the partial byte
+    # directly (fill stops at the 0xFF, so no whole bytes are ever
+    # buffered past it) — tail bits drop, marker consumed in place
+    blob2 = bytes([0b10100000, 0xFF, 0xD2])
+    r2 = _BitReader(blob2, 0)
+    r2._fill(24)
+    assert r2.n == 8  # fill stopped at the marker
+    assert r2.read_bits(3) == 0b101
+    r2.align_and_consume_rst(2)
+    assert r2.pos == 3 and r2.n == 0
+
+    # corrupt stream (data bytes between the partial byte and the
+    # RST): the rewind puts the reader at the byte-at-a-time reader's
+    # exact position, so the same error fires at the same place
+    import pytest as _pytest
+
+    r2b = _BitReader(bytes([0b10100000, 0x11, 0xFF, 0xD2]), 0)
+    r2b._fill(24)
+    assert r2b.n == 16
+    assert r2b.read_bits(3) == 0b101
+    with _pytest.raises(ValueError, match="expected RST"):
+        r2b.align_and_consume_rst(2)
+    assert r2b.pos == 1  # rewound to the first unconsumed whole byte
+
+    # stuffed byte adjacent to a buffered run: 0xFF00 decodes as a
+    # data byte 0xFF via the slow path, then buffering resumes
+    blob3 = bytes([0xAB, 0xFF, 0x00, 0xCD])
+    r3 = _BitReader(blob3, 0)
+    assert r3.read_bits(8) == 0xAB
+    assert r3.read_bits(16) == 0xFFCD
+
+    # truncation and marker errors preserved
+    import pytest as _pytest
+
+    r4 = _BitReader(bytes([0xFF, 0xD9]), 0)
+    with _pytest.raises(ValueError, match="marker inside entropy"):
+        r4.read_bit()
+    r5 = _BitReader(b"", 0)
+    with _pytest.raises(ValueError, match="truncated"):
+        r5.read_bit()
