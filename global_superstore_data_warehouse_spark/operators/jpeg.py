@@ -825,6 +825,16 @@ def _decode_ac_refine(reader, zz, ac_tab, ss: int, se: int, al: int, eobrun: int
     m1 = -p1
     k = ss
     if eobrun == 0:
+        # Snapshot of the nonzero-HISTORY positions in the band: the
+        # walk below only ever looks AHEAD of k, and this-scan
+        # placements land behind the advancing k, so the entry
+        # snapshot is exact — letting the zero-run advance jump the
+        # gaps between nonzeros instead of testing every coefficient
+        # (round-11: per-element numpy scalar reads dominated
+        # progressive decode).
+        nz = [int(i) + ss for i in np.nonzero(zz[ss : se + 1])[0]]
+        nnz = len(nz)
+        idx = 0
         while k <= se:
             sym = reader.decode_symbol(ac_tab)
             r, s = sym >> 4, sym & 15
@@ -839,17 +849,24 @@ def _decode_ac_refine(reader, zz, ac_tab, ss: int, se: int, al: int, eobrun: int
                 if s != 1:
                     raise ValueError("AC refinement magnitude size != 1")
                 newval = p1 if reader.read_bit() else m1
-            # advance past r zero-history coefficients, applying
-            # correction bits to nonzero-history ones along the way
+            # advance past r zero-history coefficients, applying a
+            # correction bit at each nonzero-history one passed; the
+            # walk stops AT the (r+1)-th zero-history position
+            while idx < nnz and nz[idx] < k:
+                idx += 1
             while k <= se:
-                if zz[k] != 0:
-                    if reader.read_bit() and (zz[k] & p1) == 0:
-                        zz[k] += p1 if zz[k] >= 0 else m1
-                else:
-                    if r == 0:
-                        break
-                    r -= 1
+                pnz = nz[idx] if idx < nnz else se + 1
+                if r < pnz - k:  # target zero sits before the next nonzero
+                    k += r
+                    break
+                r -= pnz - k
+                k = pnz
+                if k > se:
+                    break
+                if reader.read_bit() and (zz[k] & p1) == 0:
+                    zz[k] += p1 if zz[k] >= 0 else m1
                 k += 1
+                idx += 1
             if newval:
                 if k > se:
                     raise ValueError("AC refinement ran past band end")
