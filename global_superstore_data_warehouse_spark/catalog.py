@@ -57,13 +57,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     import os
 
-    key = (sf_dir, name, _freshness_token(os.path.join(sf_dir, f"{name}.parquet")))
+    token = _freshness_token(os.path.join(sf_dir, f"{name}.parquet"))
     memo = _DF_MEMO.setdefault(spark, {})
-    hit = memo.get(key)
-    if hit is not None:
-        return hit
+    # token lives in the VALUE, not the key: a rewrite replaces the
+    # entry instead of stranding the stale plan in the dict forever
+    # (the memo stays bounded at one entry per (dir, table))
+    hit = memo.get((sf_dir, name))
+    if hit is not None and hit[0] == token:
+        return hit[1]
     df = _load_uncached(spark, sf_dir, name)
-    memo[key] = df
+    memo[(sf_dir, name)] = (token, df)
     return df
 
 

@@ -503,25 +503,34 @@ _IMAGE_BACKEND: str | None = None  # resolved once per process
 
 
 def _image_backend() -> str:
-    """'pil' or 'pure' — env override first, else probe for PIL."""
+    """'pil' or 'pure'. The native backend is OPT-IN
+    (``SPARK_GRAFT_IMAGE_BACKEND=pil`` forces it, ``auto`` probes
+    for PIL); the DEFAULT is the pure spec-derived path. Deliberate:
+    the registered decode queries carry EXACT-equality oracles
+    (constant-luma JPEG fixtures reconstruct their fill precisely
+    under the in-repo IDCT), and libjpeg's IDCT rounds differently —
+    an auto-probed default would silently change registered-query
+    results based on whether pillow happens to be installed. A real
+    deployment opts in per pipeline, where decode outputs feed
+    stats/features, not hash-compared oracles."""
     global _IMAGE_BACKEND
     if _IMAGE_BACKEND is None:
         import os
 
-        forced = os.environ.get("SPARK_GRAFT_IMAGE_BACKEND", "auto").lower()
-        if forced == "pure":
-            _IMAGE_BACKEND = "pure"
-        elif forced == "pil":
+        mode = os.environ.get("SPARK_GRAFT_IMAGE_BACKEND", "pure").lower()
+        if mode == "pil":
             import PIL.Image  # noqa: F401  (ImportError = config error)
 
             _IMAGE_BACKEND = "pil"
-        else:
+        elif mode == "auto":
             try:
                 import PIL.Image  # noqa: F401
 
                 _IMAGE_BACKEND = "pil"
             except ImportError:
                 _IMAGE_BACKEND = "pure"
+        else:
+            _IMAGE_BACKEND = "pure"
     return _IMAGE_BACKEND
 
 
@@ -557,19 +566,20 @@ def decode_image(blob: bytes):
     WEBP/AVIF and arithmetic-coded/12-bit/hierarchical JPEG need
     codec libraries this container lacks.
 
-    BACKEND DISPATCH (round 11): when PIL/libjpeg is importable the
-    decode routes through it (``_pil_decode``) — the pure-Python
-    spec-derived path is a ~100x per-core tax at real scale and
-    exists because this sandbox has no codec libraries. Selection:
-    ``SPARK_GRAFT_IMAGE_BACKEND`` = ``pure`` (force the fallback),
-    ``pil`` (force native, ImportError if absent), unset/``auto``
-    (probe once per process). The probe result is cached
-    module-level, so per-blob dispatch in the mapInPandas hot loop
-    is one dict-free comparison; Spark python workers re-import the
-    module and re-probe, so executors pick the native path
-    independently of the driver. Equivalence is pinned in
-    tests/test_multimodal.py: pixel-exact for the lossless formats,
-    stats-tolerance for JPEG (different IDCT roundings)."""
+    BACKEND DISPATCH (round 11): an OPT-IN native path — the
+    pure-Python spec-derived decode is a ~100x per-core tax at real
+    scale and exists because this sandbox has no codec libraries.
+    Selection: ``SPARK_GRAFT_IMAGE_BACKEND`` = ``pil`` (force
+    PIL/libjpeg, ImportError if absent), ``auto`` (probe once per
+    process), unset/``pure`` (DEFAULT: the spec decoder — kept as
+    the default because the registered decode queries' oracles pin
+    exact pixel arithmetic; see ``_image_backend``). The mode is
+    cached module-level, so per-blob dispatch in the mapInPandas hot
+    loop is one comparison; Spark python workers re-import the
+    module and re-resolve, so executors honor the same env.
+    Equivalence is pinned in tests/test_multimodal.py: pixel-exact
+    for the lossless formats, stats-tolerance for JPEG (different
+    IDCT roundings)."""
     import numpy as np
 
     b = bytes(blob)

@@ -666,20 +666,27 @@ def merge_delete(
     IN (...)`` shape): only the buckets the key set maps to are read
     and rewritten (anti-join against the key frame); every other
     file is carried by reference. ``keys_df`` must have exactly the
-    table's key column. The broadcast is size-GATED, not assumed:
-    one count of the key frame decides (module broadcast policy —
-    a huge delete set degrades to a shuffled anti-join instead of an
-    unguarded broadcast)."""
+    table's key column. The broadcast is size-GATED, not assumed
+    (module broadcast policy — a huge delete set degrades to a
+    shuffled anti-join instead of an unguarded broadcast), and the
+    gate follows the hints contract: the key frame is
+    localCheckpoint'ed FIRST, so the count reads cached narrow rows
+    and the anti-join reuses the same materialization instead of
+    re-evaluating an arbitrary caller plan twice."""
     from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
 
     meta = _read_meta(root)
     key = meta["key"]
-    keys_only = maybe_broadcast(keys_df.select(key))
+    keys_only = maybe_broadcast(
+        keys_df.select(key).localCheckpoint(eager=True)
+    )
 
     def apply(target: DataFrame) -> DataFrame:
         return target.join(keys_only, key, "left_anti")
 
-    return _merge_files(spark, root, keys_df, "delete", apply, retries=retries)
+    # the checkpointed frame also feeds bucket pruning, so the
+    # caller's plan is evaluated exactly once end-to-end
+    return _merge_files(spark, root, keys_only, "delete", apply, retries=retries)
 
 
 def change_feed(

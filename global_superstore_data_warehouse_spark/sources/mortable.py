@@ -66,24 +66,24 @@ DATA_DIR = cowtable.DATA_DIR
 DELETE_DIR = "deletes"
 
 
-def _write_delete(root: str, version: int, keys: DataFrame, key: str) -> list[dict]:
-    """Write an equality-delete file set: the distinct ``key`` values
-    of ``keys`` plus the constant ``_del_seq`` column, staged under
-    the table root and renamed into deletes/ under per-attempt uuid
-    names (same no-clobber discipline as data files)."""
+def _stage_delete_parts(
+    root: str, version: int, df: DataFrame, *, skip_empty: bool
+) -> list[dict]:
+    """Shared delete-side writer: stage ``df`` UNDER THE TABLE ROOT
+    (same one-filesystem rename guarantee as data files), rename the
+    parquet parts into deletes/ under per-attempt uuid names (the
+    no-clobber discipline — see ``_write_bucketed``), and return the
+    manifest add-entries. ``skip_empty`` drops zero-row parts:
+    ``_rewrite_deletes`` wants the delete side to simply disappear
+    when no keys survive, while ``_write_delete`` must keep an empty
+    file — an empty-source merge still commits a readable delete
+    file the change feed's touched-key scan opens."""
+    import pyarrow.parquet as pq
+
     token = uuid.uuid4().hex[:12]
     staging = tempfile.mkdtemp(dir=root, prefix=f"_stage-d{version}-")
     try:
-        (
-            keys.select(F.col(key))
-            .dropDuplicates([key])
-            .withColumn("_del_seq", F.lit(version).cast("long"))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
-        import pyarrow.parquet as pq
-
+        df.coalesce(1).write.mode("overwrite").parquet(staging)
         out_dir = os.path.join(root, DELETE_DIR)
         os.makedirs(out_dir, exist_ok=True)
         adds: list[dict] = []
@@ -91,23 +91,35 @@ def _write_delete(root: str, version: int, keys: DataFrame, key: str) -> list[di
             p for p in os.listdir(staging) if p.endswith(".parquet")
         )
         for i, part in enumerate(parts):
-            name = f"d{version}-{i}-{token}.parquet"
             src = os.path.join(staging, part)
+            n = pq.ParquetFile(src).metadata.num_rows
+            if skip_empty and n == 0:
+                continue
+            name = f"d{version}-{i}-{token}.parquet"
             dst = os.path.join(out_dir, name)
             try:
                 os.rename(src, dst)
             except OSError:
                 shutil.move(src, dst)
             adds.append(
-                {
-                    "file": f"{DELETE_DIR}/{name}",
-                    "rows": pq.ParquetFile(dst).metadata.num_rows,
-                    "seq": version,
-                }
+                {"file": f"{DELETE_DIR}/{name}", "rows": n, "seq": version}
             )
         return adds
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def _write_delete(root: str, version: int, keys: DataFrame, key: str) -> list[dict]:
+    """Write an equality-delete file set: the distinct ``key`` values
+    of ``keys`` plus the constant ``_del_seq`` column."""
+    return _stage_delete_parts(
+        root,
+        version,
+        keys.select(F.col(key))
+        .dropDuplicates([key])
+        .withColumn("_del_seq", F.lit(version).cast("long")),
+        skip_empty=False,
+    )
 
 
 def create(
@@ -473,36 +485,9 @@ def _rewrite_deletes(
     files, PRESERVING each key's original ``_del_seq`` (unlike
     ``_write_delete``, which stamps a new constant sequence — wrong
     here: a surviving delete's ordering against old data rows must
-    not change). Returns the manifest add-entries; empty input
-    yields none (the delete side simply disappears)."""
-    import pyarrow.parquet as pq
-
-    token = uuid.uuid4().hex[:12]
-    staging = tempfile.mkdtemp(dir=root, prefix=f"_stage-d{version}-")
-    try:
-        dels.coalesce(1).write.mode("overwrite").parquet(staging)
-        out_dir = os.path.join(root, DELETE_DIR)
-        os.makedirs(out_dir, exist_ok=True)
-        adds: list[dict] = []
-        parts = sorted(
-            p for p in os.listdir(staging) if p.endswith(".parquet")
-        )
-        for i, part in enumerate(parts):
-            dst = os.path.join(out_dir, f"d{version}-{i}-{token}.parquet")
-            n = pq.ParquetFile(os.path.join(staging, part)).metadata.num_rows
-            if n == 0:
-                continue
-            try:
-                os.rename(os.path.join(staging, part), dst)
-            except OSError:
-                shutil.move(os.path.join(staging, part), dst)
-            adds.append(
-                {"file": f"{DELETE_DIR}/{os.path.basename(dst)}",
-                 "rows": n, "seq": version}
-            )
-        return adds
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    not change). Empty input yields no entries (the delete side
+    simply disappears)."""
+    return _stage_delete_parts(root, version, dels, skip_empty=True)
 
 
 def _key_envelope(root: str, commit: dict, key: str) -> tuple[int, int]:

@@ -785,9 +785,16 @@ def test_image_backend_dispatch_and_fallback(monkeypatch):
     monkeypatch.setattr(M, "_pil_decode", lambda b: None)
     assert (M.decode_image(bmp) == px).all()
 
-    # auto in THIS sandbox (no PIL): probe resolves to pure
+    # DEFAULT (env unset) is PURE — the registered decode queries'
+    # oracles pin exact in-repo IDCT arithmetic, so native must be
+    # opt-in, never probed in silently
     monkeypatch.setattr(M, "_IMAGE_BACKEND", None)
     monkeypatch.delenv("SPARK_GRAFT_IMAGE_BACKEND", raising=False)
+    assert M._image_backend() == "pure"
+
+    # explicit auto probes: resolves to pil iff PIL is importable
+    monkeypatch.setattr(M, "_IMAGE_BACKEND", None)
+    monkeypatch.setenv("SPARK_GRAFT_IMAGE_BACKEND", "auto")
     try:
         import PIL  # noqa: F401
 
