@@ -485,24 +485,37 @@ def vacuum(
     (10 min dwarfs the window by orders of magnitude). Pass 0 only
     when no concurrent writer can exist (single-process admin op —
     the stance the tests use to exercise deletion determinism)."""
-    import time as _time
-
     top = current_version(root)
     keep: set[str] = set()
     for v in range(max(1, top - retain_versions + 1), top + 1):
         keep |= {e["file"] for e in live_files(root, v)}
-    data_dir = os.path.join(root, DATA_DIR)
+    return _vacuum_dirs(root, keep, [DATA_DIR], min_age_seconds)
+
+
+def _vacuum_dirs(
+    root: str, keep: set, dirs: list, min_age_seconds: float
+) -> dict:
+    """Shared reclaim sweep: delete files under the given table
+    subdirectories that are not in ``keep`` and are older than the
+    age floor, then reap crashed writers' ``_stage-*`` trees (see
+    the ``vacuum`` docstrings for the retention/age contract)."""
+    import time as _time
+
     deleted = kept = freed = 0
     now = _time.time()
-    for name in sorted(os.listdir(data_dir)):
-        rel = f"{DATA_DIR}/{name}"
-        path = os.path.join(data_dir, name)
-        if rel in keep or now - os.stat(path).st_mtime < min_age_seconds:
-            kept += 1
+    for d in dirs:
+        full = os.path.join(root, d)
+        if not os.path.isdir(full):
             continue
-        freed += os.stat(path).st_size
-        os.unlink(path)
-        deleted += 1
+        for name in sorted(os.listdir(full)):
+            rel = f"{d}/{name}"
+            path = os.path.join(full, name)
+            if rel in keep or now - os.stat(path).st_mtime < min_age_seconds:
+                kept += 1
+                continue
+            freed += os.stat(path).st_size
+            os.unlink(path)
+            deleted += 1
     # Crashed writers leave their whole staging tree behind at the
     # table root (_stage-v*-...); nothing else reclaims it now that
     # staging lives under the root (the old /tmp location at least

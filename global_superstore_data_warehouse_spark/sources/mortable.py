@@ -344,6 +344,30 @@ def stats(root: str, version: int | None = None) -> dict:
     }
 
 
+def vacuum(
+    root: str, retain_versions: int = 1, min_age_seconds: float = 600.0
+) -> dict:
+    """MOR VACUUM — same retention/age-floor contract as
+    ``cowtable.vacuum`` (whose docstring holds the full rationale),
+    but the live set folds BOTH manifest sides (data adds/removes
+    AND delete_adds/delete_removes) and the sweep covers ``deletes/``
+    as well as ``data/``: superseded equality-delete files — e.g.
+    the old delete side after ``compact_buckets`` rewrites it — are
+    reclaimed once no retained snapshot references them. (Round-11
+    fix: ``cowtable.vacuum`` run against a MOR root ignored
+    ``deletes/`` entirely, so compaction's storage-reclaim claim
+    only held for the data side.)"""
+    top = current_version(root)
+    keep: set[str] = set()
+    for v in range(max(1, top - retain_versions + 1), top + 1):
+        data_entries, del_entries = _live(root, v)
+        keep |= {e["file"] for e in data_entries}
+        keep |= {e["file"] for e in del_entries}
+    return cowtable._vacuum_dirs(
+        root, keep, [DATA_DIR, DELETE_DIR], min_age_seconds
+    )
+
+
 def bucket_delete_ratios(
     spark: SparkSession, root: str
 ) -> dict[int, float]:

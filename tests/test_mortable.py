@@ -601,3 +601,41 @@ def test_mor_compaction_policy_splits_on_threshold(spark, sf_dir):
         assert r.delete_keys_after == 0
     for r in kept:
         assert r.delete_keys_after == r.delete_keys_before
+
+
+def test_mor_vacuum_reclaims_both_sides(spark, tmp_path):
+    """mortable.vacuum folds BOTH manifest sides: after merges, a
+    bucket-scoped compaction, and vacuum(retain=1, age=0), every
+    superseded data AND delete file is gone from disk, every live
+    file remains, and the snapshot still reads exactly."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 20))
+    mortable.merge_upsert(
+        spark, root,
+        spark.createDataFrame([(k, k * 100) for k in (1, 2, 3)], "k long, v long"),
+        key="k",
+    )                                                            # v2
+    mortable.delete_keys(
+        spark, root, spark.createDataFrame([(15,)], "k long"), key="k"
+    )                                                            # v3
+    before = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+    mortable.compact_buckets(spark, root, max_delete_ratio=0.05)  # v4: all victims? no — ratios: b0 3/13, b1 1/10 -> both > 0.05 -> full fold
+    report = mortable.vacuum(root, retain_versions=1, min_age_seconds=0)
+    assert report["files_deleted"] > 0
+    # every on-disk file in data/ and deletes/ is referenced by the
+    # retained (latest) snapshot
+    data_entries, del_entries = mortable._live(root)
+    live = {e["file"] for e in data_entries} | {e["file"] for e in del_entries}
+    on_disk = set()
+    for d in (mortable.DATA_DIR, mortable.DELETE_DIR):
+        full = os.path.join(root, d)
+        if os.path.isdir(full):
+            on_disk |= {f"{d}/{n}" for n in os.listdir(full)}
+    assert on_disk == live
+    after = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+    assert after == before
