@@ -1124,6 +1124,15 @@ BOOT_B = 200  # resamples
 # seed->draw map (h1,h2) -> (u_j, u_j') is a bijection mod the prime
 # (determinant j'-j != 0), so the B draws per order are PAIRWISE
 # INDEPENDENT exactly — ample for bootstrap order statistics.
+# Known (accepted) higher-order structure: u_j reduces to the
+# arithmetic progression h1 + j*(2*h1 + h2) mod BOOT_P, so within one
+# order u_{j+2} = 2*u_{j+1} - u_j (mod P) — triples and beyond are
+# linearly dependent. Joint fidelity of the B resample means therefore
+# rests on the CLT ACROSS orders (each order contributes an
+# independent (h1,h2)), not on per-draw randomness within an order;
+# that is exactly what a bootstrap CI of a SUM over many orders needs.
+# If stronger joint independence is ever required, mix j nonlinearly
+# (e.g. (h1 + j) * (h2 + j*j) mod P) — costs one extra multiply.
 BOOT_P = 281_474_976_710_597  # = 2^48 - 59, prime
 # FROZEN Poisson(1) CDF thresholds in mod-BOOT_P units:
 # floor(P(X<=k) * BOOT_P) for k = 0..5 (weights cap at 6; identical

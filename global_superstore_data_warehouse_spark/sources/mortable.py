@@ -282,8 +282,12 @@ def compact(spark: SparkSession, root: str) -> dict:
     service's scheduled compaction)."""
     meta = _read_meta(root)
     version = current_version(root) + 1
-    data_entries, del_entries = _live(root)
-    snapshot = read_version(spark, root)
+    # Fold at the pinned base (version-1), not the call-time head: the
+    # materialize below includes Spark jobs, and a commit interleaving
+    # in that window must lose the create-exclusive _commit race with
+    # our read state still describing the snapshot we actually folded.
+    data_entries, del_entries = _live(root, version - 1)
+    snapshot = read_version(spark, root, version - 1)
     adds = _write_bucketed(
         root, version,
         snapshot.withColumn("_seq", F.lit(version).cast("long")),
@@ -369,16 +373,24 @@ def vacuum(
 
 
 def bucket_delete_ratios(
-    spark: SparkSession, root: str
+    spark: SparkSession, root: str, version: int | None = None
 ) -> dict[int, float]:
     """Per-bucket read-amplification signal for the table service:
     live delete keys landing in each bucket / physical data rows in
     that bucket. Data rows come from the manifest (metadata only);
     delete keys need one Spark job over the DELETE files alone —
     delete-file-sized, never table-sized (at 100 TB the delete side
-    is the small artifact by construction)."""
+    is the small artifact by construction).
+
+    Buckets that carry live delete keys but NO live data rows (the
+    data side was fully deleted, or never written there) report
+    ``inf`` — their delete files are pure dead weight and the
+    threshold sweep should always reclaim them; a map keyed only on
+    data-manifest buckets would hide them forever (round-12 fix).
+    ``version`` pins the snapshot the signal is computed from
+    (defaults to the current head)."""
     meta = _read_meta(root)
-    data_entries, del_entries = _live(root)
+    data_entries, del_entries = _live(root, version)
     data_rows: dict[int, int] = {}
     for e in data_entries:
         data_rows[e["bucket"]] = data_rows.get(e["bucket"], 0) + e["rows"]
@@ -396,10 +408,15 @@ def bucket_delete_ratios(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    return {
-        b: counts.get(b, 0) / rows if rows else 0.0
+    ratios = {
+        b: (counts.get(b, 0) / rows) if rows
+        else (float("inf") if counts.get(b, 0) else 0.0)
         for b, rows in data_rows.items()
     }
+    for b, n in counts.items():
+        if b not in ratios and n:
+            ratios[b] = float("inf")
+    return ratios
 
 
 def compact_buckets(
@@ -428,9 +445,19 @@ def compact_buckets(
     and delete rows before/after."""
     meta = _read_meta(root)
     key = meta["key"]
-    ratios = bucket_delete_ratios(spark, root)
+    # Pin the target version BEFORE any read of live state (the same
+    # ordering _merge_files and compact() use): ratio computation and
+    # the live fold below include a Spark collect, and a merge that
+    # commits inside that window would otherwise advance the head so
+    # our create-exclusive _commit lands on a fresh version — silently
+    # resurrecting rows the interleaved merge deleted (its _del_seq
+    # would be below our rewritten _seq). Pinning first makes any such
+    # interleave LOSE the _commit race and surface ConcurrentWriteError
+    # instead of corrupting the table (round-12 fix).
+    version = current_version(root) + 1
+    ratios = bucket_delete_ratios(spark, root, version=version - 1)
     victims = sorted(b for b, r in ratios.items() if r > max_delete_ratio)
-    data_entries, del_entries = _live(root)
+    data_entries, del_entries = _live(root, version - 1)
     rows_before = sum(e["rows"] for e in del_entries)
     report = {
         "ratios": ratios,
@@ -447,7 +474,8 @@ def compact_buckets(
     if len(victim_files) == len(data_entries):
         # every live data file is a victim: identical outcome to the
         # whole-table fold, which also owns the fully-deleted-table
-        # placeholder edge — delegate
+        # placeholder edge — delegate (compact() pins its own version
+        # first, so the concurrency guarantee carries over)
         full = compact(spark, root)
         report.update(
             version=full["version"],
@@ -456,31 +484,38 @@ def compact_buckets(
         )
         return report
 
-    version = current_version(root) + 1
     from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
 
-    victim_data = spark.read.option("mergeSchema", "true").parquet(
-        *[os.path.join(root, e["file"]) for e in victim_files]
-    )
     dels = None
     if del_entries:
         dels = spark.read.parquet(
             *[os.path.join(root, e["file"]) for e in del_entries]
         )
-        n_del = sum(e["rows"] for e in del_entries)
-        victim_data = victim_data.join(
-            maybe_broadcast(dels, n_rows=n_del),
-            (victim_data[key] == dels[key])
-            & (victim_data["_seq"] < dels["_del_seq"]),
-            "left_anti",
+    adds: list[dict] = []
+    if victim_files:
+        victim_data = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(root, e["file"]) for e in victim_files]
         )
-    adds = _write_bucketed(
-        root, version,
-        victim_data.drop("_seq").withColumn(
-            "_seq", F.lit(version).cast("long")
-        ),
-        key, meta,
-    )
+        if dels is not None:
+            n_del = sum(e["rows"] for e in del_entries)
+            victim_data = victim_data.join(
+                maybe_broadcast(dels, n_rows=n_del),
+                (victim_data[key] == dels[key])
+                & (victim_data["_seq"] < dels["_del_seq"]),
+                "left_anti",
+            )
+        adds = _write_bucketed(
+            root, version,
+            victim_data.drop("_seq").withColumn(
+                "_seq", F.lit(version).cast("long")
+            ),
+            key, meta,
+        )
+    # else: every victim is a delete-only bucket (ratio inf, no live
+    # data files) — nothing to rewrite on the data side; the sweep
+    # below still drops their dead delete keys, which is safe because
+    # an equality delete only kills rows with _seq < _del_seq and any
+    # future write takes a strictly larger _seq.
     delete_adds: list[dict] = []
     if dels is not None:
         survivors = dels.where(

@@ -512,6 +512,89 @@ def test_mor_compact_buckets_all_victims_delegates(spark, tmp_path):
     assert mortable.read_version(spark, root).count() == 0
 
 
+def test_mor_compact_buckets_delete_only_bucket_reclaimed(spark, tmp_path):
+    """Round-12 fix (ADVICE): delete keys landing in a bucket with NO
+    live data rows report ratio inf — not silently absent — so the
+    threshold sweep reclaims their dead delete files instead of
+    carrying them until a full compact()."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    # bounds (1,20), 2 buckets -> keys 1..10 = bucket 0; 11..20 = bucket 1
+    base = spark.range(1, 11).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 20))
+    # delete keys in bucket 1, where no data row has ever lived
+    mortable.delete_keys(
+        spark, root, spark.createDataFrame([(15,), (16,)], "k long"), key="k"
+    )
+    ratios = mortable.bucket_delete_ratios(spark, root)
+    assert ratios[0] == 0.0 and ratios[1] == float("inf")
+    before = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+    report = mortable.compact_buckets(spark, root, max_delete_ratio=0.9)
+    # the delete-only bucket is the sole victim: no data rewrite, the
+    # dead delete file is dropped, snapshot unchanged
+    assert report["buckets_compacted"] == [1]
+    assert report["data_files_rewritten"] == 0
+    assert report["delete_rows_before"] == 2
+    assert report["delete_rows_after"] == 0
+    assert mortable._live(root)[1] == []
+    after = sorted(map(tuple, mortable.read_version(spark, root).collect()))
+    assert after == before
+
+
+def test_mor_compact_buckets_loses_race_to_interleaved_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Round-12 fix (ADVICE): compact_buckets pins its version BEFORE
+    reading live state, so a merge that commits inside the sweep's
+    read window takes the pinned version and the sweep's commit LOSES
+    the create-exclusive race (ConcurrentWriteError) — it can no
+    longer rewrite victim rows from the stale snapshot with a _seq
+    newer than the merge's _del_seq (silent row resurrection)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 20))
+    # v2: make bucket 0 a victim (ratio 5/10 > threshold)
+    mortable.delete_keys(
+        spark, root,
+        spark.createDataFrame([(k,) for k in range(1, 6)], "k long"),
+        key="k",
+    )
+
+    real_ratios = mortable.bucket_delete_ratios
+
+    def interleaving_ratios(spark_, root_, version=None):
+        # a concurrent writer lands between the sweep's version pin
+        # and its commit: update k=7 (v 70 -> 7000)
+        mortable.merge_upsert(
+            spark_, root_,
+            spark_.createDataFrame([(7, 7000)], "k long, v long"),
+            key="k",
+        )
+        return real_ratios(spark_, root_, version)
+
+    monkeypatch.setattr(mortable, "bucket_delete_ratios", interleaving_ratios)
+    with pytest.raises(mortable.ConcurrentWriteError):
+        mortable.compact_buckets(spark, root, max_delete_ratio=0.2)
+    # the interleaved merge's write survives — no resurrection of the
+    # pre-merge k=7 row by a stale-snapshot rewrite
+    state = {r.k: r.v for r in mortable.read_version(spark, root).collect()}
+    assert state[7] == 7000
+    assert 1 not in state
+    # and the sweep still works once the table is quiescent
+    monkeypatch.setattr(mortable, "bucket_delete_ratios", real_ratios)
+    report = mortable.compact_buckets(spark, root, max_delete_ratio=0.2)
+    assert 0 in report["buckets_compacted"]
+    state2 = {r.k: r.v for r in mortable.read_version(spark, root).collect()}
+    assert state2 == state
+
+
 def test_mor_compact_buckets_property_random_histories(spark, tmp_path):
     """Property: for random upsert/delete histories and thresholds,
     the sweep preserves the logical state exactly and leaves zero
