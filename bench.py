@@ -1,8 +1,11 @@
 """Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE COMPACT JSON line: {"metric": ..., "value": N, "unit": "sec",
-"queries": {<headline only>}, "extras": {summary}, "canary": {...},
-"sf": ...}. The full per-extra-query timings land in
+ONE COMPACT JSON line: {"metric": ..., "value": N,
+"value_normalized": N', "unit": "sec", "queries": {<headline only>},
+"extras": {summary}, "canary": {...}, "sf": ...}. ``value`` is the raw
+graded headline; ``value_normalized`` rescales it to the frozen
+reference host via the cpu canary (see CANARY_CPU_REF_S). The full
+per-extra-query timings land in
 ``BENCH_DETAIL.json`` next to this file — the stdout line is kept
 under ~1800 chars because the driver parses it out of a ~2000-char
 stdout tail (round 7's full line overflowed that and was recorded
@@ -320,6 +323,52 @@ EXTRA = [
 
 ROUNDS = 3
 
+# INHERENT-COST extras (round-12 decision, after three rounds of
+# re-profiling the same slowest-5): these queries' cost is the work
+# they exist to do, not a plan defect — BENCH_DETAIL carries this map
+# so future rounds stop re-attributing them. Reduction attempts are
+# recorded in SCALE.md; re-open one only if its sf0.1 time moves >1.5x
+# against the cpu canary.
+INHERENT_COST = {
+    "dedup_bcubed_agreement": (
+        "runs BOTH dedup passes by definition (it compares them); "
+        "collapses to contingency cells in one doc-scale groupBy, "
+        "checkpointed — the duplicated pass IS the audit"
+    ),
+    "video_frame_sample_stats": (
+        "pure-Python JPEG IDCT per sampled frame is the documented "
+        "per-core tax (codec constant already cut 2-3x in round 11); "
+        "only the opt-in native backend removes it"
+    ),
+    "jaccard_prefix_pairs": (
+        "exact-join GROUND TRUTH for the PPJoin pruning filters; the "
+        "verify join's output is inherently quadratic on this "
+        "saturated-vocabulary corpus (the join itself is milliseconds "
+        "after class-collapse)"
+    ),
+    "clustering_coefficients": (
+        "degree-ordered wedge enumeration — output-sized cost on a "
+        "dense co-purchase graph; the ordering already minimizes "
+        "wedge count"
+    ),
+    "dedup_clusters_smallstar": (
+        "alternating large-star/small-star rounds to convergence; "
+        "per-round one shuffle is optimal for connected components "
+        "without a driver-side union-find"
+    ),
+}
+
+# Frozen canary reference (round 6, first measurement on the recording
+# host; documented in SCALE.md §"Round 6: host-speed canary"). The JSON
+# line's ``value_normalized`` is value / (canary.cpu_s / this) — the
+# headline rescaled to reference-host speed, so a verdict comparing
+# rounds never again has to hand-divide out a contended grading host
+# (round-11 lesson: a loadavg-7.9 run read as a 1.10x regression that
+# a quiet-host rerun showed was 0.86x). The RAW ``value`` remains the
+# graded number; the normalized one is the trend signal. DO NOT EDIT
+# the reference — its value is being identical forever.
+CANARY_CPU_REF_S = 0.897
+
 
 def _cpu_canary_s() -> float:
     """FROZEN single-thread CPU probe (~0.7 s on an idle core).
@@ -477,6 +526,14 @@ def main() -> None:
     except OSError:
         load1 = -1.0
     total = round(sum(timings.values()), 3)
+    # min-of-rounds cpu canary ~= the least-contended moment this run
+    # saw; dividing by the frozen reference rescales the headline to
+    # reference-host speed (see CANARY_CPU_REF_S)
+    total_normalized = (
+        round(total / (min(cpu_canaries) / CANARY_CPU_REF_S), 3)
+        if cpu_canaries and min(cpu_canaries) > 0
+        else None
+    )
     canary = {
         "cpu_s": round(min(cpu_canaries), 3),
         "cpu_s_max": round(max(cpu_canaries), 3),
@@ -500,10 +557,14 @@ def main() -> None:
     detail = {
         "metric": "headline_queries_total_time",
         "value": total,
+        "value_normalized": total_normalized,
         "unit": "sec",
         "queries": timings,
         "extra_queries": extra_timings,
         "extra_passes": extra_passes,
+        "inherent_cost": {
+            n: why for n, why in INHERENT_COST.items() if n in extra_timings
+        },
         "canary": canary,
         "sf": _sf_from_dir(SF_DIR),
     }
@@ -523,6 +584,7 @@ def main() -> None:
     compact = {
         "metric": "headline_queries_total_time",
         "value": total,
+        "value_normalized": total_normalized,
         "unit": "sec",
         "queries": timings,
         "extras": {

@@ -1485,4 +1485,74 @@ ROUND11_WINDOW = [
     "token_stats",
 ]
 
-registry.promote(ROUND11_WINDOW)
+# ROUND 12: staleness rotation, continued. The window below is the 50
+# entries with the OLDEST last-green driver round per
+# tools/rotation_queue.py over the CORRECTNESS_r01–r11 union:
+# vocab_topk (r03 — deliberately included this time; it is headline-
+# benched every round but had not carried a driver CORRECTNESS row
+# since r03), the full r04 cohort (11), the full r05 cohort (26), and
+# the alphabetical head of the r07 cohort (11). new_customers is
+# freshly green in r11 but re-enters as the round's one CHANGED entry:
+# its probe was restricted to the 1995 order book so the anti-join
+# result is non-empty at sf0.01 (the r11 verdict flagged the old
+# driver row as trivially green on 0 rows). No new registrations this
+# round (net-zero trivially holds).
+ROUND12_WINDOW = [
+    # -- changed this round: probe de-trivialized (326 rows at sf0.01) --
+    "new_customers",
+    # -- stalest green: last driver row r03 --
+    "vocab_topk",
+    # -- stalest greens: last driver row r04 (11) --
+    "chunk_overlap",
+    "cluster_representatives",
+    "cohort_retention",
+    "decontaminate_ngrams",
+    "dim_geography",
+    "dm_scd2_propagation",
+    "event_transitions",
+    "events_sliding",
+    "sales_rollup",
+    "span_dup_stats",
+    "top_events_per_user",
+    # -- stalest greens: last driver row r05 (26) --
+    "ann_ivf_topk",
+    "ann_recall",
+    "copurchase_triangles",
+    "dedup_incremental",
+    "dim_address",
+    "dim_date",
+    "domain_quota_sample",
+    "event_funnel",
+    "events_gapfill",
+    "events_hourly_approx_users",
+    "golden_record_customers",
+    "kmeans_assign",
+    "market_basket_pairs",
+    "minhash_recall_eval",
+    "multimodal_features",
+    "nearest_purchase_to_error",
+    "pii_pseudonymize_customers",
+    "pricing_summary",
+    "priority_price_quantiles",
+    "quality_filter",
+    "scd2_customers",
+    "scd2_snapshot_diff",
+    "semantic_dedup",
+    "session_maintenance_overlap",
+    "text_quality",
+    "tfidf_topk_terms",
+    # -- stalest greens: last driver row r07, alphabetical head (11) --
+    "ann_int8_rerank",
+    "audio_decode_stats",
+    "benford_order_totals",
+    "bigram_surprisal_scores",
+    "cluster_balanced_sample",
+    "copurchase_bfs_layers",
+    "countmin_heavy_hitters",
+    "daily_revenue_ewma",
+    "daily_user_sketch_rollup",
+    "daily_users_kmv",
+    "dedup_savings_report",
+]
+
+registry.promote(ROUND12_WINDOW)

@@ -43,7 +43,8 @@ def test_bench_emits_one_json_line():
     # detail goes to BENCH_DETAIL.json. Round 7's full line overgrew
     # the tail and was recorded unparsed — pin the budget here.
     assert set(doc) == {
-        "metric", "value", "unit", "queries", "extras", "canary", "sf",
+        "metric", "value", "value_normalized", "unit", "queries",
+        "extras", "canary", "sf",
     }
     assert len(payloads[0]) <= 1800
     assert doc["unit"] == "sec" and doc["sf"] == 0.001
@@ -59,10 +60,16 @@ def test_bench_emits_one_json_line():
     with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
         detail = json.load(f)
     assert set(detail) == {
-        "metric", "value", "unit", "queries", "extra_queries",
-        "extra_passes", "canary", "sf",
+        "metric", "value", "value_normalized", "unit", "queries",
+        "extra_queries", "extra_passes", "inherent_cost", "canary", "sf",
     }
     assert detail["value"] == doc["value"]
+    # canary-normalized headline (round-12): raw value rescaled to the
+    # frozen reference host; present and consistent in both artifacts
+    assert doc["value_normalized"] == detail["value_normalized"]
+    assert doc["value_normalized"] > 0
+    # every inherent-cost annotation points at a timed extra
+    assert set(detail["inherent_cost"]) <= set(detail["extra_queries"])
     assert detail["queries"] == doc["queries"]
     assert len(detail["extra_queries"]) == doc["extras"]["n"]
     # every timed extra reports how many passes its minimum came from
@@ -87,50 +94,48 @@ def test_correctness_window_is_the_intended_fifty():
     rotation notes."""
     sys.path.insert(0, REPO)
     from global_superstore_data_warehouse_spark import registry
-    from global_superstore_data_warehouse_spark.queries import ROUND11_WINDOW
+    from global_superstore_data_warehouse_spark.queries import ROUND12_WINDOW
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
     # since round 8 the window is DECLARED: registry.promote reorders
-    # the registry to put ROUND11_WINDOW first, so the driver's first
+    # the registry to put ROUND12_WINDOW first, so the driver's first
     # 50 must be exactly that list, in order
-    assert window == list(ROUND11_WINDOW)
-    # round-11 composition per the round-10 verdict: verification
-    # FRESHNESS — the 47 entries with the oldest last-green driver
-    # round (25 last green r02, 22 last green r03, from the
-    # CORRECTNESS_r01-r10 union) + the round's three net-zero-rule
-    # first-timers windowed immediately
-    first_timers = {
-        "daily_user_sketch_rollup_audit",
-        "events_hourly_approx_users_audit",
-        "mor_compaction_policy",
+    assert window == list(ROUND12_WINDOW)
+    # round-12 composition per the round-11 verdict: staleness
+    # rotation continued — the 49 entries with the oldest last-green
+    # driver round (vocab_topk r03, the full r04 cohort of 11, the
+    # full r05 cohort of 26, the alphabetical head of r07: 11) plus
+    # the round's one CHANGED entry re-entering for re-verification
+    # (new_customers, probe de-trivialized to a non-empty anti-join)
+    changed = {"new_customers"}
+    stale_r04 = {
+        "chunk_overlap", "cluster_representatives", "cohort_retention",
+        "decontaminate_ngrams", "dim_geography", "dm_scd2_propagation",
+        "event_transitions", "events_sliding", "sales_rollup",
+        "span_dup_stats", "top_events_per_user",
     }
-    assert first_timers <= set(window), sorted(first_timers - set(window))
-    stale_r02 = {
-        "case_insensitive_segments", "clean_dirty_ids",
-        "customer_ltv_deciles", "customers_with_orders",
-        "demand_category_region", "dim_market", "distinct_union_brands",
-        "dq_report", "duplicate_orders", "events_json_props",
-        "fuzzy_name_match", "merged_entities", "new_customers",
-        "parse_dates", "priority_distribution", "qa_duplicates_any_table",
-        "qa_rowcounts", "rolling_7d_sales", "scd1_upsert_customers",
-        "segment_sales", "split_names", "top_employees_per_year",
-        "types_in_both_halves", "types_missing_from_sample",
-        "union_all_segments",
-    }
-    assert len(stale_r02) == 25 and stale_r02 <= set(window)
-    assert len(set(window) - first_timers - stale_r02) == 22  # the r03 tier
-    # ...and every round-10 window entry rotated out this round (all
-    # r10 hash-green) must stay registered — pytest parity retained
-    from global_superstore_data_warehouse_spark.queries import ROUND10_WINDOW
+    assert len(stale_r04) == 11 and stale_r04 <= set(window)
+    assert "vocab_topk" in window  # the single r03 straggler
+    rest = set(window) - changed - stale_r04 - {"vocab_topk"}
+    assert len(rest) == 37  # 26 from r05 + 11 from r07
+    # ...and every round-11 window entry rotated out this round (all
+    # r11 hash-green) must stay registered — pytest parity retained
+    from global_superstore_data_warehouse_spark.queries import ROUND11_WINDOW
 
-    rotated_out = set(ROUND10_WINDOW) - set(window)
+    rotated_out = set(ROUND11_WINDOW) - set(window)
     all_names = set(registry.queries())
     assert rotated_out <= all_names, sorted(rotated_out - all_names)
-    # the round-11 window is fully oracle-backed — every slot can go
-    # hash-green
+    # every window slot is oracle-backed EXCEPT the two by-design
+    # rows-only HLL estimates (engine-specific values; their exact
+    # audit twins went hash-green in r11), which this rotation
+    # re-freshens on the weaker rows-only check
     sys.path.insert(0, REPO)
     import __spark_entry__ as e
 
     no_oracle = [n for n in window if n not in e.oracle_sql()]
-    assert no_oracle == [], no_oracle
+    assert no_oracle == [
+        "events_hourly_approx_users", "daily_user_sketch_rollup"
+    ] or sorted(no_oracle) == [
+        "daily_user_sketch_rollup", "events_hourly_approx_users"
+    ], no_oracle
