@@ -73,6 +73,15 @@ def main() -> None:
     print("\nstaleness (last-green round, oldest first; '-' = never green):")
     for q in by_age:
         print(f"  {green.get(q, '-'):>4}  {q}")
+    # Suggested next window: the head-50 of the staleness order. The
+    # actual ROUND{N}_WINDOW should replace tail entries with (a) any
+    # query whose plan/oracle CHANGED this round and (b) the round's
+    # net-zero first-timer registrations — both must be re-proven
+    # before their stale peers.
+    print("\nsuggested next window (staleness head-50; adjust for")
+    print("changed entries and first-timers per queries.py's notes):")
+    for q in by_age[:50]:
+        print(f'    "{q}",')
 
 
 if __name__ == "__main__":
