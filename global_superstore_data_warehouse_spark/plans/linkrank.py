@@ -693,19 +693,26 @@ kcore_membership.__doc__ = kcore_membership.__doc__.format(
 
 
 def _kcore_oracle() -> str:
+    # Every CTE is AS MATERIALIZED: each round references the previous
+    # round TWICE (src and dst endpoint semi-joins), so without the
+    # hint DuckDB may inline the chain — 2^ROUNDS copies of the
+    # co-purchase self-join. At sf0.1 the un-hinted form spilled >80 GB
+    # of temp and died on disk (round-12 sweep); materialized, each
+    # round computes once and the chain is linear, mirroring the Spark
+    # plan's per-round localCheckpoint.
     sql = """
-    WITH basket AS (
+    WITH basket AS MATERIALIZED (
         SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), edges AS (
+    ), edges AS MATERIALIZED (
         SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
         FROM basket a JOIN basket b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
-    ), a0 AS (
+    ), a0 AS MATERIALIZED (
         SELECT DISTINCT src AS node FROM edges
     )"""
     prev = "a0"
     for i in range(1, KCORE_ROUNDS + 1):
-        sql += f""", a{i} AS (
+        sql += f""", a{i} AS MATERIALIZED (
         SELECT e.src AS node
         FROM edges e
         JOIN {prev} s ON s.node = e.src

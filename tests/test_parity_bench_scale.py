@@ -27,7 +27,15 @@ def _names():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from global_superstore_data_warehouse_spark import registry
 
-    return sorted(registry.oracle_sql())
+    names = sorted(registry.oracle_sql())
+    # Optional slice for resuming/sharding a long sweep (the DuckDB
+    # side of a few oracles — recursive-CTE dedup closures, exact
+    # pair ground truths — runs tens of minutes at sf0.1, so one
+    # process can outlive a harness timeout): SPARK_GRAFT_SLOW_START /
+    # SPARK_GRAFT_SLOW_STOP index into THIS sorted order.
+    start = int(os.environ.get("SPARK_GRAFT_SLOW_START", "0"))
+    stop = int(os.environ.get("SPARK_GRAFT_SLOW_STOP", str(len(names))))
+    return names[start:stop]
 
 
 @pytest.fixture(scope="module")
