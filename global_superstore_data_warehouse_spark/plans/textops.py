@@ -745,15 +745,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_CLUSTERS_ORACLE = f"""
-    WITH RECURSIVE raw AS (
+    WITH RECURSIVE raw AS MATERIALIZED (
         SELECT doc_id, lang, n_chars, {ALL_TOKS_SQL} AS t FROM documents
-    ), d AS (
+    ), d AS MATERIALIZED (
         SELECT doc_id, lang,
                CAST(FLOOR(n_chars / {LEN_BUCKET}.0) AS INTEGER) AS len_b,
                {_hashed_sql('t')} AS toks,
                {_sig_sql_from(_hashed_sql('t'))}
         FROM raw
-    ), pairs AS (
+    ), pairs AS MATERIALIZED (
         SELECT a.doc_id AS src, b.doc_id AS dst
         FROM d a JOIN d b
           ON a.lang = b.lang AND a.len_b = b.len_b AND a.doc_id < b.doc_id
@@ -761,15 +761,20 @@ DEDUP_CLUSTERS_ORACLE = f"""
         WHERE len(list_intersect(a.toks, b.toks)) * 1.0
               / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
               >= {CLUSTER_JACCARD}
-    ), sym AS (
+    ), sym AS MATERIALIZED (
         SELECT src, dst FROM pairs
         UNION ALL
         SELECT dst, src FROM pairs
     ), reach(n, r) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
+        -- hash-to-min prune (see DEDUP_BCUBED_AGREEMENT_ORACLE's
+        -- sh_reach for the safety argument): labels only propagate
+        -- to larger ids; MIN per node is unchanged on a symmetric
+        -- edge set
         SELECT s.dst, r.r
         FROM reach r JOIN sym s ON s.src = r.n
+        WHERE r.r < s.dst
     )
     SELECT n AS doc_id,
            MIN(r) AS cluster_id,
@@ -2028,12 +2033,12 @@ def _simhash32_sql() -> str:
         for b in range(SIMHASH_ND_BITS)
     )
     return f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
         SELECT doc_id, ('0x' || substr(md5(w.w), 1, 8))::BIGINT AS v
         FROM documents, unnest({TOKS_SQL}) AS w(w)
-    ), s AS (
+    ), s AS MATERIALIZED (
         SELECT doc_id, {sums} FROM e GROUP BY doc_id
-    ), sim AS (
+    ), sim AS MATERIALIZED (
         SELECT doc_id, CAST({combine} AS BIGINT) AS sim FROM s
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -2743,28 +2748,37 @@ def dedup_bcubed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEDUP_BCUBED_AGREEMENT_ORACLE = f"""
-    WITH sh_pairs AS (
+    WITH sh_pairs AS MATERIALIZED (
         SELECT doc_a, doc_b FROM ({SIMHASH_NEAR_DUP_PAIRS_ORACLE})
-    ), sh_sym AS (
+    ), sh_sym AS MATERIALIZED (
         SELECT doc_a AS s, doc_b AS d FROM sh_pairs
         UNION ALL SELECT doc_b, doc_a FROM sh_pairs
     ), sh_reach AS (
         WITH RECURSIVE r(n, m) AS (
             SELECT doc_id, doc_id FROM documents
             UNION
+            -- hash-to-min prune: only propagate labels DOWNHILL
+            -- (m < d). Safe for MIN-reachability on a SYMMETRIC edge
+            -- set: every node trivially reaches itself, so its final
+            -- min is <= its own id, and the component minimum meets
+            -- no smaller node to block it — dropped uphill pairs can
+            -- never be a node's min. Cuts the closure from
+            -- sum(|comp|^2) rows toward half, the difference between
+            -- a 40-minute and a feasible sweep at sf0.1.
             SELECT sh_sym.d, r.m FROM r JOIN sh_sym ON sh_sym.s = r.n
+            WHERE r.m < sh_sym.d
         )
         SELECT n AS doc_id, MIN(m) AS c_sh FROM r GROUP BY n
-    ), mh AS (
+    ), mh AS MATERIALIZED (
         SELECT doc_id, cluster_id AS c_mh FROM ({DEDUP_CLUSTERS_ORACLE})
-    ), both_c AS (
+    ), both_c AS MATERIALIZED (
         SELECT s.doc_id, s.c_sh, m.c_mh
         FROM sh_reach s JOIN mh m USING (doc_id)
-    ), cg AS (
+    ), cg AS MATERIALIZED (
         SELECT c_sh, c_mh, COUNT(*) AS n_cg FROM both_c GROUP BY c_sh, c_mh
-    ), cc AS (
+    ), cc AS MATERIALIZED (
         SELECT c_sh, COUNT(*) AS n_c FROM both_c GROUP BY c_sh
-    ), gg AS (
+    ), gg AS MATERIALIZED (
         SELECT c_mh, COUNT(*) AS n_g FROM both_c GROUP BY c_mh
     ), per_doc AS (
         SELECT (1000000 * cg.n_cg) // cc.n_c AS p_micro,
