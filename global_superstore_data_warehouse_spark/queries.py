@@ -1,13 +1,13 @@
-# ROTATION QUEUE: EMPTY as of round 10 — all 236 registered queries
-# have (or are in the current window to get) a driver CORRECTNESS
-# row; the round-10 late additions (video_frame_sample_stats,
-# audio_vad_features, warc_ingest_stats) entered ROUND10_WINDOW
-# directly, displacing three repeat-greens. tools/rotation_queue.py
-# computes the live list. STANDING NET-ZERO-DEBT RULE (see the
-# ROUND10_WINDOW block at the bottom): new registrations per round
-# <= what the next 50-slot window absorbs alongside ~10 repeats
-# (<= 20/round), and every new registration enters the very next
-# window.
+# ROTATION QUEUE: EMPTY since round 10 — every registered query has a
+# driver CORRECTNESS row; since round 11 the rotation criterion is
+# STALENESS (oldest last-green round first; tools/rotation_queue.py
+# prints the ordering and a suggested next window). STANDING
+# NET-ZERO-DEBT RULE (see the window blocks at the bottom): new
+# registrations per round <= what the next 50-slot window absorbs
+# alongside the stale-green repeats (<= 20/round), and every new
+# registration enters the very next window. Any query whose PLAN or
+# ORACLE changes mid-round re-enters the next window too (round 12:
+# new_customers).
 """Query inventory — registers every implemented operator/query.
 
 One `register(...)` call per SURVEY.md §2 line item (plus the
@@ -17,20 +17,15 @@ compare hashes values under sorted column names.
 
 REGISTRATION ORDER MATTERS: the driver records CORRECTNESS rows for
 the first 50 entries only. Since round 8 the window is defined
-EXPLICITLY by the ``ROUND10_WINDOW`` list at the bottom of this file
-(``registry.promote`` reorders the registry so the list comes
-first) — rotating is one list edit, not a reshuffle of register()
-blocks. Round-10 composition, per the round-9 verdict directive:
-the final 17 never-driver-checked backlog entries + the round's ten
-net-zero-rule registrations windowed immediately (mor_merge_upsert,
-the multimodal trio, the four shard-ingestion formats + Arrow IPC,
-and the COW/MOR change-feed pair) + 23 repeat-green representatives
-spread across every operator family — never-checked debt stays
-ZERO. Earlier
-rotations (rounds 3-9) are
-recorded in git history / the ROUND9_WINDOW list below. Everything
+EXPLICITLY by the current ``ROUND{N}_WINDOW`` list at the bottom of
+this file (``registry.promote`` reorders the registry so the list
+comes first) — rotating is one list edit, not a reshuffle of
+register() blocks. Earlier rotations (rounds 3-11) are recorded in
+git history / the ROUND9/10/11_WINDOW lists below. Everything
 outside the window keeps identical DuckDB-oracle parity coverage in
-pytest (tests/conftest.py::assert_matches_oracle).
+pytest (tests/conftest.py::assert_matches_oracle), and the opt-in
+sf0.1 sweep (tests/test_parity_bench_scale.py) re-proves the whole
+registry at bench scale once per round.
 """
 
 from __future__ import annotations
