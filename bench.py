@@ -551,7 +551,10 @@ def main() -> None:
     # final line carries: metric/value/unit, the 11 headline
     # timings, the canary, sf, and only an extras SUMMARY
     # (count + total + slowest 5) with a pointer to the detail file.
-    detail_path = os.path.join(
+    # $SPARK_GRAFT_BENCH_DETAIL redirects the detail file — the
+    # driver-contract test uses it so a routine pytest run can't
+    # clobber the committed sf0.1 grading artifact with sf0.001 output
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     detail = {
@@ -568,7 +571,11 @@ def main() -> None:
         "canary": canary,
         "sf": _sf_from_dir(SF_DIR),
     }
-    detail_ref: str | None = "BENCH_DETAIL.json"
+    detail_ref: str | None = (
+        detail_path
+        if os.environ.get("SPARK_GRAFT_BENCH_DETAIL")
+        else "BENCH_DETAIL.json"
+    )
     try:
         with open(detail_path, "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)

@@ -273,15 +273,24 @@ def read_version(
     return merged.drop("_seq")
 
 
-def compact(spark: SparkSession, root: str) -> dict:
+def compact(spark: SparkSession, root: str, _pinned_version: int | None = None) -> dict:
     """Fold the delete files away: materialize the merged snapshot,
     rewrite it as fresh bucketed data files, and commit a version
     that removes every prior data and delete file. Read
     amplification resets to zero; this IS the COW write the merge
     deferred, run once for many merges (the economics of a table
-    service's scheduled compaction)."""
+    service's scheduled compaction).
+
+    ``_pinned_version`` lets a caller that already pinned its commit
+    version (compact_buckets' all-victims delegation) carry that pin
+    through, so a commit interleaving since THE CALLER's pin still
+    loses the create-exclusive race instead of being silently folded
+    at a fresh head with scheduling evidence from the older snapshot."""
     meta = _read_meta(root)
-    version = current_version(root) + 1
+    version = (
+        _pinned_version if _pinned_version is not None
+        else current_version(root) + 1
+    )
     # Fold at the pinned base (version-1), not the call-time head: the
     # materialize below includes Spark jobs, and a commit interleaving
     # in that window must lose the create-exclusive _commit race with
@@ -373,7 +382,10 @@ def vacuum(
 
 
 def bucket_delete_ratios(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    _entries: tuple[list[dict], list[dict]] | None = None,
 ) -> dict[int, float]:
     """Per-bucket read-amplification signal for the table service:
     live delete keys landing in each bucket / physical data rows in
@@ -388,9 +400,14 @@ def bucket_delete_ratios(
     threshold sweep should always reclaim them; a map keyed only on
     data-manifest buckets would hide them forever (round-12 fix).
     ``version`` pins the snapshot the signal is computed from
-    (defaults to the current head)."""
+    (defaults to the current head); ``_entries`` lets a caller that
+    already folded the manifest at that version (compact_buckets)
+    pass the (data, delete) entry lists in rather than re-parsing
+    every commit file."""
     meta = _read_meta(root)
-    data_entries, del_entries = _live(root, version)
+    data_entries, del_entries = (
+        _entries if _entries is not None else _live(root, version)
+    )
     data_rows: dict[int, int] = {}
     for e in data_entries:
         data_rows[e["bucket"]] = data_rows.get(e["bucket"], 0) + e["rows"]
@@ -455,12 +472,20 @@ def compact_buckets(
     # interleave LOSE the _commit race and surface ConcurrentWriteError
     # instead of corrupting the table (round-12 fix).
     version = current_version(root) + 1
-    ratios = bucket_delete_ratios(spark, root, version=version - 1)
-    victims = sorted(b for b, r in ratios.items() if r > max_delete_ratio)
     data_entries, del_entries = _live(root, version - 1)
+    ratios = bucket_delete_ratios(
+        spark, root, version=version - 1, _entries=(data_entries, del_entries)
+    )
+    victims = sorted(b for b, r in ratios.items() if r > max_delete_ratio)
     rows_before = sum(e["rows"] for e in del_entries)
     report = {
-        "ratios": ratios,
+        # inf (delete-only bucket) is not valid strict JSON — report
+        # it as the string "inf" so the scheduling evidence survives
+        # json.dumps into service logs; the float API stays on
+        # bucket_delete_ratios itself
+        "ratios": {
+            b: ("inf" if r == float("inf") else r) for b, r in ratios.items()
+        },
         "buckets_compacted": victims,
         "delete_rows_before": rows_before,
     }
@@ -474,9 +499,11 @@ def compact_buckets(
     if len(victim_files) == len(data_entries):
         # every live data file is a victim: identical outcome to the
         # whole-table fold, which also owns the fully-deleted-table
-        # placeholder edge — delegate (compact() pins its own version
-        # first, so the concurrency guarantee carries over)
-        full = compact(spark, root)
+        # placeholder edge — delegate, carrying OUR pin so an
+        # interleaved commit still loses the race (a re-pin inside
+        # compact would silently fold the newer head while this
+        # report's ratios/rows_before describe the older snapshot)
+        full = compact(spark, root, _pinned_version=version)
         report.update(
             version=full["version"],
             data_files_rewritten=full["data_files_rewritten"],

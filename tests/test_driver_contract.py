@@ -26,9 +26,14 @@ def test_registry_contract():
         assert isinstance(sql, str) and "SELECT" in sql.upper()
 
 
-def test_bench_emits_one_json_line():
+def test_bench_emits_one_json_line(tmp_path):
+    # redirect the detail file: without this, every suite run would
+    # overwrite the committed sf0.1 BENCH_DETAIL.json grading artifact
+    # with this subprocess's sf0.001 output
+    detail_path = str(tmp_path / "BENCH_DETAIL.json")
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="4")
+               SPARK_GRAFT_CPUS="4",
+               SPARK_GRAFT_BENCH_DETAIL=detail_path)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, timeout=600, cwd=REPO,
@@ -54,10 +59,10 @@ def test_bench_emits_one_json_line():
     canary = doc["canary"]
     assert canary["cpu_s"] > 0 and canary["spark_probe_s"] > 0
     assert canary["cpu_s_max"] >= canary["cpu_s"]
-    assert doc["extras"]["detail"] == "BENCH_DETAIL.json"
+    assert doc["extras"]["detail"] == detail_path
     assert doc["extras"]["n"] >= 60 and doc["extras"]["total"] > 0
     # the detail file holds the full maps the compact line summarizes
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+    with open(detail_path) as f:
         detail = json.load(f)
     assert set(detail) == {
         "metric", "value", "value_normalized", "unit", "queries",

@@ -542,6 +542,12 @@ def test_mor_compact_buckets_delete_only_bucket_reclaimed(spark, tmp_path):
     assert mortable._live(root)[1] == []
     after = sorted(map(tuple, mortable.read_version(spark, root).collect()))
     assert after == before
+    # the report is scheduling evidence for service logs: it must be
+    # STRICT-JSON serializable (the inf ratio is reported as "inf")
+    import json as _json
+
+    rt = _json.loads(_json.dumps(report, allow_nan=False))
+    assert rt["ratios"]["1"] == "inf" and rt["ratios"]["0"] == 0.0
 
 
 def test_mor_compact_buckets_loses_race_to_interleaved_merge(
@@ -569,7 +575,7 @@ def test_mor_compact_buckets_loses_race_to_interleaved_merge(
 
     real_ratios = mortable.bucket_delete_ratios
 
-    def interleaving_ratios(spark_, root_, version=None):
+    def interleaving_ratios(spark_, root_, version=None, _entries=None):
         # a concurrent writer lands between the sweep's version pin
         # and its commit: update k=7 (v 70 -> 7000)
         mortable.merge_upsert(
@@ -577,7 +583,7 @@ def test_mor_compact_buckets_loses_race_to_interleaved_merge(
             spark_.createDataFrame([(7, 7000)], "k long, v long"),
             key="k",
         )
-        return real_ratios(spark_, root_, version)
+        return real_ratios(spark_, root_, version, _entries)
 
     monkeypatch.setattr(mortable, "bucket_delete_ratios", interleaving_ratios)
     with pytest.raises(mortable.ConcurrentWriteError):
@@ -593,6 +599,44 @@ def test_mor_compact_buckets_loses_race_to_interleaved_merge(
     assert 0 in report["buckets_compacted"]
     state2 = {r.k: r.v for r in mortable.read_version(spark, root).collect()}
     assert state2 == state
+
+
+def test_mor_compact_buckets_all_victims_race_still_loses(
+    spark, tmp_path, monkeypatch
+):
+    """The ALL-VICTIMS path delegates to compact(); the sweep's pin
+    must carry through that delegation, or an interleaved merge is
+    silently folded at a fresh head while the report's ratios and
+    delete_rows_before describe the pre-merge snapshot."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "t")
+    base = spark.range(1, 9).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 8))
+    # deletes in EVERY bucket -> both buckets exceed the threshold
+    mortable.delete_keys(
+        spark, root,
+        spark.createDataFrame([(1,), (2,), (5,), (6,)], "k long"),
+        key="k",
+    )
+
+    real_ratios = mortable.bucket_delete_ratios
+
+    def interleaving_ratios(spark_, root_, version=None, _entries=None):
+        mortable.merge_upsert(
+            spark_, root_,
+            spark_.createDataFrame([(3, 3000)], "k long, v long"),
+            key="k",
+        )
+        return real_ratios(spark_, root_, version, _entries)
+
+    monkeypatch.setattr(mortable, "bucket_delete_ratios", interleaving_ratios)
+    with pytest.raises(mortable.ConcurrentWriteError):
+        mortable.compact_buckets(spark, root, max_delete_ratio=0.1)
+    state = {r.k: r.v for r in mortable.read_version(spark, root).collect()}
+    assert state[3] == 3000 and 1 not in state
 
 
 def test_mor_compact_buckets_property_random_histories(spark, tmp_path):
