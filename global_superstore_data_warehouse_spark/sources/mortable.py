@@ -66,6 +66,13 @@ DATA_DIR = cowtable.DATA_DIR
 DELETE_DIR = "deletes"
 
 
+class SnapshotExpiredError(RuntimeError):
+    """A version-pinned read referenced files that vacuum has since
+    reclaimed — the pinned snapshot is expired (Delta's
+    VersionNotFoundError-after-VACUUM contract). Re-pin at the
+    current head or raise the table's retention window."""
+
+
 def _stage_delete_parts(
     root: str, version: int, df: DataFrame, *, skip_empty: bool
 ) -> list[dict]:
@@ -413,9 +420,23 @@ def bucket_delete_ratios(
         data_rows[e["bucket"]] = data_rows.get(e["bucket"], 0) + e["rows"]
     if not del_entries:
         return {b: 0.0 for b in data_rows}
-    dels = spark.read.parquet(
-        *[os.path.join(root, e["file"]) for e in del_entries]
-    )
+    # ``version`` is public API, so a caller may pin a HISTORICAL
+    # snapshot whose delete files a later vacuum already reclaimed
+    # (internal callers pin head-at-call, where the age floor makes
+    # this impossible). Check the manifest's paths before handing
+    # them to Spark: a missing file must surface as a clear
+    # snapshot-expired error, not a deep-in-job FileNotFoundException
+    # (round-12 ADVICE).
+    del_paths = [os.path.join(root, e["file"]) for e in del_entries]
+    gone = [p for p in del_paths if not os.path.exists(p)]
+    if gone:
+        raise SnapshotExpiredError(
+            f"pinned version {version} references "
+            f"{len(gone)} vacuumed delete file(s), e.g. {gone[0]!r}; "
+            "pinned reads are only valid inside the vacuum retention "
+            "window — re-pin at the current head"
+        )
+    dels = spark.read.parquet(*del_paths)
     counts = {
         r["b"]: r["n"]
         for r in dels.select(

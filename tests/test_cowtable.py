@@ -850,3 +850,98 @@ def test_cow_change_feed_folds_log_once(spark, tmp_path, monkeypatch):
     }
     assert (1, "update_postimage", 5, 500) in rows
     assert len([r for r in rows if r[1] == "update_postimage"]) == 4
+
+
+def test_cow_compact_loses_race_to_interleaved_merge(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 twin of test_mortable's compact race test (the r12
+    verdict's directive #6): compact pins ``version`` BEFORE reading
+    live files and commits at version+1, so a merge that commits
+    inside compact's read window must win — compact's `_commit`
+    create-exclusive collision fires (ConcurrentWriteError) instead
+    of compact silently re-publishing pre-merge rows from its stale
+    snapshot."""
+    root = str(tmp_path / "t")
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    half1 = base.filter(F.col("k") % 2 == 0)
+    half2 = base.filter(F.col("k") % 2 == 1)
+    cowtable.create(spark, root, half1, key="k", nbuckets=2, bounds=(1, 20))
+    cowtable.append(spark, root, half2)  # multi-file buckets -> victims
+
+    real_live_files = cowtable.live_files
+    fired = [False]
+
+    def interleaving_live_files(root_, version=None):
+        # A concurrent writer lands between compact's version pin and
+        # its commit: update k=7 (v 70 -> 7000). Guard with a flag —
+        # the interleaved merge itself calls live_files, and so does
+        # the post-race verification read.
+        if not fired[0]:
+            fired[0] = True
+            entries = real_live_files(root_, version)
+            cowtable.merge_scd1(
+                spark, root_,
+                spark.createDataFrame([(7, 7000)], "k long, v long"),
+                keys=["k"], attrs=["v"],
+            )
+            return entries  # compact's (now stale) pinned snapshot
+        return real_live_files(root_, version)
+
+    monkeypatch.setattr(cowtable, "live_files", interleaving_live_files)
+    with pytest.raises(cowtable.ConcurrentWriteError):
+        cowtable.compact(spark, root)
+    # the interleaved merge's write survives — the stale compact
+    # snapshot (which still holds k=7 -> 70) was never committed
+    state = {r.k: r.v for r in cowtable.read_version(spark, root).collect()}
+    assert state[7] == 7000
+    assert [h["op"] for h in cowtable.history(root)] == [
+        "create", "append", "merge_scd1",
+    ]
+    # and compact still works once the table is quiescent
+    monkeypatch.setattr(cowtable, "live_files", real_live_files)
+    report = cowtable.compact(spark, root)
+    assert report["buckets_compacted"] > 0
+    state2 = {r.k: r.v for r in cowtable.read_version(spark, root).collect()}
+    assert state2 == state
+
+
+def test_cow_vacuum_interleaved_commit_loses_no_files(
+    spark, tmp_path, monkeypatch
+):
+    """A merge that commits while vacuum scans must not lose data:
+    the merge's freshly staged files are younger than the age floor,
+    so even though vacuum's pinned keep-set predates them they are
+    kept, and the post-merge snapshot reads intact."""
+    root = str(tmp_path / "t")
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    cowtable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 20))
+
+    real_live_files = cowtable.live_files
+    fired = [False]
+
+    def interleaving_live_files(root_, version=None):
+        if not fired[0]:
+            fired[0] = True
+            entries = real_live_files(root_, version)
+            cowtable.merge_scd1(
+                spark, root_,
+                spark.createDataFrame([(3, 3000)], "k long, v long"),
+                keys=["k"], attrs=["v"],
+            )
+            return entries  # vacuum's pre-merge keep-set
+        return real_live_files(root_, version)
+
+    monkeypatch.setattr(cowtable, "live_files", interleaving_live_files)
+    report = cowtable.vacuum(root, retain_versions=1)
+    monkeypatch.setattr(cowtable, "live_files", real_live_files)
+    # nothing deleted: every file not in the stale keep-set is
+    # younger than the age floor (the documented in-flight-writer
+    # contract), so the interleaved merge's state is fully readable
+    assert report["files_deleted"] == 0
+    state = {r.k: r.v for r in cowtable.read_version(spark, root).collect()}
+    assert state[3] == 3000 and len(state) == 20

@@ -766,3 +766,29 @@ def test_mor_vacuum_reclaims_both_sides(spark, tmp_path):
     assert on_disk == live
     after = sorted(map(tuple, mortable.read_version(spark, root).collect()))
     assert after == before
+
+
+def test_bucket_delete_ratios_expired_pin_raises_clearly(spark, tmp_path):
+    """Round-12 ADVICE: a PUBLIC-API caller may pin a historical
+    version whose delete files a later vacuum reclaimed. That must
+    surface as a descriptive SnapshotExpiredError before any Spark
+    job runs, not a deep FileNotFoundException."""
+    root = str(tmp_path / "t")
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 20))
+    mortable.delete_keys(
+        spark, root,
+        spark.createDataFrame([(k,) for k in range(1, 6)], "k long"),
+        key="k",
+    )
+    # v2's ratios work while its delete file is live
+    assert mortable.bucket_delete_ratios(spark, root, version=2)
+    # fold the deletes (v3) then reclaim v2's now-dead delete file
+    mortable.compact(spark, root)
+    mortable.vacuum(root, retain_versions=1, min_age_seconds=0)
+    with pytest.raises(mortable.SnapshotExpiredError, match="version 2"):
+        mortable.bucket_delete_ratios(spark, root, version=2)
+    # head-pinned reads are unaffected
+    assert mortable.bucket_delete_ratios(spark, root) == {0: 0.0, 1: 0.0}
