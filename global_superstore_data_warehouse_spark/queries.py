@@ -1550,4 +1550,70 @@ ROUND12_WINDOW = [
     "dedup_savings_report",
 ]
 
-registry.promote(ROUND12_WINDOW)
+# ROUND 13: staleness rotation, continued. The window below is the 50
+# entries with the OLDEST last-green driver round per
+# tools/rotation_queue.py over the CORRECTNESS_r01–r12 union: the full
+# r07 tail (19 — everything alphabetically after dedup_savings_report
+# that round 12 didn't absorb) plus the alphabetical head of the r08
+# cohort (31). No plan/oracle changes and no new registrations this
+# round (net-zero trivially holds). Per the round-12 directive the
+# rotation tool now treats rows-only estimates and their `_audit`
+# twins as an ATOMIC PAIR — neither estimate is in this window (both
+# freshly r12), so the pairing rule is moot here but enforced by
+# tools/rotation_queue.py for every future window.
+ROUND13_WINDOW = [
+    # -- stalest greens: last driver row r07, alphabetical tail (19) --
+    "entity_resolution_customers",
+    "expectations_report",
+    "fact_pit_customers",
+    "fk_discovery",
+    "gdpr_erasure_cascade",
+    "join_size_estimate",
+    "leakage_safe_splits",
+    "market_budget_allocation",
+    "part_skyline",
+    "partition_advisor",
+    "profile_columns",
+    "quantile_sketch_rollup",
+    "schema_evolution_union",
+    "segment_revenue_trend",
+    "simhash_recall_eval",
+    "split_near_dup_leakage",
+    "temperature_mixture_sample",
+    "unigram_logprob_scores",
+    "user_activity_coverage",
+    # -- stalest greens: last driver row r08, alphabetical head (31) --
+    "ab_test_report",
+    "ann_ivf_pq",
+    "ann_pq_adc",
+    "asof_click_attribution",
+    "bitext_margin_mining",
+    "bm25_topk",
+    "bpe_learn_merges",
+    "bpe_vocab_compression",
+    "ccnet_perplexity_buckets",
+    "compaction_plan",
+    "cow_stream_upsert",
+    "cumulative_new_users",
+    "curation_pipeline",
+    "daily_revenue_anomalies",
+    "dsir_importance_weights",
+    "event_trigrams",
+    "events_in_maintenance_windows",
+    "events_session_window",
+    "events_value_outliers",
+    "fuzzy_match_fastss",
+    "k_anonymity_audit",
+    "layout_skipping_eval",
+    "measure_correlations",
+    "multitouch_attribution",
+    "mutual_information",
+    "order_day_islands",
+    "part_pagerank",
+    "revenue_cohorts",
+    "sales_cube",
+    "sales_employees_regions",
+    "seasonality_segment",
+]
+
+registry.promote(ROUND13_WINDOW)

@@ -99,48 +99,87 @@ def test_correctness_window_is_the_intended_fifty():
     rotation notes."""
     sys.path.insert(0, REPO)
     from global_superstore_data_warehouse_spark import registry
-    from global_superstore_data_warehouse_spark.queries import ROUND12_WINDOW
+    from global_superstore_data_warehouse_spark.queries import ROUND13_WINDOW
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
     # since round 8 the window is DECLARED: registry.promote reorders
-    # the registry to put ROUND12_WINDOW first, so the driver's first
+    # the registry to put ROUND13_WINDOW first, so the driver's first
     # 50 must be exactly that list, in order
-    assert window == list(ROUND12_WINDOW)
-    # round-12 composition per the round-11 verdict: staleness
-    # rotation continued — the 49 entries with the oldest last-green
-    # driver round (vocab_topk r03, the full r04 cohort of 11, the
-    # full r05 cohort of 26, the alphabetical head of r07: 11) plus
-    # the round's one CHANGED entry re-entering for re-verification
-    # (new_customers, probe de-trivialized to a non-empty anti-join)
-    changed = {"new_customers"}
-    stale_r04 = {
-        "chunk_overlap", "cluster_representatives", "cohort_retention",
-        "decontaminate_ngrams", "dim_geography", "dm_scd2_propagation",
-        "event_transitions", "events_sliding", "sales_rollup",
-        "span_dup_stats", "top_events_per_user",
+    assert window == list(ROUND13_WINDOW)
+    # round-13 composition per the round-12 verdict: staleness
+    # rotation continued — the 50 entries with the oldest last-green
+    # driver round over CORRECTNESS_r01–r12: the full r07 tail (19,
+    # everything alphabetically after dedup_savings_report) plus the
+    # alphabetical head of the r08 cohort (31). No changed entries
+    # and no new registrations this round.
+    stale_r07_tail = {
+        "entity_resolution_customers", "expectations_report",
+        "fact_pit_customers", "fk_discovery", "gdpr_erasure_cascade",
+        "join_size_estimate", "leakage_safe_splits",
+        "market_budget_allocation", "part_skyline", "partition_advisor",
+        "profile_columns", "quantile_sketch_rollup",
+        "schema_evolution_union", "segment_revenue_trend",
+        "simhash_recall_eval", "split_near_dup_leakage",
+        "temperature_mixture_sample", "unigram_logprob_scores",
+        "user_activity_coverage",
     }
-    assert len(stale_r04) == 11 and stale_r04 <= set(window)
-    assert "vocab_topk" in window  # the single r03 straggler
-    rest = set(window) - changed - stale_r04 - {"vocab_topk"}
-    assert len(rest) == 37  # 26 from r05 + 11 from r07
-    # ...and every round-11 window entry rotated out this round (all
-    # r11 hash-green) must stay registered — pytest parity retained
-    from global_superstore_data_warehouse_spark.queries import ROUND11_WINDOW
+    assert len(stale_r07_tail) == 19 and stale_r07_tail <= set(window)
+    rest = set(window) - stale_r07_tail
+    assert len(rest) == 31  # the alphabetical head of the r08 cohort
+    assert min(rest) == "ab_test_report" and max(rest) == "seasonality_segment"
+    # ...and every round-12 window entry rotated out this round (all
+    # r12 hash-green or rows-only-by-design) must stay registered —
+    # pytest parity retained
+    from global_superstore_data_warehouse_spark.queries import ROUND12_WINDOW
 
-    rotated_out = set(ROUND11_WINDOW) - set(window)
+    rotated_out = set(ROUND12_WINDOW) - set(window)
     all_names = set(registry.queries())
     assert rotated_out <= all_names, sorted(rotated_out - all_names)
-    # every window slot is oracle-backed EXCEPT the two by-design
-    # rows-only HLL estimates (engine-specific values; their exact
-    # audit twins went hash-green in r11), which this rotation
-    # re-freshens on the weaker rows-only check
+    # Every round-13 window slot is oracle-backed: the two by-design
+    # rows-only HLL estimates are outside this window (both freshly
+    # r12), and the rotation tool now keeps each estimate atomic with
+    # its `_audit` twin for every future window (round-12 directive).
     sys.path.insert(0, REPO)
     import __spark_entry__ as e
 
     no_oracle = [n for n in window if n not in e.oracle_sql()]
-    assert no_oracle == [
-        "events_hourly_approx_users", "daily_user_sketch_rollup"
-    ] or sorted(no_oracle) == [
-        "daily_user_sketch_rollup", "events_hourly_approx_users"
-    ], no_oracle
+    assert no_oracle == [], no_oracle
+
+
+def test_bench_covers_every_registered_query():
+    """Bench-coverage contract (round-12 verdict, 'What's wrong' #1):
+    bench.py's EXTRA list is hand-maintained, so without this test a
+    future registration could silently never get timed. Every
+    registered query must be HEADLINE, EXTRA, or BENCH_EXEMPT — and
+    an exemption must carry a real one-line reason."""
+    sys.path.insert(0, REPO)
+    import bench
+    from global_superstore_data_warehouse_spark import registry
+
+    names = set(registry.queries())
+    headline = set(bench.HEADLINE)
+    extra = set(bench.EXTRA)
+    exempt = dict(bench.BENCH_EXEMPT)
+    # full coverage, no silent skips
+    uncovered = names - headline - extra - set(exempt)
+    assert not uncovered, sorted(uncovered)
+    # the three sets are disjoint: an exempt entry that is also timed
+    # (or a headline entry repeated in EXTRA) means the lists drifted
+    assert not headline & extra
+    assert not set(exempt) & (headline | extra), sorted(
+        set(exempt) & (headline | extra)
+    )
+    # no dangling names: every benched/exempt name is a registered
+    # query, except the declared unregistered equivalence variants
+    # bench times alongside their registered twins
+    unregistered_ok = {"event_transitions_pandas"}
+    dangling = (headline | extra | set(exempt)) - names - unregistered_ok
+    assert not dangling, sorted(dangling)
+    # every exemption reason is a real sentence that cites the
+    # measured single-pass cost it was decided on
+    for name, reason in exempt.items():
+        assert isinstance(reason, str) and len(reason) >= 30, name
+        assert " s " in reason or "s;" in reason, (
+            name, "reason must cite the measured sf0.1 time", reason,
+        )

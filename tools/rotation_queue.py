@@ -78,10 +78,46 @@ def main() -> None:
     # query whose plan/oracle CHANGED this round and (b) the round's
     # net-zero first-timer registrations — both must be re-proven
     # before their stale peers.
-    print("\nsuggested next window (staleness head-50; adjust for")
-    print("changed entries and first-timers per queries.py's notes):")
-    for q in by_age[:50]:
-        print(f'    "{q}",')
+    #
+    # ATOMIC ESTIMATE+AUDIT PAIRS (round-12 directive): a rows-only
+    # estimate (no DuckDB oracle) produces only a `no_oracle` driver
+    # row — its checkable evidence is its `<name>_audit` twin. A
+    # window slot spent on the estimate alone proves nothing, so the
+    # suggestion treats the pair as ONE unit: the unit's staleness is
+    # the OLDER of the two members' last-green rounds, and both
+    # members enter the window together (costing two slots).
+    no_oracle = set(names) - set(registry.oracle_sql())
+    pair_of = {
+        q: f"{q}_audit" for q in no_oracle if f"{q}_audit" in set(names)
+    }
+    member_of = {}  # any member -> canonical unit key (the estimate)
+    for est, aud in pair_of.items():
+        member_of[est] = est
+        member_of[aud] = est
+    unit_age = {}  # unit key -> oldest member age ('' = never green)
+    for q in names:
+        unit = member_of.get(q, q)
+        age = green.get(q, "")
+        unit_age[unit] = min(unit_age.get(unit, age), age)
+    units = sorted(unit_age, key=lambda u: (unit_age[u], u))
+    suggestion: list[str] = []
+    for u in units:
+        members = [u, pair_of[u]] if u in pair_of else [u]
+        if len(suggestion) + len(members) > 50:
+            continue
+        suggestion.extend(members)
+        if len(suggestion) == 50:
+            break
+    print("\nsuggested next window (staleness head-50, estimate+audit")
+    print("pairs kept atomic; adjust for changed entries and")
+    print("first-timers per queries.py's notes):")
+    for q in suggestion:
+        tag = ""
+        if q in pair_of:
+            tag = f"  # rows-only estimate — paired with {pair_of[q]}"
+        elif q in pair_of.values():
+            tag = "  # audit twin (atomic with its estimate)"
+        print(f'    "{q}",{tag}')
 
 
 if __name__ == "__main__":
