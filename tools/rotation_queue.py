@@ -22,6 +22,48 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def suggest_window(
+    names: list[str],
+    green: dict[str, str],
+    with_oracle: set[str],
+    k: int = 50,
+) -> tuple[list[str], dict[str, str]]:
+    """The staleness head-``k`` suggestion, with rows-only estimates
+    and their ``_audit`` twins kept ATOMIC (round-12 directive): a
+    rows-only estimate (no DuckDB oracle) produces only a `no_oracle`
+    driver row — its checkable evidence is its twin. A window slot
+    spent on the estimate alone proves nothing, so a pair is ONE
+    unit: the unit's staleness is the OLDER member's last-green round
+    ('' = never green, most urgent), and both members enter the
+    window together (costing two slots) or neither does.
+
+    Returns (suggestion, pair_of) where pair_of maps each rows-only
+    estimate to its audit twin.
+    """
+    name_set = set(names)
+    no_oracle = name_set - with_oracle
+    pair_of = {q: f"{q}_audit" for q in no_oracle if f"{q}_audit" in name_set}
+    member_of = {}  # any member -> canonical unit key (the estimate)
+    for est, aud in pair_of.items():
+        member_of[est] = est
+        member_of[aud] = est
+    unit_age: dict[str, str] = {}  # unit -> oldest member age
+    for q in names:
+        unit = member_of.get(q, q)
+        age = green.get(q, "")
+        unit_age[unit] = min(unit_age.get(unit, age), age)
+    units = sorted(unit_age, key=lambda u: (unit_age[u], u))
+    suggestion: list[str] = []
+    for u in units:
+        members = [u, pair_of[u]] if u in pair_of else [u]
+        if len(suggestion) + len(members) > k:
+            continue  # pair doesn't fit — let smaller units fill
+        suggestion.extend(members)
+        if len(suggestion) == k:
+            break
+    return suggestion, pair_of
+
+
 def main() -> None:
     from global_superstore_data_warehouse_spark import registry
 
@@ -78,36 +120,10 @@ def main() -> None:
     # query whose plan/oracle CHANGED this round and (b) the round's
     # net-zero first-timer registrations — both must be re-proven
     # before their stale peers.
-    #
-    # ATOMIC ESTIMATE+AUDIT PAIRS (round-12 directive): a rows-only
-    # estimate (no DuckDB oracle) produces only a `no_oracle` driver
-    # row — its checkable evidence is its `<name>_audit` twin. A
-    # window slot spent on the estimate alone proves nothing, so the
-    # suggestion treats the pair as ONE unit: the unit's staleness is
-    # the OLDER of the two members' last-green rounds, and both
-    # members enter the window together (costing two slots).
-    no_oracle = set(names) - set(registry.oracle_sql())
-    pair_of = {
-        q: f"{q}_audit" for q in no_oracle if f"{q}_audit" in set(names)
-    }
-    member_of = {}  # any member -> canonical unit key (the estimate)
-    for est, aud in pair_of.items():
-        member_of[est] = est
-        member_of[aud] = est
-    unit_age = {}  # unit key -> oldest member age ('' = never green)
-    for q in names:
-        unit = member_of.get(q, q)
-        age = green.get(q, "")
-        unit_age[unit] = min(unit_age.get(unit, age), age)
-    units = sorted(unit_age, key=lambda u: (unit_age[u], u))
-    suggestion: list[str] = []
-    for u in units:
-        members = [u, pair_of[u]] if u in pair_of else [u]
-        if len(suggestion) + len(members) > 50:
-            continue
-        suggestion.extend(members)
-        if len(suggestion) == 50:
-            break
+    # Estimate+audit pairs are kept atomic — see suggest_window.
+    suggestion, pair_of = suggest_window(
+        names, green, set(registry.oracle_sql())
+    )
     print("\nsuggested next window (staleness head-50, estimate+audit")
     print("pairs kept atomic; adjust for changed entries and")
     print("first-timers per queries.py's notes):")
