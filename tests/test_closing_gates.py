@@ -89,3 +89,33 @@ def test_render_block_carries_commands_and_numbers():
         "sf0.1 parity sweep: SKIPPED",
     ):
         assert needle in block, needle
+
+
+def test_render_block_git_state_clean_vs_drift():
+    """The manifest must make per-gate tree state visible: one clean
+    line when every gate ran at the same clean HEAD, an explicit
+    DRIFT warning when a commit landed mid-run or the tree was dirty
+    (the exact failure mode that motivated _git_state)."""
+    base = {
+        "suite": {
+            "ok": True, "passed": 1, "skipped": 0, "failed": 0,
+            "wall_min": "0:01", "cmd": "c", "git_head": "abc1234",
+            "git_dirty": False,
+        },
+        "drive": {"gate_skipped": True},
+        "bench": {"gate_skipped": True},
+        "sweep": {"gate_skipped": True},
+    }
+    clean = cg.render_block(13, base)
+    assert "all gates ran at HEAD `abc1234`, clean." in clean
+    assert "DRIFT" not in clean
+
+    drifted = {**base, "suite": {
+        **base["suite"], "git_drift": {"head": "def5678", "dirty": False},
+    }}
+    block = cg.render_block(13, drifted)
+    assert "DRIFT" in block and "suite@abc1234→def5678" in block
+
+    dirty = {**base, "suite": {**base["suite"], "git_dirty": True}}
+    block = cg.render_block(13, dirty)
+    assert "DRIFT" in block and "suite@abc1234+dirty" in block

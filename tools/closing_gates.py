@@ -117,6 +117,26 @@ def _parse_bench(out: str) -> dict:
     }
 
 
+def _git_state() -> dict:
+    """HEAD + dirty flag, so the manifest records exactly which tree
+    each gate ran against (a gate started before a late commit is a
+    drift the block must make visible)."""
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout.strip()
+    porcelain = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO,
+        capture_output=True, text=True,
+    ).stdout
+    dirty = [
+        ln for ln in porcelain.splitlines()
+        # the bench gate legitimately rewrites BENCH_DETAIL.json
+        if ln.strip() and not ln.endswith("BENCH_DETAIL.json")
+    ]
+    return {"head": head, "dirty": bool(dirty)}
+
+
 def run_gates(rnd: int, skip: set[str]) -> dict:
     results: dict[str, dict] = {}
     cmds = {
@@ -144,8 +164,16 @@ def run_gates(rnd: int, skip: set[str]) -> dict:
         log = f"/tmp/closing_gates_r{rnd}_{gate}.log"
         print(f"[closing_gates] running {gate}: {' '.join(cmds[gate])}",
               flush=True)
+        git_before = _git_state()
         rc, out, wall = _run(cmds[gate], log, env)
+        git_after = _git_state()
         parsed = parsers[gate](out)
+        parsed["git_head"] = git_before["head"]
+        parsed["git_dirty"] = git_before["dirty"]
+        if git_after != git_before:
+            # a commit (or edit) landed while this gate ran — the
+            # gate's numbers describe the BEFORE tree, so flag it
+            parsed["git_drift"] = git_after
         parsed["cmd"] = (
             ("SPARK_GRAFT_SLOW=1 " if gate == "sweep" else "")
             + " ".join(cmds[gate])
@@ -169,6 +197,31 @@ def render_block(rnd: int, results: dict) -> str:
         "raw logs in /tmp/closing_gates_r*.log).",
         "",
     ]
+    ran = [g for g in GATES if not (results.get(g) or {}).get("gate_skipped")]
+    heads = {results[g].get("git_head") for g in ran if results[g].get("git_head")}
+    if heads:
+        drifted = [
+            g for g in ran
+            if results[g].get("git_dirty") or results[g].get("git_drift")
+        ]
+        if len(heads) == 1 and not drifted:
+            lines += [f"Tree: all gates ran at HEAD `{heads.pop()}`, clean.", ""]
+        else:
+            parts = []
+            for g in ran:
+                r = results[g]
+                tag = f"{g}@{r.get('git_head', '?')}"
+                if r.get("git_dirty"):
+                    tag += "+dirty"
+                if r.get("git_drift"):
+                    tag += f"→{r['git_drift']['head']}"
+                parts.append(tag)
+            lines += [
+                "Tree: **DRIFT** — gates did not all run against one "
+                "clean HEAD (" + ", ".join(parts) + "); re-run the "
+                "affected gates at the final HEAD before grading.",
+                "",
+            ]
     s = results.get("suite") or {"gate_skipped": True}
     if s.get("gate_skipped"):
         lines.append("- Full suite: SKIPPED this emission.")
