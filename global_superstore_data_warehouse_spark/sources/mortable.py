@@ -428,24 +428,43 @@ def bucket_delete_ratios(
     # snapshot-expired error, not a deep-in-job FileNotFoundException
     # (round-12 ADVICE).
     del_paths = [os.path.join(root, e["file"]) for e in del_entries]
+    pin = "head" if version is None else version
     gone = [p for p in del_paths if not os.path.exists(p)]
     if gone:
         raise SnapshotExpiredError(
-            f"pinned version {version} references "
+            f"pinned version {pin} references "
             f"{len(gone)} vacuumed delete file(s), e.g. {gone[0]!r}; "
             "pinned reads are only valid inside the vacuum retention "
             "window — re-pin at the current head"
         )
-    dels = spark.read.parquet(*del_paths)
-    counts = {
-        r["b"]: r["n"]
-        for r in dels.select(
-            _bucket_col(F.col(meta["key"]), meta).alias("b")
-        )
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
+    # The exists() sweep is a fast pre-check, not a guarantee: a
+    # vacuum landing between it and the Spark read (or mid-job) still
+    # reclaims files, so the missing-path failure from Spark itself
+    # must surface as the same snapshot-expired contract.
+    try:
+        dels = spark.read.parquet(*del_paths)
+        counts = {
+            r["b"]: r["n"]
+            for r in dels.select(
+                _bucket_col(F.col(meta["key"]), meta).alias("b")
+            )
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    except Exception as exc:
+        msg = str(exc)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "FileNotFound" in msg
+            or "does not exist" in msg
+        ):
+            raise SnapshotExpiredError(
+                f"pinned version {pin}: delete file(s) vacuumed while "
+                "reading; pinned reads are only valid inside the "
+                "vacuum retention window — re-pin at the current head"
+            ) from exc
+        raise
     ratios = {
         b: (counts.get(b, 0) / rows) if rows
         else (float("inf") if counts.get(b, 0) else 0.0)

@@ -29,6 +29,20 @@ def test_parse_pytest_green_and_failed():
     assert cg._parse_pytest("garbage")["ok"] is False
 
 
+def test_parse_pytest_failed_count_anchored_to_summary_line():
+    # a failing test whose TRACEBACK echoes a literal "N failed ..."
+    # fixture string must not be read as the suite result — both
+    # counts come from the final summary line only
+    out = (
+        "E   assert red['ok'] is False\n"
+        "E   where red = {'2 failed, 874 passed, 6 skipped in 60.0s'}\n"
+        "876 passed, 6 skipped in 1410.55s (0:23:30)\n"
+    )
+    parsed = cg._parse_pytest(out)
+    assert parsed["ok"] is True and parsed["failed"] == 0
+    assert parsed["passed"] == 876
+
+
 def test_parse_drive_counts_and_fails():
     out = (
         "entry rows: 5 schema: x\n"
@@ -50,8 +64,8 @@ def test_parse_drive_counts_and_fails():
 def test_parse_bench_takes_last_json_line():
     out = (
         "WARN noise\n"
-        '{"metric":"x","value":99.0,"sf":0.001}\n'
-        '{"metric":"x","value":11.5,"value_normalized":10.9,'
+        '{"metric":"headline_queries_total_time","value":99.0,"sf":0.001}\n'
+        '{"metric":"headline_queries_total_time","value":11.5,"value_normalized":10.9,'
         '"canary":{"cpu_s":0.9,"loadavg_1m":2.0},'
         '"extras":{"n":147,"total":350.0},"sf":0.1}\n'
     )
@@ -59,6 +73,37 @@ def test_parse_bench_takes_last_json_line():
     assert parsed["ok"] and parsed["value"] == 11.5 and parsed["sf"] == 0.1
     assert parsed["extras_n"] == 147
     assert cg._parse_bench("nothing")["ok"] is False
+
+
+def test_parse_bench_ignores_trailing_non_contract_json():
+    # a stray JSON diagnostic AFTER the contract line must neither
+    # crash the parser (KeyError on "value") nor replace the result
+    out = (
+        '{"metric":"headline_queries_total_time","value":11.5,"sf":0.1}\n'
+        '{"event":"spark_stop","value":999}\n'
+        '{"not_a_bench_line":true}\n'
+    )
+    parsed = cg._parse_bench(out)
+    assert parsed["ok"] and parsed["value"] == 11.5
+    # JSON present but never the contract line -> clean failure
+    assert cg._parse_bench('{"event":"x"}\n')["ok"] is False
+
+
+def test_render_block_flags_nonzero_gate_exit():
+    # a gate that printed parseable output but exited nonzero (crash
+    # after the contract line) must carry a visible warning
+    results = {
+        "suite": {"gate_skipped": True},
+        "drive": {"gate_skipped": True},
+        "bench": {
+            "ok": False, "rc": 1, "value": 11.5, "value_normalized": 10.9,
+            "canary_cpu_s": 0.9, "loadavg_1m": 2.0, "extras_n": 147,
+            "extras_total": 350.0, "sf": 0.1, "cmd": "python bench.py",
+        },
+        "sweep": {"gate_skipped": True},
+    }
+    block = cg.render_block(13, results)
+    assert "[rc=1 — gate process exited nonzero]" in block
 
 
 def test_render_block_carries_commands_and_numbers():

@@ -158,6 +158,13 @@ def test_bench_covers_every_registered_query():
     from global_superstore_data_warehouse_spark import registry
 
     names = set(registry.queries())
+    # the hand-maintained lists must also be duplicate-free: a twice-
+    # listed EXTRA entry would be re-timed every round and set() below
+    # would hide it
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+    assert len(bench.EXTRA) == len(set(bench.EXTRA)), sorted(
+        n for n in set(bench.EXTRA) if bench.EXTRA.count(n) > 1
+    )
     headline = set(bench.HEADLINE)
     extra = set(bench.EXTRA)
     exempt = dict(bench.BENCH_EXEMPT)

@@ -792,3 +792,40 @@ def test_bucket_delete_ratios_expired_pin_raises_clearly(spark, tmp_path):
         mortable.bucket_delete_ratios(spark, root, version=2)
     # head-pinned reads are unaffected
     assert mortable.bucket_delete_ratios(spark, root) == {0: 0.0, 1: 0.0}
+
+
+def test_bucket_delete_ratios_toctou_vacuum_maps_to_snapshot_expired(
+    spark, tmp_path, monkeypatch
+):
+    """The exists() pre-check is TOCTOU: a vacuum landing between it
+    and the Spark read still reclaims delete files. Simulate that
+    interleaving (pre-check passes, file is gone at read time) and
+    require the SAME SnapshotExpiredError contract, not a raw
+    Spark path error."""
+    root = str(tmp_path / "t")
+    base = spark.range(1, 21).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    mortable.create(spark, root, base, key="k", nbuckets=2, bounds=(1, 20))
+    mortable.delete_keys(
+        spark, root,
+        spark.createDataFrame([(k,) for k in range(1, 6)], "k long"),
+        key="k",
+    )
+    mortable.compact(spark, root)
+    mortable.vacuum(root, retain_versions=1, min_age_seconds=0)
+    # blind the pre-check for this table's paths only: they all
+    # "exist" — exactly the window where a concurrent vacuum wins
+    # the race (paths outside the table keep real semantics so
+    # nothing else in the process is perturbed)
+    import os as _os
+
+    real_exists = _os.path.exists
+    monkeypatch.setattr(
+        mortable.os.path, "exists",
+        lambda p: True if str(p).startswith(root) else real_exists(p),
+    )
+    with pytest.raises(
+        mortable.SnapshotExpiredError, match="version 2.*vacuumed"
+    ):
+        mortable.bucket_delete_ratios(spark, root, version=2)

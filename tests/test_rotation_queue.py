@@ -63,12 +63,34 @@ def test_estimate_without_audit_twin_is_a_plain_unit():
     assert suggestion == ["lonely", "a"]
 
 
+def test_round_ordering_is_numeric_not_lexicographic():
+    # 'r100' must sort AFTER 'r99' (fresher), not before 'r13' — the
+    # lexicographic trap once labels outgrow the two-digit padding
+    names = ["fresh100", "stale9", "mid99"]
+    green = {"fresh100": "r100", "stale9": "r9", "mid99": "r99"}
+    suggestion, _ = rq.suggest_window(names, green, set(names), k=2)
+    assert suggestion == ["stale9", "mid99"]
+    assert rq._age_key("") < rq._age_key("r9") < rq._age_key("r99") \
+        < rq._age_key("r100")
+
+
+def test_short_suggestion_when_only_pairs_remain():
+    # one single + one pair with k=2: the pair can't take the last
+    # slot, so the suggestion is legitimately SHORT (1 name) — never
+    # a split pair; main() warns so a maintainer can't paste a <k
+    # window unnoticed
+    names = ["s", "e", "e_audit"]
+    green = {"s": "r01", "e": "r02", "e_audit": "r02"}
+    suggestion, _ = rq.suggest_window(names, green, {"s", "e_audit"}, k=2)
+    assert suggestion == ["s"]
+
+
 def test_live_registry_suggestion_is_consistent():
     """On the real registry + real CORRECTNESS history the suggestion
     must be 50 names, all registered, with every rows-only estimate
-    accompanied by its audit twin."""
-    import glob
-    import json
+    accompanied by its audit twin. The green map comes from the
+    tool's own load_green so the criterion can't drift between the
+    tool and this test."""
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -76,18 +98,7 @@ def test_live_registry_suggestion_is_consistent():
     from global_superstore_data_warehouse_spark import registry
 
     names = list(registry.queries())
-    green = {}
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
-        with open(path) as f:
-            doc = json.load(f)
-        rows = doc.get("queries", doc) if isinstance(doc, dict) else {}
-        for q, r in rows.items():
-            if isinstance(r, dict) and (
-                r.get("hash_match")
-                or (r.get("err") == "no_oracle" and (r.get("spark_rows") or 0) > 0)
-            ):
-                green[q] = rnd
+    green = rq.load_green(repo)
     suggestion, pair_of = rq.suggest_window(
         names, green, set(registry.oracle_sql())
     )

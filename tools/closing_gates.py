@@ -40,17 +40,24 @@ GATES = ["suite", "drive", "bench", "sweep"]
 
 
 def _run(cmd: list[str], log_path: str, env: dict | None = None) -> tuple[int, str, float]:
-    """Run a gate subprocess, tee full output to ``log_path``, return
+    """Run a gate subprocess, tee output to ``log_path`` LINE BY LINE
+    (a hung or interrupted ~25-min gate must still leave its partial
+    raw log behind — the block points readers at these logs), return
     (returncode, combined output, wall seconds)."""
     t0 = time.perf_counter()
-    proc = subprocess.run(
-        cmd, cwd=REPO, env=env or dict(os.environ),
-        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-    )
-    wall = time.perf_counter() - t0
+    chunks: list[str] = []
     with open(log_path, "w") as fh:
-        fh.write(proc.stdout)
-    return proc.returncode, proc.stdout, wall
+        proc = subprocess.Popen(
+            cmd, cwd=REPO, env=env or dict(os.environ),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            fh.write(line)
+            fh.flush()
+            chunks.append(line)
+        rc = proc.wait()
+    return rc, "".join(chunks), time.perf_counter() - t0
 
 
 _PYTEST_RE = re.compile(
@@ -60,12 +67,18 @@ _PYTEST_RE = re.compile(
 
 
 def _parse_pytest(out: str) -> dict:
-    failed = re.search(r"(\d+) failed", out)
-    m = None
-    for m in _PYTEST_RE.finditer(out):
-        pass  # keep the LAST summary line
+    # Anchor BOTH counts to the final summary LINE: a failing test
+    # whose traceback echoes a literal "N failed ... in Ns" string
+    # (test_closing_gates.py's own fixtures do) must not be read as
+    # the suite result.
+    m, summary_line = None, ""
+    for ln in out.splitlines():
+        mm = _PYTEST_RE.search(ln)
+        if mm:
+            m, summary_line = mm, ln  # keep the LAST summary line
     if m is None:
         return {"ok": False, "error": "no pytest summary line found"}
+    failed = re.search(r"(\d+) failed", summary_line)
     secs = float(m.group("secs"))
     return {
         "ok": failed is None,
@@ -96,15 +109,24 @@ def _parse_drive(out: str) -> dict:
 
 
 def _parse_bench(out: str) -> dict:
+    # Accept only the bench CONTRACT line (metric + value present):
+    # a stray trailing JSON diagnostic must neither crash the tool
+    # after four ~25-min gates nor silently replace the headline.
     doc = None
     for line in out.splitlines():
         if line.strip().startswith("{"):
             try:
-                doc = json.loads(line)
+                cand = json.loads(line)
             except ValueError:
                 continue
+            if (
+                isinstance(cand, dict)
+                and cand.get("metric") == "headline_queries_total_time"
+                and "value" in cand
+            ):
+                doc = cand
     if doc is None:
-        return {"ok": False, "error": "no JSON line found"}
+        return {"ok": False, "error": "no bench contract JSON line found"}
     return {
         "ok": True,
         "value": doc["value"],
@@ -179,11 +201,21 @@ def run_gates(rnd: int, skip: set[str]) -> dict:
             + " ".join(cmds[gate])
         )
         parsed["rc"] = rc
+        # a gate that printed parseable output but exited nonzero
+        # (e.g. a crash after the contract line) is NOT green
+        parsed["ok"] = bool(parsed.get("ok")) and rc == 0
         parsed["tool_wall_s"] = round(wall, 1)
         parsed["log"] = log
         results[gate] = parsed
         print(f"[closing_gates] {gate}: {json.dumps(parsed)}", flush=True)
     return results
+
+
+def _rc_tag(r: dict) -> str:
+    """Visible warning when the gate subprocess exited nonzero —
+    parseable output from a crashed process must not render green."""
+    rc = r.get("rc", 0)
+    return f" **[rc={rc} — gate process exited nonzero]**" if rc else ""
 
 
 def render_block(rnd: int, results: dict) -> str:
@@ -232,7 +264,7 @@ def render_block(rnd: int, results: dict) -> str:
             f"- Full suite: **{s['passed']} passed / {s['skipped']} "
             f"skipped** in {s['wall_min']}"
             + (f" ({s['failed']} FAILED)" if s["failed"] else "")
-            + f". `{s['cmd']}`"
+            + f". `{s['cmd']}`" + _rc_tag(s)
         )
     d = results.get("drive") or {"gate_skipped": True}
     if d.get("gate_skipped"):
@@ -248,7 +280,7 @@ def render_block(rnd: int, results: dict) -> str:
                 f"; window_spark_s {d['window_spark_s']}"
                 if d.get("window_spark_s") is not None else ""
             )
-            + f". `{d['cmd']}`"
+            + f". `{d['cmd']}`" + _rc_tag(d)
         )
     b = results.get("bench") or {"gate_skipped": True}
     if b.get("gate_skipped"):
@@ -261,7 +293,7 @@ def render_block(rnd: int, results: dict) -> str:
             f"canary cpu_s {b['canary_cpu_s']}): headline "
             f"**{b['value']} s raw / {b['value_normalized']} s "
             f"normalized**; extras n={b['extras_n']} "
-            f"total={b['extras_total']} s. `{b['cmd']}`"
+            f"total={b['extras_total']} s. `{b['cmd']}`" + _rc_tag(b)
         )
     w = results.get("sweep") or {"gate_skipped": True}
     if w.get("gate_skipped"):
@@ -271,7 +303,7 @@ def render_block(rnd: int, results: dict) -> str:
     else:
         lines.append(
             f"- sf0.1 parity sweep: **{w['passed']}/{w['passed'] + w['failed']} "
-            f"passed** in {w['wall_min']}. `{w['cmd']}`"
+            f"passed** in {w['wall_min']}. `{w['cmd']}`" + _rc_tag(w)
         )
     return "\n".join(lines) + "\n"
 

@@ -22,6 +22,41 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _age_key(label: str) -> tuple[int, int]:
+    """Sort key for last-green round labels: '' (never green) is the
+    most urgent, then NUMERICALLY by round — plain string comparison
+    would mis-sort once labels outgrow the zero padding ('r100' <
+    'r99' lexicographically)."""
+    return (0, 0) if not label else (1, int(label.lstrip("r")))
+
+
+def load_green(repo: str = REPO) -> dict[str, str]:
+    """query -> round label of its most recent GREEN driver row
+    (hash_match, or a rows-only `no_oracle` row with >0 spark rows
+    for the by-design estimates). The single green criterion — the
+    staleness report, the window suggestion, and the unit tests all
+    read THIS map so the predicate can't drift between them."""
+    green: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
+        with open(path) as f:
+            doc = json.load(f)
+        rows = doc.get("queries", doc) if isinstance(doc, dict) else {}
+        for q, r in rows.items():
+            if isinstance(r, dict) and (
+                r.get("hash_match")
+                or (
+                    r.get("err") == "no_oracle"
+                    and (r.get("spark_rows") or 0) > 0
+                )
+            ):
+                prev = green.get(q, "")
+                # later rounds win NUMERICALLY (r100 beats r99)
+                if _age_key(rnd) >= _age_key(prev):
+                    green[q] = rnd
+    return green
+
+
 def suggest_window(
     names: list[str],
     green: dict[str, str],
@@ -51,8 +86,8 @@ def suggest_window(
     for q in names:
         unit = member_of.get(q, q)
         age = green.get(q, "")
-        unit_age[unit] = min(unit_age.get(unit, age), age)
-    units = sorted(unit_age, key=lambda u: (unit_age[u], u))
+        unit_age[unit] = min(unit_age.get(unit, age), age, key=_age_key)
+    units = sorted(unit_age, key=lambda u: (_age_key(unit_age[u]), u))
     suggestion: list[str] = []
     for u in units:
         members = [u, pair_of[u]] if u in pair_of else [u]
@@ -61,6 +96,16 @@ def suggest_window(
         suggestion.extend(members)
         if len(suggestion) == k:
             break
+    # A short suggestion is possible when only 2-slot pairs remain
+    # for the last slot(s); the caller must see that rather than
+    # paste a <k window (the 50-slot contract would break).
+    if len(suggestion) < k:
+        print(
+            f"WARNING: suggestion has {len(suggestion)} of {k} slots —"
+            " the remaining units are estimate+audit pairs that do not"
+            " fit; fill the tail by hand (and keep pairs atomic).",
+            file=sys.stderr,
+        )
     return suggestion, pair_of
 
 
@@ -96,22 +141,8 @@ def main() -> None:
     # (hash_match, or rows_match for no-oracle entries), oldest first.
     # The next round's window should be the head of this list plus the
     # round's net-zero first-timers.
-    green: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
-        with open(path) as f:
-            doc = json.load(f)
-        rows = doc.get("queries", doc) if isinstance(doc, dict) else {}
-        for q, r in rows.items():
-            if isinstance(r, dict) and (
-                r.get("hash_match")
-                or (
-                    r.get("err") == "no_oracle"
-                    and (r.get("spark_rows") or 0) > 0
-                )
-            ):
-                green[q] = rnd
-    by_age = sorted(names, key=lambda q: (green.get(q, ""), q))
+    green = load_green()
+    by_age = sorted(names, key=lambda q: (_age_key(green.get(q, "")), q))
     print("\nstaleness (last-green round, oldest first; '-' = never green):")
     for q in by_age:
         print(f"  {green.get(q, '-'):>4}  {q}")
