@@ -638,6 +638,12 @@ def main() -> None:
             extra_timings[name] = round(min(extra_timings[name], el), 3)
             extra_passes[name] = extra_passes.get(name, 0) + 1
 
+    # No silent caps: the budget gate may skip extras entirely on a
+    # badly contended host (observed in the round-13 gate run: 7 of
+    # 147 never got a first pass at loadavg 4). Report WHO was
+    # dropped — a missing timing must read as "skipped under load",
+    # never as "covered".
+    extra_skipped = sorted(n for n in extra_names if n not in extra_timings)
     try:
         load1 = round(os.getloadavg()[0], 2)
     except OSError:
@@ -685,6 +691,7 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra_timings,
         "extra_passes": extra_passes,
+        "extras_budget_skipped": extra_skipped,
         "inherent_cost": {
             n: why for n, why in INHERENT_COST.items() if n in extra_timings
         },
@@ -717,6 +724,7 @@ def main() -> None:
         "extras": {
             "n": len(extra_timings),
             "total": round(sum(extra_timings.values()), 2),
+            "skipped": len(extra_skipped),
             "slowest": slowest,
             "detail": detail_ref,
         },

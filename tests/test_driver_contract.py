@@ -67,7 +67,13 @@ def test_bench_emits_one_json_line(tmp_path):
     assert set(detail) == {
         "metric", "value", "value_normalized", "unit", "queries",
         "extra_queries", "extra_passes", "inherent_cost", "canary", "sf",
+        "extras_budget_skipped",
     }
+    # no silent caps: budget-skipped extras are named in the detail
+    # file and counted on the compact line, disjoint from the timed
+    skipped = detail["extras_budget_skipped"]
+    assert doc["extras"]["skipped"] == len(skipped)
+    assert not set(skipped) & set(detail["extra_queries"])
     assert detail["value"] == doc["value"]
     # canary-normalized headline (round-12): raw value rescaled to the
     # frozen reference host; present and consistent in both artifacts

@@ -135,6 +135,7 @@ def _parse_bench(out: str) -> dict:
         "loadavg_1m": doc.get("canary", {}).get("loadavg_1m"),
         "extras_n": doc.get("extras", {}).get("n"),
         "extras_total": doc.get("extras", {}).get("total"),
+        "extras_skipped": doc.get("extras", {}).get("skipped", 0),
         "sf": doc.get("sf"),
     }
 
@@ -293,7 +294,13 @@ def render_block(rnd: int, results: dict) -> str:
             f"canary cpu_s {b['canary_cpu_s']}): headline "
             f"**{b['value']} s raw / {b['value_normalized']} s "
             f"normalized**; extras n={b['extras_n']} "
-            f"total={b['extras_total']} s. `{b['cmd']}`" + _rc_tag(b)
+            f"total={b['extras_total']} s"
+            + (
+                f" (**{b['extras_skipped']} extras budget-skipped under"
+                " load — re-run on a quiet host**)"
+                if b.get("extras_skipped") else ""
+            )
+            + f". `{b['cmd']}`" + _rc_tag(b)
         )
     w = results.get("sweep") or {"gate_skipped": True}
     if w.get("gate_skipped"):
