@@ -112,6 +112,18 @@ def _freshness_token(path: str) -> tuple[int, int]:
     return st.st_mtime_ns, st.st_size
 
 
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk parquet bytes of a table — the stat-only size a
+    metastore would hold. Used by ``hints.spread_scan`` to decide
+    whether a scan will under-parallelize (few splits) and needs an
+    explicit spread before CPU-dense work. stat() only, no footer
+    opens, no Spark job."""
+    import os
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    return _freshness_token(path)[1]
+
+
 def table_rows(sf_dir: str, name: str) -> int:
     """Row count from the parquet FOOTERS — the miniature of a
     metastore table statistic: driver-side metadata only, no Spark

@@ -46,6 +46,71 @@ def maybe_broadcast(
     return F.broadcast(df) if n <= max_rows else df
 
 
+def _session_parallelism(df: DataFrame) -> int:
+    """The session's shuffle-partition setting (the deployment's
+    scale knob — ``tune_shuffle_for_input`` raises it on real data),
+    floored at the executor core count."""
+    spark = df.sparkSession
+    try:
+        conf_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        conf_n = 0
+    return max(spark.sparkContext.defaultParallelism, conf_n)
+
+
+def spread_scan(
+    df: DataFrame, sf_dir: str, table: str, by: str | None = None
+) -> DataFrame:
+    """INPUT-SKEW GUARD for CPU-dense work over a small scan (guide
+    §2.5 "one huge unsplittable file … repartition immediately after
+    the read", and §4's python-parallelism corollary): parquet scan
+    parallelism is sized by BYTES (maxPartitionBytes / row-group
+    layout), so a table that is physically tiny but feeds expensive
+    per-row work (md5 folds, Levenshtein DP, pure-python codecs in
+    mapInPandas) executes in ONE task while the rest of the cluster
+    idles — measured at sf0.1: fuzzy_name_match 6.2 s and
+    video_frame_sample_stats 10.8 s in a single task each.
+
+    The repartition is GATED on catalog file size: it fires only when
+    the scan cannot yield at least the session's shuffle parallelism
+    in splits (bytes < maxPartitionBytes x parallelism). At
+    production scale the inequality flips and this is a NO-OP — the
+    plan is byte-identical, no extra exchange. ``by`` hash-spreads on
+    a stable key (deterministic layout under task retry); without it
+    the spread uses round-robin (safe here: parquet input rows are
+    deterministic, see SPARK-23207 sort-before-repartition)."""
+    from global_superstore_data_warehouse_spark.catalog import table_bytes
+
+    spark = df.sparkSession
+    n = _session_parallelism(df)
+    try:
+        max_split = int(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        max_split = 128 * 1024 * 1024
+    if table_bytes(sf_dir, table) >= max_split * n:
+        return df
+    return df.repartition(n, by) if by else df.repartition(n)
+
+
+def cpu_repartition(df: DataFrame, *cols: str) -> DataFrame:
+    """PINNED parallelism for a CPU-dense post-shuffle stage. AQE
+    coalesces shuffle partitions by BYTES
+    (advisoryPartitionSizeInBytes / minPartitionSize), which is the
+    right model when stage cost is IO-shaped — and exactly wrong when
+    each row carries heavy compute (set-intersection verification,
+    Arrow→pandas python stages): measured at sf0.1, the near-dup
+    verify stage collapsed to 3 tasks holding 32 s of CPU (11 s
+    wall) and the grouped-pandas path to 2 tasks (5.6 s wall).
+    An EXPLICIT repartition is exempt from AQE coalescing by
+    contract (user-specified numPartitions), so the stage runs at
+    the session's shuffle parallelism — the same rows would have
+    crossed the wire anyway; this only pins HOW MANY reducers own
+    them. Scale-adaptive via spark.sql.shuffle.partitions, never a
+    hard-coded local core count."""
+    n = _session_parallelism(df)
+    return df.repartition(n, *[F.col(c) for c in cols]) if cols else df.repartition(n)
+
+
 def stats_gated(df: DataFrame, sf_dir: str, table: str) -> DataFrame:
     """Cost-based broadcast gate from CATALOG STATISTICS (parquet
     footer rowcounts via ``catalog.table_rows`` — driver-side

@@ -29,6 +29,7 @@ from global_superstore_data_warehouse_spark.catalog import load
 from global_superstore_data_warehouse_spark.functions import cleaning as C
 from global_superstore_data_warehouse_spark.operators import dedup as D
 from global_superstore_data_warehouse_spark.operators import merge as M
+from global_superstore_data_warehouse_spark.operators.hints import spread_scan
 
 
 # --- F1/P6: id & name suffix stripping -------------------------------
@@ -380,7 +381,13 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs — same blocking discipline as the text dedup family).
     Integer distances are engine-exact."""
     cust = load(spark, sf_dir, "customer")
-    consumer = cust.filter(F.col("c_custkey") % 2 == 0).select(
+    # the probe side carries the blocked-pair Levenshtein work — a
+    # single-split scan would run it all in one task (measured 6.2 s
+    # single-task at sf0.1); spread_scan is a no-op once the table is
+    # big enough to split on its own (guide §2.5)
+    consumer = spread_scan(
+        cust.filter(F.col("c_custkey") % 2 == 0), sf_dir, "customer", by="c_custkey"
+    ).select(
         F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"), "c_nationkey"
     )
     corporate = cust.filter(F.col("c_custkey") % 2 == 1).select(
@@ -390,10 +397,15 @@ def fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = consumer.join(
         corporate, consumer.c_nationkey == corporate.nk_b
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # THRESHOLDED levenshtein (guide §1.2 per-task work): the banded
+    # DP early-exits on the >2 majority instead of filling the full
+    # matrix per pair; for every SURVIVING pair it returns the exact
+    # distance (and -1 for the discarded ones), so the output is
+    # row-identical to the unbounded form the oracle computes.
+    dist = F.levenshtein("name_a", "name_b", threshold=2)
     return (
         pairs.select("id_a", "id_b", "name_a", "name_b", dist.alias("edit_distance"))
-        .filter(F.col("edit_distance") <= 2)
+        .filter(F.col("edit_distance") >= 0)
     )
 
 
@@ -432,12 +444,15 @@ def fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelling-correction trade.
     """
     cust = load(spark, sf_dir, "customer")
-    consumer = cust.filter(F.col("c_custkey") % 2 == 0).select(
-        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a")
-    )
-    corporate = cust.filter(F.col("c_custkey") % 2 == 1).select(
-        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b")
-    )
+    # spread before the zero-shuffle variant explode so generation
+    # and the verify run cluster-wide, not in the scan's single
+    # split (no-op once the table splits on its own — guide §2.5)
+    consumer = spread_scan(
+        cust.filter(F.col("c_custkey") % 2 == 0), sf_dir, "customer", by="c_custkey"
+    ).select(F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"))
+    corporate = spread_scan(
+        cust.filter(F.col("c_custkey") % 2 == 1), sf_dir, "customer", by="c_custkey"
+    ).select(F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"))
 
     # variant emitter: position 0 = the name itself, position i>0 =
     # the name with character i removed
@@ -466,10 +481,11 @@ def fuzzy_match_fastss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "name_a", "id_b", "name_b")
         .distinct()
     )
-    dist = F.levenshtein("name_a", "name_b")
+    # thresholded verify: exact distance for survivors, -1 for the rest
+    dist = F.levenshtein("name_a", "name_b", threshold=1)
     return cands.select(
         "id_a", "id_b", "name_a", "name_b", dist.alias("edit_distance")
-    ).filter(F.col("edit_distance") <= 1)
+    ).filter(F.col("edit_distance") >= 0)
 
 
 # brute-force oracle (no blocking): identical output proves the
@@ -552,14 +568,16 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("name_a"))
         .alias("cname_b"),
     ).distinct()
-    dist = F.levenshtein("cname_a", "cname_b")
+    # thresholded verify (same rewrite as fuzzy_name_match): exact
+    # distance for survivors, -1 early-exit for the discarded bulk
+    dist = F.levenshtein("cname_a", "cname_b", threshold=SNM_MAX_DIST)
     return canon.select(
         F.col("cid_a").alias("id_a"),
         F.col("cid_b").alias("id_b"),
         F.col("cname_a").alias("name_a"),
         F.col("cname_b").alias("name_b"),
         dist.cast("int").alias("edit_distance"),
-    ).filter(F.col("edit_distance") <= SNM_MAX_DIST)
+    ).filter(F.col("edit_distance") >= 0)
 
 
 SORTED_NEIGHBORHOOD_PAIRS_ORACLE = f"""

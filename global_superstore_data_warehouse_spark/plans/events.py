@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import cpu_repartition
 
 SESSION_GAP_SECONDS = 600
 
@@ -344,6 +345,15 @@ def event_transitions_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out
 
+    # PIN the python stage's width: AQE byte-based coalescing shrank
+    # the pre-applyInPandas exchange to 2 partitions (~2 MB total) and
+    # serialized ALL pandas group work on 2 workers — 5.6 s wall with
+    # 0.3 s of JVM CPU, measured at sf0.1. The explicit same-key
+    # repartition is exempt from coalescing (the groupBy reuses its
+    # partitioning — still exactly ONE exchange) and scales with the
+    # session's shuffle setting (guide §4: size python stages by
+    # compute, not bytes).
+    ev = cpu_repartition(ev, "user_id")
     return ev.groupBy("user_id").applyInPandas(transitions, TRANSITIONS_SCHEMA)
 
 

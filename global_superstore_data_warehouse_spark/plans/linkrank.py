@@ -52,7 +52,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
-from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+from global_superstore_data_warehouse_spark.operators.hints import (
+    cpu_repartition,
+    maybe_broadcast,
+)
 
 DAMPING = 0.85
 N_ITER = 5
@@ -116,15 +119,29 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     def _round(r: DataFrame) -> DataFrame:
+        # size-gated broadcast of the NODE-sized rank frame (n_nodes
+        # is already a driver scalar): the checkpointed rank RDD has
+        # no Catalyst stats, so without the hint every round planned
+        # a SortMergeJoin that re-shuffled the EDGE table — measured
+        # at sf0.1: one ~22 MB edge exchange per round, 5 rounds
+        # (guide §2.4/§3.1: a broadcast join replaces the shuffle of
+        # the large side). Past the row gate (billions of nodes) the
+        # hint drops itself and the same plan degrades to the
+        # shuffle join deliberately.
         contrib = (
-            r.join(edges, r.node == edges.src)
+            maybe_broadcast(r, n_rows=n_nodes)
+            .join(edges, r.node == edges.src)
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
         return (
             r.select("node", "outdeg")
-            .join(contrib, r.node == contrib.dst, "left")
+            .join(
+                maybe_broadcast(contrib, n_rows=n_nodes),
+                r.node == contrib.dst,
+                "left",
+            )
             .select(
                 "node",
                 (
@@ -288,7 +305,14 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs as shuffle joins.
     """
     deg, eo = _oriented_copurchase(spark, sf_dir)
-    w1, w2 = eo.alias("w1"), eo.alias("w2")
+    n_edges = eo.count()  # scalar; cached checkpoint rows — gates the hint
+    # PINNED-width wedge stage: the self-join exchanges eo on src and
+    # AQE byte-coalescing then shrank the wedge-enumeration stage to
+    # 10 tasks holding ~28 s of CPU (measured at sf0.1) — bytes are a
+    # bad cost proxy for wedge work. The explicit repartition is one
+    # exchange REUSED by both join sides and exempt from coalescing.
+    eo_w = cpu_repartition(eo, "src")
+    w1, w2 = eo_w.alias("w1"), eo_w.alias("w2")
     # each unordered out-edge pair once: strict (deg, id) order on dst
     wedges = w1.join(
         w2,
@@ -301,7 +325,13 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     ).select(F.col("w1.dst").alias("x"), F.col("w2.dst").alias("y"))
-    closing = eo.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    # size-gated broadcast of the closing edge list: the wedge set
+    # (the big intermediate) is then probed in the SAME stage and
+    # never shuffles on (x, y) — guide §3.1; past the gate the hint
+    # drops and the plan degrades to the shuffle join
+    closing = maybe_broadcast(
+        eo.select(F.col("src").alias("x"), F.col("dst").alias("y")), n_rows=n_edges
+    )
     tri = wedges.join(closing, ["x", "y"]).agg(F.count(F.lit(1)).alias("n_triangles"))
 
     summary = deg.agg(
@@ -401,13 +431,21 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = visited
     for hop in range(1, BFS_HOPS + 1):
         neighbors = (
-            frontier.join(edges, frontier.node == edges.src)
+            # size-gated broadcast of the frontier (node-sized,
+            # checkpointed → the gate count reads cached rows):
+            # without the hint the stats-less RDD frame planned a
+            # SortMergeJoin that re-shuffled the EDGE table every
+            # hop (guide §2.4); past the gate the hint drops itself
+            maybe_broadcast(frontier)
+            .join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
         )
         prev_frontier = frontier
         frontier = (
-            neighbors.join(visited.select("node"), "node", "left_anti")
+            neighbors.join(
+                maybe_broadcast(visited.select("node")), "node", "left_anti"
+            )
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
@@ -429,10 +467,13 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would be mis-reported as dist = -1.
         if CONVERGENCE_PROBE:
             nxt = (
-                frontier.join(edges, frontier.node == edges.src)
+                maybe_broadcast(frontier)
+                .join(edges, frontier.node == edges.src)
                 .select(F.col("dst").alias("node"))
                 .distinct()
-                .join(visited.select("node"), "node", "left_anti")
+                .join(
+                    maybe_broadcast(visited.select("node")), "node", "left_anti"
+                )
             )
             if not nxt.isEmpty():
                 raise RuntimeError(
@@ -519,7 +560,11 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer T and d — both engines divide the same small integers.
     """
     deg, eo = _oriented_copurchase(spark, sf_dir)
-    w1, w2 = eo.alias("w1"), eo.alias("w2")
+    n_edges = eo.count()  # scalar; cached checkpoint rows — gates the hint
+    # same pinned-width wedge stage + broadcast closing-edge probe as
+    # copurchase_triangles (see the census for the measured rationale)
+    eo_w = cpu_repartition(eo, "src")
+    w1, w2 = eo_w.alias("w1"), eo_w.alias("w2")
     wedges = w1.join(
         w2,
         (F.col("w1.src") == F.col("w2.src"))
@@ -535,7 +580,9 @@ def clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w1.dst").alias("x"),
         F.col("w2.dst").alias("y"),
     )
-    closing = eo.select(F.col("src").alias("x"), F.col("dst").alias("y"))
+    closing = maybe_broadcast(
+        eo.select(F.col("src").alias("x"), F.col("dst").alias("y")), n_rows=n_edges
+    )
     tri_corners = (
         wedges.join(closing, ["x", "y"])
         .select(F.explode(F.array("s", "x", "y")).alias("node"))
@@ -632,40 +679,74 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem")
     edges = _copurchase_edges(li).localCheckpoint(eager=True)
-    active = edges.select(F.col("src").alias("node")).distinct()
+    # checkpoint the round-0 node set too: each round references it
+    # TWICE (src and dst endpoint prunes), and the count that gates
+    # the broadcast hints below then reads cached narrow rows
+    active = (
+        edges.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    )
+    n_active = active.count()  # scalar only — gates the broadcasts
+
+    def _core_deg(act: DataFrame, n_act: int) -> DataFrame:
+        """Within-subgraph degree of the surviving nodes: both
+        endpoint semi-joins ride a size-gated broadcast of the
+        NODE-sized active set — the checkpointed RDD frame has no
+        Catalyst stats, so without the hint every semi-join planned
+        sort-merge and re-shuffled the EDGE table (measured at
+        sf0.1: two ~22 MB edge exchanges per peel round x 8 rounds;
+        guide §2.4). The groupBy(src) partial-aggregates map-side,
+        so the only exchange left per round is node-sized. At
+        billions of surviving nodes the gate drops the hint and the
+        same plan degrades to the shuffle semi-joins."""
+        return (
+            edges.join(
+                maybe_broadcast(act.select(F.col("node").alias("src")), n_rows=n_act),
+                "src",
+                "left_semi",
+            )
+            .join(
+                maybe_broadcast(act.select(F.col("node").alias("dst")), n_rows=n_act),
+                "dst",
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+
+    at_fixed_point = False
     for rnd in range(KCORE_ROUNDS):
-        pruned = edges.join(
-            active.select(F.col("node").alias("src")), "src", "left_semi"
-        ).join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
-        deg = pruned.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        deg = _core_deg(active, n_active)
         prev = active
         active = (
             deg.filter(F.col("d") >= KCORE_K)
             .select(F.col("src").alias("node"))
             .localCheckpoint(eager=True)
         )
-        # release the superseded round's node set (round 0's `prev`
-        # is an un-checkpointed plan over edges — unpersist is a
-        # no-op there, harmless); edges and the FINAL active stay
-        # pinned because the returned plan still reads them
-        if rnd > 0:
-            prev.unpersist()
-    if CONVERGENCE_PROBE:
+        prev_n, n_active = n_active, active.count()
+        # release the superseded round's node set; edges and the
+        # FINAL active stay pinned because the returned plan still
+        # reads them
+        prev.unpersist()
+        # SOUND early stop (round-13 optimization): peeling only ever
+        # REMOVES nodes, so an UNCHANGED survivor count means the
+        # surviving SET is unchanged — a fixed point — and every
+        # remaining bounded round is the identity. Skipping them
+        # computes the exact same final set (the oracle's unrolled
+        # CTE chain is likewise idempotent past its fixed point).
+        # Corpus-independent: at any scale this only trims provably
+        # no-op rounds; a slow-converging graph still runs all
+        # KCORE_ROUNDS.
+        if n_active == prev_n:
+            at_fixed_point = True
+            break
+    if CONVERGENCE_PROBE and not at_fixed_point:
         # Fixed-point probe: peeling only REMOVES nodes, so one more
         # round with an unchanged COUNT proves the bounded result IS
         # the true k-core — two scalar counts, wherever the plan
         # runs, not just at the pytest-pinned test SF.
         probe = (
-            edges.join(
-                active.select(F.col("node").alias("src")), "src", "left_semi"
-            )
-            .join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .count()
+            _core_deg(active, n_active).filter(F.col("d") >= KCORE_K).count()
         )
-        n_active = active.count()
         if probe != n_active:
             raise RuntimeError(
                 f"kcore probe: not converged after {KCORE_ROUNDS} rounds "
@@ -673,12 +754,8 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"and the oracle's unrolled CTE depth together)"
             )
     final = (
-        edges.join(
-            active.select(F.col("node").alias("src")), "src", "left_semi"
-        )
-        .join(active.select(F.col("node").alias("dst")), "dst", "left_semi")
-        .groupBy("src")
-        .agg(F.count(F.lit(1)).alias("core_deg"))
+        _core_deg(active, n_active)
+        .withColumnRenamed("d", "core_deg")
         .filter(F.col("core_deg") >= KCORE_K)
     )
     return final.select(

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
 from global_superstore_data_warehouse_spark.functions.text import tokens
+from global_superstore_data_warehouse_spark.operators.hints import spread_scan
 
 # temperature-sampling pivot: a source with <= PIVOT_DOCS documents is
 # kept whole; larger sources keep PIVOT_SQRT/sqrt(n) of their docs —
@@ -767,7 +768,13 @@ def consistent_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one partial-aggregated groupBy to n_workers rows. Zero joins,
     zero row-scale shuffles, exactly one corpus scan.
     """
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    # spread the single-split scan: the two ring-successor lookups
+    # (md5 + filter/array_min over the ~(n+1)*VNODES point literals)
+    # otherwise run in ONE task (measured 1.1 s single-task at
+    # sf0.1; guide §2.5 — no-op once the table splits on its own)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    ).select("doc_id")
     pos = (
         F.conv(
             F.substring(

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import spread_scan
 from global_superstore_data_warehouse_spark.operators.multimodal import (
     extract_blob_features,
     make_blob_table,
@@ -54,7 +55,9 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_multimodal.py."""
     import pandas as pd  # noqa: F401 (mapInPandas batch type)
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    ).select("doc_id", "n_chars")
 
     def decode_batches(batches):
         import numpy as _np
@@ -288,7 +291,9 @@ def audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer sums, no float audio math). Encode/decode circularity is
     broken by a golden hand-laid-out WAV byte test in
     tests/test_multimodal.py."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    ).select("doc_id")
 
     def decode_batches(batches):
         import numpy as _np
@@ -373,7 +378,9 @@ def video_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bytes. Container encode/decode circularity is broken by a
     golden hand-laid AVI byte test plus refusal/idx1-mismatch tests
     in tests/test_avi.py."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    ).select("doc_id")
 
     def decode_batches(batches):
         import numpy as _np
@@ -475,7 +482,9 @@ def audio_vad_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     representable integer x < 2^52 is IEEE-safe (the nearest double
     to sqrt(x) can only cross an integer boundary when x is a perfect
     square, where it is exact)."""
-    docs = load(spark, sf_dir, "documents").select("doc_id")
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    ).select("doc_id")
 
     def feature_batches(batches):
         import math as _math

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import spread_scan
 
 
 def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -961,8 +962,16 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never materializing the join). At 100 TB you persist the grids
     per table/column once and estimate ANY pairwise join in O(grid) —
     this is exactly what the sketch buys that sampling does not."""
-    orders = load(spark, sf_dir, "orders")
-    li = load(spark, sf_dir, "lineitem")
+    # spread both sketch scans: the depth-x md5 explode feeding each
+    # grid's map-side combine otherwise runs in the table's single
+    # scan split (measured 4.5 s single-task for lineitem at sf0.1;
+    # guide §2.5 — no-op once the tables split on their own)
+    orders = spread_scan(
+        load(spark, sf_dir, "orders"), sf_dir, "orders", by="o_orderkey"
+    )
+    li = spread_scan(
+        load(spark, sf_dir, "lineitem"), sf_dir, "lineitem", by="l_orderkey"
+    )
     ga = _js_grid(orders, "o_orderkey")
     gb = _js_grid(li, "l_orderkey")
     est = (

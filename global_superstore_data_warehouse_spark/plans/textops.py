@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 from global_superstore_data_warehouse_spark.catalog import load
 from global_superstore_data_warehouse_spark.functions import text as T
 from global_superstore_data_warehouse_spark.operators.dedup import dedup_exact
-from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
+from global_superstore_data_warehouse_spark.operators.hints import (
+    cpu_repartition,
+    maybe_broadcast,
+    spread_scan,
+)
 from global_superstore_data_warehouse_spark.operators.intervals import (
     interval_union_islands,
 )
@@ -318,17 +322,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     cand = _blocked_candidate_pairs(docs)
     # standalone tokenize projection: _shingles references the array
-    # per gram position, which inlined would re-split per element
-    base = docs.select("doc_id", T.tokens("text").alias("t0"))
+    # per gram position, which inlined would re-split per element.
+    # spread the payload scan — tokenize + shingle + md5 otherwise
+    # run in the single scan split (guide §2.5; no-op at scale)
+    base = spread_scan(docs, sf_dir, "documents", by="doc_id").select(
+        "doc_id", T.tokens("text").alias("t0")
+    )
     payload = base.select(
         "doc_id",
         T.hashed_set(F.col("t0")).alias("toks"),
         T.hashed_set(_shingles(F.col("t0"), 3)).alias("sh3"),
     )
     pa, pb = payload.alias("pa"), payload.alias("pb")
-    joined = cand.join(pa, F.col("doc_id_a") == F.col("pa.doc_id")).join(
-        pb, F.col("doc_id_b") == F.col("pb.doc_id")
-    )
+    # pin the verify stage's width (same AQE byte-coalesce hazard as
+    # _verified_cluster_pairs — the shingle intersections are CPU)
+    joined = cpu_repartition(cand, "doc_id_a").join(
+        pa, F.col("doc_id_a") == F.col("pa.doc_id")
+    ).join(pb, F.col("doc_id_b") == F.col("pb.doc_id"))
     j1 = T.jaccard(F.col("pa.toks"), F.col("pb.toks"))
     # compute the cheap token-Jaccard first and FILTER before the
     # 3-gram-shingle Jaccard: most candidates fail the 0.3 threshold,
@@ -591,7 +601,13 @@ def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash; each bit position accumulates +1/-1 across tokens; the
     sign vector is the fingerprint. Explode + conditional-sum
     groupBy — one shuffle on doc_id, fully codegen'd."""
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-split scan: the explode + per-token md5 feed
+    # the groupBy's MAP side, which otherwise runs in one task
+    # (measured 2.0 s single-task at sf0.1; guide §2.5 — no-op once
+    # the table splits on its own)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
     toks = F.array_distinct(T.tokens("text"))
     exploded = docs.select("doc_id", F.explode(toks).alias("w")).withColumn(
         "v", T.hex16_of_md5(F.col("w"))
@@ -637,6 +653,36 @@ SIMHASH_DOCS_ORACLE = _simhash_sql()
 CLUSTER_JACCARD = 0.3
 
 
+def _verified_cluster_pairs(docs: DataFrame, sf_dir: str) -> DataFrame:
+    """Shared near-dup edge builder for both clustering plans:
+    blocked candidates → token-set Jaccard verify at
+    CLUSTER_JACCARD → checkpointed (src, dst) pairs.
+
+    Round-13 optimization (measured at sf0.1): the payload scan is
+    SPREAD (tokenize + per-token md5 otherwise ran in the single
+    scan split — guide §2.5) and the verify stage's width is PINNED
+    with an explicit repartition — the candidate pairs arrive from
+    the banded self-join's exchange, which AQE byte-coalescing had
+    shrunk to 3 tasks holding ~32 s of set-intersection CPU (11 s
+    wall); cpu_repartition is exempt from coalescing and scales
+    with the session's shuffle setting."""
+    cand = _blocked_candidate_pairs(docs)
+    toks = T.hashed_set(T.tokens("text"))
+    payload = spread_scan(docs, sf_dir, "documents", by="doc_id").select(
+        "doc_id", toks.alias("toks")
+    )
+    pa, pb = payload.alias("pa"), payload.alias("pb")
+    j1 = T.jaccard(F.col("pa.toks"), F.col("pb.toks"))
+    return (
+        cpu_repartition(cand, "doc_id_a")
+        .join(pa, F.col("doc_id_a") == F.col("pa.doc_id"))
+        .join(pb, F.col("doc_id_b") == F.col("pb.doc_id"))
+        .filter(j1 >= CLUSTER_JACCARD)
+        .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
+        .localCheckpoint()
+    )
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup endgame: near-dup pairs → connected components →
     canonical document per cluster (min doc_id). Every document gets
@@ -671,18 +717,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(log d) levels over a geometrically shrinking edge set.
     """
     docs = load(spark, sf_dir, "documents")
-    cand = _blocked_candidate_pairs(docs)
-    toks = T.hashed_set(T.tokens("text"))
-    payload = docs.select("doc_id", toks.alias("toks"))
-    pa, pb = payload.alias("pa"), payload.alias("pb")
-    j1 = T.jaccard(F.col("pa.toks"), F.col("pb.toks"))
-    pairs = (
-        cand.join(pa, F.col("doc_id_a") == F.col("pa.doc_id"))
-        .join(pb, F.col("doc_id_b") == F.col("pb.doc_id"))
-        .filter(j1 >= CLUSTER_JACCARD)
-        .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-        .localCheckpoint()
-    )
+    pairs = _verified_cluster_pairs(docs, sf_dir)
     edges = (
         pairs.union(pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .localCheckpoint()
@@ -797,18 +832,7 @@ def dedup_clusters_smallstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")
-    cand = _blocked_candidate_pairs(docs)
-    toks = T.hashed_set(T.tokens("text"))
-    payload = docs.select("doc_id", toks.alias("toks"))
-    pa, pb = payload.alias("pa"), payload.alias("pb")
-    j1 = T.jaccard(F.col("pa.toks"), F.col("pb.toks"))
-    pairs = (
-        cand.join(pa, F.col("doc_id_a") == F.col("pa.doc_id"))
-        .join(pb, F.col("doc_id_b") == F.col("pb.doc_id"))
-        .filter(j1 >= CLUSTER_JACCARD)
-        .select(F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst"))
-        .localCheckpoint()
-    )
+    pairs = _verified_cluster_pairs(docs, sf_dir)
     comp = connected_components(pairs)
     labeled = comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
@@ -2835,7 +2859,14 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage is a fingerprint-bucketed self-join (bucket sizes capped
     by the df filter), never doc x doc.
     """
-    docs = load(spark, sf_dir, "documents").select(
+    # spread the single-split scan: every downstream byte of work up
+    # to the selection groupBy (the per-position md5s, both explodes)
+    # is zero-shuffle and would otherwise run in ONE scan task
+    # (measured 3.2 s single-task at sf0.1, twice — see below);
+    # no-op once the table splits on its own (guide §2.5)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    ).select(
         "doc_id",
         F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]", "").alias("t"),
     )
@@ -2876,7 +2907,13 @@ def winnowing_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("m.h").alias("h"), (-F.col("m.np")).alias("p"))
         .distinct()
     )
-    fps = picked.select("doc_id", "h").distinct()
+    # materialize the selected fingerprints ONCE: both consumers (the
+    # document-frequency cap and the pair join's kept side) otherwise
+    # re-run the whole explode+md5+selection lineage — measured at
+    # sf0.1 as two identical 3.2 s stages (guide §2.4: duplicated
+    # subtrees). Narrow (doc_id, h) rows, bounded by the winnowing
+    # selection density (~2/(w+1) of positions) at any scale.
+    fps = picked.select("doc_id", "h").distinct().localCheckpoint(eager=True)
     df_ok = (
         fps.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
