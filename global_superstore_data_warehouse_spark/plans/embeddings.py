@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.hints import spread_scan
 from global_superstore_data_warehouse_spark.operators import similarity as S
 
 DIMS = 64
@@ -217,7 +218,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query deliberately includes the build so the driver checks the
     whole pipeline.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     cent_row = _unit_centroid_row(emb)
     with_cents = emb.crossJoin(F.broadcast(cent_row))
     corpus = with_cents.select("vec_id", "embedding", _best_list().alias("list_id"))
@@ -320,7 +325,11 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket when no label exists). Vectors are unit-normalized ONCE
     per row before the pair join, so each pair costs a single
     dot-fold instead of dot + two norms."""
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     emb_n = emb.select(
         "vec_id", "label", S.norm(F.col("embedding")).alias("nrm"), "embedding"
     ).select(
@@ -424,7 +433,11 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on centroid id; re-estimated centroids round to 6 dp
     in BOTH engines so the second assignment sees identical floats.
     Returns the final assignment with its squared distance."""
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     e = emb.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -817,7 +830,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     branches don't recompute the quantizer. Never a corpus-level
     cross join.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     cent_row = _unit_centroid_row(emb)
     n_part = spark.sparkContext.defaultParallelism
     # per-vector norms precomputed once — see semantic_near_dup_pairs
@@ -902,7 +919,11 @@ def semantic_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``semantic_dedup``, exposed for composition (the split-leakage
     audit consumes it). Same scale shape: quantizer assignment is a
     broadcast projection, the self-join is confined to a cluster."""
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     cent_row = _unit_centroid_row(emb)
     n_part = spark.sparkContext.defaultParallelism
     # norms are precomputed ONCE per vector (corpus-scale) instead of
@@ -1041,7 +1062,11 @@ def ann_int8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized query set, one corpus scan for the integer-dot
     candidate ranking, rerank window over M x |queries| rows.
     Recall vs the exact brute-force baseline is pinned in pytest."""
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     z = (
         emb.withColumn("scale", S.int8_scale(F.col("embedding")))
         .withColumn("q8", S.int8_quantize(F.col("embedding"), F.col("scale")))
@@ -1171,7 +1196,11 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_assign discipline); distance sums are rounded AFTER the
     fixed-order sequential fold; ranking ties break on vec_id.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1356,7 +1385,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking ties break on vec_id; coarse assignment argmin breaks
     ties on cell id.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     e = emb.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -1629,7 +1662,11 @@ def bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed candidate join the ANN family already implements —
     margin scoring composes with any candidate generator.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
     sides = emb.join(docs, emb.vec_id == docs.doc_id).select(
         "vec_id", "embedding", "lang"
@@ -1774,7 +1811,11 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays flat. At 100 TB: K scans, zero shuffles beyond the top-1
     reductions.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    # spread the single-split scan: per-row vector math otherwise
+    # runs in ONE task (guide §2.5; no-op once the table splits)
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     corpus = emb.select("vec_id", "embedding").localCheckpoint(eager=True)
 
     first = corpus.orderBy("vec_id").first()

@@ -371,7 +371,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast and the corpus is scanned once for counts and once for
     scoring (or once total if the bucket counts are cached).
     """
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-split scan: the token+bigram explode + md5
+    # bucketing feeds THREE aggregations, each of which otherwise
+    # re-ran it in ONE task (measured: five serialized 0.6-1.7 s
+    # single-task stages at sf0.1; guide §2.5)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
     toks = F.filter(tokens("text"), lambda t: t != "")
     bigrams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),

@@ -48,12 +48,34 @@ from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
 from global_superstore_data_warehouse_spark.functions.text import tokens
+from global_superstore_data_warehouse_spark.operators.hints import (
+    cpu_repartition,
+    spread_scan,
+)
 
 TAU = 0.95
 
+# Hot-key salt factor for the prefix-token candidate self-joins
+# (guide §2.5 "salt the key"): on a saturated vocabulary a single
+# prefix token can block thousands of classes, and the join's hash
+# partitioning then lands that block's quadratic candidate work on
+# ONE task (measured at sf0.1: a 10.4 s max task against a 1 ms
+# median in jaccard_prefix_pairs' save stage). One join side is
+# exploded SALTS ways, the other carries pmod(xxhash64(cls), SALTS);
+# every true pair matches exactly one replica, so output is
+# identical while the hot block splits SALTS ways. The replication
+# is a bounded constant on the (small, prefix-length-bounded) build
+# rows — not on the quadratic candidate output.
+SALTS = 32
+
 
 def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs_for_docs(load(spark, sf_dir, "documents"))
+    # spread the single-split scan: the sort+distinct tokenize and
+    # per-doc md5 fingerprint feeding BOTH checkpoints otherwise run
+    # single-task (guide §2.5; no-op once the table splits on its own)
+    return jaccard_pairs_for_docs(
+        spread_scan(load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id")
+    )
 
 
 def jaccard_pairs_for_docs(docs: DataFrame) -> DataFrame:
@@ -107,11 +129,34 @@ def jaccard_pairs_for_docs(docs: DataFrame) -> DataFrame:
     alpha = F.ceil(
         F.lit(TAU / (1.0 + TAU)) * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9)
     )
+    # salt the prefix-token block key (see SALTS): side a replicated
+    # per salt, side b keyed by pmod(xxhash64(cls), SALTS) — equality
+    # on (token, salt) splits a hot token's candidate block SALTS ways
+    # the salted join's own exchanges are cpu_repartition-pinned on
+    # (token, salt): the candidate blocks are byte-tiny but CPU-heavy,
+    # so AQE's byte model would otherwise coalesce the salted join
+    # back into one task (observed: the salt alone moved the 10.4 s
+    # hot task but AQE re-serialized it)
+    pre_a = cpu_repartition(
+        prefix.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+        ),
+        "token",
+        "salt",
+    )
+    pre_b = cpu_repartition(
+        prefix.withColumn(
+            "salt", F.pmod(F.xxhash64("cls"), F.lit(SALTS)).cast("int")
+        ),
+        "token",
+        "salt",
+    )
     cands = (
-        prefix.alias("a")
+        pre_a.alias("a")
         .join(
-            prefix.alias("b"),
+            pre_b.alias("b"),
             (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.rep") < F.col("b.rep"))
             & (F.col("b.n") >= F.ceil(F.lit(TAU) * F.col("a.n")))
             & (F.col("b.n") <= F.floor(F.col("a.n") / F.lit(TAU)))
@@ -136,7 +181,11 @@ def jaccard_pairs_for_docs(docs: DataFrame) -> DataFrame:
     shared = F.size(F.array_intersect("ts_a", "ts_b"))
     jac = shared / (F.col("na") + F.col("nb") - shared)
     cls_pairs = (
-        cands.join(ca, "cls_a")
+        # pin the verify width: the array_intersect per candidate is
+        # CPU-dense and the distinct's exchange would otherwise be
+        # byte-coalesced (same hazard as the textops verify stages)
+        cpu_repartition(cands, "cls_a")
+        .join(ca, "cls_a")
         .join(cb, "cls_b")
         .withColumn("shared", shared)
         .withColumn("jaccard", jac)
@@ -264,7 +313,11 @@ def superset_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _superset_containment(
     spark: SparkSession, sf_dir: str, force_bloom: bool
 ) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-split scan (same rationale as
+    # jaccard_prefix_pairs; no-op at scale)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
     toks = (
         docs.select(
             "doc_id",
@@ -337,11 +390,30 @@ def _superset_containment(
     # rarest emits ONE row per class a and b's tokens are distinct, so
     # each (a, b) pair arises at most once — no distinct needed; the
     # mask subset test runs inside the join's generated code
+    # salted block key (see SALTS): the rarest-token side replicates
+    # per salt, the token-explode side keys by pmod(xxhash64(cls));
+    # a hot token's candidate block then splits SALTS ways instead of
+    # landing on one task
+    rarest_s = cpu_repartition(
+        rarest.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+        ),
+        "token",
+        "salt",
+    )
+    ex_s = cpu_repartition(
+        ex.withColumn(
+            "salt", F.pmod(F.xxhash64("cls"), F.lit(SALTS)).cast("int")
+        ),
+        "token",
+        "salt",
+    )
     cand = (
-        rarest.alias("a")
+        rarest_s.alias("a")
         .join(
-            ex.alias("b"),
+            ex_s.alias("b"),
             (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("b.n") > F.col("a.n"))
             & (
                 F.col("a.m1").bitwiseAND(F.col("b.m1")) == F.col("a.m1")

@@ -557,7 +557,12 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup detection over ``documents``; see
     ``_lsh_verified_doc_pairs`` for the class-collapsed plan.
     Output: verified pairs with jaccard >= 0.5."""
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-split scan: the bow-fingerprint md5 feeding
+    # the class collapse (and the member checkpoint) otherwise runs
+    # single-task ahead of the plan's own repartition (guide §2.5)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
     return _lsh_verified_doc_pairs(docs)
 
 
@@ -873,10 +878,16 @@ def crossmodal_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from global_superstore_data_warehouse_spark.operators import similarity as S
 
-    docs = load(spark, sf_dir, "documents")
+    # spread both single-split scans (same rationale as
+    # minhash_lsh_candidates / embedding_near_dup)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
     pairs = _lsh_verified_doc_pairs(docs)
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread_scan(
+        load(spark, sf_dir, "embeddings"), sf_dir, "embeddings", by="vec_id"
+    )
     emb_n = emb.select(
         "vec_id", S.norm(F.col("embedding")).alias("nrm"), "embedding"
     ).select("vec_id", S.normalize(F.col("embedding"), F.col("nrm")).alias("emb_n"))
@@ -1416,7 +1427,11 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from global_superstore_data_warehouse_spark.plans import setsim
 
-    docs = load(spark, sf_dir, "documents").filter(_recall_sample_pred())
+    # spread before the sample filter: the ground-truth tokenize runs
+    # over the sample at full width instead of the scan's single split
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    ).filter(_recall_sample_pred())
     exact = setsim.jaccard_pairs_for_docs(docs).select("doc_a", "doc_b")
     return _recall_eval_from_exact(spark, sf_dir, exact)
 
@@ -2011,7 +2026,12 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     band arithmetic stays inside BIGINT without edge-casing the sign
     bit. Hot band values (boilerplate-heavy corpora) would ride the
     same class-collapse used by minhash_lsh_candidates."""
-    docs = load(spark, sf_dir, "documents")
+    # spread the scan feeding the simhash explode: the per-token md5
+    # + 32 conditional sums otherwise map-aggregate in the single
+    # scan split (measured 2.5 s single-task at sf0.1; guide §2.5)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
     sims = _simhash32(docs).localCheckpoint(eager=True)
     band_bits = SIMHASH_ND_BITS // SIMHASH_ND_BANDS
     mask = (1 << band_bits) - 1
@@ -2193,7 +2213,12 @@ def duplicate_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id exchange. Docs shorter than one window cannot contain a
     duplicated span and are filtered before the explode."""
     W = DUPSPAN_W
-    docs = load(spark, sf_dir, "documents")
+    # spread the single-split scan: the rolling-window explode + md5
+    # per window otherwise map-aggregate in ONE task (measured 1.5 s
+    # single-task at sf0.1; guide §2.5)
+    docs = spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
     tok = docs.select("doc_id", T.tokens("text").alias("toks")).filter(
         F.size("toks") >= W
     )

@@ -166,3 +166,51 @@ def test_load_memo_reuses_plan_and_sees_rewrite(spark, tmp_path):
     c = load(spark, str(tmp_path), "orders")
     assert c is not a
     assert c.count() == 37
+
+
+# --- round-13 additions: spread_scan / cpu_repartition ----------------
+
+
+def test_spread_scan_fires_on_tiny_table(spark, sf_dir):
+    """A table far smaller than maxPartitionBytes x parallelism must
+    gain an explicit repartition (the input-skew guard) — visible as
+    an Exchange between the parquet scan and downstream work."""
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.operators.hints import spread_scan
+
+    df = spread_scan(load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id")
+    assert "Exchange" in _physical(df)
+    # result-preserving: same rows, just redistributed
+    base = load(spark, sf_dir, "documents")
+    assert df.count() == base.count()
+
+
+def test_spread_scan_noop_past_the_gate(spark, sf_dir, monkeypatch):
+    """Past the size gate (production scale) the SAME call returns
+    the scan untouched — plan byte-identical, no extra exchange."""
+    from global_superstore_data_warehouse_spark import catalog
+    from global_superstore_data_warehouse_spark.catalog import load
+    from global_superstore_data_warehouse_spark.operators import hints
+
+    monkeypatch.setattr(catalog, "table_bytes", lambda d, n: 10**15)
+    df = hints.spread_scan(
+        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+    )
+    assert "Exchange" not in _physical(df)
+
+
+def test_cpu_repartition_pins_width_against_aqe(spark):
+    """cpu_repartition must produce a user-specified repartition that
+    AQE does not coalesce: after an action, the RDD partition count
+    equals the session shuffle setting even though the data is tiny
+    (AQE would coalesce a plain shuffle of this size to 1)."""
+    from global_superstore_data_warehouse_spark.operators.hints import (
+        _session_parallelism,
+        cpu_repartition,
+    )
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "k")
+    out = cpu_repartition(df, "k")
+    n = _session_parallelism(df)
+    assert out.rdd.getNumPartitions() == n
+    assert out.count() == 1000
