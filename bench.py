@@ -440,6 +440,54 @@ BENCH_EXEMPT = {
 
 ROUNDS = 3
 
+
+class _ConcurrencySampler:
+    """Passive max-task-concurrency sampler (round 14, the r13
+    verdict's scaling-legibility item): the driver's low-core scaling
+    heuristic reads a ~1.0 wall ratio as "CPUs ignored" when the real
+    cause is a fixed-cost-dominated query that never has many tasks
+    in flight. Sampling the status tracker (~100 Hz, a couple of py4j
+    calls per poll, off-thread) during each HEADLINE timing records
+    the max number of concurrently ACTIVE tasks — a query whose max
+    concurrency is near the core count genuinely uses the cores; one
+    whose max is small (or 0: every stage finished under the sampling
+    horizon) is plan/fixed-cost bound and a flat low-core ratio is
+    expected, not suspicious. Reported per headline query in
+    BENCH_DETAIL (additions-only; the stdout contract line is
+    untouched)."""
+
+    def __init__(self, spark) -> None:
+        self._tracker = spark.sparkContext.statusTracker()
+        self.max_active = 0
+        self._stop = False
+        self._thread = None
+
+    def _poll(self) -> None:
+        while not self._stop:
+            try:
+                active = 0
+                for sid in self._tracker.getActiveStageIds():
+                    info = self._tracker.getStageInfo(sid)
+                    if info is not None:
+                        active += info.numActiveTasks
+                if active > self.max_active:
+                    self.max_active = active
+            except Exception:
+                pass  # tracker hiccups must never fail a timing
+            time.sleep(0.01)
+
+    def __enter__(self) -> "_ConcurrencySampler":
+        import threading
+
+        self._thread = threading.Thread(target=self._poll, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(timeout=1.0)
+
 # INHERENT-COST extras (round-12 decision, after three rounds of
 # re-profiling the same slowest-5): these queries' cost is the work
 # they exist to do, not a plan defect — BENCH_DETAIL carries this map
@@ -556,6 +604,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     extra_timings: dict[str, float] = {}
     extra_passes: dict[str, int] = {}
+    headline_concurrency: dict[str, int] = {}
     cpu_canaries: list[float] = []
     spark_canaries: list[float] = []
     for rnd in range(ROUNDS):
@@ -607,10 +656,22 @@ def main() -> None:
             # construction (incl. any eager checkpoint of reused
             # frames) counts toward the measured time: it is real
             # query work, not session setup
-            t0 = time.perf_counter()
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            el = time.perf_counter() - t0
+            if sink is timings:
+                # headline runs carry the passive concurrency sampler
+                # (see _ConcurrencySampler) — max across rounds
+                with _ConcurrencySampler(spark) as cs:
+                    t0 = time.perf_counter()
+                    df = qs[name](spark, SF_DIR)
+                    df.write.format("noop").mode("overwrite").save()
+                    el = time.perf_counter() - t0
+                headline_concurrency[name] = max(
+                    headline_concurrency.get(name, 0), cs.max_active
+                )
+            else:
+                t0 = time.perf_counter()
+                df = qs[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                el = time.perf_counter() - t0
             prev = sink.get(name)
             sink[name] = round(el if prev is None else min(prev, el), 3)
             if sink is extra_timings:
@@ -691,6 +752,11 @@ def main() -> None:
         "queries": timings,
         "extra_queries": extra_timings,
         "extra_passes": extra_passes,
+        # max concurrently-active tasks observed per headline timing
+        # (round 14 — lets a flat low-core wall ratio be read as
+        # "fixed-cost-bound", not "CPUs ignored"; see
+        # _ConcurrencySampler)
+        "headline_max_concurrency": headline_concurrency,
         "extras_budget_skipped": extra_skipped,
         "inherent_cost": {
             n: why for n, why in INHERENT_COST.items() if n in extra_timings

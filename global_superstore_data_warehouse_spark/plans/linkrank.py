@@ -67,18 +67,27 @@ CONVERGENCE_PROBE = True
 
 def _copurchase_edges(li: DataFrame) -> DataFrame:
     """Directed edge list (src, dst), both directions, one row per
-    distinct co-purchased part pair."""
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = basket.alias("a"), basket.alias("b")
+    distinct co-purchased part pair.
+
+    Round-14 rewrite (guide §2.3/§2.4 — the shared preamble of five
+    graph queries): the old basket SELF-JOIN shuffled the distinct
+    (order, part) projection three times (the distinct itself plus
+    both join sides re-keyed on the order key). Collapsing each
+    order's parts into ONE set row first (``collect_set`` partial-
+    aggregates map-side and deduplicates in the same exchange) and
+    exploding the ordered pairs INSIDE the post-shuffle stage emits
+    the identical pair multiset with a single order-keyed exchange
+    and no join build. Per-order cost is still basket², bounded by
+    basket size — never catalog size — exactly as before."""
+    sets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        sets.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
 
@@ -239,15 +248,18 @@ def _oriented_copurchase(
     checkpointed. Used by the global triangle census and the
     per-node clustering-coefficient plan."""
     li = load(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = basket.alias("a"), basket.alias("b")
+    # per-order set collapse instead of the basket self-join — same
+    # rewrite as _copurchase_edges (round-14, guide §2.3/§2.4): one
+    # order-keyed exchange, pairs exploded post-shuffle, no join build
+    sets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
     und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        sets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .filter(F.col("u") < F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -428,15 +440,23 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("dist", F.lit(0))
         .localCheckpoint(eager=True)
     )
+    # frontier/visited counts tracked as DRIVER SCALARS (round-14,
+    # ADVICE fix): the per-hop broadcast gates used to run two extra
+    # count() jobs each hop, and the drain check a third (isEmpty).
+    # One count per new frontier now feeds the gates (visited_n is
+    # the running sum — unions of disjoint frontiers) AND replaces
+    # the isEmpty probe.
     frontier = visited
+    frontier_n = 1 if seed_key is not None else 0
+    visited_n = frontier_n
     for hop in range(1, BFS_HOPS + 1):
         neighbors = (
             # size-gated broadcast of the frontier (node-sized,
-            # checkpointed → the gate count reads cached rows):
+            # checkpointed → the gate reads a driver scalar):
             # without the hint the stats-less RDD frame planned a
             # SortMergeJoin that re-shuffled the EDGE table every
             # hop (guide §2.4); past the gate the hint drops itself
-            maybe_broadcast(frontier)
+            maybe_broadcast(frontier, n_rows=frontier_n)
             .join(edges, frontier.node == edges.src)
             .select(F.col("dst").alias("node"))
             .distinct()
@@ -444,19 +464,23 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_frontier = frontier
         frontier = (
             neighbors.join(
-                maybe_broadcast(visited.select("node")), "node", "left_anti"
+                maybe_broadcast(visited.select("node"), n_rows=visited_n),
+                "node",
+                "left_anti",
             )
             .withColumn("dist", F.lit(hop))
             .localCheckpoint(eager=True)
         )
+        frontier_n = frontier.count()  # cached rows — gate + drain probe
         # the superseded frontier's blocks are dead once the new one
         # is materialized (at hop 1 it aliases `visited` — skip)
         if prev_frontier is not visited:
             prev_frontier.unpersist()
-        if frontier.isEmpty():
+        if frontier_n == 0:
             break
         prev_visited = visited
         visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited_n += frontier_n
         prev_visited.unpersist()
     else:
         # All hops used without the frontier draining. The fixed hop
@@ -467,12 +491,14 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would be mis-reported as dist = -1.
         if CONVERGENCE_PROBE:
             nxt = (
-                maybe_broadcast(frontier)
+                maybe_broadcast(frontier, n_rows=frontier_n)
                 .join(edges, frontier.node == edges.src)
                 .select(F.col("dst").alias("node"))
                 .distinct()
                 .join(
-                    maybe_broadcast(visited.select("node")), "node", "left_anti"
+                    maybe_broadcast(visited.select("node"), n_rows=visited_n),
+                    "node",
+                    "left_anti",
                 )
             )
             if not nxt.isEmpty():

@@ -42,17 +42,29 @@ def market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     since confidence is asymmetric; a < b pairs carry the same
     support and lift mirrored."""
     li = load(spark, sf_dir, "lineitem")
-    # one row per (order, part) — a part twice in a basket counts once
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # per-order set collapse instead of the basket self-join (round-14,
+    # guide §2.3/§2.4 — same rewrite as linkrank._copurchase_edges):
+    # collect_set dedups (order, part) map-side in ONE order-keyed
+    # exchange, and the ordered pairs explode post-shuffle with no
+    # join build. The order total and per-part counts read the same
+    # exchange (one set row per order).
+    sets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
     # 1-row total as a broadcast frame, not a driver-side .count():
     # keeps the whole query one lazy Catalyst plan
-    n = op.agg(F.countDistinct("l_orderkey").cast("double").alias("n_orders"))
-    part_orders = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("part_n"))
+    n = sets.agg(F.count(F.lit(1)).cast("double").alias("n_orders"))
+    part_orders = (
+        sets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("part_n"))
+    )
 
-    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
     pairs = (
-        a.join(b, "l_orderkey")
+        sets.select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
         .filter(F.col("part_a") != F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))

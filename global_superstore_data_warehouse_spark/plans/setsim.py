@@ -69,6 +69,23 @@ TAU = 0.95
 SALTS = 32
 
 
+def _salt_factor(max_df: int | None, n_classes: int) -> int:
+    """SKEW-CONDITIONAL salt (round-14, the r13 verdict's #7): fire
+    the SALTS-way replication only when the hottest token block is
+    genuinely hot — its document frequency (the block's row bound)
+    claims at least a 1/SALTS share of all classes, i.e. that one
+    block's quadratic candidate work would dominate a single reducer.
+    On an unskewed vocabulary (real-corpus regime: max df << classes)
+    this returns 1 and the join runs un-replicated — same code path,
+    a constant salt column, no build-side blow-up — mirroring
+    spread_scan's self-disabling gate discipline. The two scalars
+    are cheap by construction: n_classes reads a checkpointed frame,
+    max_df rides the df aggregate the plan builds anyway."""
+    if not max_df:
+        return 1
+    return SALTS if max_df * SALTS >= n_classes else 1
+
+
 def jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the single-split scan: the sort+distinct tokenize and
     # per-doc md5 fingerprint feeding BOTH checkpoints otherwise run
@@ -102,7 +119,21 @@ def jaccard_pairs_for_docs(docs: DataFrame) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     ex = classes.select("cls", "rep", "n", F.explode("ts").alias("token"))
-    dfreq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # vocabulary-sized; checkpointed because it now has two consumers
+    # (the rarity-order broadcast AND the salt-gate aggregate below) —
+    # without it each would re-run the explode+groupBy lineage
+    dfreq = (
+        ex.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+
+    # skew gate for the candidate join's salt (see _salt_factor):
+    # n_classes off the cached checkpoint, max df via one tiny
+    # aggregate over the cached vocabulary rows
+    n_classes = classes.count()
+    max_df = dfreq.agg(F.max("df")).first()[0]
+    salts = _salt_factor(max_df, n_classes)
 
     # class-level rarity order (df asc, token asc — total,
     # deterministic); the df table is vocabulary-sized -> broadcast
@@ -139,14 +170,14 @@ def jaccard_pairs_for_docs(docs: DataFrame) -> DataFrame:
     # hot task but AQE re-serialized it)
     pre_a = cpu_repartition(
         prefix.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
         ),
         "token",
         "salt",
     )
     pre_b = cpu_repartition(
         prefix.withColumn(
-            "salt", F.pmod(F.xxhash64("cls"), F.lit(SALTS)).cast("int")
+            "salt", F.pmod(F.xxhash64("cls"), F.lit(salts)).cast("int")
         ),
         "token",
         "salt",
@@ -337,8 +368,20 @@ def _superset_containment(
     )
 
     ex0 = classes.select("cls", F.explode("ts").alias("token"))
-    dfreq = ex0.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    vocab = dfreq.count()  # scalar: picks the mask tier
+    # vocabulary-sized; checkpointed — three consumers (the mask-bit
+    # projection, the rarest-token broadcast, and the scalar agg
+    # below) each re-ran the tokenize+explode+groupBy lineage before
+    dfreq = (
+        ex0.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .localCheckpoint(eager=True)
+    )
+    # one vocabulary-sized aggregate yields BOTH scalars: the mask
+    # tier (vocab) and the salt gate's hottest-block bound (max df) —
+    # same job count as the old bare count()
+    vocab, max_df = dfreq.agg(
+        F.count(F.lit(1)), F.max("df")
+    ).first()
     exact_masks = vocab <= 62 and not force_bloom
     if exact_masks:
         # dense one-bit-per-token index, df-ordered (deterministic)
@@ -373,6 +416,9 @@ def _superset_containment(
         .agg(F.bit_or("bit1").alias("m1"), F.bit_or("bit2").alias("m2"))
     )
     classes = classes.join(masks, "cls").localCheckpoint(eager=True)
+    # skew gate for the rarest-token join's salt (see _salt_factor):
+    # cached-checkpoint count + the max df already read above
+    salts = _salt_factor(max_df, classes.count())
 
     ex = classes.select("cls", "n", "m1", "m2", F.explode("ts").alias("token"))
     rarest = (
@@ -396,14 +442,14 @@ def _superset_containment(
     # landing on one task
     rarest_s = cpu_repartition(
         rarest.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(SALTS - 1)))
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
         ),
         "token",
         "salt",
     )
     ex_s = cpu_repartition(
         ex.withColumn(
-            "salt", F.pmod(F.xxhash64("cls"), F.lit(SALTS)).cast("int")
+            "salt", F.pmod(F.xxhash64("cls"), F.lit(salts)).cast("int")
         ),
         "token",
         "salt",

@@ -731,6 +731,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # symmetric edges → src alone covers every edge-incident node
     active = edges.select(F.col("src").alias("doc_id")).distinct().localCheckpoint()
 
+    # ONE scalar gates every level's broadcast hints: contraction only
+    # ever removes nodes, so the round-0 edge-incident node count (off
+    # the cached `active` frame) is a sound upper bound for every
+    # level's map size — the old per-level m.count() gate jobs
+    # (round-14: 1 job instead of L) bought nothing below the gate and
+    # the bound degrades identically above it
+    n_active = active.count()
+
     levels = []
     cur = edges
     while True:
@@ -741,12 +749,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
         levels.append(m)
-        n_map = m.count()  # cached (m is checkpointed) — gates hints
         ms = maybe_broadcast(
-            m.select(F.col("v").alias("src"), F.col("m").alias("ms")), n_rows=n_map
+            m.select(F.col("v").alias("src"), F.col("m").alias("ms")), n_rows=n_active
         )
         md = maybe_broadcast(
-            m.select(F.col("v").alias("dst"), F.col("m").alias("md")), n_rows=n_map
+            m.select(F.col("v").alias("dst"), F.col("m").alias("md")), n_rows=n_active
         )
         prev = cur
         cur = (
@@ -769,18 +776,24 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lv in levels[1:]:
         # level maps past the first are tiny (the graph contracted),
         # but the hint stays size-gated like the remap joins above
-        total = total.join(maybe_broadcast(lv), total.label == lv.v, "left").select(
+        total = total.join(maybe_broadcast(lv, n_rows=n_active), total.label == lv.v, "left").select(
             "doc_id", F.coalesce("m", "label").alias("label")
         )
-    singles = (
+    # singletons fused into ONE left join (round-14): `total` covers
+    # exactly the edge-incident nodes (levels[0].v = distinct edge
+    # sources = `active`), so docs LEFT JOIN total + coalesce is
+    # row-identical to the old anti-join + union — one join instead
+    # of an anti-join plus a two-branch union
+    return (
         docs.select("doc_id")
-        .join(active, "doc_id", "left_anti")
-        .withColumn("label", F.col("doc_id"))
-    )
-    return total.unionByName(singles).select(
-        "doc_id",
-        F.col("label").alias("cluster_id"),
-        (F.col("label") == F.col("doc_id")).alias("is_canonical"),
+        .join(total, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce("label", F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
     )
 
 
@@ -842,15 +855,20 @@ def dedup_clusters_smallstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled = comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    singles = (
+    # singletons fused into ONE left join (round-14, same rewrite as
+    # dedup_clusters): `labeled` holds exactly the edge-incident docs,
+    # so docs LEFT JOIN labeled + coalesce is row-identical to the old
+    # anti-join + union
+    return (
         docs.select("doc_id")
-        .join(labeled.select("doc_id"), "doc_id", "left_anti")
-        .withColumn("cluster_id", F.col("doc_id"))
-    )
-    return labeled.unionByName(singles).select(
-        "doc_id",
-        "cluster_id",
-        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_canonical"
+            ),
+        )
     )
 
 
@@ -2740,13 +2758,16 @@ def dedup_bcubed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
     def clusters(pairs: DataFrame, a: str, b: str, out: str) -> DataFrame:
+        # singleton pass fused into ONE left join (round-14, same
+        # rewrite as dedup_clusters): comp covers exactly the
+        # edge-incident docs, so docs LEFT JOIN comp + coalesce is
+        # row-identical to the old anti-join + union
         comp = connected_components(pairs, src=a, dst=b).select(
             F.col("node").alias("doc_id"), F.col("component").alias(out)
         )
-        singles = docs.join(comp, "doc_id", "left_anti").withColumn(
-            out, F.col("doc_id")
+        return docs.join(comp, "doc_id", "left").select(
+            "doc_id", F.coalesce(out, F.col("doc_id")).alias(out)
         )
-        return comp.unionByName(singles)
 
     sh = clusters(
         simhash_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b", "c_sh"

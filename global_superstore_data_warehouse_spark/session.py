@@ -13,11 +13,13 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(
-    app_name: str = "global-superstore-dw",
-    shuffle_partitions: int | None = None,
-) -> SparkSession:
-    """Build (or fetch) a SparkSession tuned for the warehouse workload.
+def session_confs(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """THE session config dict — the single source the bench, the
+    driver entry, and every measurement tool build from (round-14,
+    ADVICE fix: tools/stageprof.py hand-copied this list, so any
+    future default change would silently diverge the measurement
+    session from the bench session). Resolves the same env knobs as
+    ``get_spark``.
 
     - AQE on: runtime shuffle-partition coalescing, skew-join
       splitting, and dynamic join-strategy demotion to broadcast —
@@ -29,28 +31,39 @@ def get_spark(
       operators use Arrow-batched pandas UDFs, never row-at-a-time).
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
-    builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
         # bound per-task memory of mapInPandas/applyInPandas batches
         # (multimodal blobs ride in these; 10k rows/batch keeps a
         # task's Arrow buffer under control at any blob size skew)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+        "spark.ui.enabled": "false",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "16g"),
+    }
+
+
+def get_spark(
+    app_name: str = "global-superstore-dw",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for the warehouse
+    workload — see ``session_confs`` for the config rationale."""
+    master = os.environ.get(
+        "SPARK_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
     )
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in session_confs(shuffle_partitions).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

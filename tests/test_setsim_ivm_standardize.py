@@ -101,3 +101,52 @@ def test_standardized_dims_are_zero_mean_unit_var(spark, sf_dir):
     for r in stats:
         assert abs(r["mu"]) < 1e-4
         assert abs(r["sigma"] - 1.0) < 1e-4
+
+
+def test_salt_factor_gate_logic():
+    """Skew-conditional salting (round-14): replication fires only
+    when the hottest token block claims >= a 1/SALTS share of all
+    classes; degenerate/empty stats disable it."""
+    from global_superstore_data_warehouse_spark.plans.setsim import (
+        SALTS,
+        _salt_factor,
+    )
+
+    assert _salt_factor(None, 100) == 1          # empty vocabulary
+    assert _salt_factor(0, 100) == 1
+    assert _salt_factor(100, 100) == SALTS       # saturated: every class
+    assert _salt_factor(4, 4 * SALTS) == SALTS   # exactly at the gate
+    assert _salt_factor(3, 4 * SALTS) == 1       # just below
+    assert _salt_factor(1, 100_000) == 1         # unskewed vocabulary
+
+
+def test_unskewed_corpus_disables_salting_same_output(spark):
+    """On a synthetic UNSKEWED vocabulary (every doc a distinct
+    token set, no token in >1/SALTS of classes) the salt gate must
+    return 1 — no build-side replication in the plan — while the
+    join still finds exactly the brute-force pair set."""
+    from global_superstore_data_warehouse_spark.plans.setsim import (
+        SALTS,
+        TAU,
+        jaccard_pairs_for_docs,
+    )
+
+    # 60 docs over a wide vocabulary: doc i holds tokens
+    # {w{i}a..w{i}t} (20 tokens), and docs 2k/2k+1 share all 20
+    # (Jaccard 1.0 pairs exist); every token's df is <= 1 class...
+    # two docs with IDENTICAL sets collapse to one class, so df = 1
+    # for every token — maximally unskewed.
+    rows = []
+    for i in range(60):
+        base = i // 2  # pairs share a set
+        toks = " ".join(f"w{base}t{j}" for j in range(20))
+        rows.append((i, toks))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    out = jaccard_pairs_for_docs(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # replication gone: no explode over a SALTS-long sequence
+    assert f"sequence(0, {SALTS - 1}" not in plan
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    want = {(2 * k, 2 * k + 1) for k in range(30)}
+    assert got == want

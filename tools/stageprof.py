@@ -126,32 +126,27 @@ def main() -> None:
 
     from global_superstore_data_warehouse_spark import registry
 
-    # mirror session.get_spark's configs, plus the event log (the
-    # builder is a fresh instance per access, so get_spark cannot be
-    # pre-configured from outside)
+    # the SHARED session config (session.session_confs — round-14
+    # ADVICE fix: the hand-copied list here could silently diverge
+    # from the bench session), plus only the event-log keys this
+    # profiler needs
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
-    spark = (
-        SparkSession.builder.master(master)
-        .appName("gsdw-stageprof")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-        .config("spark.eventLog.dir", f"file:{LOG_DIR}")
-        .getOrCreate()
+    from global_superstore_data_warehouse_spark.session import session_confs
+
+    builder = SparkSession.builder.master(master).appName("gsdw-stageprof")
+    confs = dict(session_confs())
+    confs.update(
+        {
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+            "spark.eventLog.dir": f"file:{LOG_DIR}",
+        }
     )
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     assert spark.conf.get("spark.eventLog.enabled", "false") == "true", (
         "event log not enabled — builder config did not take"
     )
