@@ -521,6 +521,17 @@ INHERENT_COST = {
         "per-round one shuffle is optimal for connected components "
         "without a driver-side union-find"
     ),
+    "stream_interval_join_attribution": (
+        "round-14 profiling (per-microbatch durationMs): ONE "
+        "availableNow drain, but the stream-stream join runs two "
+        "microbatches by design — the data batch (addBatch ~5 s: "
+        "watermarked dual-sided state-store writes across the "
+        "shuffle-partition-many stores) plus the zero-row watermark-"
+        "finalization batch (~3 s of the same state machinery). "
+        "That state/commit lifecycle is what the operator exists to "
+        "exercise; shrinking state partitions to the local core "
+        "count would be a config-only local win"
+    ),
 }
 
 # Frozen canary reference (round 6, first measurement on the recording

@@ -51,6 +51,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from global_superstore_data_warehouse_spark.operators.debugplan import dump_plan
 from global_superstore_data_warehouse_spark.operators.hints import maybe_broadcast
 
 
@@ -128,11 +129,15 @@ def connected_components(
     # runs the shuffle-join star rounds)
     n_nodes = nodes.count()
     first = e  # shared with `nodes`' lineage — never unpersisted here
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         after_large = _star_round(e, large=True, n_nodes=n_nodes)
-        after_small = _star_round(
-            after_large, large=False, n_nodes=n_nodes
-        ).localCheckpoint()
+        round_body = _star_round(after_large, large=False, n_nodes=n_nodes)
+        if rnd == 0:
+            # evidence hook (no-op unless SPARK_GRAFT_PLAN_DIR set):
+            # the final explain is post-checkpoint, so the per-round
+            # join strategy is captured here
+            dump_plan(round_body, "star_cc_round_body")
+        after_small = round_body.localCheckpoint()
         # single probe job: both sets are distinct + checkpointed, so
         # the symmetric difference reads cached rows and take(1)
         # early-exits on the first witness of change

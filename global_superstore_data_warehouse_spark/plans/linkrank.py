@@ -52,6 +52,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from global_superstore_data_warehouse_spark.catalog import load
+from global_superstore_data_warehouse_spark.operators.debugplan import dump_plan
 from global_superstore_data_warehouse_spark.operators.hints import (
     cpu_repartition,
     maybe_broadcast,
@@ -177,6 +178,12 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ranks = ranks.localCheckpoint(eager=True)
             prev = ranks
         ranks = _round(ranks)
+        if i == 0:
+            # evidence hook (no-op unless SPARK_GRAFT_PLAN_DIR is
+            # set): the final explain only shows the post-checkpoint
+            # projection, so the per-round join strategy the
+            # broadcast gate changes is captured here instead
+            dump_plan(ranks, "part_pagerank_round_body")
     if CONVERGENCE_PROBE and prev is not None:
         ranks = ranks.localCheckpoint(eager=True)  # probe + result reuse it
         _assert_contraction(prev, ranks, DAMPING ** (N_ITER - 1) * 2.0)
@@ -462,15 +469,15 @@ def copurchase_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
         prev_frontier = frontier
-        frontier = (
-            neighbors.join(
-                maybe_broadcast(visited.select("node"), n_rows=visited_n),
-                "node",
-                "left_anti",
-            )
-            .withColumn("dist", F.lit(hop))
-            .localCheckpoint(eager=True)
-        )
+        hop_frame = neighbors.join(
+            maybe_broadcast(visited.select("node"), n_rows=visited_n),
+            "node",
+            "left_anti",
+        ).withColumn("dist", F.lit(hop))
+        if hop == 1:
+            # evidence hook (no-op unless SPARK_GRAFT_PLAN_DIR set)
+            dump_plan(hop_frame, "copurchase_bfs_hop_body")
+        frontier = hop_frame.localCheckpoint(eager=True)
         frontier_n = frontier.count()  # cached rows — gate + drain probe
         # the superseded frontier's blocks are dead once the new one
         # is materialized (at hop 1 it aliases `visited` — skip)
@@ -742,6 +749,9 @@ def kcore_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     at_fixed_point = False
     for rnd in range(KCORE_ROUNDS):
         deg = _core_deg(active, n_active)
+        if rnd == 0:
+            # evidence hook (no-op unless SPARK_GRAFT_PLAN_DIR set)
+            dump_plan(deg, "kcore_membership_round_body")
         prev = active
         active = (
             deg.filter(F.col("d") >= KCORE_K)

@@ -756,14 +756,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             m.select(F.col("v").alias("dst"), F.col("m").alias("md")), n_rows=n_active
         )
         prev = cur
-        cur = (
+        level_body = (
             cur.join(ms, "src")
             .join(md, "dst")
             .filter(F.col("ms") != F.col("md"))
             .select(F.col("ms").alias("src"), F.col("md").alias("dst"))
             .distinct()
-            .localCheckpoint()
         )
+        if len(levels) == 1:
+            # evidence hook (no-op unless SPARK_GRAFT_PLAN_DIR set):
+            # the per-level remap join strategy is invisible in the
+            # final post-checkpoint explain — capture level 1 here
+            from global_superstore_data_warehouse_spark.operators.debugplan import (
+                dump_plan,
+            )
+
+            dump_plan(level_body, "dedup_clusters_level_body")
+        cur = level_body.localCheckpoint()
         # the superseded contraction level's blocks are never read
         # again (levels keep their OWN checkpoints for the remap
         # fold) — release them; the round-8 advisor's session-lifetime
@@ -1407,11 +1416,22 @@ def _recall_sample_pred() -> Column:
     return _md5_bucket(F.col("doc_id")) < RECALL_SAMPLE_PCT
 
 
-def _recall_eval_from_exact(spark, sf_dir: str, exact: DataFrame) -> DataFrame:
-    cand = minhash_lsh_candidates(spark, sf_dir).select(
-        F.col("doc_id_a").alias("doc_a"),
-        F.col("doc_id_b").alias("doc_b"),
-        F.lit(1).alias("hit"),
+def _recall_eval_from_exact(spark, sf_dir: str, exact_thunk) -> DataFrame:
+    # ground truth and the LSH index under evaluation are independent
+    # pipelines, each with eager checkpoints inside — build them in
+    # two driver threads (guide §2.6; operators/par.py): same jobs,
+    # same result, overlapped latency
+    from global_superstore_data_warehouse_spark.operators.par import (
+        build_concurrently,
+    )
+
+    exact, cand = build_concurrently(
+        exact_thunk,
+        lambda: minhash_lsh_candidates(spark, sf_dir).select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.lit(1).alias("hit"),
+        ),
     )
     joined = exact.join(cand, ["doc_a", "doc_b"], "left")
     found = F.coalesce(F.col("hit"), F.lit(0))
@@ -1445,13 +1465,16 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from global_superstore_data_warehouse_spark.plans import setsim
 
-    # spread before the sample filter: the ground-truth tokenize runs
-    # over the sample at full width instead of the scan's single split
-    docs = spread_scan(
-        load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
-    ).filter(_recall_sample_pred())
-    exact = setsim.jaccard_pairs_for_docs(docs).select("doc_a", "doc_b")
-    return _recall_eval_from_exact(spark, sf_dir, exact)
+    def _exact() -> DataFrame:
+        # spread before the sample filter: the ground-truth tokenize
+        # runs over the sample at full width instead of the scan's
+        # single split
+        docs = spread_scan(
+            load(spark, sf_dir, "documents"), sf_dir, "documents", by="doc_id"
+        ).filter(_recall_sample_pred())
+        return setsim.jaccard_pairs_for_docs(docs).select("doc_a", "doc_b")
+
+    return _recall_eval_from_exact(spark, sf_dir, _exact)
 
 
 def minhash_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,8 +1482,13 @@ def minhash_recall_eval_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; kept for pytest (slow) and ad-hoc audits at small SF."""
     from global_superstore_data_warehouse_spark.plans import setsim
 
-    exact = setsim.jaccard_prefix_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return _recall_eval_from_exact(spark, sf_dir, exact)
+    return _recall_eval_from_exact(
+        spark,
+        sf_dir,
+        lambda: setsim.jaccard_prefix_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ),
+    )
 
 
 from global_superstore_data_warehouse_spark.plans import setsim as _setsim  # noqa: E402
@@ -2323,12 +2351,20 @@ def simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     same one-row (n_true, n_found, recall) contract, so the two
     evals sit side by side in the driver output and the choice of
     family on a new corpus is a measurement, not a vibe."""
+    from global_superstore_data_warehouse_spark.operators.par import (
+        build_concurrently,
+    )
     from global_superstore_data_warehouse_spark.plans import setsim
 
-    docs = load(spark, sf_dir, "documents").filter(_recall_sample_pred())
-    exact = setsim.jaccard_pairs_for_docs(docs).select("doc_a", "doc_b")
-    cand = simhash_near_dup_pairs(spark, sf_dir).select(
-        "doc_a", "doc_b", F.lit(1).alias("hit")
+    # ground truth and the simhash index are independent eager
+    # pipelines — overlapped driver threads (guide §2.6), same jobs
+    exact, cand = build_concurrently(
+        lambda: setsim.jaccard_pairs_for_docs(
+            load(spark, sf_dir, "documents").filter(_recall_sample_pred())
+        ).select("doc_a", "doc_b"),
+        lambda: simhash_near_dup_pairs(spark, sf_dir).select(
+            "doc_a", "doc_b", F.lit(1).alias("hit")
+        ),
     )
     joined = exact.join(cand, ["doc_a", "doc_b"], "left")
     found = F.coalesce(F.col("hit"), F.lit(0))
@@ -2769,13 +2805,25 @@ def dedup_bcubed_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.coalesce(out, F.col("doc_id")).alias(out)
         )
 
-    sh = clusters(
-        simhash_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b", "c_sh"
+    # The two dedup passes are INDEPENDENT until the contingency join
+    # below, and each is a serial chain of small eager jobs
+    # (signature checkpoints, CC rounds, probes) that leaves most
+    # executors idle — build them in two driver threads so their
+    # latencies overlap (guide §2.6; see operators/par.py — same jobs,
+    # same results, wall ≈ max(side) instead of sum).
+    from global_superstore_data_warehouse_spark.operators.par import (
+        build_concurrently,
     )
-    # dedup_clusters already IS a full assignment (components +
-    # singletons); reuse it directly as the reference side
-    mh = dedup_clusters(spark, sf_dir).select(
-        "doc_id", F.col("cluster_id").alias("c_mh")
+
+    sh, mh = build_concurrently(
+        lambda: clusters(
+            simhash_near_dup_pairs(spark, sf_dir), "doc_a", "doc_b", "c_sh"
+        ),
+        # dedup_clusters already IS a full assignment (components +
+        # singletons); reuse it directly as the reference side
+        lambda: dedup_clusters(spark, sf_dir).select(
+            "doc_id", F.col("cluster_id").alias("c_mh")
+        ),
     )
 
     # One doc-scale groupBy collapses BOTH dedup passes into the
