@@ -469,15 +469,14 @@ def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = connected_components(pairs, src="id_a", dst="id_b").select(
         F.col("node").alias("c_custkey"), F.col("component").alias("entity_id")
     )
-    singles = (
-        cust.select("c_custkey")
-        .join(labels.select("c_custkey"), "c_custkey", "left_anti")
-        .withColumn("entity_id", F.col("c_custkey"))
-    )
-    assigned = labels.unionByName(singles)
-
+    # singleton pass fused into ONE left join (round-14, same rewrite
+    # as dedup_clusters): labels covers exactly the matched
+    # customers, so coalesce(entity_id, c_custkey) is row-identical
+    # to the old anti-join + union — and the survivorship groupBy
+    # consumes the join directly
     return (
-        cust.join(assigned, "c_custkey")
+        cust.join(labels, "c_custkey", "left")
+        .withColumn("entity_id", F.coalesce("entity_id", F.col("c_custkey")))
         .groupBy("entity_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),

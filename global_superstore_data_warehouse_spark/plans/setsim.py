@@ -111,12 +111,24 @@ def jaccard_pairs_for_docs(docs: DataFrame) -> DataFrame:
         .filter(F.col("n") > 0)  # empty sets have no defined Jaccard
         .withColumn("cls", F.md5(F.concat_ws("\x1f", "ts")))
     )
-    member = toks.select("doc_id", "cls").localCheckpoint(eager=True)
-    classes = toks.groupBy("cls").agg(
-        F.min("doc_id").alias("rep"),
-        F.min_by("ts", "doc_id").alias("ts"),  # identical across members
-        F.min("n").alias("n"),
-    ).localCheckpoint(eager=True)
+    # membership and class-exemplar checkpoints are independent (both
+    # derive from the tokenize projection, neither from the other) —
+    # materialize them in two driver threads (guide §2.6,
+    # operators/par.py): same two jobs, overlapped wall clock
+    from global_superstore_data_warehouse_spark.operators.par import (
+        build_concurrently,
+    )
+
+    member, classes = build_concurrently(
+        lambda: toks.select("doc_id", "cls").localCheckpoint(eager=True),
+        lambda: toks.groupBy("cls")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.min_by("ts", "doc_id").alias("ts"),  # identical across members
+            F.min("n").alias("n"),
+        )
+        .localCheckpoint(eager=True),
+    )
 
     ex = classes.select("cls", "rep", "n", F.explode("ts").alias("token"))
     # vocabulary-sized; checkpointed because it now has two consumers
@@ -360,7 +372,6 @@ def _superset_containment(
         .filter(F.col("n") > 0)
         .withColumn("cls", F.md5(F.concat_ws("\x1f", "ts")))
     )
-    member = toks.select("doc_id", "n", "cls").localCheckpoint(eager=True)
     classes = toks.groupBy("cls").agg(
         F.min_by("ts", "doc_id").alias("ts"),
         F.min("n").alias("n"),
@@ -368,13 +379,21 @@ def _superset_containment(
     )
 
     ex0 = classes.select("cls", F.explode("ts").alias("token"))
-    # vocabulary-sized; checkpointed — three consumers (the mask-bit
-    # projection, the rarest-token broadcast, and the scalar agg
-    # below) each re-ran the tokenize+explode+groupBy lineage before
-    dfreq = (
-        ex0.groupBy("token")
+    # membership and the vocabulary df table are independent eager
+    # materializations (guide §2.6, operators/par.py) — overlapped.
+    # dfreq is checkpointed because it has three consumers (the
+    # mask-bit projection, the rarest-token broadcast, and the
+    # scalar agg below) that each re-ran the tokenize+explode+groupBy
+    # lineage before.
+    from global_superstore_data_warehouse_spark.operators.par import (
+        build_concurrently,
+    )
+
+    member, dfreq = build_concurrently(
+        lambda: toks.select("doc_id", "n", "cls").localCheckpoint(eager=True),
+        lambda: ex0.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     # one vocabulary-sized aggregate yields BOTH scalars: the mask
     # tier (vocab) and the salt gate's hottest-block bound (max df) —

@@ -493,7 +493,6 @@ def _lsh_verified_doc_pairs(docs: DataFrame) -> DataFrame:
     checkpoint footprint is bounded at 100 TB.
     """
     member, classes = _bow_classes(docs)
-    member = member.localCheckpoint(eager=True)
     # repartition before the checkpoint: AQE coalesces the class
     # groupBy's shuffle by BYTES (a few MB of fingerprints → 1
     # partition), which would freeze a serial layout under the
@@ -510,12 +509,23 @@ def _lsh_verified_doc_pairs(docs: DataFrame) -> DataFrame:
         "rep",
         T.hashed_set(T.tokens("text")).alias("t0"),
     )
-    sig = base.select(
-        "cls",
-        "rep",
-        F.col("t0").alias("toks"),
-        *T.minhash_signature(F.col("t0"), NUM_HASHES),
-    ).localCheckpoint(eager=True)
+    # the membership and signature checkpoints are independent (both
+    # derive from the scan, neither from the other) — materialize
+    # them in two driver threads (guide §2.6, operators/par.py):
+    # same two jobs, overlapped wall clock
+    from global_superstore_data_warehouse_spark.operators.par import (
+        build_concurrently,
+    )
+
+    member, sig = build_concurrently(
+        lambda: member.localCheckpoint(eager=True),
+        lambda: base.select(
+            "cls",
+            "rep",
+            F.col("t0").alias("toks"),
+            *T.minhash_signature(F.col("t0"), NUM_HASHES),
+        ).localCheckpoint(eager=True),
+    )
     n_bands = NUM_HASHES // ROWS_PER_BAND
     banded = sig.select(
         "cls",
