@@ -1616,4 +1616,69 @@ ROUND13_WINDOW = [
     "seasonality_segment",
 ]
 
-registry.promote(ROUND13_WINDOW)
+# ROUND 14 (optimization round 2): the window leads with every query
+# whose PLAN changed this round — the standing rule that a changed
+# plan re-enters the very next window, so the driver independently
+# oracle-verifies the riskiest edits (19: the star-CC rewrite and its
+# consumers, the singleton-pass fusions, the co-purchase preamble
+# rewrite, the skew-gated setsim salt, and the driver-thread overlap
+# composites) — then fills to 50 with the stalest greens per
+# tools/rotation_queue.py (r08 tail + r09 cohort, estimate/_audit
+# pairs atomic; none due this window). No new registrations (net-zero
+# trivially holds).
+ROUND14_WINDOW = [
+    # -- plan changed this round (19) --
+    "dedup_clusters_smallstar",
+    "dedup_bcubed_agreement",
+    "entity_resolution_customers",
+    "dedup_clusters",
+    "cluster_representatives",
+    "dedup_savings_report",
+    "minhash_lsh_candidates",
+    "crossmodal_near_dup",
+    "split_near_dup_leakage",
+    "minhash_recall_eval",
+    "simhash_recall_eval",
+    "part_pagerank",
+    "kcore_membership",
+    "copurchase_bfs_layers",
+    "copurchase_triangles",
+    "clustering_coefficients",
+    "market_basket_pairs",
+    "jaccard_prefix_pairs",
+    "superset_containment",
+    # -- stalest greens fill (31): r08 tail, then the r09 cohort --
+    "secured_orders_slice",
+    "simhash_near_dup_pairs",
+    "temporal_split_audit",
+    "weighted_sample_topk",
+    "winsorized_segment_balances",
+    "boilerplate_strip",
+    "chisq_category_drift",
+    "consistent_shard_rebalance",
+    "corpus_report",
+    "cusum_changepoint",
+    "daily_ohlc",
+    "dedup_normalized_docs",
+    "domain_quota_sample_twophase",
+    "duplicate_span_islands",
+    "embedding_standardize",
+    "exact_percentile_twopass",
+    "kaplan_meier_churn",
+    "kcenter_coreset",
+    "kmv_audience_overlap",
+    "ks_drift_statistic",
+    "multimodal_decode_stats",
+    "price_volume_mix",
+    "psi_event_drift",
+    "quantile_normalization",
+    "rank_fusion_rrf",
+    "retrieval_ndcg_eval",
+    "revenue_gini",
+    "shapley_channel_attribution",
+    "split_semantic_leakage",
+    "stream_static_enrichment",
+    "target_encoding_loo",
+]
+
+registry.promote(ROUND14_WINDOW)

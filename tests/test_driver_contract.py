@@ -67,8 +67,14 @@ def test_bench_emits_one_json_line(tmp_path):
     assert set(detail) == {
         "metric", "value", "value_normalized", "unit", "queries",
         "extra_queries", "extra_passes", "inherent_cost", "canary", "sf",
-        "extras_budget_skipped",
+        "extras_budget_skipped", "headline_max_concurrency",
     }
+    # round-14 scaling legibility: every headline timing reports the
+    # max concurrently-active tasks the sampler observed (>= 0; 0 =
+    # the query ran below the sampling horizon, i.e. fixed-cost-bound)
+    conc = detail["headline_max_concurrency"]
+    assert set(conc) == set(detail["queries"])
+    assert all(isinstance(v, int) and v >= 0 for v in conc.values())
     # no silent caps: budget-skipped extras are named in the detail
     # file and counted on the compact line, disjoint from the timed
     skipped = detail["extras_budget_skipped"]
@@ -105,46 +111,47 @@ def test_correctness_window_is_the_intended_fifty():
     rotation notes."""
     sys.path.insert(0, REPO)
     from global_superstore_data_warehouse_spark import registry
-    from global_superstore_data_warehouse_spark.queries import ROUND13_WINDOW
+    from global_superstore_data_warehouse_spark.queries import ROUND14_WINDOW
 
     window = list(registry.queries())[:50]
     assert len(set(window)) == 50
     # since round 8 the window is DECLARED: registry.promote reorders
-    # the registry to put ROUND13_WINDOW first, so the driver's first
+    # the registry to put ROUND14_WINDOW first, so the driver's first
     # 50 must be exactly that list, in order
-    assert window == list(ROUND13_WINDOW)
-    # round-13 composition per the round-12 verdict: staleness
-    # rotation continued — the 50 entries with the oldest last-green
-    # driver round over CORRECTNESS_r01–r12: the full r07 tail (19,
-    # everything alphabetically after dedup_savings_report) plus the
-    # alphabetical head of the r08 cohort (31). No changed entries
-    # and no new registrations this round.
-    stale_r07_tail = {
-        "entity_resolution_customers", "expectations_report",
-        "fact_pit_customers", "fk_discovery", "gdpr_erasure_cascade",
-        "join_size_estimate", "leakage_safe_splits",
-        "market_budget_allocation", "part_skyline", "partition_advisor",
-        "profile_columns", "quantile_sketch_rollup",
-        "schema_evolution_union", "segment_revenue_trend",
-        "simhash_recall_eval", "split_near_dup_leakage",
-        "temperature_mixture_sample", "unigram_logprob_scores",
-        "user_activity_coverage",
+    assert window == list(ROUND14_WINDOW)
+    # round-14 composition: the standing changed-plan rule first —
+    # every query whose PLAN changed in this optimization round
+    # re-enters the very next window so the driver independently
+    # oracle-verifies the edits (19: star-CC rewrite consumers,
+    # singleton-pass fusions, co-purchase preamble rewrite, skew-gated
+    # setsim salt, driver-thread overlap composites) — then the
+    # stalest greens fill the remaining 31 slots (r08 tail + r09
+    # cohort per tools/rotation_queue.py). No new registrations.
+    changed_this_round = {
+        "dedup_clusters_smallstar", "dedup_bcubed_agreement",
+        "entity_resolution_customers", "dedup_clusters",
+        "cluster_representatives", "dedup_savings_report",
+        "minhash_lsh_candidates", "crossmodal_near_dup",
+        "split_near_dup_leakage", "minhash_recall_eval",
+        "simhash_recall_eval", "part_pagerank", "kcore_membership",
+        "copurchase_bfs_layers", "copurchase_triangles",
+        "clustering_coefficients", "market_basket_pairs",
+        "jaccard_prefix_pairs", "superset_containment",
     }
-    assert len(stale_r07_tail) == 19 and stale_r07_tail <= set(window)
-    rest = set(window) - stale_r07_tail
-    assert len(rest) == 31  # the alphabetical head of the r08 cohort
-    assert min(rest) == "ab_test_report" and max(rest) == "seasonality_segment"
-    # ...and every round-12 window entry rotated out this round (all
-    # r12 hash-green or rows-only-by-design) must stay registered —
-    # pytest parity retained
-    from global_superstore_data_warehouse_spark.queries import ROUND12_WINDOW
+    assert len(changed_this_round) == 19
+    assert set(window[:19]) == changed_this_round
+    rest = set(window) - changed_this_round
+    assert len(rest) == 31  # the staleness fill (r08 tail + r09 cohort)
+    # ...and every round-13 window entry rotated out this round (all
+    # r13 hash-green) must stay registered — pytest parity retained
+    from global_superstore_data_warehouse_spark.queries import ROUND13_WINDOW
 
-    rotated_out = set(ROUND12_WINDOW) - set(window)
+    rotated_out = set(ROUND13_WINDOW) - set(window)
     all_names = set(registry.queries())
     assert rotated_out <= all_names, sorted(rotated_out - all_names)
-    # Every round-13 window slot is oracle-backed: the two by-design
+    # Every round-14 window slot is oracle-backed: the two by-design
     # rows-only HLL estimates are outside this window (both freshly
-    # r12), and the rotation tool now keeps each estimate atomic with
+    # r12), and the rotation tool keeps each estimate atomic with
     # its `_audit` twin for every future window (round-12 directive).
     sys.path.insert(0, REPO)
     import __spark_entry__ as e
