@@ -28,12 +28,14 @@ re-deriving the symmetric view twice per star —
   ``maybe_broadcast`` (gated on the initial node count, a one-time
   scalar off the checkpointed node frame — node ids never leave the
   original id set, so the initial count bounds every round). Below
-  the gate each round's joins are broadcast-hash and the only
-  exchanges left are the two node-sized groupBy aggregations plus
-  the final distinct (7 exchanges/round -> 3, measured at sf0.1);
-  past the gate (billions of nodes) the hint drops itself and the
-  same plan runs as ordinary shuffle joins — the standard
-  alternating-star shape.
+  the gate each round's joins are broadcast-hash and the UNIQUE
+  shuffle exchanges left are the two min-map groupBy aggregations
+  plus the final distinct (7 -> 3 per round; the min-map subplan
+  appears in several branches of the static plan but AQE's runtime
+  stage cache executes it once — verified at sf0.01: 12 stages
+  planned, 7 ran for one round body). Past the gate (billions of
+  nodes) the hint drops itself and the same plan runs as ordinary
+  shuffle joins — the standard alternating-star shape.
 
 Rounds are O(log d) in practice; every round ends in a
 ``localCheckpoint`` so lineage stays flat, and convergence is ONE
